@@ -1,0 +1,111 @@
+"""Dedup engine configuration.
+
+Mirrors the authoritative production config of the reference
+(`/root/reference/src/quarrycore/dedup/hybrid_dedup.py:42-51`,
+`/root/reference/src/quarrycore/dedup/minhash_redis.py:57-79`,
+`/root/reference/docs/dedup.md:70-79`): character shingles of size 7
+over lowercased whitespace-collapsed text, 128 MinHash permutations,
+Jaccard threshold 0.85, SHA-256 exact layer over canonicalized text.
+
+The LSH band plan (b bands x r rows, b*r <= num_perm) is derived with
+the same optimization the reference's LSH library uses: minimize
+``0.5 * P(false positive) + 0.5 * P(false negative)`` (weights per
+`/root/reference/src/quarrycore/deduplicator/minhash_lsh.py:68-72`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Configuration for the multi-level dedup pipeline."""
+
+    # --- MinHash / LSH layer (reference: dedup/minhash_redis.py:57-79) ---
+    shingle_size: int = 7
+    num_perm: int = 128
+    threshold: float = 0.85
+    minhash_seed: int = 1  # datasketch default seed
+    false_positive_weight: float = 0.5
+    false_negative_weight: float = 0.5
+
+    # --- SimHash verification layer (north-rule addition) ---
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 12  # pairs further apart than this AND below
+    # the Jaccard threshold are rejected by the verifier.
+
+    # --- skew handling (north-rule "skew-aware bucket splitting") ---
+    # An LSH bucket with more than `bucket_cap` members is assumed to be
+    # boilerplate-driven. Instead of emitting O(n^2) pairs we split the
+    # bucket into salted sub-buckets of at most `bucket_cap` members
+    # (deterministic salt = rank of member within sorted bucket) and
+    # emit pairs only within sub-buckets plus a chain linking
+    # consecutive sub-buckets, preserving connected-component
+    # connectivity while bounding pair count to O(n * bucket_cap).
+    bucket_cap: int = 64
+
+    # --- execution sizing ---
+    batch_size: int = 4096
+    verify_concurrency: int = 4
+    minhash_concurrency: int = 8
+
+    # --- substring stage ---
+    min_substring_overlap: int = 100  # chars, reference fuzzy_matcher.py:213-236
+
+    def band_plan(self) -> tuple[int, int]:
+        """Return (bands, rows_per_band) minimizing weighted FP+FN.
+
+        Same integral-minimization as the reference's LSH library
+        (public algorithm), evaluated with a trapezoidal integral so we
+        need no scipy dependency. For threshold=0.85 / num_perm=128
+        this yields b*r == 128 with r around 8-10.
+        """
+        return optimal_band_plan(
+            self.threshold,
+            self.num_perm,
+            self.false_positive_weight,
+            self.false_negative_weight,
+        )
+
+
+def _integrate(f, a: float, b: float, n: int = 2000) -> float:
+    import numpy as np
+
+    x = np.linspace(a, b, n)
+    y = f(x)
+    return float(np.trapz(y, x))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def optimal_band_plan(
+    threshold: float,
+    num_perm: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick (b, r) with b*r <= num_perm minimizing weighted FP+FN error.
+
+    P(candidate | s) = 1 - (1 - s^r)^b. FP error integrates that curve
+    below the threshold; FN error integrates its complement above.
+    """
+    best = (1, num_perm)
+    best_err = float("inf")
+    for b in range(1, num_perm + 1):
+        max_r = num_perm // b
+        for r in range(1, max_r + 1):
+            fp = _integrate(lambda s: 1.0 - (1.0 - s**float(r)) ** float(b), 0.0, threshold)
+            fn = _integrate(
+                lambda s: 1.0 - (1.0 - (1.0 - s**float(r)) ** float(b)), threshold, 1.0
+            )
+            err = fp_weight * fp + fn_weight * fn
+            if err < best_err:
+                best_err = err
+                best = (b, r)
+    return best
+
+
+DEFAULT_CONFIG = DedupConfig()

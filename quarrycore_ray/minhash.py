@@ -1,0 +1,176 @@
+"""Vectorized, datasketch-compatible MinHash.
+
+The reference computes signatures with ``datasketch.MinHash(num_perm=128)``
+(`/root/reference/src/quarrycore/dedup/minhash_redis.py:186-202`). That
+library is not available here, so we re-implement the exact public
+scheme from first principles (it is fully documented in the datasketch
+docs/source on GitHub):
+
+- token hash: first 4 bytes of SHA-1(token) as a little-endian uint32
+  ("sha1_hash32"),
+- num_perm universal hash permutations ``h_i(x) = ((a_i * x + b_i) mod p)
+  & 0xFFFFFFFF`` with p = 2^61 - 1 (Mersenne prime),
+- (a_i, b_i) drawn pairwise from ``numpy.random.RandomState(seed)`` with
+  a in [1, p) and b in [0, p), seed defaults to 1,
+- signature = elementwise min over all token hashes, initialised to 2^32.
+
+Signatures produced here are therefore bit-identical to datasketch's for
+the same input token set, which is what "same shingle/signature config as
+the reference" requires.
+
+The implementation is batch-vectorized: one numpy matmul-style pass per
+document over its unique shingles, no per-permutation Python loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+
+_MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+_HASH_INIT = np.uint64(1 << 32)
+
+
+@lru_cache(maxsize=8)
+def permutations(num_perm: int = 128, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) arrays of shape (num_perm,), drawn exactly like datasketch.
+
+    datasketch draws the pair (a_i, b_i) together per permutation from a
+    single RandomState stream, so ordering of draws matters for
+    bit-compatibility.
+    """
+    gen = np.random.RandomState(seed)
+    ab = np.array(
+        [
+            (
+                gen.randint(1, int(_MERSENNE_PRIME), dtype=np.uint64),
+                gen.randint(0, int(_MERSENNE_PRIME), dtype=np.uint64),
+            )
+            for _ in range(num_perm)
+        ],
+        dtype=np.uint64,
+    ).T
+    a, b = ab[0], ab[1]
+    a.setflags(write=False)
+    b.setflags(write=False)
+    return a, b
+
+
+def sha1_hash32(data: bytes) -> int:
+    """First 4 bytes of SHA-1 digest as little-endian uint32."""
+    return int.from_bytes(hashlib.sha1(data).digest()[:4], "little")
+
+
+def shingle_set(text: str, k: int = 7) -> set[str]:
+    """Character k-shingles over lowercased, whitespace-collapsed text.
+
+    Exact port of the reference spec
+    (`/root/reference/src/quarrycore/dedup/minhash_redis.py:162-184`):
+    texts shorter than k yield the text itself; empty text yields the
+    empty set.
+    """
+    if not text:
+        return set()
+    if len(text) < k:
+        return {text}
+    normalized = " ".join(text.lower().split())
+    if len(normalized) < k:
+        return {normalized} if normalized else set()
+    return {normalized[i : i + k] for i in range(len(normalized) - k + 1)}
+
+
+class MinHasher:
+    """Stateful signature generator with a shingle-hash cache.
+
+    Designed to live inside a Ray actor (`map_batches(Cls, ...)`) so the
+    permutation table and the shingle->uint32 cache are built once per
+    worker, not per batch. Text corpora repeat shingles heavily
+    (boilerplate, shared vocabulary), so the SHA-1 cache converts the
+    dominant cost into a dict lookup.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 1, shingle_size: int = 7,
+                 cache_limit: int = 4_000_000):
+        self.num_perm = num_perm
+        self.shingle_size = shingle_size
+        self.a, self.b = permutations(num_perm, seed)
+        self._cache: dict[str, int] = {}
+        self._cache_limit = cache_limit
+
+    def _hash_shingles(self, shingles: set[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(shingles), dtype=np.uint64)
+        i = 0
+        for s in shingles:
+            h = cache.get(s)
+            if h is None:
+                h = sha1_hash32(s.encode("utf-8"))
+                if len(cache) < self._cache_limit:
+                    cache[s] = h
+            out[i] = h
+            i += 1
+        return out
+
+    def signature(self, text: str) -> np.ndarray:
+        """uint64[num_perm] signature (values < 2^32 once any token seen)."""
+        shingles = shingle_set(text, self.shingle_size)
+        if not shingles:
+            return np.full(self.num_perm, _HASH_INIT, dtype=np.uint64)
+        hv = self._hash_shingles(shingles)  # (n,)
+        # (n, num_perm) universal hashing, then column-min.
+        phv = (np.outer(hv, self.a) + self.b) % _MERSENNE_PRIME
+        np.bitwise_and(phv, _MAX_HASH, out=phv)
+        return phv.min(axis=0)
+
+    def signatures(self, texts) -> np.ndarray:
+        """(len(texts), num_perm) matrix of signatures."""
+        out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            out[i] = self.signature(t)
+        return out
+
+
+def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """MinHash estimate of Jaccard similarity (fraction of equal slots).
+
+    Matches ``datasketch.MinHash.jaccard`` and the reference's candidate
+    re-scoring (`/root/reference/src/quarrycore/deduplicator/minhash_lsh.py:162-181`).
+    """
+    return float(np.count_nonzero(sig_a == sig_b)) / len(sig_a)
+
+
+def jaccard_matrix(sigs: np.ndarray) -> np.ndarray:
+    """Pairwise signature-Jaccard for a small (m, num_perm) block."""
+    m = sigs.shape[0]
+    out = np.empty((m, m), dtype=np.float64)
+    for i in range(m):
+        out[i] = (sigs == sigs[i]).mean(axis=1)
+    return out
+
+
+# --- band hashing ------------------------------------------------------------
+
+_BAND_MULT = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio multiplier
+
+
+def band_hashes(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_docs, bands) uint64 bucket keys, fully vectorized.
+
+    Each band key mixes the band's `rows` signature slots with a
+    polynomial pass using a 64-bit odd multiplier (Fibonacci hashing;
+    public-domain construction). Collisions across distinct band
+    contents are ~2^-64 and are caught downstream by the verifier, so a
+    cryptographic hash is unnecessary — this keeps the stage pure numpy.
+    """
+    n = sigs.shape[0]
+    out = np.zeros((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        block = sigs[:, b * rows : (b + 1) * rows]
+        acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc ^ block[:, r]) * _BAND_MULT
+        out[:, b] = acc
+    return out

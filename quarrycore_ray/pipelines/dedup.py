@@ -1,0 +1,191 @@
+"""The flagship pipeline: multi-level transcript deduplication.
+
+Ray-Data-native re-expression of the reference's hybrid dedup flow
+(`/root/reference/src/quarrycore/dedup/hybrid_dedup.py:131-187` and the
+legacy multi-level orchestration
+`/root/reference/src/quarrycore/deduplicator/deduplicator.py:202-251`):
+
+    read_parquet(transcripts)
+      -> S1 canonical   per-turn normalize + sort-within-group assembly
+      -> S2 exact       sha256 groupby, reps carry member lists
+      -> S3 minhash     MinHash+SimHash actor pool (unique texts only)
+      -> S4 lsh         band explode -> bucket groupby -> candidate pairs
+      -> S5 verify      actor-pool Jaccard/Hamming predicate
+      -> S6 cluster     union-find -> cluster_id = min(conv_id)
+      -> S7 substring   intra-cluster containment scan (optional)
+      -> clusters / deduped corpus / metrics
+
+The exact layer short-circuits ahead of the expensive stages exactly as
+the reference's L1 does: only distinct canonical texts reach MinHash.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import DedupConfig
+from ..stages.canonical import assemble_conversations
+from ..stages.cluster import driver_union_find
+from ..stages.exact import exact_dedup
+from ..stages.lsh import candidate_pairs
+from ..stages.minhash_stage import MinHashSimHashStage
+from ..stages.substring import substring_matches
+from ..stages.verify import PairVerifier
+
+
+@dataclass
+class DedupResult:
+    clusters: "ray.data.Dataset"  # conv_id, cluster_id, is_representative, dup_kind
+    unique_conversations: "ray.data.Dataset"  # representatives with canonical_text
+    edges: pa.Table  # verified near-dup edges (a_id, b_id, jaccard, hamming)
+    substring: "ray.data.Dataset | None"
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def dedup_transcripts(
+    transcripts: "ray.data.Dataset",
+    config: DedupConfig | None = None,
+    with_substring: bool = False,
+) -> DedupResult:
+    cfg = config or DedupConfig()
+    metrics: dict[str, Any] = {}
+    t0 = time.perf_counter()
+
+    # S1 + S2: canonical assembly and exact dedup. `reps` has one row per
+    # distinct canonical text. Materialized once: it feeds the minhash
+    # stage AND the final cluster assembly.
+    conversations = assemble_conversations(transcripts)
+    reps = exact_dedup(conversations).materialize()
+    metrics["distinct_texts"] = reps.count()
+
+    # S3: signatures on unique texts only (actor pool, stateful caches).
+    with_sigs = reps.select_columns(["conv_id", "canonical_text"]).map_batches(
+        MinHashSimHashStage,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        # autoscaling pool: small inputs use one actor (fast startup),
+        # large inputs scale out to the configured pool size.
+        concurrency=(1, cfg.minhash_concurrency),
+    )
+    sig_ds = with_sigs.drop_columns(["canonical_text"]).materialize()
+
+    # S4: LSH shuffle -> candidate pairs (skew-capped).
+    pairs = candidate_pairs(sig_ds, cfg)
+
+    # S5: verification actor pool.
+    edges_ds = pairs.map_batches(
+        PairVerifier,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.verify_concurrency),
+    )
+    edge_batches = list(edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if edge_batches:
+        edges = pa.concat_tables(edge_batches)
+    else:
+        edges = pa.table(
+            {
+                "a_id": pa.array([], pa.string()),
+                "b_id": pa.array([], pa.string()),
+                "jaccard": pa.array([], pa.float64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    metrics["verified_edges"] = edges.num_rows
+
+    # S6: connected components. Edge list is O(duplicates) — driver-side
+    # union-find; see stages/cluster.py for the huge-edge-set variant.
+    near_assign = driver_union_find(
+        list(
+            zip(edges["a_id"].to_pylist(), edges["b_id"].to_pylist())
+        )
+    )
+    near_ref = ray.put(near_assign)
+
+    # Final assignment per conversation: exact members inherit their
+    # representative's near-dup cluster. dup_kind semantics follow the
+    # reference's DuplicationResult.duplicate_type: exact | near | unique.
+    # A rep appears in `assign` iff it had >= 1 verified near edge.
+    def assign_clusters(batch: pa.Table) -> pa.Table:
+        assign = ray.get(near_ref)
+        reps_col = batch["conv_id"].to_pylist()
+        members_col = batch["exact_members"].to_pylist()
+        out_conv: list[str] = []
+        out_cluster: list[str] = []
+        out_kind: list[str] = []
+        for rep, members in zip(reps_col, members_col):
+            cluster = assign.get(rep, rep)
+            rep_kind = "near" if rep in assign else "unique"
+            for m in members:
+                out_conv.append(m)
+                out_cluster.append(cluster)
+                out_kind.append(rep_kind if m == rep else "exact")
+        return pa.table(
+            {
+                "conv_id": pa.array(out_conv, pa.string()),
+                "cluster_id": pa.array(out_cluster, pa.string()),
+                "is_representative": pa.array(
+                    [c == v for v, c in zip(out_conv, out_cluster)], pa.bool_()
+                ),
+                "dup_kind": pa.array(out_kind, pa.string()),
+            }
+        )
+
+    clusters = reps.map_batches(assign_clusters, batch_format="pyarrow").materialize()
+    metrics["total_conversations"] = clusters.count()
+    n_unique_clusters = clusters.unique("cluster_id")
+    metrics["n_clusters"] = len(n_unique_clusters)
+
+    unique_conversations = reps.map_batches(
+        _filter_unique_reps(near_assign), batch_format="pyarrow"
+    )
+
+    sub = None
+    if with_substring:
+        text_by_rep = reps.select_columns(["conv_id", "canonical_text"])
+        joined = _attach_cluster(text_by_rep, near_assign)
+        sub = substring_matches(joined, cfg.min_substring_overlap)
+
+    metrics["wall_s"] = time.perf_counter() - t0
+    return DedupResult(
+        clusters=clusters,
+        unique_conversations=unique_conversations,
+        edges=edges,
+        substring=sub,
+        metrics=metrics,
+    )
+
+
+def _filter_unique_reps(near_assign: dict[str, str]):
+    """Keep only cluster representatives (conv_id == its cluster label)."""
+    ref = ray.put(near_assign)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        assign = ray.get(ref)
+        ids = batch["conv_id"].to_pylist()
+        keep = [assign.get(i, i) == i for i in ids]
+        return batch.filter(pa.array(keep))
+
+    return _f
+
+
+def _attach_cluster(text_ds: "ray.data.Dataset", near_assign: dict[str, str]):
+    ref = ray.put(near_assign)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        assign = ray.get(ref)
+        ids = batch["conv_id"].to_pylist()
+        return batch.append_column(
+            "cluster_id", pa.array([assign.get(i, i) for i in ids], pa.string())
+        )
+
+    return text_ds.map_batches(_f, batch_format="pyarrow")

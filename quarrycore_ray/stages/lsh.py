@@ -1,0 +1,147 @@
+"""Stage S4 — LSH banding, bucket groupby, candidate-pair generation.
+
+Reference semantics: datasketch `MinHashLSH` with threshold=0.85 /
+num_perm=128 over Redis buckets
+(`/root/reference/src/quarrycore/dedup/minhash_redis.py:140-155,204-255`;
+band/bucket key layout documented at `/root/reference/docs/dedup.md:97-103`).
+The shared Redis bucket probe becomes a dataflow shuffle: every
+signature explodes into `b` band rows keyed by a 64-bit band-content
+hash (band id mixed in), and a `groupby(band_key)` brings co-bucketed
+conversations together — the distributed equivalent of "any two docs
+sharing a band bucket are candidates".
+
+Skew handling (north-rule "skew-aware bucket splitting"): boilerplate
+text creates giant buckets whose naive pair enumeration is O(n^2). A
+bucket larger than `bucket_cap` is deterministically split (members
+sorted by conv_id) into sub-buckets of at most `bucket_cap` members;
+pairs are emitted within sub-buckets plus one chain pair linking
+consecutive sub-buckets. Connectivity of genuinely-duplicate buckets is
+preserved (components still merge through the chain) while emitted
+pairs drop from O(n^2) to O(n * bucket_cap). Dropped-pair counts are
+recorded per bucket for lineage.
+
+This stage is the big shuffle (#3). Payload per band row = conv_id +
+1 KiB signature + fingerprint; at 10^12-turn scale the band explosion
+factor `b` (8 with the default plan) is the dominant shuffle-volume
+knob — `num_perm`/plan changes should be weighed against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..config import DedupConfig
+from .minhash_stage import bytes_to_sigs
+
+
+class BandExplode:
+    """signatures -> b band rows each: (band_key, conv_id, minhash_sig, simhash)."""
+
+    def __init__(self, config: DedupConfig | None = None):
+        self.cfg = config or DedupConfig()
+        self.bands, self.rows = self.cfg.band_plan()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..minhash import band_hashes
+
+        n = batch.num_rows
+        sig_col = batch["minhash_sig"].to_pylist()
+        sigs = bytes_to_sigs(sig_col, self.cfg.num_perm)
+        bh = band_hashes(sigs, self.bands, self.rows)  # (n, bands) uint64
+        # repeat each row `bands` times, attach its band keys
+        idx = np.repeat(np.arange(n), self.bands)
+        band_key = bh.reshape(-1).view(np.int64)  # row-major: doc0 b0..b7, doc1 ...
+        out = pa.table(
+            {
+                "band_key": pa.array(band_key, pa.int64()),
+                "conv_id": pa.array(np.asarray(batch["conv_id"].to_pylist(), dtype=object)[idx].tolist(), pa.string()),
+                "minhash_sig": pa.array([sig_col[i] for i in idx], pa.binary()),
+                "simhash": batch["simhash"].take(pa.array(idx)),
+            }
+        )
+        return out
+
+
+def make_pair_emitter(bucket_cap: int):
+    """Per-bucket pair generation with deterministic skew capping."""
+
+    def _emit_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("conv_id", kind="mergesort").drop_duplicates("conv_id")
+        n = len(g)
+        if n < 2:
+            return _EMPTY_PAIRS
+        ids = g["conv_id"].to_numpy()
+        sigs = g["minhash_sig"].to_numpy()
+        fps = g["simhash"].to_numpy()
+        a_idx: list[int] = []
+        b_idx: list[int] = []
+        if n <= bucket_cap:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    a_idx.append(i)
+                    b_idx.append(j)
+            dropped = 0
+        else:
+            # split into chunks of bucket_cap; pairs within chunks + chain links
+            for start in range(0, n, bucket_cap):
+                end = min(start + bucket_cap, n)
+                for i in range(start, end):
+                    for j in range(i + 1, end):
+                        a_idx.append(i)
+                        b_idx.append(j)
+                if end < n:  # chain to next chunk
+                    a_idx.append(end - 1)
+                    b_idx.append(end)
+            total = n * (n - 1) // 2
+            dropped = total - len(a_idx)
+        return pa.table(
+            {
+                "a_id": pa.array(ids[a_idx].tolist(), pa.string()),
+                "b_id": pa.array(ids[b_idx].tolist(), pa.string()),
+                "a_sig": pa.array(sigs[a_idx].tolist(), pa.binary()),
+                "b_sig": pa.array(sigs[b_idx].tolist(), pa.binary()),
+                "a_fp": pa.array(fps[a_idx], pa.int64()),
+                "b_fp": pa.array(fps[b_idx], pa.int64()),
+                "bucket_size": pa.array(np.full(len(a_idx), n, dtype=np.int64)),
+                "dropped_pairs": pa.array(
+                    np.concatenate([[dropped], np.zeros(len(a_idx) - 1, dtype=np.int64)]).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return _emit_pairs
+
+
+# typed empty result as Arrow (a typed empty pandas frame with object
+# columns trips Ray's block-size estimation on zero-length inputs)
+_EMPTY_PAIRS = pa.table(
+    {
+        "a_id": pa.array([], pa.string()),
+        "b_id": pa.array([], pa.string()),
+        "a_sig": pa.array([], pa.binary()),
+        "b_sig": pa.array([], pa.binary()),
+        "a_fp": pa.array([], pa.int64()),
+        "b_fp": pa.array([], pa.int64()),
+        "bucket_size": pa.array([], pa.int64()),
+        "dropped_pairs": pa.array([], pa.int64()),
+    }
+)
+
+
+def candidate_pairs(
+    with_sigs: "ray.data.Dataset", config: DedupConfig | None = None
+) -> "ray.data.Dataset":
+    """signatures dataset -> candidate pair dataset (the LSH shuffle)."""
+    cfg = config or DedupConfig()
+    banded = with_sigs.map_batches(
+        BandExplode(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    return banded.groupby("band_key").map_groups(
+        make_pair_emitter(cfg.bucket_cap), batch_format="pandas"
+    )

@@ -1,0 +1,59 @@
+"""Stage S3 — MinHash signatures + SimHash fingerprints (actor pool).
+
+Reference semantics: `RedisMinHashLSH._create_minhash`
+(`/root/reference/src/quarrycore/dedup/minhash_redis.py:186-202`) — 7-char
+shingles over lowercased whitespace-collapsed text, 128 permutations,
+datasketch hashing scheme (reproduced bit-exactly in
+`quarrycore_ray.minhash`). SimHash fingerprints are computed in the
+same pass (shared shingle sets) for the north-rule Hamming verification
+stage.
+
+This is a *stateful* stage: the permutation table and the shingle->hash
+caches are built once per actor (`__init__`), then reused across
+batches — the canonical Ray actor-pool pattern for amortizing setup.
+Signatures are emitted as a fixed-width binary column
+(num_perm * 8 bytes, little-endian uint64) so blocks stay compact and
+pandas round-trips never see object arrays of numpy vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..minhash import MinHasher
+from ..simhash import SimHasher
+
+
+def sig_to_bytes(sig: np.ndarray) -> bytes:
+    return sig.astype("<u8").tobytes()
+
+
+def bytes_to_sigs(col: list[bytes], num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 matrix from a binary column."""
+    if not col:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    return np.frombuffer(b"".join(col), dtype="<u8").reshape(len(col), num_perm)
+
+
+class MinHashSimHashStage:
+    """Callable class for `map_batches(MinHashSimHashStage, concurrency=N)`."""
+
+    def __init__(self, config: DedupConfig | None = None):
+        cfg = config or DedupConfig()
+        self.cfg = cfg
+        self.mh = MinHasher(cfg.num_perm, cfg.minhash_seed, cfg.shingle_size)
+        self.sh = SimHasher(cfg.shingle_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["canonical_text"].to_pylist()
+        sigs = self.mh.signatures(texts)
+        fps = self.sh.fingerprints(texts)
+        batch = batch.append_column(
+            "minhash_sig", pa.array([sig_to_bytes(s) for s in sigs], pa.binary())
+        )
+        # store simhash as int64 view (bit pattern preserved) — Arrow/pandas
+        # round-trip uint64 poorly through some paths.
+        batch = batch.append_column("simhash", pa.array(fps.view(np.int64), pa.int64()))
+        return batch

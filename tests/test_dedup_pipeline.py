@@ -1,0 +1,285 @@
+"""End-to-end dedup pipeline tests on transcript fixtures.
+
+Transplants the semantic shapes of the reference dedup suite
+(`/root/reference/tests/test_deduplication.py`, TestMultiLevelDeduplicator
+407-617) onto the transcript table, plus the north-rule invariants:
+sort-within-group canonicalization, deterministic min-conv_id
+representatives, dup-pair recall >= 0.99 vs the in-process sequential
+oracle, and skew-capped hot LSH buckets.
+"""
+
+import collections
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from quarrycore_ray.config import DedupConfig
+from quarrycore_ray.oracle import SequentialLSHOracle, pair_recall
+from quarrycore_ray.pipelines.dedup import dedup_transcripts
+from quarrycore_ray.stages.canonical import TURN_SEP, assemble_conversations
+from quarrycore_ray.synth import generate_transcripts
+from quarrycore_ray.text import normalize_whitespace, sha256_hex
+
+
+def _mk_transcripts(convs: dict[str, list[str]], shuffle_rows: bool = False) -> pa.Table:
+    """{conv_id: [turn texts]} -> transcript table (optionally row-shuffled)."""
+    import datetime as dt
+
+    rows = []
+    for ci, (cid, turns) in enumerate(convs.items()):
+        for ti, text in enumerate(turns):
+            rows.append(
+                {
+                    "conv_id": cid,
+                    "turn_idx": ti,
+                    "role": ["user", "assistant"][ti % 2],
+                    "text": text,
+                    "tool": "",
+                    "ts": dt.datetime(2026, 1, 1) + dt.timedelta(minutes=ci, seconds=ti),
+                }
+            )
+    if shuffle_rows:
+        rows = rows[::-1]
+    return pa.table(
+        {
+            "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "role": pa.array([r["role"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "tool": pa.array([r["tool"] for r in rows], pa.string()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
+LONG_A = [
+    "hello there how can i help you today with your data pipeline questions",
+    "i need to deduplicate a large corpus of conversation transcripts using ray",
+    "you should use minhash signatures with lsh banding over arrow batches",
+    "what shingle size and how many permutations should i configure for this",
+    "use seven character shingles with one hundred twenty eight permutations",
+    "thank you that works perfectly for my use case with the streaming executor",
+]
+
+
+class TestCanonicalAssembly:
+    def test_sort_within_group_invariant(self):
+        """Shuffled row order must yield identical canonical text."""
+        convs = {"conv-a": LONG_A}
+        t1 = _mk_transcripts(convs)
+        t2 = _mk_transcripts(convs, shuffle_rows=True)
+        c1 = assemble_conversations(rd.from_arrow(t1)).to_pandas()
+        c2 = assemble_conversations(rd.from_arrow(t2)).to_pandas()
+        assert c1["canonical_text"].iloc[0] == c2["canonical_text"].iloc[0]
+        expected = TURN_SEP.join(normalize_whitespace(t) for t in LONG_A)
+        assert c1["canonical_text"].iloc[0] == expected
+        assert c1["n_turns"].iloc[0] == len(LONG_A)
+
+    def test_per_turn_text_equality(self):
+        """North-rule invariant: canonical text is the ordered join of
+        per-turn normalized texts — each turn's normalized text appears
+        verbatim."""
+        convs = {"conv-a": ["First  turn\n", "\tsecond turn here"]}
+        out = assemble_conversations(rd.from_arrow(_mk_transcripts(convs))).to_pandas()
+        assert out["canonical_text"].iloc[0] == "First turn second turn here"
+
+
+class TestExactLevel:
+    def test_exact_duplicate_detected(self):
+        """Byte-identical copy => same cluster, dropped as `exact`
+        (reference test_deduplication.py:439-463)."""
+        convs = {"conv-a": LONG_A, "conv-b": list(LONG_A)}
+        res = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs)))
+        cl = res.clusters.to_pandas().set_index("conv_id")
+        assert cl.loc["conv-b", "cluster_id"] == "conv-a"
+        assert cl.loc["conv-b", "dup_kind"] == "exact"
+        assert bool(cl.loc["conv-a", "is_representative"])
+        uniq = res.unique_conversations.to_pandas()
+        assert list(uniq["conv_id"]) == ["conv-a"]
+
+    def test_whitespace_variant_is_exact_duplicate(self):
+        """Extra whitespace/newlines canonicalize away (reference
+        canonicalization tests)."""
+        messy = [t.replace(" ", "  ").upper() for t in LONG_A]
+        convs = {"conv-a": LONG_A, "conv-b": [t.replace(" ", "   ") for t in LONG_A]}
+        res = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs)))
+        cl = res.clusters.to_pandas().set_index("conv_id")
+        assert cl.loc["conv-b", "cluster_id"] == "conv-a"
+        assert cl.loc["conv-b", "dup_kind"] == "exact"
+        # case differences are NOT exact dups (hash is case-sensitive, as
+        # the reference's sha256-of-canonical is) but ARE near dups via
+        # lowercased shingles
+        convs2 = {"conv-a": LONG_A, "conv-c": messy}
+        res2 = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs2)))
+        cl2 = res2.clusters.to_pandas().set_index("conv_id")
+        assert cl2.loc["conv-c", "cluster_id"] == "conv-a"
+        assert cl2.loc["conv-c", "dup_kind"] == "near"
+
+
+class TestNearLevel:
+    def test_near_duplicate_clustered(self):
+        """1 lightly edited turn => same cluster via MinHash/LSH
+        (reference test_deduplication.py:466-518)."""
+        near = list(LONG_A)
+        near[2] = near[2].replace("minhash", "simhash")
+        convs = {"conv-a": LONG_A, "conv-b": near}
+        res = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs)))
+        cl = res.clusters.to_pandas().set_index("conv_id")
+        assert cl.loc["conv-b", "cluster_id"] == "conv-a"
+        assert cl.loc["conv-b", "dup_kind"] == "near"
+        assert res.metrics["verified_edges"] >= 1
+
+    def test_distinct_not_clustered(self):
+        distinct = [
+            "totally unrelated conversation about cooking italian pasta dishes",
+            "yes the secret is using fresh basil and good quality olive oil",
+            "simmer the tomato sauce slowly for at least forty five minutes",
+        ]
+        convs = {"conv-a": LONG_A, "conv-b": distinct}
+        res = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs)))
+        cl = res.clusters.to_pandas().set_index("conv_id")
+        assert cl.loc["conv-b", "cluster_id"] == "conv-b"
+        assert cl.loc["conv-b", "dup_kind"] == "unique"
+
+    def test_partial_overlap_not_lsh_clustered(self):
+        """A conversation 2x the length sharing a prefix is below the 0.85
+        Jaccard threshold => separate cluster (FIXTURES.md partial case)."""
+        partial = list(LONG_A) + [
+            "now let us discuss a completely different topic entirely unrelated",
+            "the weather forecast for next week predicts heavy rain and wind",
+            "remember to bring an umbrella when you leave the house tomorrow",
+            "thanks for the reminder i will definitely pack one in my bag",
+            "also the trains might be delayed due to the storm conditions",
+            "i will plan to leave earlier than usual to arrive on time",
+        ]
+        convs = {"conv-a": LONG_A, "conv-b": partial}
+        res = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs)))
+        cl = res.clusters.to_pandas().set_index("conv_id")
+        assert cl.loc["conv-b", "cluster_id"] == "conv-b"
+
+
+class TestSubstringStage:
+    def test_contained_in_detected_within_cluster(self):
+        """Near-clustered pair where one text contains the other => the
+        substring stage flags containment (reference
+        fuzzy_matcher.py:200-236 `contains`/`contained_in`)."""
+        longer = list(LONG_A) + ["one extra closing turn saying goodbye politely"]
+        convs = {"conv-a": LONG_A, "conv-b": longer}
+        res = dedup_transcripts(
+            rd.from_arrow(_mk_transcripts(convs)), with_substring=True
+        )
+        cl = res.clusters.to_pandas().set_index("conv_id")
+        assert cl.loc["conv-b", "cluster_id"] == "conv-a"  # high Jaccard
+        sub = res.substring.to_pandas()
+        assert len(sub) == 1
+        assert sub["match_type"].iloc[0] == "contained_in"
+        assert sub["a_id"].iloc[0] == "conv-a"  # the shorter, contained one
+
+
+class TestCorpusRecall:
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        transcripts, truth = generate_transcripts(
+            n_convs=150, seed=42, boilerplate_group=20
+        )
+        return transcripts, truth
+
+    @pytest.fixture(scope="class")
+    def engine_assign(self, corpus):
+        transcripts, _ = corpus
+        res = dedup_transcripts(rd.from_arrow(transcripts))
+        cl = res.clusters.to_pandas()
+        return dict(zip(cl["conv_id"], cl["cluster_id"])), res
+
+    @staticmethod
+    def _oracle_assign(transcripts: pa.Table) -> dict[str, str]:
+        rows = sorted(
+            zip(
+                transcripts.column("conv_id").to_pylist(),
+                transcripts.column("turn_idx").to_pylist(),
+                transcripts.column("text").to_pylist(),
+            )
+        )
+        conv: dict[str, list[tuple[int, str]]] = collections.defaultdict(list)
+        for cid, ti, tx in rows:
+            conv[cid].append((ti, tx))
+        canon = {
+            cid: TURN_SEP.join(normalize_whitespace(t) for _, t in sorted(v))
+            for cid, v in conv.items()
+        }
+        by_hash: dict[str, list[str]] = collections.defaultdict(list)
+        for cid, t in canon.items():
+            by_hash[sha256_hex(t)].append(cid)
+        rep_of = {}
+        for members in by_hash.values():
+            rep = min(members)
+            for m in members:
+                rep_of[m] = rep
+        orc = SequentialLSHOracle()
+        for cid in sorted(canon):
+            if rep_of[cid] == cid:
+                orc.add(cid, canon[cid])
+        near = orc.clusters()
+        return {cid: near.get(rep_of[cid], rep_of[cid]) for cid in canon}
+
+    def test_recall_vs_oracle(self, corpus, engine_assign):
+        """THE correctness gate: dup-pair recall >= 0.99 vs the sequential
+        reference oracle (BASELINE.md)."""
+        transcripts, _ = corpus
+        engine, _res = engine_assign
+        oracle = self._oracle_assign(transcripts)
+        assert pair_recall(oracle, engine) >= 0.99
+        # and no spurious merges either (pairwise precision)
+        assert pair_recall(engine, oracle) >= 0.99
+
+    def test_recall_vs_planted_truth(self, corpus, engine_assign):
+        transcripts, truth = corpus
+        engine, _res = engine_assign
+        truth_assign = dict(
+            zip(
+                truth.column("conv_id").to_pylist(),
+                truth.column("truth_cluster_id").to_pylist(),
+            )
+        )
+        assert pair_recall(truth_assign, engine) >= 0.99
+
+    def test_deterministic_across_runs(self, corpus, engine_assign):
+        transcripts, _ = corpus
+        engine, _res = engine_assign
+        res2 = dedup_transcripts(rd.from_arrow(transcripts))
+        cl2 = res2.clusters.to_pandas()
+        assert dict(zip(cl2["conv_id"], cl2["cluster_id"])) == engine
+
+    def test_counts_add_up(self, corpus, engine_assign):
+        transcripts, _ = corpus
+        _engine, res = engine_assign
+        n_convs = len(set(transcripts.column("conv_id").to_pylist()))
+        assert res.metrics["total_conversations"] == n_convs
+        assert res.unique_conversations.count() == res.metrics["n_clusters"]
+
+
+class TestSkewCap:
+    def test_hot_bucket_capped_but_connected(self):
+        """K identical-boilerplate conversations form one hot LSH bucket;
+        with bucket_cap << K the emitted pairs are O(K*cap) yet the
+        cluster still forms (chain links preserve connectivity)."""
+        boiler = [
+            "welcome to support chat how may we assist you today with anything",
+            "please describe the issue you are experiencing in as much detail",
+            "thank you for contacting us we will look into the problem soon",
+        ]
+        convs = {f"conv-{i:03d}": boiler for i in range(30)}
+        cfg = DedupConfig(bucket_cap=8)
+        res = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs)), config=cfg)
+        cl = res.clusters.to_pandas()
+        assert set(cl["cluster_id"]) == {"conv-000"}
+        # exact layer already collapses identical texts; now distinct-but-
+        # similar hot buckets: vary one word each
+        convs2 = {
+            f"conv-{i:03d}": boiler[:2] + [boiler[2] + f" case {i}"] for i in range(30)
+        }
+        res2 = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs2)), config=cfg)
+        cl2 = res2.clusters.to_pandas()
+        assert set(cl2["cluster_id"]) == {"conv-000"}

@@ -1,0 +1,74 @@
+"""Canonicalization invariants.
+
+Mirrors `/root/reference/tests/unit/test_canonical_html.py`: script/style
+removal, whitespace collapse (no double spaces in output), idempotence,
+entity decode.
+"""
+
+import pyarrow as pa
+
+from quarrycore_ray.text import (
+    canonicalize_html,
+    normalize_whitespace,
+    normalize_whitespace_array,
+    regex_token_count,
+    sha256_hex,
+    sha256_hex_array,
+)
+
+
+class TestNormalizeWhitespace:
+    def test_collapse(self):
+        assert normalize_whitespace("a  b\t\nc   d") == "a b c d"
+
+    def test_strip(self):
+        assert normalize_whitespace("  hello  ") == "hello"
+
+    def test_no_double_spaces_in_output(self):
+        out = normalize_whitespace("x" + " \n\t " * 10 + "y")
+        assert "  " not in out
+
+    def test_idempotent(self):
+        s = "some   text\nwith\t\tmess"
+        assert normalize_whitespace(normalize_whitespace(s)) == normalize_whitespace(s)
+
+    def test_vectorized_matches_scalar(self):
+        texts = ["a  b", " c\td ", "", "one", "multi\n\nline  text "]
+        arr = normalize_whitespace_array(pa.array(texts))
+        assert arr.to_pylist() == [normalize_whitespace(t) for t in texts]
+
+
+class TestCanonicalizeHtml:
+    def test_script_and_style_removed(self):
+        html = "<html><script>var x=1;</script><style>.a{}</style><p>Keep me</p></html>"
+        out = canonicalize_html(html)
+        assert "var x" not in out and ".a{}" not in out and "Keep me" in out
+
+    def test_comments_removed(self):
+        assert "secret" not in canonicalize_html("<p>ok</p><!-- secret -->")
+
+    def test_entities_decoded(self):
+        assert canonicalize_html("a&nbsp;&amp;&lt;b&gt;") == "a &<b>"
+
+    def test_whitespace_collapsed(self):
+        assert "  " not in canonicalize_html("<p>a</p>\n\n<p>b</p>")
+
+    def test_idempotent_on_plain_text(self):
+        s = canonicalize_html("<div>some  plain text</div>")
+        assert canonicalize_html(s) == s
+
+
+class TestHashing:
+    def test_sha256_known(self):
+        import hashlib
+
+        assert sha256_hex("abc") == hashlib.sha256(b"abc").hexdigest()
+
+    def test_array_matches_scalar(self):
+        texts = ["a", "", "hello world"]
+        assert sha256_hex_array(pa.array(texts)).to_pylist() == [sha256_hex(t) for t in texts]
+
+
+def test_regex_token_count():
+    assert regex_token_count("ab, cd!") == 4
+    assert regex_token_count("") == 0
