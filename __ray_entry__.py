@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash). Ray/DuckDB column names and rounded values are
+matched pairwise by construction — see quarrycore_ray.pipelines.*.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here or in the library (driver owns the
+session).
 """
 
 from __future__ import annotations
@@ -18,27 +15,228 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STOPLIST_SQL = "('the','and','of','a','to','in','is','that','it','for')"
+_CANON = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: documents (sf0.001) -> deterministic transcript
+    expansion -> full multi-level dedup -> clusters table."""
+    import ray.data as rd
+
+    from quarrycore_ray.pipelines.dedup import dedup_transcripts
+    from quarrycore_ray.synth import transcripts_from_documents
+
+    transcripts = transcripts_from_documents("/root/testdata/sf0.001")
+    res = dedup_transcripts(rd.from_arrow(transcripts))
+    return res.clusters
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from quarrycore_ray.functions import similarity
+    from quarrycore_ray.pipelines import documents as docs
+    from quarrycore_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def dedup_transcripts_full(sf_dir: str):
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.dedup import dedup_transcripts
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return dedup_transcripts(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        ).clusters
+
+    return {
+        # dedup core (SURVEY.md §2.1)
+        "exact_dedup_docs": docs.exact_dedup_docs,
+        "minhash_dedup_docs": docs.minhash_dedup_docs,
+        "simhash_dup_pairs": docs.simhash_dup_pairs,
+        "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
+        "substring_containment": docs.substring_containment,
+        "dedup_transcripts_full": dedup_transcripts_full,
+        # text analysis (§2.3, §2.9)
+        "doc_stats": docs.doc_stats,
+        "token_count_regex": docs.token_count_regex,
+        "quality_score_docs": docs.quality_score_docs,
+        "langid_docs": docs.langid_docs,
+        "fingerprint_docs": docs.fingerprint_docs,
+        # aggregations / sampling / sorts (§2.6, §2.7)
+        "source_distribution": docs.source_distribution,
+        "lang_distribution": docs.lang_distribution,
+        "top_docs_by_len": docs.top_docs_by_len,
+        "balanced_sample_by_source": docs.balanced_sample_by_source,
+        "vocab_stats": docs.vocab_stats,
+        # relational / windows (§2.5-2.7, §2.10)
+        "events_hourly": rel.events_hourly,
+        "events_user_sessions": rel.events_user_sessions,
+        "orders_by_status": rel.orders_by_status,
+        "customer_order_totals": rel.customer_order_totals,
+        "lineitem_pricing_summary": rel.lineitem_pricing_summary,
+        "supplier_nation_counts": rel.supplier_nation_counts,
+        # similarity search
+        "knn_cosine": similarity.knn_cosine,
+        "ann_lsh_knn": similarity.ann_lsh_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    canon_docs = f"SELECT doc_id, {_CANON} AS canonical FROM documents"
+    return {
+        "exact_dedup_docs": (
+            f"SELECT min(doc_id) AS doc_id, canonical FROM ({canon_docs}) "
+            "GROUP BY canonical"
+        ),
+        "ngram_jaccard_pairs": f"""
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS i FROM c),
+            grams AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+                FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY g IS NOT NULL
+            ),
+            d AS (SELECT DISTINCT doc_id, g FROM grams),
+            cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS nb
+                FROM d a JOIN d b USING (g) WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id, b_id, floor((nb * 1.0 / (ca.n + cb.n - nb)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = a_id
+            JOIN cnt cb ON cb.doc_id = b_id
+            WHERE nb * 1.0 / (ca.n + cb.n - nb) >= 0.5
+        """,
+        "substring_containment": f"""
+            WITH c AS ({canon_docs})
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM c a, c b
+            WHERE a.doc_id != b.doc_id
+              AND length(a.canonical) < length(b.canonical)
+              AND strpos(b.canonical, a.canonical) > 0
+        """,
+        "doc_stats": (
+            f"SELECT doc_id, len(string_split(canonical, ' ')) AS n_tokens, "
+            f"length(canonical) AS n_chars_norm FROM ({canon_docs})"
+        ),
+        "token_count_regex": (
+            r"SELECT doc_id, len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_re FROM documents"
+        ),
+        "quality_score_docs": f"""
+            WITH t AS (
+                SELECT doc_id, canonical, string_split(canonical, ' ') AS words
+                FROM ({canon_docs})
+            ), s AS (
+                SELECT doc_id,
+                    least(length(canonical) / 400.0, 1.0) AS ls,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        5.0 * len(list_filter(words, w -> w IN {_STOPLIST_SQL})) / len(words),
+                        1.0) END AS lgs,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        2.0 * len(list_distinct(words)) / len(words), 1.0) END AS ch
+                FROM t
+            )
+            SELECT doc_id, floor((ls) * 1000000 + 0.5) / 1000000.0 AS length_score, floor((lgs) * 1000000 + 0.5) / 1000000.0 AS language_score,
+                   floor((ch) * 1000000 + 0.5) / 1000000.0 AS coherence_score,
+                   floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000 + 0.5) / 1000000.0 AS quality
+            FROM s
+        """,
+        "source_distribution": (
+            "SELECT source, count(*) AS n_docs, floor((sum(n_chars) / (1.0 * count(*))) "
+            "* 1000000 + 0.5) / 1000000.0 AS avg_chars FROM documents GROUP BY source"
+        ),
+        "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "top_docs_by_len": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "balanced_sample_by_source": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+                FROM documents
+            ) WHERE rk <= 3
+        """,
+        "vocab_stats": f"""
+            WITH c AS (SELECT {_CANON} AS canonical FROM documents),
+            w AS (SELECT unnest(string_split(canonical, ' ')) AS token FROM c
+                  WHERE canonical != '')
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM w) AS total_tokens,
+                   (SELECT count(DISTINCT token) FROM w) AS vocab_size
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+                   floor((sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_user_sessions": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sessions,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM o GROUP BY user_id
+        """,
+        "orders_by_status": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   floor((sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) / 1000000.0) * 100 + 0.5) / 100.0 AS total_price,
+                   floor((sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / count(*)) * 100 + 0.5) / 100.0 AS avg_price,
+                   floor((max(o_totalprice)) * 100 + 0.5) / 100.0 AS max_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "customer_order_totals": """
+            WITH t AS (
+                SELECT o_custkey,
+                       floor((sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) / 1000000.0) * 100 + 0.5) / 100.0 AS total_spent,
+                       count(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT t.o_custkey AS c_custkey, c.c_name AS c_name,
+                   t.total_spent AS total_spent, t.n_orders AS n_orders
+            FROM t JOIN customer c ON c.c_custkey = t.o_custkey
+            ORDER BY t.total_spent DESC, c_custkey LIMIT 10
+        """,
+        "lineitem_pricing_summary": """
+            WITH u AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) AS qty_u,
+                       CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS base_u,
+                       CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                            AS BIGINT) AS disc_u
+                FROM lineitem
+            )
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   floor((sum(qty_u) / 1000000.0) * 100 + 0.5) / 100.0 AS sum_qty,
+                   floor((sum(base_u) / 1000000.0) * 100 + 0.5) / 100.0 AS sum_base_price,
+                   floor((sum(disc_u) / 1000000.0) * 100 + 0.5) / 100.0 AS sum_disc_price,
+                   floor((sum(qty_u) / 1000000.0 / count(*)) * 100 + 0.5) / 100.0 AS avg_qty,
+                   floor((sum(base_u) / 1000000.0 / count(*)) * 100 + 0.5) / 100.0 AS avg_price
+            FROM u GROUP BY 1, 2
+        """,
+        "supplier_nation_counts": (
+            "SELECT n_name, count(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON n_nationkey = s_nationkey GROUP BY n_name"
+        ),
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (
+                SELECT q_id, e.vec_id AS n_id,
+                       list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM q, embeddings e WHERE e.vec_id != q_id
+            )
+            SELECT q_id, n_id, CAST(rk AS BIGINT) AS rank, floor((cos) * 1000000 + 0.5) / 1000000.0 AS cosine
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos DESC, n_id) AS rk
+                FROM s
+            ) WHERE rk <= 5
+        """,
+    }

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns.
+
+The reference's semantic layer holds a FAISS index behind a shared
+service (`/root/reference/src/quarrycore/deduplicator/semantic_dedup.py:211-254`);
+here the equivalents are dataflow-native:
+
+- `knn_cosine`: brute-force top-k — the query matrix is broadcast via
+  `ray.put` once, each batch does one float64 matmul against it. The
+  correct baseline at any scale where the query side is small.
+- `ann_lsh_knn`: the scale path — random-hyperplane LSH (Charikar 2002)
+  buckets both corpus and queries; candidates are scored only within
+  matching buckets. Approximate (rows-only check), recall tunable via
+  n_planes/n_tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..exactmath import floor_round_np
+
+
+def _embeddings(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch["vec_id"], dtype=np.int64)
+    emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+    return ids, emb
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_cosine(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
+    """Exact top-k cosine neighbors for query vectors vec_id < n_queries.
+
+    Output (q_id, n_id, rank, cosine) with cosine rounded to 6 dp and
+    deterministic tie-break by neighbor id.
+    """
+    qdf = (
+        _embeddings(sf_dir)
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = _normalize(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        ids, emb = _to_matrix(batch)
+        emb = _normalize(emb)
+        cos = emb @ qmat.T  # (n_batch, n_queries)
+        n, nq = cos.shape
+        return pa.table(
+            {
+                "q_id": pa.array(np.tile(qids, n), pa.int64()),
+                "n_id": pa.array(np.repeat(ids, nq), pa.int64()),
+                "cosine": pa.array(cos.reshape(-1), pa.float64()),
+            }
+        )
+
+    scored = _embeddings(sf_dir).map_batches(_score, batch_format="pyarrow")
+
+    def _topk(g: pd.DataFrame) -> pa.Table:
+        g = g[g["n_id"] != g["q_id"]]
+        g = g.sort_values(["cosine", "n_id"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.table(
+            {
+                "q_id": pa.array(g["q_id"].to_numpy(), pa.int64()),
+                "n_id": pa.array(g["n_id"].to_numpy(), pa.int64()),
+                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+                "cosine": pa.array(floor_round_np(g["cosine"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    out = scored.groupby("q_id").map_groups(_topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+
+def ann_lsh_knn(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing.
+
+    Each of `n_tables` tables hashes a vector to an `n_planes`-bit
+    bucket by the sign pattern of projections onto fixed random
+    hyperplanes; queries scan only their bucket per table. The bucket
+    groupby is the shuffle; per-bucket scoring is a small matmul.
+    """
+    dim = len(_embeddings(sf_dir).take(1)[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    qdf = _embeddings(sf_dir).filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = _normalize(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def _buckets(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids, emb = _to_matrix(batch)
+        emb_n = _normalize(emb)
+        out_key: list[np.ndarray] = []
+        n = len(ids)
+        for t in range(n_tables):
+            proj = emb_n @ pl[t].T  # (n, n_planes)
+            bits = (proj > 0).astype(np.int64)
+            key = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            out_key.append(key | (t << 32))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_key), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                "embedding": pa.concat_arrays(
+                    [batch["embedding"].combine_chunks()] * n_tables
+                ),
+            }
+        )
+
+    bucketed = _embeddings(sf_dir).map_batches(_buckets, batch_format="pyarrow")
+
+    def _bucket_scores(g: pd.DataFrame) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        present = g[g["vec_id"].isin(qids)]
+        if present.empty:
+            return pa.table(
+                {
+                    "q_id": pa.array([], pa.int64()),
+                    "n_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        g = g.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        emb = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
+        rows_q: list[np.ndarray] = []
+        rows_n: list[np.ndarray] = []
+        rows_c: list[np.ndarray] = []
+        for q in present["vec_id"].unique():
+            qv = qmat[np.where(qids == q)[0][0]]
+            cos = emb @ qv
+            mask = ids != q
+            rows_q.append(np.full(mask.sum(), q, dtype=np.int64))
+            rows_n.append(ids[mask])
+            rows_c.append(cos[mask])
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(rows_q), pa.int64()),
+                "n_id": pa.array(np.concatenate(rows_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(rows_c), pa.float64()),
+            }
+        )
+
+    scored = bucketed.groupby("bucket").map_groups(_bucket_scores, batch_format="pandas")
+    pdf = scored.to_pandas().drop_duplicates(["q_id", "n_id"])
+    out = (
+        pdf.sort_values(["q_id", "cosine", "n_id"], ascending=[True, False, True])
+        .groupby("q_id")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("q_id").cumcount() + 1
+    out["cosine"] = floor_round_np(out["cosine"].to_numpy(), 6)
+    return out[["q_id", "n_id", "rank", "cosine"]]

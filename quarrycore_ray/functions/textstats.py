@@ -1,0 +1,133 @@
+"""Text-analysis batch functions: token counts, quality scoring,
+language ID, fingerprints.
+
+Re-expresses the reference's quality/analysis layer as vectorized batch
+transforms:
+
+- quality scoring mirrors the reference's weighted scorer aggregation
+  (`/root/reference/src/quarrycore/quality/scorers.py:74-84` LengthScorer
+  len>400 -> 1.0, weight 0.3; language weight 0.4; coherence weight 0.3;
+  weighted sum clamped to [0,1],
+  `/root/reference/src/quarrycore/quality/assessor.py:70-119`). The
+  model-based language/coherence scorers (fasttext / MiniLM) are not
+  available in this environment, so both are replaced by deterministic
+  lexical proxies (stopword-hit ratio; distinct-word ratio) — the
+  *shape* (weights, clamping, per-component sub-scores) is the
+  reference's.
+- language ID replaces fasttext lid.176
+  (`/root/reference/src/quarrycore/extractor/language_detector.py`) with
+  a stopword/script heuristic over the same 5 test-corpus languages.
+- token counting: whitespace tokens plus a BPE-ish regex token count.
+
+All functions consume/produce Arrow batches; quality formulas are
+deliberately SQL-expressible so DuckDB can serve as an exact oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..exactmath import floor_round_np
+
+# deliberately small, fixed stopword sets — part of the spec so the SQL
+# oracle can reproduce scores exactly
+STOPWORDS_EN = ("the", "and", "of", "a", "to", "in", "is", "that", "it", "for")
+STOPWORDS = {
+    "en": STOPWORDS_EN,
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+}
+
+LENGTH_FULL_SCORE_CHARS = 400  # reference scorers.py:74-84
+W_LENGTH, W_LANGUAGE, W_COHERENCE = 0.3, 0.4, 0.3  # reference assessor weights
+
+
+def add_token_counts(batch: pa.Table, text_col: str = "canonical") -> pa.Table:
+    """n_tokens (single-space split of canonical text) + n_chars_norm."""
+    toks = pc.list_value_length(pc.split_pattern(batch[text_col], " "))
+    batch = batch.append_column("n_tokens", pc.cast(toks, pa.int64()))
+    return batch.append_column(
+        "n_chars_norm", pc.cast(pc.utf8_length(batch[text_col]), pa.int64())
+    )
+
+
+def add_regex_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token count: alnum runs + isolated punctuation (vectorized)."""
+    n = pc.count_substring_regex(batch[text_col], pattern=r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
+    return batch.append_column("n_tokens_re", pc.cast(n, pa.int64()))
+
+
+def quality_scores(batch: pa.Table, text_col: str = "canonical") -> pa.Table:
+    """Deterministic quality sub-scores + weighted overall score.
+
+    length_score   = min(len/400, 1)
+    language_score = min(5 * en-stopword-ratio, 1)
+    coherence      = min(2 * distinct-word-ratio, 1)
+    quality        = round(0.3*ls + 0.4*lgs + 0.3*ch, 6)
+    """
+    texts = batch[text_col].to_pylist()
+    ls = np.empty(len(texts))
+    lgs = np.empty(len(texts))
+    ch = np.empty(len(texts))
+    stop = set(STOPWORDS_EN)
+    for i, t in enumerate(texts):
+        t = t or ""
+        words = t.split(" ") if t else []
+        n = len(words)
+        ls[i] = min(len(t) / LENGTH_FULL_SCORE_CHARS, 1.0)
+        if n == 0:
+            lgs[i] = 0.0
+            ch[i] = 0.0
+        else:
+            lgs[i] = min(5.0 * sum(1 for w in words if w in stop) / n, 1.0)
+            ch[i] = min(2.0 * len(set(words)) / n, 1.0)
+    quality = floor_round_np(W_LENGTH * ls + W_LANGUAGE * lgs + W_COHERENCE * ch, 6)
+    batch = batch.append_column("length_score", pa.array(floor_round_np(ls, 6), pa.float64()))
+    batch = batch.append_column("language_score", pa.array(floor_round_np(lgs, 6), pa.float64()))
+    batch = batch.append_column("coherence_score", pa.array(floor_round_np(ch, 6), pa.float64()))
+    return batch.append_column("quality", pa.array(quality, pa.float64()))
+
+
+class LangIdStage:
+    """Heuristic language ID (stateful: token sets prepared once per actor).
+
+    Scores each language by stopword hits; CJK-script characters vote
+    for `zh`. Replaces the reference's fasttext model stage — same
+    actor-pool shape, deterministic output.
+    """
+
+    def __init__(self):
+        self.stop = {lang: set(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        preds: list[str] = []
+        confs: list[float] = []
+        for t in texts:
+            t = (t or "").lower()
+            n_cjk = sum(1 for c in t[:400] if "一" <= c <= "鿿")
+            words = t.split()
+            scores = {
+                lang: sum(1 for w in words if w in ws) for lang, ws in self.stop.items()
+            }
+            scores["zh"] = n_cjk
+            best = max(sorted(scores), key=lambda k: scores[k])
+            total = sum(scores.values())
+            preds.append(best if total else "unknown")
+            confs.append(round(scores[best] / total, 6) if total else 0.0)
+        batch = batch.append_column("pred_lang", pa.array(preds, pa.string()))
+        return batch.append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "canonical") -> pa.Table:
+    """Rolling-hash document fingerprint (deterministic, int64)."""
+    from ..text import rolling_fingerprint
+
+    fps = [
+        rolling_fingerprint(t or "") & ((1 << 63) - 1)
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column("fingerprint", pa.array(fps, pa.int64()))

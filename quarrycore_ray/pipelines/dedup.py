@@ -54,14 +54,29 @@ def dedup_transcripts(
     config: DedupConfig | None = None,
     with_substring: bool = False,
 ) -> DedupResult:
+    """Full pipeline over transcript rows (conv_id/turn_idx/text...)."""
+    return dedup_conversations(
+        assemble_conversations(transcripts), config, with_substring
+    )
+
+
+def dedup_conversations(
+    conversations: "ray.data.Dataset",
+    config: DedupConfig | None = None,
+    with_substring: bool = False,
+) -> DedupResult:
+    """Dedup pre-assembled documents: (conv_id, canonical_text, n_turns).
+
+    Also the entry point for plain document tables — map each document
+    to one row of this shape and the whole multi-level stack applies.
+    """
     cfg = config or DedupConfig()
     metrics: dict[str, Any] = {}
     t0 = time.perf_counter()
 
-    # S1 + S2: canonical assembly and exact dedup. `reps` has one row per
-    # distinct canonical text. Materialized once: it feeds the minhash
-    # stage AND the final cluster assembly.
-    conversations = assemble_conversations(transcripts)
+    # S2: exact dedup. `reps` has one row per distinct canonical text.
+    # Materialized once: it feeds the minhash stage AND the final
+    # cluster assembly.
     reps = exact_dedup(conversations).materialize()
     metrics["distinct_texts"] = reps.count()
 

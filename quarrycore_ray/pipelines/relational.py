@@ -1,0 +1,258 @@
+"""Relational-shaped operators over the events/orders/customer/lineitem
+test tables — the aggregation / sort / join / windowed-aggregate surface
+of SURVEY.md §2.6-2.7.
+
+The reference has no relational joins (§2.5) — its cross-record
+correlation runs through shared indexes. These operators demonstrate
+the Ray-Data-native equivalents the engine uses internally: multi-key
+groupby aggregations with vectorized pre-processing, broadcast
+(small-side) joins via `ray.put`, and deterministic sorted top-k.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..exactmath import floor_round
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_col(batch: pa.Table, col: str, digits: int = 6) -> pa.Table:
+    return batch.set_column(
+        batch.schema.get_field_index(col), col, floor_round(batch[col], digits)
+    )
+
+
+def _micros(arr: "pa.ChunkedArray | pa.Array") -> "pa.Array":
+    """Value -> int64 micro-units: floor(x * 1e6 + 0.5).
+
+    Float sums are association-dependent (Ray reduces blocks in
+    nondeterministic order), so post-hoc rounding of a double sum can
+    disagree with a sequential oracle in the last bits. Summing exact
+    per-row integers is order-independent; both engine and oracle apply
+    this identical per-row quantization, making aggregates bit-equal.
+    """
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(arr, pa.scalar(1e6)), pa.scalar(0.5))), pa.int64()
+    )
+
+
+_MICROS_SQL = "CAST(floor({x} * 1000000 + 0.5) AS BIGINT)"
+
+
+def events_hourly(sf_dir: str) -> "rd.Dataset":
+    """Tumbling-window aggregate: (event_type, hour, n_events, avg_value).
+
+    The batch-engine expression of a streaming tumbling window
+    (SURVEY.md §2.10): event-time bucketing is a vectorized
+    `floor_temporal`, the window reduce is a multi-key groupby.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("hour", pc.floor_temporal(batch["ts"], unit="hour"))
+        return batch.append_column("value_u", _micros(batch["value"]))
+
+    agg = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .drop_columns(["ts", "value"])
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_u", alias_name="sum_u"))
+    )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        avg = floor_round(
+            pc.divide(
+                pc.divide(pc.cast(batch["sum_u"], pa.float64()), pa.scalar(1e6)),
+                pc.cast(batch["n_events"], pa.float64()),
+            ),
+            6,
+        )
+        return batch.drop_columns(["sum_u"]).append_column("avg_value", avg)
+
+    return agg.map_batches(_derive, batch_format="pyarrow")
+
+
+def events_user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+    """Session windows per user: count sessions and events per user.
+
+    Sessionization = sort-within-group by ts, then a gap-based cumulative
+    session id — the `groupby(key).map_groups(sorted window fn)` pattern
+    for streaming-shaped workloads. Output: (user_id, n_events,
+    n_sessions, first_ts, last_ts).
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _sessions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("ts", kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        n_sessions = int((gaps > gap_minutes * 60).sum()) + 1
+        return pa.table(
+            {
+                "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+                "n_events": pa.array([len(g)], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "first_ts": pa.array([g["ts"].iloc[0]], pa.timestamp("us")),
+                "last_ts": pa.array([g["ts"].iloc[-1]], pa.timestamp("us")),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
+def orders_by_status(sf_dir: str) -> "rd.Dataset":
+    """(o_orderstatus, n_orders, total_price, avg_price, max_price).
+
+    Money sums run over per-row micro-unit integers (see `_micros`) so
+    the distributed reduce is bit-equal to the sequential oracle."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return batch.append_column("price_u", _micros(batch["o_totalprice"]))
+
+    agg = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_u", alias_name="sum_u"),
+            Max("o_totalprice", alias_name="max_raw"),
+        )
+    )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        total = pc.divide(pc.cast(batch["sum_u"], pa.float64()), pa.scalar(1e6))
+        avg = pc.divide(total, pc.cast(batch["n_orders"], pa.float64()))
+        out = batch.drop_columns(["sum_u", "max_raw"])
+        out = out.append_column("total_price", floor_round(total, 2))
+        out = out.append_column("avg_price", floor_round(avg, 2))
+        return out.append_column("max_price", floor_round(batch["max_raw"], 2))
+
+    return agg.map_batches(_derive, batch_format="pyarrow")
+
+
+def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order value, with names.
+
+    Broadcast-join pattern: orders aggregate per custkey (shuffle), the
+    small `customer` dimension is `ray.put` once and mapped in per
+    batch — no second shuffle. Output: (c_custkey, c_name, total_spent,
+    n_orders)."""
+    def _prep(batch: pa.Table) -> pa.Table:
+        return batch.append_column("price_u", _micros(batch["o_totalprice"]))
+
+    totals = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("price_u", alias_name="sum_u"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        keys = batch["o_custkey"].to_pylist()
+        batch = batch.append_column(
+            "c_name", pa.array([names.get(key1) for key1 in keys], pa.string())
+        )
+        total = floor_round(
+            pc.divide(pc.cast(batch["sum_u"], pa.float64()), pa.scalar(1e6)), 2
+        )
+        return batch.drop_columns(["sum_u"]).append_column("total_spent", total)
+
+    joined = totals.map_batches(_attach, batch_format="pyarrow")
+    top = (
+        joined.sort(["total_spent", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    return top[["c_custkey", "c_name", "total_spent", "n_orders"]]
+
+
+def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
+    """TPC-H-Q1-shaped pricing summary over lineitem (vectorized revenue
+    computation inside map_batches, then multi-key groupby).
+
+    (l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+    avg_qty, avg_price, n_rows)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("qty_u", _micros(batch["l_quantity"]))
+        batch = batch.append_column("base_u", _micros(batch["l_extendedprice"]))
+        return batch.append_column("disc_u", _micros(disc))
+
+    agg = (
+        ds.map_batches(_rev, batch_format="pyarrow")
+        .select_columns(["l_returnflag", "l_linestatus", "qty_u", "base_u", "disc_u"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_u", alias_name="squ"),
+            Sum("base_u", alias_name="sbu"),
+            Sum("disc_u", alias_name="sdu"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["n_rows"], pa.float64())
+        sq = pc.divide(pc.cast(batch["squ"], pa.float64()), pa.scalar(1e6))
+        sb = pc.divide(pc.cast(batch["sbu"], pa.float64()), pa.scalar(1e6))
+        sd = pc.divide(pc.cast(batch["sdu"], pa.float64()), pa.scalar(1e6))
+        out = batch.drop_columns(["squ", "sbu", "sdu"])
+        out = out.append_column("sum_qty", floor_round(sq, 2))
+        out = out.append_column("sum_base_price", floor_round(sb, 2))
+        out = out.append_column("sum_disc_price", floor_round(sd, 2))
+        out = out.append_column("avg_qty", floor_round(pc.divide(sq, n), 2))
+        return out.append_column("avg_price", floor_round(pc.divide(sb, n), 2))
+
+    return agg.map_batches(_derive, batch_format="pyarrow")
+
+
+def supplier_nation_counts(sf_dir: str) -> pd.DataFrame:
+    """Suppliers per nation name — two-level broadcast join
+    (supplier -> nation). Output: (n_name, n_suppliers)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        names = ray.get(nref)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [names.get(key1) for key1 in batch["s_nationkey"].to_pylist()],
+                    pa.string(),
+                )
+            }
+        )
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(_attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+    return out.to_pandas().sort_values("n_name").reset_index(drop=True)
