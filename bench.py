@@ -1,0 +1,150 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline: the flagship multi-level transcript dedup pipeline
+(canonical -> exact -> MinHash -> LSH -> verify -> cluster) over a
+deterministic synthetic transcript corpus (~GRAFT_BENCH_CONVS
+conversations, default 20k, ~8 turns each) generated once and cached
+under /tmp — the same input at every parallelism level.
+
+Also times representative operators over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+`--scaling`: runs the plain bench twice in fresh subprocesses at
+RAY_GRAFT_CPUS=8 and =32 and reports throughput scaling efficiency
+(T_8/T_32)/4 — the sandbox protocol for the N-vs-4N-nodes criterion
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "20000"))
+CORPUS_DIR = os.environ.get("GRAFT_BENCH_CORPUS_DIR", "/tmp/qc_bench_corpus")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from quarrycore_ray.pipelines.dedup import dedup_transcripts
+    from quarrycore_ray.synth import write_corpus
+
+    root = write_corpus(CORPUS_DIR, BENCH_CONVS, seed=42, boilerplate_group=BENCH_CONVS // 50)
+    tdir = os.path.join(root, "transcripts")
+
+    # warm page cache + count turns (untimed)
+    n_turns = rd.read_parquet(tdir).count()
+    log(f"bench corpus: {tdir} ({n_turns} turns), num_cpus={NUM_CPUS}")
+
+    t0 = time.perf_counter()
+    res = dedup_transcripts(rd.read_parquet(tdir))
+    n_clusters = res.metrics["n_clusters"]
+    headline = time.perf_counter() - t0
+    turns_per_sec = n_turns / headline
+    log(
+        f"headline dedup: {headline:.2f}s, {turns_per_sec:.0f} turns/s, "
+        f"{n_clusters} clusters, metrics={res.metrics}"
+    )
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t = time.perf_counter()
+        out = fn(SF_DIR)
+        # consume lazily-returned datasets
+        import pandas as pd
+
+        import ray.data
+
+        if isinstance(out, ray.data.Dataset):
+            out.count()
+        dt = time.perf_counter() - t
+        queries[name] = round(dt, 3)
+        log(f"query {name}: {dt:.2f}s")
+
+    from quarrycore_ray.functions import similarity
+    from quarrycore_ray.pipelines import documents as docs
+    from quarrycore_ray.pipelines import relational as rel
+
+    timed("exact_dedup_docs", docs.exact_dedup_docs)
+    timed("minhash_dedup_docs", docs.minhash_dedup_docs)
+    timed("events_hourly", rel.events_hourly)
+    timed("events_user_sessions", rel.events_user_sessions)
+    timed("lineitem_pricing_summary", rel.lineitem_pricing_summary)
+    timed("knn_cosine", similarity.knn_cosine)
+
+    ray.shutdown()
+    return {
+        "metric": "transcript_dedup_e2e_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "num_cpus": NUM_CPUS,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(turns_per_sec, 1),
+        "n_clusters": int(n_clusters),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_turns": r_lo["n_turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

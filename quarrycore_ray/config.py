@@ -48,7 +48,7 @@ class DedupConfig:
     # --- execution sizing ---
     batch_size: int = 4096
     verify_concurrency: int = 4
-    minhash_concurrency: int = 8
+    minhash_concurrency: int = 16
 
     # --- substring stage ---
     min_substring_overlap: int = 100  # chars, reference fuzzy_matcher.py:213-236

@@ -151,6 +151,100 @@ def jaccard_matrix(sigs: np.ndarray) -> np.ndarray:
     return out
 
 
+class CombinedMinSimHasher:
+    """MinHash signature + SimHash fingerprint in one pass.
+
+    Both derive from the SAME SHA-1 digest per shingle: sha1_hash32 is
+    the little-endian low 4 bytes, the SimHash feature hash the low 8,
+    so ``h32 == h64 & 0xFFFFFFFF``. One digest, one shingle-set build
+    and one shared cache serve both layers — outputs are bit-identical
+    to running `MinHasher` and `SimHasher` separately (the oracle does
+    exactly that, see tests).
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 1, shingle_size: int = 7,
+                 cache_limit: int = 4_000_000):
+        self.num_perm = num_perm
+        self.shingle_size = shingle_size
+        self.a, self.b = permutations(num_perm, seed)
+        self._cache: dict[str, int] = {}  # shingle -> h64 (SHA-1 amortization)
+        self._cache_limit = cache_limit
+
+    def compute(self, texts, chunk_docs: int = 256) -> tuple[np.ndarray, np.ndarray]:
+        """(signatures (n, num_perm) uint64, fingerprints (n,) uint64).
+
+        Chunked: each chunk's unique shingles are SHA-1-hashed (with an
+        actor-lifetime cache) and universal-hash-permuted exactly once —
+        shingles repeat heavily across documents, so the (U, num_perm)
+        permute matrix is amortized over every occurrence. The mod-p step
+        uses the branch-light Mersenne-prime reduction
+        (x mod (2^61-1) == ((x >> 61) + (x & p)) with one conditional
+        subtract — ~4x faster than np.remainder and bit-identical).
+        Per-document signature = column-min over its rows; SimHash votes
+        from the matching bit matrix. Bit-identical to `MinHasher` +
+        `SimHasher` (the oracle path).
+        """
+        from_bytes = int.from_bytes
+        sha1 = hashlib.sha1
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        fps = np.empty(n, dtype=np.uint64)
+        mask32 = np.uint64(0xFFFFFFFF)
+        bit_w = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        sixty_one = np.uint64(61)
+        cache = self._cache
+        limit = self._cache_limit
+        for c0 in range(0, n, chunk_docs):
+            chunk = texts[c0 : c0 + chunk_docs]
+            uniq: dict[str, int] = {}
+            doc_idx: list[np.ndarray] = []
+            for t in chunk:
+                ss = shingle_set(t, self.shingle_size)
+                arr = np.empty(len(ss), dtype=np.int64)
+                j = 0
+                for s in ss:
+                    k = uniq.setdefault(s, len(uniq))
+                    arr[j] = k
+                    j += 1
+                doc_idx.append(arr)
+            U = len(uniq)
+            if U == 0:
+                sigs[c0 : c0 + len(chunk)] = _HASH_INIT
+                fps[c0 : c0 + len(chunk)] = 0
+                continue
+            h64 = np.empty(U, dtype=np.uint64)
+            for s, k in uniq.items():
+                h = cache.get(s)
+                if h is None:
+                    h = from_bytes(sha1(s.encode("utf-8")).digest()[:8], "little")
+                    if len(cache) < limit:
+                        cache[s] = h
+                h64[k] = h
+            # (U, num_perm) permuted hashes, Mersenne reduction in place
+            x = np.outer(h64 & mask32, self.a)
+            x += self.b  # wraps mod 2^64, as datasketch's uint64 math does
+            hi = x >> sixty_one
+            x &= _MERSENNE_PRIME
+            x += hi
+            x[x >= _MERSENNE_PRIME] -= _MERSENNE_PRIME
+            x &= _MAX_HASH
+            phv = x
+            # (U, 64) bit matrix for SimHash votes
+            bits = ((h64[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            for i, idx in enumerate(doc_idx):
+                row = c0 + i
+                if len(idx) == 0:
+                    sigs[row] = _HASH_INIT
+                    fps[row] = 0
+                    continue
+                sigs[row] = phv[idx].min(axis=0)
+                votes = bits[idx].sum(axis=0)
+                majority = votes * 2 > len(idx)
+                fps[row] = bit_w[majority].sum(dtype=np.uint64)
+        return sigs, fps
+
+
 # --- band hashing ------------------------------------------------------------
 
 _BAND_MULT = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio multiplier

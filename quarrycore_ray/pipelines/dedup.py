@@ -81,7 +81,12 @@ def dedup_conversations(
     metrics["distinct_texts"] = reps.count()
 
     # S3: signatures on unique texts only (actor pool, stateful caches).
-    with_sigs = reps.select_columns(["conv_id", "canonical_text"]).map_batches(
+    # Repartition first: the exact-dedup groupby emits few fat blocks,
+    # which would starve the actor pool (1 task per block).
+    sig_input = reps.select_columns(["conv_id", "canonical_text"]).repartition(
+        cfg.minhash_concurrency * 4
+    )
+    with_sigs = sig_input.map_batches(
         MinHashSimHashStage,
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
@@ -90,9 +95,10 @@ def dedup_conversations(
         # large inputs scale out to the configured pool size.
         concurrency=(1, cfg.minhash_concurrency),
     )
-    sig_ds = with_sigs.drop_columns(["canonical_text"]).materialize()
+    sig_ds = with_sigs.drop_columns(["canonical_text"])
 
-    # S4: LSH shuffle -> candidate pairs (skew-capped).
+    # S4: LSH shuffle -> candidate pairs (skew-capped). Streams straight
+    # from the signature stage — one execution covers S3-S5.
     pairs = candidate_pairs(sig_ds, cfg)
 
     # S5: verification actor pool.
@@ -157,8 +163,10 @@ def dedup_conversations(
 
     clusters = reps.map_batches(assign_clusters, batch_format="pyarrow").materialize()
     metrics["total_conversations"] = clusters.count()
-    n_unique_clusters = clusters.unique("cluster_id")
-    metrics["n_clusters"] = len(n_unique_clusters)
+    # distinct cluster labels among reps = distinct_texts minus the reps
+    # merged into another rep's component (no extra shuffle needed)
+    n_merged = len(near_assign) - len(set(near_assign.values()))
+    metrics["n_clusters"] = metrics["distinct_texts"] - n_merged
 
     unique_conversations = reps.map_batches(
         _filter_unique_reps(near_assign), batch_format="pyarrow"

@@ -27,6 +27,21 @@ def _feature_hash64(token: str) -> int:
     return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "little")
 
 
+def simhash_from_hash64(hv: np.ndarray) -> int:
+    """64-bit SimHash from an array of 64-bit feature hashes.
+
+    Shared by `SimHasher` and the combined engine stage so both produce
+    identical fingerprints. votes[j] = count of features with bit j set;
+    majority wins.
+    """
+    if len(hv) == 0:
+        return 0
+    bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    votes = bits.sum(axis=0)
+    majority = votes * 2 > len(hv)
+    return int((_BIT_WEIGHTS[majority]).sum(dtype=np.uint64))
+
+
 class SimHasher:
     """Stateful SimHash generator with a feature-hash cache (actor-friendly)."""
 
@@ -50,11 +65,7 @@ class SimHasher:
                     cache[s] = h
             hv[i] = h
             i += 1
-        # votes[j] = count of features with bit j set
-        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = bits.sum(axis=0)
-        majority = votes * 2 > len(shingles)
-        return int((_BIT_WEIGHTS[majority]).sum(dtype=np.uint64))
+        return simhash_from_hash64(hv)
 
     def fingerprints(self, texts) -> np.ndarray:
         out = np.empty(len(texts), dtype=np.uint64)

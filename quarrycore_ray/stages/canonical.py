@@ -34,26 +34,41 @@ def normalize_turns(batch: pa.Table) -> pa.Table:
     return batch.append_column("text_norm", normalize_whitespace_array(batch["text"]))
 
 
-def _assemble_group(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("turn_idx", kind="mergesort")
-    # skip empty normalized turns when joining: equals whole-document
-    # whitespace normalization of the concatenated turns (an empty turn
-    # must not leave a stray double/leading space in the canonical text)
-    parts = [t for t in g["text_norm"].tolist() if t]
-    return pd.DataFrame(
+def _assemble_partition(df: pd.DataFrame) -> pa.Table:
+    """Vectorized assembly of ALL conversations in one hash partition.
+
+    Sort by (conv_id, turn_idx) — the sort-within-group — then a single
+    pandas groupby(sort=False) joins per-turn texts. Empty normalized
+    turns are skipped in the join (equals whole-document whitespace
+    normalization of the concatenated turns: an empty turn must not
+    leave a stray space in the canonical text).
+    """
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    counts = df.groupby("conv_id", sort=False).size()
+    nonempty = df[df["text_norm"] != ""]
+    joined = nonempty.groupby("conv_id", sort=False)["text_norm"].agg(TURN_SEP.join)
+    conv_ids = counts.index.to_numpy()
+    texts = pd.Series(conv_ids).map(joined).fillna("").to_numpy()
+    return pa.table(
         {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "canonical_text": [TURN_SEP.join(parts)],
-            "n_turns": pd.array([len(g)], dtype="int32"),
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "canonical_text": pa.array(texts, pa.string()),
+            "n_turns": pa.array(counts.to_numpy().astype("int32"), pa.int32()),
         }
     )
 
 
-def assemble_conversations(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """transcript rows -> one row per conversation.
+def assemble_conversations(
+    ds: "ray.data.Dataset", num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """transcript rows -> one row per conversation (shuffle #1 on conv_id).
 
     Output schema: conv_id: string, canonical_text: string, n_turns: int32.
+    Uses coarse hash partitioning + vectorized per-partition grouping
+    (see stages/grouped.py) rather than per-conversation dispatch.
     """
+    from .grouped import partitioned_group_map
+
     ds = ds.map_batches(normalize_turns, batch_format="pyarrow")
     ds = ds.select_columns(["conv_id", "turn_idx", "text_norm"])
-    return ds.groupby("conv_id").map_groups(_assemble_group, batch_format="pandas")
+    return partitioned_group_map(ds, "conv_id", _assemble_partition, num_partitions)

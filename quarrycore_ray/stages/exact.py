@@ -30,26 +30,45 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_hash", sha256_hex_array(batch["canonical_text"]))
 
 
-def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("conv_id", kind="mergesort")
-    rep = g.iloc[0]
-    return pd.DataFrame(
+def _dedup_partition(df: pd.DataFrame) -> pa.Table:
+    """Vectorized exact-dedup of ALL hash groups in one partition.
+
+    Sorted by (content_hash, conv_id), the first row of each run is the
+    min-conv_id representative; member lists come from one grouped agg.
+    """
+    df = df.sort_values(["content_hash", "conv_id"], kind="mergesort")
+    members = df.groupby("content_hash", sort=False)["conv_id"].agg(list)
+    sizes = df.groupby("content_hash", sort=False).size()
+    first = df.drop_duplicates("content_hash", keep="first")
+    hashes = first["content_hash"].to_numpy()
+    return pa.table(
         {
-            "conv_id": [rep["conv_id"]],
-            "canonical_text": [rep["canonical_text"]],
-            "n_turns": pd.array([rep["n_turns"]], dtype="int32"),
-            "content_hash": [rep["content_hash"]],
-            "exact_members": [g["conv_id"].tolist()],
-            "exact_group_size": pd.array([len(g)], dtype="int64"),
+            "conv_id": pa.array(first["conv_id"].to_numpy(), pa.string()),
+            "canonical_text": pa.array(first["canonical_text"].to_numpy(), pa.string()),
+            "n_turns": pa.array(
+                first["n_turns"].to_numpy().astype("int32"), pa.int32()
+            ),
+            "content_hash": pa.array(hashes, pa.string()),
+            "exact_members": pa.array(
+                pd.Series(hashes).map(members).tolist(), pa.list_(pa.string())
+            ),
+            "exact_group_size": pa.array(
+                pd.Series(hashes).map(sizes).to_numpy().astype("int64"), pa.int64()
+            ),
         }
     )
 
 
-def exact_dedup(conversations: "ray.data.Dataset") -> "ray.data.Dataset":
+def exact_dedup(
+    conversations: "ray.data.Dataset", num_partitions: int = 64
+) -> "ray.data.Dataset":
     """conversations -> one row per distinct canonical text (shuffle #2).
 
     Output adds: content_hash, exact_members (list<string> incl. the
-    representative), exact_group_size.
+    representative), exact_group_size. Coarse hash partitioning +
+    vectorized per-partition grouping (stages/grouped.py).
     """
+    from .grouped import partitioned_group_map
+
     ds = conversations.map_batches(add_content_hash, batch_format="pyarrow")
-    return ds.groupby("content_hash").map_groups(_dedup_group, batch_format="pandas")
+    return partitioned_group_map(ds, "content_hash", _dedup_partition, num_partitions)

@@ -66,38 +66,64 @@ class BandExplode:
         return out
 
 
-def make_pair_emitter(bucket_cap: int):
-    """Per-bucket pair generation with deterministic skew capping."""
+def _bucket_pair_indices(n: int, bucket_cap: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Local (a, b) index pairs for one bucket of n members, skew-capped.
 
-    def _emit_pairs(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values("conv_id", kind="mergesort").drop_duplicates("conv_id")
-        n = len(g)
-        if n < 2:
+    n <= cap: full triangle. Else: triangles within cap-sized chunks plus
+    one chain pair between consecutive chunks (connectivity preserved,
+    pair count O(n * cap)); returns dropped-pair count for lineage.
+    """
+    if n <= bucket_cap:
+        ai, bi = np.triu_indices(n, k=1)
+        return ai, bi, 0
+    parts_a: list[np.ndarray] = []
+    parts_b: list[np.ndarray] = []
+    for start in range(0, n, bucket_cap):
+        end = min(start + bucket_cap, n)
+        ai, bi = np.triu_indices(end - start, k=1)
+        parts_a.append(ai + start)
+        parts_b.append(bi + start)
+        if end < n:
+            parts_a.append(np.array([end - 1]))
+            parts_b.append(np.array([end]))
+    a = np.concatenate(parts_a)
+    b = np.concatenate(parts_b)
+    return a, b, n * (n - 1) // 2 - len(a)
+
+
+def make_pair_emitter(bucket_cap: int):
+    """Partition-level pair generation: one vectorized pass over all
+    buckets hashed into this partition (see stages/grouped.py)."""
+
+    def _emit_pairs(df: pd.DataFrame) -> pa.Table:
+        from .grouped import run_bounds
+
+        df = df.sort_values(["band_key", "conv_id"], kind="mergesort")
+        df = df.drop_duplicates(["band_key", "conv_id"])
+        keys = df["band_key"].to_numpy()
+        bounds = run_bounds(keys)
+        ids = df["conv_id"].to_numpy()
+        sigs = df["minhash_sig"].to_numpy()
+        fps = df["simhash"].to_numpy()
+        all_a: list[np.ndarray] = []
+        all_b: list[np.ndarray] = []
+        sizes: list[np.ndarray] = []
+        dropped_col: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = int(e - s)
+            if n < 2:
+                continue
+            ai, bi, dropped = _bucket_pair_indices(n, bucket_cap)
+            all_a.append(ai + s)
+            all_b.append(bi + s)
+            sizes.append(np.full(len(ai), n, dtype=np.int64))
+            d = np.zeros(len(ai), dtype=np.int64)
+            d[0] = dropped
+            dropped_col.append(d)
+        if not all_a:
             return _EMPTY_PAIRS
-        ids = g["conv_id"].to_numpy()
-        sigs = g["minhash_sig"].to_numpy()
-        fps = g["simhash"].to_numpy()
-        a_idx: list[int] = []
-        b_idx: list[int] = []
-        if n <= bucket_cap:
-            for i in range(n):
-                for j in range(i + 1, n):
-                    a_idx.append(i)
-                    b_idx.append(j)
-            dropped = 0
-        else:
-            # split into chunks of bucket_cap; pairs within chunks + chain links
-            for start in range(0, n, bucket_cap):
-                end = min(start + bucket_cap, n)
-                for i in range(start, end):
-                    for j in range(i + 1, end):
-                        a_idx.append(i)
-                        b_idx.append(j)
-                if end < n:  # chain to next chunk
-                    a_idx.append(end - 1)
-                    b_idx.append(end)
-            total = n * (n - 1) // 2
-            dropped = total - len(a_idx)
+        a_idx = np.concatenate(all_a)
+        b_idx = np.concatenate(all_b)
         return pa.table(
             {
                 "a_id": pa.array(ids[a_idx].tolist(), pa.string()),
@@ -106,12 +132,8 @@ def make_pair_emitter(bucket_cap: int):
                 "b_sig": pa.array(sigs[b_idx].tolist(), pa.binary()),
                 "a_fp": pa.array(fps[a_idx], pa.int64()),
                 "b_fp": pa.array(fps[b_idx], pa.int64()),
-                "bucket_size": pa.array(np.full(len(a_idx), n, dtype=np.int64)),
-                "dropped_pairs": pa.array(
-                    np.concatenate([[dropped], np.zeros(len(a_idx) - 1, dtype=np.int64)]).astype(
-                        np.int64
-                    )
-                ),
+                "bucket_size": pa.array(np.concatenate(sizes)),
+                "dropped_pairs": pa.array(np.concatenate(dropped_col)),
             }
         )
 
@@ -135,13 +157,17 @@ _EMPTY_PAIRS = pa.table(
 
 
 def candidate_pairs(
-    with_sigs: "ray.data.Dataset", config: DedupConfig | None = None
+    with_sigs: "ray.data.Dataset",
+    config: DedupConfig | None = None,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """signatures dataset -> candidate pair dataset (the LSH shuffle)."""
+    from .grouped import partitioned_group_map
+
     cfg = config or DedupConfig()
     banded = with_sigs.map_batches(
         BandExplode(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
     )
-    return banded.groupby("band_key").map_groups(
-        make_pair_emitter(cfg.bucket_cap), batch_format="pandas"
+    return partitioned_group_map(
+        banded, "band_key", make_pair_emitter(cfg.bucket_cap), num_partitions
     )

@@ -22,8 +22,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import DedupConfig
-from ..minhash import MinHasher
-from ..simhash import SimHasher
 
 
 def sig_to_bytes(sig: np.ndarray) -> bytes:
@@ -41,15 +39,17 @@ class MinHashSimHashStage:
     """Callable class for `map_batches(MinHashSimHashStage, concurrency=N)`."""
 
     def __init__(self, config: DedupConfig | None = None):
+        from ..minhash import CombinedMinSimHasher
+
         cfg = config or DedupConfig()
         self.cfg = cfg
-        self.mh = MinHasher(cfg.num_perm, cfg.minhash_seed, cfg.shingle_size)
-        self.sh = SimHasher(cfg.shingle_size)
+        self.hasher = CombinedMinSimHasher(
+            cfg.num_perm, cfg.minhash_seed, cfg.shingle_size
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["canonical_text"].to_pylist()
-        sigs = self.mh.signatures(texts)
-        fps = self.sh.fingerprints(texts)
+        sigs, fps = self.hasher.compute(texts)
         batch = batch.append_column(
             "minhash_sig", pa.array([sig_to_bytes(s) for s in sigs], pa.binary())
         )
