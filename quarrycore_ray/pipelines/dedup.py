@@ -53,10 +53,14 @@ def dedup_transcripts(
     transcripts: "ray.data.Dataset",
     config: DedupConfig | None = None,
     with_substring: bool = False,
+    lineage: bool = False,
 ) -> DedupResult:
     """Full pipeline over transcript rows (conv_id/turn_idx/text...)."""
     return dedup_conversations(
-        assemble_conversations(transcripts), config, with_substring
+        assemble_conversations(transcripts, lineage=lineage),
+        config,
+        with_substring,
+        lineage=lineage,
     )
 
 
@@ -64,6 +68,7 @@ def dedup_conversations(
     conversations: "ray.data.Dataset",
     config: DedupConfig | None = None,
     with_substring: bool = False,
+    lineage: bool = False,
 ) -> DedupResult:
     """Dedup pre-assembled documents: (conv_id, canonical_text, n_turns).
 
@@ -77,7 +82,7 @@ def dedup_conversations(
     # S2: exact dedup. `reps` has one row per distinct canonical text.
     # Materialized once: it feeds the minhash stage AND the final
     # cluster assembly.
-    reps = exact_dedup(conversations).materialize()
+    reps = exact_dedup(conversations, lineage=lineage).materialize()
     metrics["distinct_texts"] = reps.count()
 
     # S3: signatures on unique texts only (actor pool, stateful caches).
@@ -88,7 +93,7 @@ def dedup_conversations(
     )
     with_sigs = sig_input.map_batches(
         MinHashSimHashStage,
-        fn_constructor_kwargs={"config": cfg},
+        fn_constructor_kwargs={"config": cfg, "lineage": lineage},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         # autoscaling pool: small inputs use one actor (fast startup),
@@ -99,12 +104,12 @@ def dedup_conversations(
 
     # S4: LSH shuffle -> candidate pairs (skew-capped). Streams straight
     # from the signature stage — one execution covers S3-S5.
-    pairs = candidate_pairs(sig_ds, cfg)
+    pairs = candidate_pairs(sig_ds, cfg, lineage=lineage)
 
     # S5: verification actor pool.
     edges_ds = pairs.map_batches(
         PairVerifier,
-        fn_constructor_kwargs={"config": cfg},
+        fn_constructor_kwargs={"config": cfg, "lineage": lineage},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=(1, cfg.verify_concurrency),

@@ -1,0 +1,180 @@
+"""Checkpointed, resumable dedup job — the `ray job submit` entry point.
+
+Runs the flagship pipeline with stage-boundary Parquet checkpoints
+(state/checkpoint.py) and per-partition lineage metrics
+(state/metrics.py), writing a self-describing output tree:
+
+    <out_root>/
+      conversations/   data/part-*.parquet + _MANIFEST.json
+      reps/            "
+      edges/           "
+      clusters/        "
+      deduped/         "
+      metrics/metrics.parquet
+      job.json         summary counters
+
+A rerun with the same out_root skips every completed stage (its
+manifest is present), so an interrupted job resumes from the last
+finished stage — the batch analog of the reference's checkpoint/resume
+e2e semantics (`/root/reference/tests/e2e/test_resume.py:171-260`).
+
+CLI:  python -m quarrycore_ray.pipelines.job INPUT_DIR OUT_ROOT
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..config import DedupConfig
+from ..stages.canonical import assemble_conversations
+from ..stages.cluster import driver_union_find
+from ..stages.exact import exact_dedup
+from ..stages.lsh import candidate_pairs
+from ..stages.minhash_stage import MinHashSimHashStage
+from ..stages.verify import PairVerifier
+from ..state.checkpoint import CheckpointManager
+from ..state.metrics import drain_metrics
+
+
+def run_dedup_job(
+    input_path: str,
+    out_root: str,
+    config: DedupConfig | None = None,
+    lineage: bool = True,
+) -> dict[str, Any]:
+    cfg = config or DedupConfig()
+    ckpt = CheckpointManager(out_root)
+    t0 = time.perf_counter()
+
+    conversations = ckpt.stage(
+        "conversations",
+        lambda: assemble_conversations(rd.read_parquet(input_path), lineage=lineage),
+    )
+    reps = ckpt.stage("reps", lambda: exact_dedup(conversations, lineage=lineage))
+
+    def _edges() -> "rd.Dataset":
+        sig_input = reps.select_columns(["conv_id", "canonical_text"]).repartition(
+            cfg.minhash_concurrency * 4
+        )
+        sig_ds = sig_input.map_batches(
+            MinHashSimHashStage,
+            fn_constructor_kwargs={"config": cfg, "lineage": lineage},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, cfg.minhash_concurrency),
+        ).drop_columns(["canonical_text"])
+        pairs = candidate_pairs(sig_ds, cfg, lineage=lineage)
+        return pairs.map_batches(
+            PairVerifier,
+            fn_constructor_kwargs={"config": cfg, "lineage": lineage},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, cfg.verify_concurrency),
+        )
+
+    edges = ckpt.stage("edges", _edges)
+
+    def _clusters() -> "rd.Dataset":
+        assign = driver_union_find(edges)
+        assign_ref = ray.put(assign)
+
+        def _assign(batch: pa.Table) -> pa.Table:
+            amap = ray.get(assign_ref)
+            out_conv: list[str] = []
+            out_cluster: list[str] = []
+            out_kind: list[str] = []
+            for rep, members in zip(
+                batch["conv_id"].to_pylist(), batch["exact_members"].to_pylist()
+            ):
+                cluster = amap.get(rep, rep)
+                rep_kind = "near" if rep in amap else "unique"
+                for m in members:
+                    out_conv.append(m)
+                    out_cluster.append(cluster)
+                    out_kind.append(rep_kind if m == rep else "exact")
+            return pa.table(
+                {
+                    "conv_id": pa.array(out_conv, pa.string()),
+                    "cluster_id": pa.array(out_cluster, pa.string()),
+                    "is_representative": pa.array(
+                        [c == v for v, c in zip(out_conv, out_cluster)], pa.bool_()
+                    ),
+                    "dup_kind": pa.array(out_kind, pa.string()),
+                }
+            )
+
+        return reps.map_batches(_assign, batch_format="pyarrow")
+
+    clusters = ckpt.stage("clusters", _clusters)
+
+    def _deduped() -> "rd.Dataset":
+        keep = {
+            r["conv_id"]
+            for r in clusters.filter(expr="is_representative == True").select_columns(
+                ["conv_id"]
+            ).take_all()
+        }
+        keep_ref = ray.put(keep)
+
+        def _f(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keep_ref)
+            mask = [c in ks for c in batch["conv_id"].to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        return reps.select_columns(["conv_id", "canonical_text", "n_turns"]).map_batches(
+            _f, batch_format="pyarrow"
+        )
+
+    deduped = ckpt.stage("deduped", _deduped)
+
+    summary: dict[str, Any] = {
+        "input": input_path,
+        "out_root": out_root,
+        "conversations": conversations.count(),
+        "distinct_texts": reps.count(),
+        "verified_edges": edges.count(),
+        "cluster_rows": clusters.count(),
+        "deduped": deduped.count(),
+        "stages_run": ckpt.stages_run,
+        "stages_skipped": ckpt.stages_skipped,
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+
+    if lineage and ckpt.stages_run:
+        mdir = os.path.join(out_root, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        mt = drain_metrics()
+        pq.write_table(mt, os.path.join(mdir, "metrics.parquet"))
+        summary["lineage_rows"] = mt.num_rows
+
+    with open(os.path.join(out_root, "job.json.tmp"), "w") as f:
+        json.dump(summary, f, indent=2)
+    os.rename(os.path.join(out_root, "job.json.tmp"), os.path.join(out_root, "job.json"))
+    return summary
+
+
+if __name__ == "__main__":
+    import sys
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    out = run_dedup_job(sys.argv[1], sys.argv[2])
+    print(json.dumps(out))
+    ray.shutdown()

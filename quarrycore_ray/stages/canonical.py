@@ -59,7 +59,7 @@ def _assemble_partition(df: pd.DataFrame) -> pa.Table:
 
 
 def assemble_conversations(
-    ds: "ray.data.Dataset", num_partitions: int = 64
+    ds: "ray.data.Dataset", num_partitions: int = 64, lineage: bool = False
 ) -> "ray.data.Dataset":
     """transcript rows -> one row per conversation (shuffle #1 on conv_id).
 
@@ -71,4 +71,7 @@ def assemble_conversations(
 
     ds = ds.map_batches(normalize_turns, batch_format="pyarrow")
     ds = ds.select_columns(["conv_id", "turn_idx", "text_norm"])
-    return partitioned_group_map(ds, "conv_id", _assemble_partition, num_partitions)
+    return partitioned_group_map(
+        ds, "conv_id", _assemble_partition, num_partitions,
+        lineage_stage="canonical" if lineage else None,
+    )

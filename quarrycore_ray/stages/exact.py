@@ -60,7 +60,7 @@ def _dedup_partition(df: pd.DataFrame) -> pa.Table:
 
 
 def exact_dedup(
-    conversations: "ray.data.Dataset", num_partitions: int = 64
+    conversations: "ray.data.Dataset", num_partitions: int = 64, lineage: bool = False
 ) -> "ray.data.Dataset":
     """conversations -> one row per distinct canonical text (shuffle #2).
 
@@ -71,4 +71,7 @@ def exact_dedup(
     from .grouped import partitioned_group_map
 
     ds = conversations.map_batches(add_content_hash, batch_format="pyarrow")
-    return partitioned_group_map(ds, "content_hash", _dedup_partition, num_partitions)
+    return partitioned_group_map(
+        ds, "content_hash", _dedup_partition, num_partitions,
+        lineage_stage="exact" if lineage else None,
+    )

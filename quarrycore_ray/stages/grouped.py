@@ -61,13 +61,22 @@ def partitioned_group_map(
     key: str,
     partition_fn: Callable[[pd.DataFrame], "pa.Table | pd.DataFrame"],
     num_partitions: int = 64,
+    lineage_stage: str | None = None,
 ) -> "ray.data.Dataset":
     """Hash-partition on `key`, then run `partition_fn` once per partition.
 
     `partition_fn` receives a pandas DataFrame holding *all rows of all
     keys* mapped to that partition (the `_part` column removed) and must
-    perform its own vectorized per-key grouping.
+    perform its own vectorized per-key grouping. With `lineage_stage`
+    set, each partition call reports (rows_in, rows_out, wall_ms) to the
+    metrics actor (state/metrics.py).
     """
+    if lineage_stage is not None:
+        from ..state.metrics import Instrumented
+
+        partition_fn = Instrumented(
+            partition_fn, lineage_stage, count_pair_cols=True
+        )
 
     def _add(batch: pa.Table) -> pa.Table:
         return add_partition_column(batch, key, num_partitions)

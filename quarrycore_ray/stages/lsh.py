@@ -160,6 +160,7 @@ def candidate_pairs(
     with_sigs: "ray.data.Dataset",
     config: DedupConfig | None = None,
     num_partitions: int = 64,
+    lineage: bool = False,
 ) -> "ray.data.Dataset":
     """signatures dataset -> candidate pair dataset (the LSH shuffle)."""
     from .grouped import partitioned_group_map
@@ -169,5 +170,6 @@ def candidate_pairs(
         BandExplode(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
     )
     return partitioned_group_map(
-        banded, "band_key", make_pair_emitter(cfg.bucket_cap), num_partitions
+        banded, "band_key", make_pair_emitter(cfg.bucket_cap), num_partitions,
+        lineage_stage="lsh_pairs" if lineage else None,
     )

@@ -38,18 +38,27 @@ def bytes_to_sigs(col: list[bytes], num_perm: int) -> np.ndarray:
 class MinHashSimHashStage:
     """Callable class for `map_batches(MinHashSimHashStage, concurrency=N)`."""
 
-    def __init__(self, config: DedupConfig | None = None):
+    def __init__(self, config: DedupConfig | None = None, lineage: bool = False):
         from ..minhash import CombinedMinSimHasher
 
         cfg = config or DedupConfig()
         self.cfg = cfg
+        self.lineage = lineage
         self.hasher = CombinedMinSimHasher(
             cfg.num_perm, cfg.minhash_seed, cfg.shingle_size
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.perf_counter()
         texts = batch["canonical_text"].to_pylist()
         sigs, fps = self.hasher.compute(texts)
+        if self.lineage:
+            from ..state.metrics import report
+
+            report("minhash", batch.num_rows, batch.num_rows,
+                   (_time.perf_counter() - t0) * 1000.0)
         batch = batch.append_column(
             "minhash_sig", pa.array([sig_to_bytes(s) for s in sigs], pa.binary())
         )

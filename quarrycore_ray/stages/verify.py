@@ -41,10 +41,23 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 class PairVerifier:
-    def __init__(self, config: DedupConfig | None = None):
+    def __init__(self, config: DedupConfig | None = None, lineage: bool = False):
         self.cfg = config or DedupConfig()
+        self.lineage = lineage
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self._verify(batch)
+        if self.lineage:
+            from ..state.metrics import report
+
+            report("verify", batch.num_rows, out.num_rows,
+                   (_time.perf_counter() - t0) * 1000.0)
+        return out
+
+    def _verify(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return pa.table(
