@@ -34,6 +34,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from quarrycore_ray.functions import similarity
+    from quarrycore_ray.pipelines import dataset as dset
     from quarrycore_ray.pipelines import documents as docs
     from quarrycore_ray.pipelines import relational as rel
 
@@ -77,6 +78,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
+        # dataset construction (§3.3: sample -> chunk -> format -> export)
+        "chunk_documents": dset.chunk_documents,
+        "format_instruction": dset.format_instruction,
+        "filter_docs_by_length": dset.filter_docs_by_length,
+        "train_val_test_split": dset.train_val_test_split,
+        "curriculum_sample": dset.curriculum_sample,
     }
 
 
@@ -224,6 +231,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, count(*) AS n_suppliers FROM supplier "
             "JOIN nation ON n_nationkey = s_nationkey GROUP BY n_name"
         ),
+        "format_instruction": f"""
+            SELECT doc_id,
+                   '### Instruction:' || chr(10) || 'Summarize the following ' ||
+                   source || ' document.' || chr(10) || '### Response:' || chr(10) ||
+                   {_CANON} AS formatted
+            FROM documents
+        """,
+        "filter_docs_by_length": f"""
+            SELECT doc_id, n_tokens FROM (
+                SELECT doc_id, len(string_split({_CANON}, ' ')) AS n_tokens
+                FROM documents
+            ) WHERE n_tokens BETWEEN 10 AND 50000
+        """,
+        "train_val_test_split": """
+            SELECT split, count(*) AS n_docs FROM (
+                SELECT CASE
+                    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 10 < 8 THEN 'train'
+                    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+                FROM documents
+            ) GROUP BY split
+        """,
+        "curriculum_sample": """
+            SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+                   doc_id, n_chars
+            FROM documents ORDER BY n_chars, doc_id LIMIT 100
+        """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 5),

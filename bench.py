@@ -29,7 +29,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "20000"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))
+# scaling runs need a compute-dominated corpus so fixed session/barrier
+# latency does not mask the CPU scaling (see BASELINE.md)
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "300000"))
 CORPUS_DIR = os.environ.get("GRAFT_BENCH_CORPUS_DIR", "/tmp/qc_bench_corpus")
 
 
@@ -76,6 +79,19 @@ def run_bench() -> dict:
     )
 
     queries: dict[str, float] = {}
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        ray.shutdown()
+        return {
+            "metric": "transcript_dedup_e2e_seconds",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": 0.1,
+            "num_cpus": NUM_CPUS,
+            "n_turns": int(n_turns),
+            "turns_per_sec": round(turns_per_sec, 1),
+            "n_clusters": int(n_clusters),
+        }
 
     def timed(name: str, fn) -> None:
         t = time.perf_counter()
@@ -118,7 +134,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_CONVS=str(SCALING_CONVS),
+            GRAFT_SKIP_QUERIES="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -47,11 +47,21 @@ class DedupConfig:
 
     # --- execution sizing ---
     batch_size: int = 4096
-    verify_concurrency: int = 4
-    minhash_concurrency: int = 16
+    # signature batches are CPU-heavy (~1 ms/doc): smaller batches = more
+    # tasks = better pool utilization and shorter stragglers
+    sig_batch_size: int = 512
+    # None = size actor pools from the cluster at runtime (CPU-proportional)
+    verify_concurrency: int | None = None
+    minhash_concurrency: int | None = None
 
     # --- substring stage ---
     min_substring_overlap: int = 100  # chars, reference fuzzy_matcher.py:213-236
+
+    def resolved_minhash_concurrency(self) -> int:
+        return self.minhash_concurrency or _cpu_fraction(0.5)
+
+    def resolved_verify_concurrency(self) -> int:
+        return self.verify_concurrency or _cpu_fraction(0.125)
 
     def band_plan(self) -> tuple[int, int]:
         """Return (bands, rows_per_band) minimizing weighted FP+FN.
@@ -67,6 +77,16 @@ class DedupConfig:
             self.false_positive_weight,
             self.false_negative_weight,
         )
+
+
+def _cpu_fraction(frac: float, lo: int = 2, hi: int = 64) -> int:
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover - ray not importable
+        cpus = 8
+    return max(lo, min(hi, int(cpus * frac)))
 
 
 def _integrate(f, a: float, b: float, n: int = 2000) -> float:

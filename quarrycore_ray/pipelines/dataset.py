@@ -1,0 +1,189 @@
+"""Dataset-construction operators: chunking, formatting, sampling,
+splitting, filtering — the `DatasetConstructor` surface of the
+reference (`/root/reference/src/quarrycore/dataset/constructor.py:65-126`:
+sample -> chunk -> format -> export -> analytics).
+
+All deterministic; the RNG-flavored steps (curriculum sampling, splits)
+use content hashes instead of random state so the DuckDB oracle can
+reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..text import normalize_whitespace_array
+
+CHUNK_TOKENS = 64  # reference: 2048 gpt2 tokens (dataset/chunker.py:15-54);
+CHUNK_OVERLAP = 8  # scaled to whitespace tokens for the test corpus
+MIN_WORDS, MAX_WORDS = 10, 50_000  # reference config.py:259-260 (50/50k), scaled
+MIN_QUALITY = 0.6  # reference pipeline.py:761-779 default min_score
+
+
+def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _canon(sf_dir: str) -> "rd.Dataset":
+    def _f(batch: pa.Table) -> pa.Table:
+        return batch.append_column("canonical", normalize_whitespace_array(batch["text"]))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_f, batch_format="pyarrow").drop_columns(["text"])
+
+
+class TokenChunker:
+    """Token-window chunker with overlap (actor-pool stage, row explosion).
+
+    Reference: `dataset/chunker.py:38-54` — 2048-token windows with 128
+    overlap using the gpt2 tokenizer. No HF tokenizers in this
+    environment, so tokens are whitespace tokens; the windowing/overlap/
+    explosion mechanics are identical. Emits (doc_id, chunk_idx,
+    chunk_text, n_chunk_tokens).
+    """
+
+    def __init__(self, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP):
+        self.chunk_tokens = chunk_tokens
+        self.overlap = overlap
+        self.step = chunk_tokens - overlap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_text: list[str] = []
+        out_n: list[int] = []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["canonical"].to_pylist()):
+            words = text.split(" ") if text else []
+            if not words:
+                continue
+            start = 0
+            ci = 0
+            while start < len(words):
+                window = words[start : start + self.chunk_tokens]
+                out_id.append(doc_id)
+                out_idx.append(ci)
+                out_text.append(" ".join(window))
+                out_n.append(len(window))
+                if start + self.chunk_tokens >= len(words):
+                    break
+                start += self.step
+                ci += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+                "n_chunk_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+def chunk_documents(sf_dir: str) -> "rd.Dataset":
+    """Explode documents into overlapping token windows."""
+    return _canon(sf_dir).map_batches(
+        TokenChunker, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def format_instruction(sf_dir: str) -> "rd.Dataset":
+    """Instruction-template formatting (reference dataset/formatter.py:18-77):
+    (doc_id, formatted) with '### Instruction:\\n...\\n### Response:\\n...'."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        canon = normalize_whitespace_array(batch["text"]).to_pylist()
+        formatted = [
+            f"### Instruction:\nSummarize the following {s} document.\n### Response:\n{t}"
+            for s, t in zip(src, canon)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "formatted": pa.array(formatted, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(_f, batch_format="pyarrow")
+
+
+def filter_docs_by_length(sf_dir: str) -> "rd.Dataset":
+    """Word-count gate (reference config min_word_count/max_word_count):
+    docs with MIN_WORDS <= n_tokens <= MAX_WORDS -> (doc_id, n_tokens)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch["canonical"], " ")), pa.int64()
+        )
+        batch = batch.append_column("n_tokens", toks)
+        keep = pc.and_(
+            pc.greater_equal(toks, pa.scalar(MIN_WORDS)),
+            pc.less_equal(toks, pa.scalar(MAX_WORDS)),
+        )
+        return batch.filter(keep).drop_columns(["canonical"])
+
+    return _canon(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def train_val_test_split(sf_dir: str) -> "rd.Dataset":
+    """Deterministic 80/10/10 split by md5(doc_id) bucket -> counts.
+
+    Reference: ratio-based split (`protocols.py:429-432`). Hash-based
+    assignment keeps it reproducible across engines and runs — the
+    DuckDB oracle computes the identical md5 buckets. Output:
+    (split, n_docs).
+    """
+    import hashlib
+
+    def _f(batch: pa.Table) -> pa.Table:
+        splits = []
+        for d in batch["doc_id"].to_pylist():
+            bucket = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 10
+            splits.append("train" if bucket < 8 else ("val" if bucket == 8 else "test"))
+        return pa.table({"split": pa.array(splits, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_f, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def curriculum_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Curriculum ordering: easiest-first by a difficulty proxy, take k.
+
+    Reference: `dataset/sampler.py:21-105` sorts by difficulty (quality
+    proxy) with rejection sampling. The difficulty proxy here is
+    document length (shorter = easier); deterministic tie-break doc_id.
+    Output (rank, doc_id, n_chars).
+    """
+    top = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"])
+        .limit(k)
+        .to_pandas()
+    )
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top
+
+
+def export_dataset(sf_dir: str, out_dir: str, fmt: str = "parquet") -> str:
+    """Exporter (reference dataset/exporter.py:45-107): write formatted
+    dataset as parquet or jsonl; returns output dir."""
+    ds = format_instruction(sf_dir)
+    path = os.path.join(out_dir, fmt)
+    if fmt == "parquet":
+        ds.write_parquet(path)
+    elif fmt == "jsonl":
+        ds.write_json(path)
+    else:
+        raise ValueError(f"unknown export format: {fmt}")
+    return path

@@ -88,17 +88,18 @@ def dedup_conversations(
     # S3: signatures on unique texts only (actor pool, stateful caches).
     # Repartition first: the exact-dedup groupby emits few fat blocks,
     # which would starve the actor pool (1 task per block).
+    mh_conc = cfg.resolved_minhash_concurrency()
     sig_input = reps.select_columns(["conv_id", "canonical_text"]).repartition(
-        cfg.minhash_concurrency * 4
+        mh_conc * 4
     )
     with_sigs = sig_input.map_batches(
         MinHashSimHashStage,
         fn_constructor_kwargs={"config": cfg, "lineage": lineage},
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=cfg.sig_batch_size,
         # autoscaling pool: small inputs use one actor (fast startup),
-        # large inputs scale out to the configured pool size.
-        concurrency=(1, cfg.minhash_concurrency),
+        # large inputs scale out to the CPU-proportional pool size.
+        concurrency=(1, mh_conc),
     )
     sig_ds = with_sigs.drop_columns(["canonical_text"])
 
@@ -112,7 +113,7 @@ def dedup_conversations(
         fn_constructor_kwargs={"config": cfg, "lineage": lineage},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.verify_concurrency),
+        concurrency=(1, cfg.resolved_verify_concurrency()),
     )
     edge_batches = list(edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
     if edge_batches:

@@ -62,15 +62,16 @@ def run_dedup_job(
     reps = ckpt.stage("reps", lambda: exact_dedup(conversations, lineage=lineage))
 
     def _edges() -> "rd.Dataset":
+        mh_conc = cfg.resolved_minhash_concurrency()
         sig_input = reps.select_columns(["conv_id", "canonical_text"]).repartition(
-            cfg.minhash_concurrency * 4
+            mh_conc * 4
         )
         sig_ds = sig_input.map_batches(
             MinHashSimHashStage,
             fn_constructor_kwargs={"config": cfg, "lineage": lineage},
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=(1, cfg.minhash_concurrency),
+            batch_size=cfg.sig_batch_size,
+            concurrency=(1, mh_conc),
         ).drop_columns(["canonical_text"])
         pairs = candidate_pairs(sig_ds, cfg, lineage=lineage)
         return pairs.map_batches(
@@ -78,7 +79,7 @@ def run_dedup_job(
             fn_constructor_kwargs={"config": cfg, "lineage": lineage},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=(1, cfg.verify_concurrency),
+            concurrency=(1, cfg.resolved_verify_concurrency()),
         )
 
     edges = ckpt.stage("edges", _edges)

@@ -48,61 +48,120 @@ def driver_union_find(edges: "ray.data.Dataset | list[tuple[str, str]]") -> dict
 
 
 def label_propagation(
-    edges: "ray.data.Dataset", max_rounds: int = 20
+    edges: "ray.data.Dataset", max_rounds: int = 20, num_partitions: int = 32
 ) -> "ray.data.Dataset":
     """Distributed min-label propagation -> (node, label) dataset.
 
-    Each round: every node broadcasts its current label along incident
-    edges; each node takes the min of its own and received labels. Stops
-    early when a round changes nothing. Each round is one groupby
-    shuffle keyed on node id.
+    Pure dataflow — no driver-side label maps: each round UNIONs the
+    adjacency list with the current labels, groups by node (coarse hash
+    partitions, stages/grouped.py), resolves each node's label, sends it
+    to every neighbor, and min-reduces; per-node `changed` flags are
+    summed for the convergence test. Labels move monotonically down the
+    min-semilattice, so `sum(changed) == 0` is exact convergence.
+    Rounds needed = component diameter (tiny for dup clusters).
     """
+    from .grouped import partitioned_group_map
 
-    def to_directed(batch: pd.DataFrame) -> pd.DataFrame:
-        fwd = pd.DataFrame({"node": batch["a_id"], "peer": batch["b_id"]})
-        bwd = pd.DataFrame({"node": batch["b_id"], "peer": batch["a_id"]})
-        return pd.concat([fwd, bwd], ignore_index=True)
+    def to_directed(batch: pa.Table) -> pa.Table:
+        import pyarrow as _pa
 
-    adj = edges.select_columns(["a_id", "b_id"]).map_batches(
-        to_directed, batch_format="pandas"
+        a = batch["a_id"].to_pylist()
+        b = batch["b_id"].to_pylist()
+        return _pa.table(
+            {
+                "node": _pa.array(a + b, _pa.string()),
+                "peer": _pa.array(b + a, _pa.string()),
+            }
+        )
+
+    adj = (
+        edges.select_columns(["a_id", "b_id"])
+        .map_batches(to_directed, batch_format="pyarrow")
+        .materialize()  # reused every round
     )
-    adj = adj.materialize()  # reused every round; edge set is small
 
-    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": batch["node"], "label": batch["node"]})
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["node"].drop_duplicates()
+        return pd.DataFrame({"node": nodes, "peer": None, "label": nodes})
 
-    labels = (
-        adj.map_batches(init_labels, batch_format="pandas")
-        .groupby("node")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .materialize()
-    )
+    labels = partitioned_group_map(
+        adj, "node", init_labels, num_partitions
+    ).select_columns(["node", "label"]).materialize()
+
+    import pyarrow as _pa
 
     for _ in range(max_rounds):
-        # send labels across edges: join labels onto adjacency by node,
-        # emit (peer, label) messages, then min-reduce with own label.
-        label_map = {r["node"]: r["label"] for r in labels.take_all()}
-
-        def send(batch: pd.DataFrame, lm=label_map) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"node": batch["peer"], "label": batch["node"].map(lm)}
+        def with_peer_null(batch: _pa.Table) -> _pa.Table:
+            return _pa.table(
+                {
+                    "node": batch["node"],
+                    "peer": _pa.array([None] * batch.num_rows, _pa.string()),
+                    "label": batch["label"],
+                }
             )
 
-        msgs = adj.map_batches(send, batch_format="pandas")
-        merged = msgs.union(labels)
-        new_labels = (
-            merged.groupby("node")
-            .map_groups(
-                lambda g: pd.DataFrame(
-                    {"node": [g["node"].iloc[0]], "label": [g["label"].min()]}
-                ),
-                batch_format="pandas",
+        def with_label_null(batch: _pa.Table) -> _pa.Table:
+            return _pa.table(
+                {
+                    "node": batch["node"],
+                    "peer": batch["peer"],
+                    "label": _pa.array([None] * batch.num_rows, _pa.string()),
+                }
             )
-            .materialize()
+
+        def label_shortcut_edges(batch: _pa.Table) -> _pa.Table:
+            # treat (node <-> label) as extra edges: labels then hop along
+            # star centers, giving O(log diameter) convergence (hash-to-min
+            # style, Rastogi et al. 2013) instead of one hop per round
+            n = batch["node"].to_pylist()
+            l = batch["label"].to_pylist()
+            return _pa.table(
+                {
+                    "node": _pa.array(n + l, _pa.string()),
+                    "peer": _pa.array(l + n, _pa.string()),
+                    "label": _pa.array([None] * (2 * len(n)), _pa.string()),
+                }
+            )
+
+        tagged = (
+            adj.map_batches(with_label_null, batch_format="pyarrow")
+            .union(labels.map_batches(label_shortcut_edges, batch_format="pyarrow"))
+            .union(labels.map_batches(with_peer_null, batch_format="pyarrow"))
         )
-        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
-        if new_map == label_map:
-            labels = new_labels
+
+        def send(df: pd.DataFrame) -> pd.DataFrame:
+            # per node: resolve its current label, forward to all peers,
+            # and re-emit the node's own (old) label for the reduce step
+            lbl = df[df["peer"].isna()].groupby("node", sort=False)["label"].min()
+            out_node: list[str] = []
+            out_label: list[str] = []
+            out_self: list[bool] = []
+            adj_rows = df[df["peer"].notna()]
+            node_lbls = adj_rows["node"].map(lbl)
+            out_node.extend(adj_rows["peer"].tolist())
+            out_label.extend(node_lbls.tolist())
+            out_self.extend([False] * len(adj_rows))
+            out_node.extend(lbl.index.tolist())
+            out_label.extend(lbl.tolist())
+            out_self.extend([True] * len(lbl))
+            return pd.DataFrame(
+                {"node": out_node, "label": out_label, "self": out_self}
+            )
+
+        msgs = partitioned_group_map(tagged, "node", send, num_partitions)
+
+        def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)
+            new = g["label"].min()
+            old = df[df["self"]].set_index("node")["label"]
+            changed = (new != old.reindex(new.index)).astype("int64")
+            return pd.DataFrame(
+                {"node": new.index, "label": new.values, "changed": changed.values}
+            )
+
+        reduced = partitioned_group_map(msgs, "node", reduce_min, num_partitions).materialize()
+        n_changed = reduced.sum("changed")
+        labels = reduced.select_columns(["node", "label"]).materialize()
+        if not n_changed:
             break
-        labels = new_labels
     return labels

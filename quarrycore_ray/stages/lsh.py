@@ -39,7 +39,13 @@ from .minhash_stage import bytes_to_sigs
 
 
 class BandExplode:
-    """signatures -> b band rows each: (band_key, conv_id, minhash_sig, simhash)."""
+    """signatures -> b LIGHT band rows each: (band_key, conv_id) only.
+
+    Signatures/fingerprints do NOT travel through the band shuffle —
+    pair generation needs only identities, and the verification payload
+    is joined back afterwards (`attach_signatures`). This cuts the big
+    shuffle's volume by the full signature width (б ~40x lighter rows).
+    """
 
     def __init__(self, config: DedupConfig | None = None):
         self.cfg = config or DedupConfig()
@@ -49,21 +55,17 @@ class BandExplode:
         from ..minhash import band_hashes
 
         n = batch.num_rows
-        sig_col = batch["minhash_sig"].to_pylist()
-        sigs = bytes_to_sigs(sig_col, self.cfg.num_perm)
+        sigs = bytes_to_sigs(batch["minhash_sig"].to_pylist(), self.cfg.num_perm)
         bh = band_hashes(sigs, self.bands, self.rows)  # (n, bands) uint64
-        # repeat each row `bands` times, attach its band keys
         idx = np.repeat(np.arange(n), self.bands)
         band_key = bh.reshape(-1).view(np.int64)  # row-major: doc0 b0..b7, doc1 ...
-        out = pa.table(
+        ids = np.asarray(batch["conv_id"].to_pylist(), dtype=object)[idx]
+        return pa.table(
             {
                 "band_key": pa.array(band_key, pa.int64()),
-                "conv_id": pa.array(np.asarray(batch["conv_id"].to_pylist(), dtype=object)[idx].tolist(), pa.string()),
-                "minhash_sig": pa.array([sig_col[i] for i in idx], pa.binary()),
-                "simhash": batch["simhash"].take(pa.array(idx)),
+                "conv_id": pa.array(ids.tolist(), pa.string()),
             }
         )
-        return out
 
 
 def _bucket_pair_indices(n: int, bucket_cap: int) -> tuple[np.ndarray, np.ndarray, int]:
@@ -103,8 +105,6 @@ def make_pair_emitter(bucket_cap: int):
         keys = df["band_key"].to_numpy()
         bounds = run_bounds(keys)
         ids = df["conv_id"].to_numpy()
-        sigs = df["minhash_sig"].to_numpy()
-        fps = df["simhash"].to_numpy()
         all_a: list[np.ndarray] = []
         all_b: list[np.ndarray] = []
         sizes: list[np.ndarray] = []
@@ -128,10 +128,6 @@ def make_pair_emitter(bucket_cap: int):
             {
                 "a_id": pa.array(ids[a_idx].tolist(), pa.string()),
                 "b_id": pa.array(ids[b_idx].tolist(), pa.string()),
-                "a_sig": pa.array(sigs[a_idx].tolist(), pa.binary()),
-                "b_sig": pa.array(sigs[b_idx].tolist(), pa.binary()),
-                "a_fp": pa.array(fps[a_idx], pa.int64()),
-                "b_fp": pa.array(fps[b_idx], pa.int64()),
                 "bucket_size": pa.array(np.concatenate(sizes)),
                 "dropped_pairs": pa.array(np.concatenate(dropped_col)),
             }
@@ -146,14 +142,143 @@ _EMPTY_PAIRS = pa.table(
     {
         "a_id": pa.array([], pa.string()),
         "b_id": pa.array([], pa.string()),
-        "a_sig": pa.array([], pa.binary()),
-        "b_sig": pa.array([], pa.binary()),
-        "a_fp": pa.array([], pa.int64()),
-        "b_fp": pa.array([], pa.int64()),
         "bucket_size": pa.array([], pa.int64()),
         "dropped_pairs": pa.array([], pa.int64()),
     }
 )
+
+
+def _attach_side(side: str, next_key: str | None):
+    """Partition fn: join one side's (sig, fp) onto pair rows by id.
+
+    Input partitions hold a UNION of signature rows (sig non-null) and
+    pair rows (sig null) sharing the partition key `_k`; pair rows leave
+    with `{side}_sig` / `{side}_fp` attached and re-keyed on `next_key`
+    for the following join pass (an explicit partitioned hash join —
+    the small pair table rides along with the signature table).
+    """
+
+    def _fn(df: pd.DataFrame) -> pa.Table:
+        lut = df[df["sig"].notna()]
+        pairs = df[df["sig"].isna()]
+        if side == "a":
+            pairs = pairs.drop_duplicates(["a_id", "b_id"])
+        if pairs.empty:
+            return _EMPTY_ATTACH[side]
+        sig_map = dict(zip(lut["_k"], lut["sig"]))
+        fp_map = dict(zip(lut["_k"], lut["fp"]))
+        out = {
+            "a_id": pa.array(pairs["a_id"].tolist(), pa.string()),
+            "b_id": pa.array(pairs["b_id"].tolist(), pa.string()),
+            "bucket_size": pa.array(pairs["bucket_size"].to_numpy(dtype=np.int64)),
+            "dropped_pairs": pa.array(pairs["dropped_pairs"].to_numpy(dtype=np.int64)),
+            f"{side}_sig": pa.array(pairs["_k"].map(sig_map).tolist(), pa.binary()),
+            f"{side}_fp": pa.array(
+                pairs["_k"].map(fp_map).to_numpy(dtype=np.int64), pa.int64()
+            ),
+        }
+        if side == "b":
+            out["a_sig"] = pa.array(pairs["a_sig"].tolist(), pa.binary())
+            out["a_fp"] = pa.array(pairs["a_fp"].to_numpy(dtype=np.int64), pa.int64())
+        return pa.table(out)
+
+    return _fn
+
+
+_EMPTY_ATTACH = {
+    "a": pa.table(
+        {
+            "a_id": pa.array([], pa.string()),
+            "b_id": pa.array([], pa.string()),
+            "bucket_size": pa.array([], pa.int64()),
+            "dropped_pairs": pa.array([], pa.int64()),
+            "a_sig": pa.array([], pa.binary()),
+            "a_fp": pa.array([], pa.int64()),
+        }
+    ),
+    "b": pa.table(
+        {
+            "a_id": pa.array([], pa.string()),
+            "b_id": pa.array([], pa.string()),
+            "bucket_size": pa.array([], pa.int64()),
+            "dropped_pairs": pa.array([], pa.int64()),
+            "b_sig": pa.array([], pa.binary()),
+            "b_fp": pa.array([], pa.int64()),
+            "a_sig": pa.array([], pa.binary()),
+            "a_fp": pa.array([], pa.int64()),
+        }
+    ),
+}
+
+
+def attach_signatures(
+    pairs: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Join (minhash_sig, simhash) onto pair rows for both endpoints.
+
+    Two partitioned hash-join passes keyed on a_id then b_id. Shuffle
+    volume = 2x the signature table + the (small) pair table, instead of
+    b copies of every signature through the band shuffle.
+    """
+    from .grouped import partitioned_group_map
+
+    def _sig_rows(key_from: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            cols = {
+                "_k": batch["conv_id"],
+                "sig": batch["minhash_sig"],
+                "fp": batch["simhash"],
+                "a_id": pa.array([None] * batch.num_rows, pa.string()),
+                "b_id": pa.array([None] * batch.num_rows, pa.string()),
+                "bucket_size": pa.array([0] * batch.num_rows, pa.int64()),
+                "dropped_pairs": pa.array([0] * batch.num_rows, pa.int64()),
+            }
+            if key_from == "b":
+                cols["a_sig"] = pa.array([None] * batch.num_rows, pa.binary())
+                cols["a_fp"] = pa.array([0] * batch.num_rows, pa.int64())
+            return pa.table(cols)
+
+        return _f
+
+    def _pair_rows_a(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": batch["a_id"],
+                "sig": pa.array([None] * batch.num_rows, pa.binary()),
+                "fp": pa.array([0] * batch.num_rows, pa.int64()),
+                "a_id": batch["a_id"],
+                "b_id": batch["b_id"],
+                "bucket_size": batch["bucket_size"],
+                "dropped_pairs": batch["dropped_pairs"],
+            }
+        )
+
+    def _pair_rows_b(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": batch["b_id"],
+                "sig": pa.array([None] * batch.num_rows, pa.binary()),
+                "fp": pa.array([0] * batch.num_rows, pa.int64()),
+                "a_id": batch["a_id"],
+                "b_id": batch["b_id"],
+                "bucket_size": batch["bucket_size"],
+                "dropped_pairs": batch["dropped_pairs"],
+                "a_sig": batch["a_sig"],
+                "a_fp": batch["a_fp"],
+            }
+        )
+
+    union_a = pairs.map_batches(_pair_rows_a, batch_format="pyarrow").union(
+        sigs.map_batches(_sig_rows("a"), batch_format="pyarrow")
+    )
+    with_a = partitioned_group_map(union_a, "_k", _attach_side("a", "b_id"), num_partitions)
+
+    union_b = with_a.map_batches(_pair_rows_b, batch_format="pyarrow").union(
+        sigs.map_batches(_sig_rows("b"), batch_format="pyarrow")
+    )
+    return partitioned_group_map(union_b, "_k", _attach_side("b", None), num_partitions)
 
 
 def candidate_pairs(
@@ -166,10 +291,13 @@ def candidate_pairs(
     from .grouped import partitioned_group_map
 
     cfg = config or DedupConfig()
-    banded = with_sigs.map_batches(
+    # three consumers (band explode + two join passes) — materialize once
+    with_sigs = with_sigs.materialize()
+    banded = with_sigs.select_columns(["conv_id", "minhash_sig"]).map_batches(
         BandExplode(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
     )
-    return partitioned_group_map(
+    pair_refs = partitioned_group_map(
         banded, "band_key", make_pair_emitter(cfg.bucket_cap), num_partitions,
         lineage_stage="lsh_pairs" if lineage else None,
     )
+    return attach_signatures(pair_refs, with_sigs, num_partitions)

@@ -25,14 +25,26 @@ from ..config import DedupConfig
 
 
 def sig_to_bytes(sig: np.ndarray) -> bytes:
-    return sig.astype("<u8").tobytes()
+    """Serialize a signature as little-endian uint32 (num_perm * 4 bytes).
+
+    MinHash slot values are < 2^32 by construction (bitwise_and with
+    0xFFFFFFFF); only the empty-text sentinel 2^32 exceeds it and is
+    clamped — the exact layer guarantees at most one empty-text rep, so
+    the clamp cannot create spurious slot equalities in practice. Half
+    the bytes of a u8 encoding = half the shuffle volume.
+    """
+    return np.minimum(sig, 0xFFFFFFFF).astype("<u4").tobytes()
 
 
 def bytes_to_sigs(col: list[bytes], num_perm: int) -> np.ndarray:
-    """(n, num_perm) uint64 matrix from a binary column."""
+    """(n, num_perm) uint64 matrix from a u4 binary column."""
     if not col:
         return np.empty((0, num_perm), dtype=np.uint64)
-    return np.frombuffer(b"".join(col), dtype="<u8").reshape(len(col), num_perm)
+    return (
+        np.frombuffer(b"".join(col), dtype="<u4")
+        .reshape(len(col), num_perm)
+        .astype(np.uint64)
+    )
 
 
 class MinHashSimHashStage:

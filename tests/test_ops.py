@@ -1,0 +1,128 @@
+"""Dataset-construction ops, dead-letter routing, multimodal plumbing,
+distributed label propagation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestChunker:
+    def test_chunk_windows_and_overlap(self):
+        from quarrycore_ray.pipelines.dataset import TokenChunker
+
+        words = [f"w{i}" for i in range(150)]
+        batch = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "canonical": pa.array([" ".join(words)])}
+        )
+        out = TokenChunker(chunk_tokens=64, overlap=8)(batch)
+        assert out.num_rows == 3
+        texts = out["chunk_text"].to_pylist()
+        assert texts[0].split()[:64] == words[:64]
+        # overlap: second chunk starts at 56
+        assert texts[1].split()[0] == "w56"
+        assert out["n_chunk_tokens"].to_pylist() == [64, 64, 38]
+
+    def test_chunk_documents_runs(self):
+        from quarrycore_ray.pipelines.dataset import chunk_documents
+
+        out = chunk_documents(SF).to_pandas()
+        assert len(out) >= 500  # every doc produces >= 1 chunk
+        assert (out["n_chunk_tokens"] > 0).all()
+
+
+class TestDatasetOps:
+    def test_split_sums_to_total(self):
+        from quarrycore_ray.pipelines.dataset import train_val_test_split
+
+        out = train_val_test_split(SF).to_pandas().set_index("split")["n_docs"]
+        assert out.sum() == 500
+        assert out["train"] > out["val"] and out["train"] > out["test"]
+
+    def test_curriculum_rank_monotone(self):
+        from quarrycore_ray.pipelines.dataset import curriculum_sample
+
+        out = curriculum_sample(SF, k=50)
+        assert list(out["rank"]) == list(range(1, 51))
+        assert out["n_chars"].is_monotonic_increasing
+
+    def test_export_roundtrip(self, tmp_path):
+        from quarrycore_ray.pipelines.dataset import export_dataset
+
+        p = export_dataset(SF, str(tmp_path), "parquet")
+        back = rd.read_parquet(p).to_pandas()
+        assert len(back) == 500
+        assert back["formatted"].str.startswith("### Instruction:").all()
+
+
+class TestDeadLetter:
+    def test_split_clean_and_dead(self):
+        from quarrycore_ray.stages.deadletter import FallibleRowStage, split_dead_letter
+
+        def parse(v: str) -> int:
+            return int(v)
+
+        ds = rd.from_items([{"x": "1"}, {"x": "nope"}, {"x": "3"}, {"x": "bad"}])
+        tagged = ds.map_batches(
+            FallibleRowStage(parse, "x", "parsed"), batch_format="pyarrow"
+        )
+        clean, dead = split_dead_letter(tagged)
+        cp = clean.to_pandas()
+        dp = dead.to_pandas()
+        assert sorted(cp["parsed"]) == [1, 3]
+        assert len(dp) == 2
+        assert dp["_error"].str.contains("ValueError").all()
+
+
+class TestMultimodal:
+    def test_decode_features(self):
+        from quarrycore_ray.multimodal import media_features, synth_media_table
+
+        media = rd.from_arrow(synth_media_table(20))
+        out = media_features(media).to_pandas()
+        assert len(out) == 20
+        assert (out["width"] >= 16).all() and (out["height"] >= 16).all()
+        assert out["mean_intensity"].between(0, 255).all()
+
+    def test_resize(self):
+        from quarrycore_ray.multimodal import DecodeImageStage, ResizeStage, synth_media_table
+
+        t = synth_media_table(5)
+        resized = ResizeStage(target=8)(t)
+        decoded = DecodeImageStage()(resized)
+        assert decoded["width"].to_pylist() == [8] * 5
+        assert decoded["height"].to_pylist() == [8] * 5
+
+    def test_real_codec_is_stubbed(self):
+        from quarrycore_ray.multimodal import DecodeImageStage, synth_media_table
+
+        with pytest.raises(NotImplementedError):
+            DecodeImageStage(decode_stub=False)(synth_media_table(1))
+
+
+class TestLabelPropagation:
+    def test_matches_union_find(self):
+        from quarrycore_ray.oracle import UnionFind
+        from quarrycore_ray.stages.cluster import label_propagation
+
+        # small-diameter graph: each BSP round costs two fixed-latency
+        # shuffles, so the test budget allows only a few rounds
+        rng = np.random.default_rng(7)
+        nodes = [f"n{i:03d}" for i in range(16)]
+        edges = [(nodes[i], nodes[i + 1]) for i in range(0, 4)]  # one 5-chain
+        for _ in range(14):
+            i, j = rng.integers(0, 16, 2)
+            if i != j:
+                edges.append((nodes[min(i, j)], nodes[max(i, j)]))
+        uf = UnionFind()
+        for a, b in edges:
+            uf.union(a, b)
+        expected = uf.components()
+
+        eds = rd.from_items([{"a_id": a, "b_id": b} for a, b in edges])
+        labels = label_propagation(eds, max_rounds=4, num_partitions=2).to_pandas()
+        got = dict(zip(labels["node"], labels["label"]))
+        assert got == {n: r for n, r in expected.items()}
