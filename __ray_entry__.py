@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats": docs.vocab_stats,
         # relational / windows (§2.5-2.7, §2.10)
         "events_hourly": rel.events_hourly,
+        "events_props_extract": rel.events_props_extract,
         "events_user_sessions": rel.events_user_sessions,
         "orders_by_status": rel.orders_by_status,
         "customer_order_totals": rel.customer_order_totals,
@@ -178,6 +179,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
                    floor((sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000.0 AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_props_extract": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "events_user_sessions": """
             WITH o AS (

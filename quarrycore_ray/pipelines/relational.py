@@ -232,6 +232,34 @@ def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
     return agg.map_batches(_derive, batch_format="pyarrow")
 
 
+def events_props_extract(sf_dir: str) -> "rd.Dataset":
+    """JSON parse of the `props` column -> per-k aggregation.
+
+    The §2.9 scalar-parser surface (the reference stores JSON columns in
+    SQLite, storage/schema.py): parse per row inside map_batches, then a
+    groupby. Output: (k_bucket, n_events) where k_bucket = props.k // 10.
+    """
+    import json
+
+    from ray.data.aggregate import Count as _Count
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                ks.append(int(json.loads(p)["k"]) // 10)
+            except (ValueError, KeyError, TypeError):
+                ks.append(-1)
+        return pa.table({"k_bucket": pa.array(ks, pa.int64())})
+
+    return (
+        _read(sf_dir, "events", ["props"])
+        .map_batches(_parse, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(_Count(alias_name="n_events"))
+    )
+
+
 def supplier_nation_counts(sf_dir: str) -> pd.DataFrame:
     """Suppliers per nation name — two-level broadcast join
     (supplier -> nation). Output: (n_name, n_suppliers)."""

@@ -1,0 +1,93 @@
+"""Bloom filter, incremental anti-join dedup, HTML extraction cascade."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from quarrycore_ray.state.bloom import BloomFilter
+
+
+class TestBloom:
+    def test_membership(self):
+        bf = BloomFilter(capacity=1000, error_rate=0.001)
+        keys = [f"key-{i}" for i in range(500)]
+        bf.add_many(keys)
+        assert all(k in bf for k in keys)  # no false negatives, ever
+        fp = sum(f"other-{i}" in bf for i in range(2000))
+        assert fp <= 10  # ~0.1% error rate
+
+    def test_serialization_roundtrip(self):
+        bf = BloomFilter(capacity=100)
+        bf.add("hello")
+        bf2 = BloomFilter.from_bytes(bf.to_bytes())
+        assert "hello" in bf2 and "goodbye" not in bf2
+
+    def test_contains_many_vectorized(self):
+        bf = BloomFilter(capacity=100)
+        bf.add_many(["a", "b"])
+        got = bf.contains_many(["a", "b", "c"])
+        assert got.tolist() == [True, True, False]
+
+
+def _conv_table(texts: dict[str, str]) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array(list(texts), pa.string()),
+            "canonical_text": pa.array(list(texts.values()), pa.string()),
+            "n_turns": pa.array([1] * len(texts), pa.int32()),
+        }
+    )
+
+
+class TestIncrementalDedup:
+    @pytest.mark.parametrize("use_bloom", [False, True])
+    def test_anti_join(self, tmp_path, use_bloom):
+        from quarrycore_ray.pipelines.incremental import (
+            incremental_new_only,
+            write_seen_hashes,
+        )
+
+        hist = _conv_table({"h-1": "seen text one", "h-2": "seen text two"})
+        seen_path = str(tmp_path / f"seen_{use_bloom}")
+        write_seen_hashes(rd.from_arrow(hist), seen_path)
+
+        new = _conv_table(
+            {
+                "n-1": "seen text one",  # duplicate of history
+                "n-2": "genuinely novel text",
+                "n-3": "seen text two",  # duplicate
+                "n-4": "another novel document",
+            }
+        )
+        out = incremental_new_only(
+            rd.from_arrow(new), seen_path, use_bloom=use_bloom
+        ).to_pandas()
+        assert sorted(out["conv_id"]) == ["n-2", "n-4"]
+
+
+class TestHtmlExtract:
+    def test_cascade_and_gate(self):
+        from quarrycore_ray.stages.extract import extract_html
+
+        docs = rd.from_items(
+            [
+                {
+                    "doc_id": 1,
+                    "html": "<html><head><title>T1</title></head>"
+                    "<body><p>Body content that is long enough to pass.</p></body></html>",
+                },
+                {  # no <body> -> falls through to lenient strategy
+                    "doc_id": 2,
+                    "html": "<div>Loose markup content long enough to pass the gate.</div>",
+                },
+                {"doc_id": 3, "html": "<body>tiny</body>"},  # rejected
+            ]
+        )
+        out = extract_html(docs).to_pandas().set_index("doc_id")
+        assert out.loc[1, "extractor"] == "strict_body"
+        assert out.loc[1, "title"] == "T1"
+        assert "Body content" in out.loc[1, "text"]
+        assert out.loc[2, "extractor"] == "lenient"
+        assert out.loc[3, "extractor"] == "" and out.loc[3, "reject_reason"] == "below_min_length"
