@@ -34,27 +34,35 @@ def normalize_turns(batch: pa.Table) -> pa.Table:
     return batch.append_column("text_norm", normalize_whitespace_array(batch["text"]))
 
 
-def _assemble_partition(df: pd.DataFrame) -> pa.Table:
+def _assemble_partition(tb: pa.Table) -> pa.Table:
     """Vectorized assembly of ALL conversations in one hash partition.
 
-    Sort by (conv_id, turn_idx) — the sort-within-group — then a single
-    pandas groupby(sort=False) joins per-turn texts. Empty normalized
-    turns are skipped in the join (equals whole-document whitespace
-    normalization of the concatenated turns: an empty turn must not
-    leave a stray space in the canonical text).
+    Sort by (conv_id, turn_idx) — the sort-within-group — then one
+    polars grouped string-join (Arrow in / Arrow out, no pandas
+    round-trip). Empty normalized turns are skipped in the join (equals
+    whole-document whitespace normalization of the concatenated turns:
+    an empty turn must not leave a stray space in the canonical text).
     """
-    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    counts = df.groupby("conv_id", sort=False).size()
-    nonempty = df[df["text_norm"] != ""]
-    joined = nonempty.groupby("conv_id", sort=False)["text_norm"].agg(TURN_SEP.join)
-    conv_ids = counts.index.to_numpy()
-    texts = pd.Series(conv_ids).map(joined).fillna("").to_numpy()
-    return pa.table(
-        {
-            "conv_id": pa.array(conv_ids, pa.string()),
-            "canonical_text": pa.array(texts, pa.string()),
-            "n_turns": pa.array(counts.to_numpy().astype("int32"), pa.int32()),
-        }
+    import polars as pl
+
+    df = pl.from_arrow(tb).sort(["conv_id", "turn_idx"])
+    counts = df.group_by("conv_id", maintain_order=True).agg(
+        pl.len().cast(pl.Int32).alias("n_turns")
+    )
+    joined = (
+        df.filter(pl.col("text_norm") != "")
+        .group_by("conv_id", maintain_order=True)
+        .agg(pl.col("text_norm").str.join(TURN_SEP).alias("canonical_text"))
+    )
+    out = (
+        counts.join(joined, on="conv_id", how="left")
+        .with_columns(pl.col("canonical_text").fill_null(""))
+        .select(["conv_id", "canonical_text", "n_turns"])
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [("conv_id", pa.string()), ("canonical_text", pa.string()), ("n_turns", pa.int32())]
+        )
     )
 
 
@@ -73,5 +81,5 @@ def assemble_conversations(
     ds = ds.select_columns(["conv_id", "turn_idx", "text_norm"])
     return partitioned_group_map(
         ds, "conv_id", _assemble_partition, num_partitions,
-        lineage_stage="canonical" if lineage else None,
+        lineage_stage="canonical" if lineage else None, arrow=True,
     )

@@ -30,32 +30,40 @@ def add_content_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_hash", sha256_hex_array(batch["canonical_text"]))
 
 
-def _dedup_partition(df: pd.DataFrame) -> pa.Table:
+def _dedup_partition(tb: pa.Table) -> pa.Table:
     """Vectorized exact-dedup of ALL hash groups in one partition.
 
-    Sorted by (content_hash, conv_id), the first row of each run is the
-    min-conv_id representative; member lists come from one grouped agg.
+    One polars grouped pass: min-conv_id representative (its text and
+    turn count via sort-first), full member list, group size.
     """
-    df = df.sort_values(["content_hash", "conv_id"], kind="mergesort")
-    members = df.groupby("content_hash", sort=False)["conv_id"].agg(list)
-    sizes = df.groupby("content_hash", sort=False).size()
-    first = df.drop_duplicates("content_hash", keep="first")
-    hashes = first["content_hash"].to_numpy()
-    return pa.table(
-        {
-            "conv_id": pa.array(first["conv_id"].to_numpy(), pa.string()),
-            "canonical_text": pa.array(first["canonical_text"].to_numpy(), pa.string()),
-            "n_turns": pa.array(
-                first["n_turns"].to_numpy().astype("int32"), pa.int32()
-            ),
-            "content_hash": pa.array(hashes, pa.string()),
-            "exact_members": pa.array(
-                pd.Series(hashes).map(members).tolist(), pa.list_(pa.string())
-            ),
-            "exact_group_size": pa.array(
-                pd.Series(hashes).map(sizes).to_numpy().astype("int64"), pa.int64()
-            ),
-        }
+    import polars as pl
+
+    df = pl.from_arrow(tb).sort(["content_hash", "conv_id"])
+    out = (
+        df.group_by("content_hash", maintain_order=True)
+        .agg(
+            pl.col("conv_id").first().alias("conv_id"),
+            pl.col("canonical_text").first().alias("canonical_text"),
+            pl.col("n_turns").first().alias("n_turns"),
+            pl.col("conv_id").alias("exact_members"),
+            pl.len().cast(pl.Int64).alias("exact_group_size"),
+        )
+        .select(
+            ["conv_id", "canonical_text", "n_turns", "content_hash",
+             "exact_members", "exact_group_size"]
+        )
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("canonical_text", pa.string()),
+                ("n_turns", pa.int32()),
+                ("content_hash", pa.string()),
+                ("exact_members", pa.list_(pa.string())),
+                ("exact_group_size", pa.int64()),
+            ]
+        )
     )
 
 
@@ -73,5 +81,5 @@ def exact_dedup(
     ds = conversations.map_batches(add_content_hash, batch_format="pyarrow")
     return partitioned_group_map(
         ds, "content_hash", _dedup_partition, num_partitions,
-        lineage_stage="exact" if lineage else None,
+        lineage_stage="exact" if lineage else None, arrow=True,
     )

@@ -62,14 +62,17 @@ def partitioned_group_map(
     partition_fn: Callable[[pd.DataFrame], "pa.Table | pd.DataFrame"],
     num_partitions: int = 64,
     lineage_stage: str | None = None,
+    arrow: bool = False,
 ) -> "ray.data.Dataset":
     """Hash-partition on `key`, then run `partition_fn` once per partition.
 
-    `partition_fn` receives a pandas DataFrame holding *all rows of all
-    keys* mapped to that partition (the `_part` column removed) and must
-    perform its own vectorized per-key grouping. With `lineage_stage`
-    set, each partition call reports (rows_in, rows_out, wall_ms) to the
-    metrics actor (state/metrics.py).
+    `partition_fn` receives all rows of all keys mapped to that
+    partition (the `_part` column removed) and must perform its own
+    vectorized per-key grouping: as a pandas DataFrame by default, or a
+    zero-copy Arrow table with `arrow=True` (preferred for hot stages —
+    the whole-partition pandas conversion is pure overhead when the fn
+    works in polars/numpy). With `lineage_stage` set, each partition
+    call reports (rows_in, rows_out, wall_ms) to the metrics actor.
     """
     if lineage_stage is not None:
         from ..state.metrics import Instrumented
@@ -81,13 +84,21 @@ def partitioned_group_map(
     def _add(batch: pa.Table) -> pa.Table:
         return add_partition_column(batch, key, num_partitions)
 
-    def _run(group: pd.DataFrame) -> "pa.Table | pd.DataFrame":
-        return partition_fn(group.drop(columns=[PART_COL]))
+    if arrow:
+        def _run(group: pa.Table) -> "pa.Table":
+            return partition_fn(group.drop_columns([PART_COL]))
+
+        fmt = "pyarrow"
+    else:
+        def _run(group: pd.DataFrame) -> "pa.Table | pd.DataFrame":
+            return partition_fn(group.drop(columns=[PART_COL]))
+
+        fmt = "pandas"
 
     return (
         ds.map_batches(_add, batch_format="pyarrow")
         .groupby(PART_COL)
-        .map_groups(_run, batch_format="pandas")
+        .map_groups(_run, batch_format=fmt)
     )
 
 

@@ -44,7 +44,7 @@ class BandExplode:
     Signatures/fingerprints do NOT travel through the band shuffle —
     pair generation needs only identities, and the verification payload
     is joined back afterwards (`attach_signatures`). This cuts the big
-    shuffle's volume by the full signature width (б ~40x lighter rows).
+    shuffle's volume by the full signature width (~40x lighter rows).
     """
 
     def __init__(self, config: DedupConfig | None = None):
@@ -97,11 +97,16 @@ def make_pair_emitter(bucket_cap: int):
     """Partition-level pair generation: one vectorized pass over all
     buckets hashed into this partition (see stages/grouped.py)."""
 
-    def _emit_pairs(df: pd.DataFrame) -> pa.Table:
+    def _emit_pairs(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
         from .grouped import run_bounds
 
-        df = df.sort_values(["band_key", "conv_id"], kind="mergesort")
-        df = df.drop_duplicates(["band_key", "conv_id"])
+        df = (
+            pl.from_arrow(tb)
+            .sort(["band_key", "conv_id"])
+            .unique(["band_key", "conv_id"], keep="first", maintain_order=True)
+        )
         keys = df["band_key"].to_numpy()
         bounds = run_bounds(keys)
         ids = df["conv_id"].to_numpy()
@@ -158,29 +163,28 @@ def _attach_side(side: str, next_key: str | None):
     the small pair table rides along with the signature table).
     """
 
-    def _fn(df: pd.DataFrame) -> pa.Table:
-        lut = df[df["sig"].notna()]
-        pairs = df[df["sig"].isna()]
+    def _fn(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        lut = (
+            df.filter(pl.col("sig").is_not_null())
+            .select(["_k", "sig", "fp"])
+            .rename({"_k": "_jk", "sig": f"{side}_sig", "fp": f"{side}_fp"})
+        )
+        pairs = df.filter(pl.col("sig").is_null()).drop(["sig", "fp"])
         if side == "a":
-            pairs = pairs.drop_duplicates(["a_id", "b_id"])
-        if pairs.empty:
+            pairs = pairs.sort(["a_id", "b_id"]).unique(
+                ["a_id", "b_id"], keep="first", maintain_order=True
+            )
+        if pairs.height == 0:
             return _EMPTY_ATTACH[side]
-        sig_map = dict(zip(lut["_k"], lut["sig"]))
-        fp_map = dict(zip(lut["_k"], lut["fp"]))
-        out = {
-            "a_id": pa.array(pairs["a_id"].tolist(), pa.string()),
-            "b_id": pa.array(pairs["b_id"].tolist(), pa.string()),
-            "bucket_size": pa.array(pairs["bucket_size"].to_numpy(dtype=np.int64)),
-            "dropped_pairs": pa.array(pairs["dropped_pairs"].to_numpy(dtype=np.int64)),
-            f"{side}_sig": pa.array(pairs["_k"].map(sig_map).tolist(), pa.binary()),
-            f"{side}_fp": pa.array(
-                pairs["_k"].map(fp_map).to_numpy(dtype=np.int64), pa.int64()
-            ),
-        }
+        joined = pairs.join(lut, left_on="_k", right_on="_jk", how="left").drop(["_k"])
+        cols = ["a_id", "b_id", "bucket_size", "dropped_pairs", f"{side}_sig", f"{side}_fp"]
         if side == "b":
-            out["a_sig"] = pa.array(pairs["a_sig"].tolist(), pa.binary())
-            out["a_fp"] = pa.array(pairs["a_fp"].to_numpy(dtype=np.int64), pa.int64())
-        return pa.table(out)
+            cols += ["a_sig", "a_fp"]
+        out = joined.select(cols).to_arrow()
+        return out.cast(_EMPTY_ATTACH[side].schema)
 
     return _fn
 
@@ -273,12 +277,56 @@ def attach_signatures(
     union_a = pairs.map_batches(_pair_rows_a, batch_format="pyarrow").union(
         sigs.map_batches(_sig_rows("a"), batch_format="pyarrow")
     )
-    with_a = partitioned_group_map(union_a, "_k", _attach_side("a", "b_id"), num_partitions)
+    with_a = partitioned_group_map(
+        union_a, "_k", _attach_side("a", "b_id"), num_partitions, arrow=True
+    )
 
     union_b = with_a.map_batches(_pair_rows_b, batch_format="pyarrow").union(
         sigs.map_batches(_sig_rows("b"), batch_format="pyarrow")
     )
-    return partitioned_group_map(union_b, "_k", _attach_side("b", None), num_partitions)
+    return partitioned_group_map(
+        union_b, "_k", _attach_side("b", None), num_partitions, arrow=True
+    )
+
+
+def attach_signatures_broadcast(
+    pairs: "ray.data.Dataset", sigs: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Small-side variant: `ray.put` the whole signature table once and
+    attach per batch — no shuffle. Used when the distinct-text table
+    fits comfortably in the object store (the guide's broadcast-join
+    pattern); `attach_signatures` is the at-scale partitioned join.
+    """
+    lut: dict[str, tuple[bytes, int]] = {}
+    for b in sigs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for cid, sg, fp in zip(
+            b["conv_id"].to_pylist(), b["minhash_sig"].to_pylist(), b["simhash"].to_pylist()
+        ):
+            lut[cid] = (sg, fp)
+    import ray as _ray
+
+    ref = _ray.put(lut)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        df = df.sort(["a_id", "b_id"]).unique(["a_id", "b_id"], keep="first", maintain_order=True)
+        a = df["a_id"].to_list()
+        bcol = df["b_id"].to_list()
+        out = df.to_arrow().cast(_EMPTY_PAIRS.schema)
+        out = out.append_column("a_sig", pa.array([m[x][0] for x in a], pa.binary()))
+        out = out.append_column("b_sig", pa.array([m[x][0] for x in bcol], pa.binary()))
+        out = out.append_column("a_fp", pa.array([m[x][1] for x in a], pa.int64()))
+        return out.append_column("b_fp", pa.array([m[x][1] for x in bcol], pa.int64()))
+
+    return pairs.map_batches(_attach, batch_format="pyarrow")
+
+
+# above this many distinct texts the signature table stops being a
+# "small side" and verification payloads move via partitioned joins
+BROADCAST_SIG_LIMIT = 1_000_000
 
 
 def candidate_pairs(
@@ -286,18 +334,30 @@ def candidate_pairs(
     config: DedupConfig | None = None,
     num_partitions: int = 64,
     lineage: bool = False,
+    attach_strategy: str = "auto",
 ) -> "ray.data.Dataset":
-    """signatures dataset -> candidate pair dataset (the LSH shuffle)."""
+    """signatures dataset -> candidate pair dataset (the LSH shuffle).
+
+    `attach_strategy`: "broadcast" (small sig table, no extra shuffle),
+    "join" (partitioned hash join, any scale), or "auto" (broadcast
+    below BROADCAST_SIG_LIMIT rows).
+    """
     from .grouped import partitioned_group_map
 
     cfg = config or DedupConfig()
-    # three consumers (band explode + two join passes) — materialize once
+    # multiple consumers (band explode + attach) — materialize once
     with_sigs = with_sigs.materialize()
     banded = with_sigs.select_columns(["conv_id", "minhash_sig"]).map_batches(
         BandExplode(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
     )
     pair_refs = partitioned_group_map(
         banded, "band_key", make_pair_emitter(cfg.bucket_cap), num_partitions,
-        lineage_stage="lsh_pairs" if lineage else None,
+        lineage_stage="lsh_pairs" if lineage else None, arrow=True,
     )
+    if attach_strategy == "auto":
+        attach_strategy = (
+            "broadcast" if with_sigs.count() <= BROADCAST_SIG_LIMIT else "join"
+        )
+    if attach_strategy == "broadcast":
+        return attach_signatures_broadcast(pair_refs, with_sigs)
     return attach_signatures(pair_refs, with_sigs, num_partitions)
