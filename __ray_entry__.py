@@ -38,6 +38,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from quarrycore_ray.pipelines import documents as docs
     from quarrycore_ray.pipelines import relational as rel
 
+    def vocab_size_approx(sf_dir: str):
+        """HLL approximate distinct-token count (rows-only: sketch
+        estimates are not SQL-reproducible; accuracy is asserted in
+        tests against the exact count)."""
+        import pandas as pd
+
+        from quarrycore_ray.functions.sketches import approx_vocab_size
+        from quarrycore_ray.pipelines.documents import canonical_docs
+
+        est = approx_vocab_size(canonical_docs(sf_dir))
+        return pd.DataFrame({"vocab_size_approx": pd.array([int(est)], dtype="int64")})
+
     def dedup_transcripts_full(sf_dir: str):
         import ray.data as rd
 
@@ -85,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_docs_by_length": dset.filter_docs_by_length,
         "train_val_test_split": dset.train_val_test_split,
         "curriculum_sample": dset.curriculum_sample,
+        "rejection_sample": dset.rejection_sample,
+        "vocab_size_approx": vocab_size_approx,
     }
 
 
@@ -265,6 +279,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
                    doc_id, n_chars
             FROM documents ORDER BY n_chars, doc_id LIMIT 100
+        """,
+        "rejection_sample": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       0.3 + 0.7 * least(length({_CANON}) / 400.0, 1.0) AS prob,
+                       (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 256) / 256.0 AS u
+                FROM documents
+            )
+            SELECT doc_id, floor(prob * 1000000 + 0.5) / 1000000.0 AS accept_prob
+            FROM q WHERE u < prob
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

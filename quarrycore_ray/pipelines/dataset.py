@@ -175,6 +175,45 @@ def curriculum_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
     return top
 
 
+def rejection_sample(sf_dir: str) -> "rd.Dataset":
+    """Quality-weighted rejection sampling, deterministic.
+
+    Reference: `dataset/sampler.py:21-105` rejection-samples with
+    quality weighting (quality_weight=0.7, factor=2.0). RNG draws are
+    replaced by a uniform hash of doc_id (md5 bucket / 256), so both the
+    engine and the SQL oracle accept exactly the same documents:
+
+        accept iff  u(doc_id) < 0.3 + 0.7 * length_score
+
+    Output: (doc_id, accept_prob) for accepted docs, prob floor-rounded
+    to 6 dp.
+    """
+    import hashlib
+
+    from ..exactmath import floor_round_np
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = normalize_whitespace_array(batch["text"]).to_pylist()
+        keep_ids: list[int] = []
+        probs: list[float] = []
+        for d, t in zip(ids, texts):
+            ls = min(len(t) / 400.0, 1.0)
+            prob = 0.3 + 0.7 * ls
+            u = (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 256) / 256.0
+            if u < prob:
+                keep_ids.append(d)
+                probs.append(prob)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, pa.int64()),
+                "accept_prob": pa.array(floor_round_np(np.asarray(probs)), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_f, batch_format="pyarrow")
+
+
 def export_dataset(sf_dir: str, out_dir: str, fmt: str = "parquet") -> str:
     """Exporter (reference dataset/exporter.py:45-107): write formatted
     dataset as parquet or jsonl; returns output dir."""

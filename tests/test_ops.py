@@ -126,3 +126,26 @@ class TestLabelPropagation:
         labels = label_propagation(eds, max_rounds=4, num_partitions=2).to_pandas()
         got = dict(zip(labels["node"], labels["label"]))
         assert got == {n: r for n, r in expected.items()}
+
+
+class TestSketches:
+    def test_hll_accuracy_and_merge(self):
+        from quarrycore_ray.functions.sketches import HyperLogLog
+
+        h1, h2 = HyperLogLog(), HyperLogLog()
+        for i in range(6000):
+            h1.add(f"w{i}")
+        for i in range(4000, 10000):
+            h2.add(f"w{i}")
+        m = h1.merge(h2)
+        assert abs(m.cardinality() - 10000) / 10000 < 0.05
+        rt = HyperLogLog.from_bytes(m.to_bytes())
+        assert rt.cardinality() == m.cardinality()
+
+    def test_approx_vocab_close_to_exact(self):
+        from quarrycore_ray.functions.sketches import approx_vocab_size
+        from quarrycore_ray.pipelines.documents import canonical_docs, vocab_stats
+
+        est = approx_vocab_size(canonical_docs(SF))
+        exact = int(vocab_stats(SF)["vocab_size"].iloc[0])
+        assert abs(est - exact) / exact < 0.05
