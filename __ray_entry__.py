@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
         "quality_score_docs": docs.quality_score_docs,
+        "filter_docs_by_quality": docs.filter_docs_by_quality,
         "langid_docs": docs.langid_docs,
         "fingerprint_docs": docs.fingerprint_docs,
         # aggregations / sampling / sorts (§2.6, §2.7)
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
+        "embedding_dup_pairs": similarity.embedding_dup_pairs,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "format_instruction": dset.format_instruction,
@@ -165,6 +167,37 @@ def oracle_sql() -> dict[str, str]:
                    floor((ch) * 1000000 + 0.5) / 1000000.0 AS coherence_score,
                    floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000 + 0.5) / 1000000.0 AS quality
             FROM s
+        """,
+        "filter_docs_by_quality": f"""
+            WITH t AS (
+                SELECT doc_id, canonical, string_split(canonical, ' ') AS words
+                FROM ({canon_docs})
+            ), s AS (
+                SELECT doc_id,
+                    least(length(canonical) / 400.0, 1.0) AS ls,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        5.0 * len(list_filter(words, w -> w IN {_STOPLIST_SQL})) / len(words),
+                        1.0) END AS lgs,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        2.0 * len(list_distinct(words)) / len(words), 1.0) END AS ch
+                FROM t
+            )
+            SELECT doc_id,
+                   floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000 + 0.5) / 1000000.0
+                       AS quality
+            FROM s
+            WHERE floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000 + 0.5) / 1000000.0
+                  >= 0.6
+        """,
+        "embedding_dup_pairs": """
+            WITH p AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS cos
+                FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+            )
+            SELECT a_id, b_id, floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine
+            FROM p WHERE cos >= 0.45
         """,
         "source_distribution": (
             "SELECT source, count(*) AS n_docs, floor((sum(n_chars) / (1.0 * count(*))) "

@@ -91,6 +91,41 @@ def knn_cosine(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
 
 
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup, reference
+    semantic_dedup.py cosine-threshold semantics). Broadcast query side =
+    the full (small) vector table; exact DuckDB oracle. Output
+    (a_id, b_id, cosine) with floor-rounded cosine."""
+    df = _embeddings(sf_dir).to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    mat = _normalize(np.asarray(df["embedding"].tolist(), dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids, bemb = _to_matrix(batch)
+        bemb = _normalize(bemb)
+        cos = bemb @ all_mat.T
+        rows_a, rows_b, rows_c = [], [], []
+        for i, a in enumerate(bids):
+            mask = (all_ids > a) & (cos[i] >= threshold)
+            rows_a.append(np.full(mask.sum(), a, dtype=np.int64))
+            rows_b.append(all_ids[mask])
+            rows_c.append(cos[i][mask])
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(rows_a), pa.int64()),
+                "b_id": pa.array(np.concatenate(rows_b), pa.int64()),
+                "cosine": pa.array(
+                    floor_round_np(np.concatenate(rows_c)), pa.float64()
+                ),
+            }
+        )
+
+    out = _embeddings(sf_dir).map_batches(_pairs, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 def ann_lsh_knn(
     sf_dir: str,
     n_queries: int = 5,

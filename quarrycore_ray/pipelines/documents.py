@@ -310,6 +310,18 @@ def quality_score_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def filter_docs_by_quality(sf_dir: str, min_quality: float = 0.6) -> "rd.Dataset":
+    """Quality gate (reference pipeline.py:761-779: score < 0.6 => drop):
+    (doc_id, quality) of passing docs."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        batch = quality_scores(batch)
+        keep = pc.greater_equal(batch["quality"], pa.scalar(min_quality))
+        return batch.filter(keep).select(["doc_id", "quality"])
+
+    return canonical_docs(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
 def langid_docs(sf_dir: str) -> "rd.Dataset":
     """(doc_id, pred_lang, lang_conf) — heuristic language ID actor pool."""
     return (

@@ -1,0 +1,61 @@
+"""Sources / sinks helpers.
+
+Reference mappings (SURVEY.md §2.2): URL-file CLI input -> read_text;
+Parquet warm store -> read_parquet/write_parquet with partitioning;
+JSONL exporter -> write_json. Plus transcript-schema validation at the
+read boundary (the engine's one enforced schema).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+REQUIRED_COLUMNS = [f.name for f in TRANSCRIPT_SCHEMA]
+
+
+def read_transcripts(path: str) -> "rd.Dataset":
+    """read_parquet + schema validation (missing columns fail fast;
+    large_string/string width differences are tolerated)."""
+    ds = rd.read_parquet(path)
+    names = set(ds.schema().names)
+    missing = [c for c in REQUIRED_COLUMNS if c not in names]
+    if missing:
+        raise ValueError(f"transcript input missing columns: {missing}")
+    return ds
+
+
+def read_url_list(path: str) -> "rd.Dataset":
+    """URL-file reader (reference cli.py:129-166): one URL per line,
+    blank lines and #comments skipped. -> (url) dataset."""
+    ds = rd.read_text(path)
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        urls = [
+            u.strip()
+            for u in batch["text"].to_pylist()
+            if u.strip() and not u.strip().startswith("#")
+        ]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return ds.map_batches(_clean, batch_format="pyarrow")
+
+
+def write_partitioned(ds: "rd.Dataset", path: str, partition_col: str | None = None):
+    """Partitioned Parquet sink (reference parquet_store.py hive layout)."""
+    if partition_col is None:
+        ds.write_parquet(path)
+    else:
+        ds.write_parquet(path, partition_cols=[partition_col])

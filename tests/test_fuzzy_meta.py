@@ -117,3 +117,47 @@ class TestRegistry:
 
         with pytest.raises(KeyError):
             build_pipeline([{"stage": "nope"}])
+
+
+class TestEmbedSources:
+    def test_embedder_deterministic_and_normalized(self):
+        from quarrycore_ray.functions.embed import EmbedderStage, embed
+
+        t = pa.table(
+            {
+                "conv_id": pa.array(["a", "b", "c"]),
+                "canonical_text": pa.array(
+                    ["shared words here", "shared words there", "totally different thing"]
+                ),
+            }
+        )
+        e1 = EmbedderStage()(t)
+        e2 = EmbedderStage()(t)
+        import numpy as np
+
+        m1 = np.asarray(e1["embedding"].to_pylist())
+        m2 = np.asarray(e2["embedding"].to_pylist())
+        assert np.allclose(m1, m2)
+        assert np.allclose(np.linalg.norm(m1, axis=1), 1.0, atol=1e-5)
+        # shared-vocab pair more similar than unrelated pair
+        assert m1[0] @ m1[1] > m1[0] @ m1[2]
+        out = embed(rd.from_arrow(t)).to_pandas()
+        assert len(out) == 3
+
+    def test_read_transcripts_validates_schema(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.sources.io import read_transcripts
+
+        bad = pa.table({"conv_id": pa.array(["a"]), "text": pa.array(["x"])})
+        pq.write_table(bad, str(tmp_path / "bad.parquet"))
+        with pytest.raises(ValueError, match="missing columns"):
+            read_transcripts(str(tmp_path / "bad.parquet"))
+
+    def test_read_url_list(self, tmp_path):
+        from quarrycore_ray.sources.io import read_url_list
+
+        p = tmp_path / "urls.txt"
+        p.write_text("http://a.example\n\n# comment\nhttp://b.example \n")
+        urls = read_url_list(str(p)).to_pandas()["url"].tolist()
+        assert urls == ["http://a.example", "http://b.example"]
