@@ -38,7 +38,21 @@ _EMPTY = pa.table(
 )
 
 
-def make_substring_scanner(min_overlap: int = 100, max_members: int = 64):
+def make_substring_scanner(
+    min_overlap: int = 100, max_members: int = 64, method: str = "suffix_array"
+):
+    """Per-cluster scanner. `method`:
+
+    - "suffix_array" (default): exact longest-common-substring via one
+      suffix array + Kasai LCP over the pair (O((n+m) log^2) build) —
+      the north rule's substring-dedup primitive
+      (`functions/suffixarray.py`).
+    - "difflib": the reference-identical SequenceMatcher matching-block
+      scan (fuzzy_matcher.py:213-236).
+    Containment short-circuits through C-speed `in` either way.
+    """
+    from ..functions.suffixarray import longest_common_substring
+
     def _scan(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values("conv_id", kind="mergesort").head(max_members)
         if len(g) < 2:
@@ -57,10 +71,13 @@ def make_substring_scanner(min_overlap: int = 100, max_members: int = 64):
                 if small and small in big:
                     rows.append((cluster, small_id, big_id, "contained_in", len(small)))
                     continue
-                sm = SequenceMatcher(None, small, big, autojunk=False)
-                block = max(sm.get_matching_blocks(), key=lambda m: m.size)
-                if block.size >= min_overlap:
-                    rows.append((cluster, small_id, big_id, "partial_overlap", block.size))
+                if method == "suffix_array":
+                    size = longest_common_substring(small, big)
+                else:
+                    sm = SequenceMatcher(None, small, big, autojunk=False)
+                    size = max(sm.get_matching_blocks(), key=lambda m: m.size).size
+                if size >= min_overlap:
+                    rows.append((cluster, small_id, big_id, "partial_overlap", size))
         if not rows:
             return _EMPTY
         return pa.table(

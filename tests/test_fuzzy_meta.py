@@ -161,3 +161,37 @@ class TestEmbedSources:
         p.write_text("http://a.example\n\n# comment\nhttp://b.example \n")
         urls = read_url_list(str(p)).to_pandas()["url"].tolist()
         assert urls == ["http://a.example", "http://b.example"]
+
+
+class TestSuffixArray:
+    def test_lcs_known(self):
+        from quarrycore_ray.functions.suffixarray import longest_common_substring
+
+        assert longest_common_substring("abcdef", "zabcq") == 3  # "abc"
+        assert longest_common_substring("", "abc") == 0
+        assert longest_common_substring("same", "same") == 4
+
+    def test_multi_doc(self):
+        from quarrycore_ray.functions.suffixarray import max_cross_doc_lcp
+
+        l, i, j = max_cross_doc_lcp(["xx shared run yy", "zz shared run qq", "none"])
+        assert l == len(" shared run ") and {i, j} == {0, 1}
+
+    def test_substring_stage_suffix_method(self):
+        from quarrycore_ray.stages.substring import make_substring_scanner
+        import pandas as pd
+
+        g = pd.DataFrame(
+            {
+                "conv_id": ["a", "b"],
+                "cluster_id": ["a", "a"],
+                "canonical_text": [
+                    "PREFIX " + "common overlapping section here " * 8,
+                    "common overlapping section here " * 8 + "SUFFIX",
+                ],
+            }
+        )
+        out = make_substring_scanner(min_overlap=50)(g).to_pandas()
+        assert len(out) == 1
+        assert out["match_type"].iloc[0] == "partial_overlap"
+        assert out["overlap_chars"].iloc[0] >= 8 * len("common overlapping section here ") - 2
