@@ -104,8 +104,6 @@ def run_bench() -> dict:
         t = time.perf_counter()
         out = fn(SF_DIR)
         # consume lazily-returned datasets
-        import pandas as pd
-
         import ray.data
 
         if isinstance(out, ray.data.Dataset):

@@ -15,7 +15,7 @@ the same optimization the reference's LSH library uses: minimize
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..config import DedupConfig
 from ..exactmath import floor_round, floor_round_np

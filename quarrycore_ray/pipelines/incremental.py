@@ -12,8 +12,6 @@ SURVEY.md §2.5).
 
 from __future__ import annotations
 
-import os
-
 import pyarrow as pa
 import pyarrow.parquet as pq
 

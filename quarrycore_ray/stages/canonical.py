@@ -18,7 +18,6 @@ size.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

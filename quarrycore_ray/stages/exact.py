@@ -17,7 +17,6 @@ short-circuit (`deduplicator/deduplicator.py:202-251`).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

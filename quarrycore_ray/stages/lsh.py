@@ -29,7 +29,6 @@ knob — `num_perm`/plan changes should be weighed against it.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
