@@ -14,9 +14,10 @@ Also times representative operators over $GRAFT_SF_DIR (default
 /root/testdata/sf0.1).
 
 `--scaling`: runs the plain bench twice in fresh subprocesses at
-RAY_GRAFT_CPUS=8 and =32 and reports throughput scaling efficiency
-(T_8/T_32)/4 — the sandbox protocol for the N-vs-4N-nodes criterion
-(BASELINE.md).
+RAY_GRAFT_CPUS=$GRAFT_SCALING_LO and =$GRAFT_SCALING_HI (default 4 and
+16) on the GRAFT_SCALING_CONVS corpus and reports throughput scaling
+efficiency (T_lo/T_hi)/(hi/lo) — the sandbox protocol for the
+N-vs-4N-nodes criterion (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -33,13 +34,14 @@ BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))
 # scaling runs need a compute-dominated corpus so fixed session/barrier
 # latency does not mask the CPU scaling (see BASELINE.md)
 SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "1000000"))
-# N vs 4N parallelism pair. (2, 8) by default: this single box shares one
-# memory bus and object store across all workers, so beyond ~8-16 CPUs
-# shuffle/hash stages hit the DRAM-bandwidth ceiling that a multi-node
-# cluster (per-node memory + store) does not — measured and documented
-# in BASELINE.md alongside the (8, 32) pair.
-SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "2"))
-SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "8"))
+# N vs 4N parallelism pair. (4, 16) by default: actor pools scale exactly
+# 4x (2 -> 8 actors) under the CPU-proportional sizing rule, and this
+# single box shares one memory bus and object store across all workers,
+# so beyond ~16 CPUs shuffle/hash stages hit the DRAM-bandwidth ceiling
+# that a multi-node cluster (per-node memory + store) does not — measured
+# and documented in BASELINE.md alongside the (2,8) and (8,32) pairs.
+SCALING_LO = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "16"))
 CORPUS_DIR = os.environ.get("GRAFT_BENCH_CORPUS_DIR", "/tmp/qc_bench_corpus")
 
 
