@@ -231,7 +231,7 @@ class CombinedMinSimHasher:
             x &= _MAX_HASH
             phv = x
             # (U, 64) bit matrix for SimHash votes
-            bits = ((h64[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            bits = ((h64[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
             for i, idx in enumerate(doc_idx):
                 row = c0 + i
                 if len(idx) == 0:
