@@ -121,10 +121,14 @@ def oracle_sql() -> dict[str, str]:
                 QUALIFY g IS NOT NULL
             ),
             d AS (SELECT DISTINCT doc_id, g FROM grams),
-            cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            -- document-frequency cap: grams in > 1000 docs are boilerplate,
+            -- excluded from intersections AND per-doc counts (engine parity)
+            keep AS (SELECT g FROM d GROUP BY g HAVING count(*) <= 1000),
+            dk AS (SELECT d.doc_id, d.g FROM d JOIN keep USING (g)),
+            cnt AS (SELECT doc_id, count(*) AS n FROM dk GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS nb
-                FROM d a JOIN d b USING (g) WHERE a.doc_id < b.doc_id
+                FROM dk a JOIN dk b USING (g) WHERE a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
             SELECT a_id, b_id, floor((nb * 1.0 / (ca.n + cb.n - nb)) * 1000000 + 0.5) / 1000000.0 AS jaccard
@@ -134,10 +138,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE nb * 1.0 / (ca.n + cb.n - nb) >= 0.5
         """,
         "substring_containment": f"""
+            -- contained side must be >= 30 chars: the engine's winnowing
+            -- index guarantees detection only for needles >= t = 23 chars
+            -- (functions/winnowing.py); 30 is the operator's spec floor.
             WITH c AS ({canon_docs})
             SELECT a.doc_id AS a_id, b.doc_id AS b_id
             FROM c a, c b
             WHERE a.doc_id != b.doc_id
+              AND length(a.canonical) >= 30
               AND length(a.canonical) < length(b.canonical)
               AND strpos(b.canonical, a.canonical) > 0
         """,

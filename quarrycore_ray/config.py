@@ -32,8 +32,12 @@ class DedupConfig:
 
     # --- SimHash verification layer (north-rule addition) ---
     simhash_bits: int = 64
-    simhash_max_hamming: int = 12  # pairs further apart than this AND below
-    # the Jaccard threshold are rejected by the verifier.
+    # A candidate pair is a duplicate iff signature-Jaccard >= threshold
+    # OR SimHash Hamming <= strict_hamming (the Hamming clause recovers
+    # very-near duplicates whose 128-slot Jaccard estimate fell just
+    # under the threshold by sampling noise). Wired through both
+    # PairVerifier and the sequential oracle.
+    strict_hamming: int = 3
 
     # --- skew handling (north-rule "skew-aware bucket splitting") ---
     # An LSH bucket with more than `bucket_cap` members is assumed to be

@@ -91,27 +91,81 @@ def knn_cosine(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (semantic dedup, reference
-    semantic_dedup.py cosine-threshold semantics). Broadcast query side =
-    the full (small) vector table; exact DuckDB oracle. Output
-    (a_id, b_id, cosine) with floor-rounded cosine."""
-    df = _embeddings(sf_dir).to_pandas().sort_values("vec_id")
-    ids = df["vec_id"].to_numpy(dtype=np.int64)
-    mat = _normalize(np.asarray(df["embedding"].tolist(), dtype=np.float64))
-    ref = ray.put((ids, mat))
+def _block_matrix(tb: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, L2-normalized float64 matrix) from a normalized-block table."""
+    ids = np.asarray(tb["vec_id"], dtype=np.int64)
+    emb_col = tb["embedding"].combine_chunks()
+    flat = np.asarray(emb_col.values, dtype=np.float64)
+    return ids, flat.reshape(len(ids), -1)
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids, bemb = _to_matrix(batch)
-        bemb = _normalize(bemb)
-        cos = bemb @ all_mat.T
+
+def embedding_dup_pairs(
+    sf_dir: str, threshold: float = 0.45, block_rows: int = 8192
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup, reference
+    semantic_dedup.py cosine-threshold semantics). Output (a_id, b_id,
+    cosine) with floor-rounded cosine; exact DuckDB oracle.
+
+    Exact all-pairs is inherently O(n^2) compute, but the *memory* shape
+    is distributed: the corpus is normalized and repartitioned into
+    blocks that stay in the object store, and a Dataset of (i, j) block
+    index pairs fans out — each task pulls exactly its two blocks (no
+    full-matrix broadcast, no O(n) state per task). The sub-quadratic
+    scale path is the hyperplane-LSH bucketing below (`ann_lsh_knn`).
+    """
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        emb = _normalize(emb)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            }
+        )
+
+    n_rows = _embeddings(sf_dir).count()
+    n_blocks = max(1, -(-n_rows // block_rows))
+    blocks = (
+        _embeddings(sf_dir)
+        .map_batches(_norm, batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+        .to_arrow_refs()
+    )
+    refs = ray.put(blocks)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        blks = ray.get(refs)
         rows_a, rows_b, rows_c = [], [], []
-        for i, a in enumerate(bids):
-            mask = (all_ids > a) & (cos[i] >= threshold)
-            rows_a.append(np.full(mask.sum(), a, dtype=np.int64))
-            rows_b.append(all_ids[mask])
-            rows_c.append(cos[i][mask])
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, mat_i = _block_matrix(ray.get(blks[i]))
+            ids_j, mat_j = _block_matrix(ray.get(blks[j]))
+            cos = mat_i @ mat_j.T
+            keep = cos >= threshold
+            ai, bj = np.nonzero(keep)
+            ia, ib = ids_i[ai], ids_j[bj]
+            if i == j:
+                # diagonal block: strict triangle kills self-pairs and
+                # double counting
+                tri = ia < ib
+                ia, ib, c = ia[tri], ib[tri], cos[ai, bj][tri]
+            else:
+                # off-diagonal block pair is visited once; emit each pair
+                # in canonical (min, max) id order (ids are disjoint)
+                c = cos[ai, bj]
+                ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+            rows_a.append(ia)
+            rows_b.append(ib)
+            rows_c.append(c)
+        if not rows_a:
+            return pa.table(
+                {
+                    "a_id": pa.array([], pa.int64()),
+                    "b_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
                 "a_id": pa.array(np.concatenate(rows_a), pa.int64()),
@@ -122,7 +176,9 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
             }
         )
 
-    out = _embeddings(sf_dir).map_batches(_pairs, batch_format="pyarrow").to_pandas()
+    idx = [{"i": i, "j": j} for i in range(n_blocks) for j in range(i, n_blocks)]
+    tasks = rd.from_items(idx).repartition(max(1, len(idx)))
+    out = tasks.map_batches(_score, batch_format="pyarrow").to_pandas()
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 

@@ -29,6 +29,8 @@ from .config import DedupConfig
 from .minhash import MinHasher, band_hashes, jaccard_estimate
 from .simhash import SimHasher, hamming_distance
 
+# spec default for DedupConfig.strict_hamming (kept as a named constant
+# for standalone `pair_is_duplicate` callers)
 STRICT_HAMMING = 3
 
 
@@ -89,7 +91,7 @@ class SequentialLSHOracle:
         for cand in candidates:
             je = jaccard_estimate(sig, self.sigs[cand])
             ham = int(hamming_distance(fp, self.fps[cand]))
-            if pair_is_duplicate(je, ham, self.cfg.threshold):
+            if pair_is_duplicate(je, ham, self.cfg.threshold, self.cfg.strict_hamming):
                 hits.append(cand)
                 self.edges.append((min(cand, doc_id), max(cand, doc_id)))
         for b in range(self.bands):

@@ -56,20 +56,36 @@ def canonical_docs(sf_dir: str) -> "rd.Dataset":
 
 def exact_dedup_docs(sf_dir: str) -> "rd.Dataset":
     """Distinct canonical texts keeping min doc_id (reference exact layer
-    semantics, dedup/hash_db.py) — (doc_id, canonical)."""
+    semantics, dedup/hash_db.py) — (doc_id, canonical).
 
-    def _group(g: pd.DataFrame) -> pa.Table:
-        i = g["doc_id"].idxmin()
-        return pa.table(
-            {
-                "doc_id": pa.array([int(g["doc_id"].min())], pa.int64()),
-                "canonical": pa.array([g.loc[i, "canonical"]], pa.string()),
-            }
+    Scale shape (stages/exact.py): hash FIRST so the shuffle key is a
+    64-char digest rather than the document text itself, then one
+    vectorized polars pass per coarse hash partition — no per-group
+    Python dispatch. The text rides along as payload, never as key.
+    """
+    from ..stages.grouped import partitioned_group_map
+    from ..text import sha256_hex_array
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "content_hash", sha256_hex_array(batch["canonical"])
         )
 
-    return canonical_docs(sf_dir).groupby("canonical").map_groups(
-        _group, batch_format="pandas"
-    )
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["content_hash", "doc_id"])
+            .unique(["content_hash"], keep="first", maintain_order=True)
+            .select(["doc_id", "canonical"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("canonical", pa.string())])
+        )
+
+    hashed = canonical_docs(sf_dir).map_batches(_hash, batch_format="pyarrow")
+    return partitioned_group_map(hashed, "content_hash", _part, arrow=True)
 
 
 def _docs_as_conversations(sf_dir: str) -> "rd.Dataset":
@@ -172,17 +188,36 @@ def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5) -> pd.DataFrame:
-    """Exact word n-gram Jaccard >= threshold pairs, as a distributed
-    gram-inverted-index join: explode distinct grams -> groupby(gram)
-    emits co-occurrence pairs -> count intersections -> Jaccard from
-    per-doc gram counts. SQL-expressible => exact DuckDB oracle."""
+NGRAM_DF_CAP = 1000  # grams in more docs than this are boilerplate: excluded
+# from BOTH the intersection and the per-doc gram counts (a well-defined
+# "Jaccard over non-ubiquitous grams" — the SQL oracle applies the same
+# document-frequency cap, so parity is exact). This is the skew guard: the
+# worst gram bucket emits df_cap^2/2 pairs instead of O(corpus^2).
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, n: int = 3, threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP
+) -> pd.DataFrame:
+    """Word n-gram Jaccard >= threshold pairs over grams with document
+    frequency <= df_cap, as a distributed gram-inverted-index join.
+
+    Scale shape (all coarse partitioned passes, stages/grouped.py — no
+    per-gram Python dispatch, no driver-side count dict):
+
+        grams (distinct per doc)                         [materialized]
+          -> key=gram:   df-capped co-occurrence pairs   (skew-guarded)
+          -> key=a_id:   count pair multiplicity = |intersection|
+        grams -> key=gram: surviving (doc, gram) partial counts
+              -> key=doc:  per-doc surviving-gram counts
+        pairs + counts -> partitioned lookup join (na, nb)
+          -> jaccard = nb/(na+nb-nb); filter on the UNROUNDED ratio,
+             round only the emitted column (oracle WHERE-order parity).
+    """
+    from ..stages.grouped import attach_lookup, partitioned_group_map
 
     def _grams(batch: pa.Table) -> pa.Table:
         out_doc: list[int] = []
         out_gram: list[str] = []
-        counts_doc: list[int] = []
-        counts_n: list[int] = []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["canonical"].to_pylist()
         ):
@@ -192,8 +227,6 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5) -> pd.D
             }
             out_doc.extend([doc_id] * len(grams))
             out_gram.extend(grams)
-            counts_doc.append(doc_id)
-            counts_n.append(len(grams))
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
@@ -201,83 +234,259 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.5) -> pd.D
             }
         )
 
-    grams = canonical_docs(sf_dir).map_batches(_grams, batch_format="pyarrow")
-
-    def _cooccur(g: pd.DataFrame) -> pa.Table:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {"a_id": pa.array(ids[ai], pa.int64()), "b_id": pa.array(ids[bi], pa.int64())}
-        )
-
-    inter = (
-        grams.groupby("gram")
-        .map_groups(_cooccur, batch_format="pandas")
-        .groupby(["a_id", "b_id"])
-        .aggregate(Count(alias_name="n_both"))
+    grams = (
+        canonical_docs(sf_dir)
+        .map_batches(_grams, batch_format="pyarrow")
+        .materialize()  # feeds the pair pass and the count pass
     )
 
-    gram_counts = {
-        r["doc_id"]: r["n_grams"]
-        for r in grams.groupby("doc_id").aggregate(Count(alias_name="n_grams")).take_all()
-    }
-    counts_ref = ray.put(gram_counts)
+    def _pairs_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..stages.grouped import run_bounds
+
+        df = pl.from_arrow(tb).sort(["gram", "doc_id"])
+        keys = df["gram"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        bounds = run_bounds(keys)
+        all_a: list[np.ndarray] = []
+        all_b: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = int(e - s)
+            if m < 2 or m > df_cap:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            all_a.append(ids[ai + s])
+            all_b.append(ids[bi + s])
+        if not all_a:
+            return pa.table(
+                {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(all_a), pa.int64()),
+                "b_id": pa.array(np.concatenate(all_b), pa.int64()),
+            }
+        )
+
+    def _count_pairs(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by(["a_id", "b_id"])
+            .agg(pl.len().cast(pl.Int64).alias("n_both"))
+        )
+        return out.to_arrow().cast(_NGRAM_INTER_SCHEMA)
+
+    pairs = partitioned_group_map(grams, "gram", _pairs_part, arrow=True)
+    inter = partitioned_group_map(pairs, "a_id", _count_pairs, arrow=True)
+
+    def _doc_partials(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..stages.grouped import run_bounds
+
+        df = pl.from_arrow(tb).sort(["gram", "doc_id"])
+        keys = df["gram"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        bounds = run_bounds(keys)
+        keep = np.zeros(len(ids), dtype=bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if int(e - s) <= df_cap:
+                keep[s:e] = True
+        surv = pl.DataFrame({"doc_id": ids[keep]})
+        out = surv.group_by("doc_id").agg(pl.len().cast(pl.Int64).alias("n_part"))
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("n_part", pa.int64())])
+        )
+
+    def _doc_totals(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("doc_id")
+            .agg(pl.col("n_part").sum().alias("n_grams"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64())])
+        )
+
+    partials = partitioned_group_map(grams, "gram", _doc_partials, arrow=True)
+    counts = partitioned_group_map(partials, "doc_id", _doc_totals, arrow=True)
+
+    with_counts = attach_lookup(
+        inter,
+        _NGRAM_INTER_SCHEMA,
+        ["a_id", "b_id"],
+        counts.materialize(),
+        "doc_id",
+        "n_grams",
+        pa.int64(),
+        ["na", "nb"],
+    )
 
     def _jaccard(batch: pa.Table) -> pa.Table:
-        cnt = ray.get(counts_ref)
-        a = batch["a_id"].to_pylist()
-        b = batch["b_id"].to_pylist()
         nb = np.asarray(batch["n_both"], dtype=np.float64)
-        union = np.array([cnt[x] + cnt[y] for x, y in zip(a, b)], dtype=np.float64) - nb
-        jac = floor_round_np(nb / union, 6)
+        union = (
+            np.asarray(batch["na"], dtype=np.float64)
+            + np.asarray(batch["nb"], dtype=np.float64)
+            - nb
+        )
+        jac_raw = nb / union
         out = pa.table(
             {
                 "a_id": batch["a_id"],
                 "b_id": batch["b_id"],
-                "jaccard": pa.array(jac, pa.float64()),
+                "jaccard": pa.array(floor_round_np(jac_raw, 6), pa.float64()),
             }
         )
-        return out.filter(pa.array(jac >= threshold))
+        return out.filter(pa.array(jac_raw >= threshold))
 
     return (
-        inter.map_batches(_jaccard, batch_format="pyarrow")
+        with_counts.map_batches(_jaccard, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["a_id", "b_id"])
         .reset_index(drop=True)
     )
 
 
-def substring_containment(sf_dir: str) -> pd.DataFrame:
-    """Pairs where one canonical text is a strict substring of a longer
-    one (reference fuzzy partial-match semantics, fuzzy_matcher.py:213-236).
+_NGRAM_INTER_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("n_both", pa.int64())]
+)
 
-    Broadcast design: the corpus's canonical texts are `ray.put` once
-    (small side at test scale); each batch checks its docs against all
-    strictly-longer texts with C-speed `in`. At production scale this
-    runs intra-cluster only (see stages/substring.py).
+
+SUBSTRING_MIN_LEN = 30  # chars; must be >= winnowing t = W_GRAM + WINDOW - 1
+
+
+def substring_containment(sf_dir: str, min_len: int = SUBSTRING_MIN_LEN) -> pd.DataFrame:
+    """Pairs where one canonical text (>= min_len chars) is a strict
+    substring of a longer one (reference fuzzy partial-match semantics,
+    fuzzy_matcher.py:213-236) — via a distributed winnowing
+    fingerprint index (functions/winnowing.py), not an all-pairs scan.
+
+    Scale shape: every doc emits its winnowed fingerprint set
+    (haystack side, ~2L/window keys) and ONE needle key (its global-min
+    gram hash; guaranteed to appear in any containing doc's winnowed
+    set). A partitioned groupby on the fingerprint brings true
+    candidates together; texts are attached with a partitioned lookup
+    join and the exact `text in other` check runs per candidate pair.
+    Bucket fan-out is bounded by the number of docs genuinely sharing a
+    16-byte gram with a needle's minimum — boilerplate-heavy corpora
+    should pre-dedup exact/near duplicates first (pipelines/dedup.py),
+    which is also where the intra-cluster variant lives
+    (stages/substring.py).
     """
-    docs = canonical_docs(sf_dir).to_pandas()
-    by_len = docs.sort_values(["doc_id"]).reset_index(drop=True)
-    texts_ref = ray.put(list(zip(by_len["doc_id"].tolist(), by_len["canonical"].tolist())))
+    from ..functions.winnowing import gram_hashes, needle_key, winnow
+    from ..stages.grouped import attach_lookup, partitioned_group_map
 
-    def _contained(batch: pa.Table) -> pa.Table:
-        corpus = ray.get(texts_ref)
-        rows_a: list[int] = []
-        rows_b: list[int] = []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["canonical"].to_pylist()):
-            for other_id, other in corpus:
-                if other_id != doc_id and len(text) < len(other) and text in other:
-                    rows_a.append(doc_id)
-                    rows_b.append(other_id)
+    def _index_rows(batch: pa.Table) -> pa.Table:
+        keys: list[np.ndarray] = []
+        ids: list[np.ndarray] = []
+        sides: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["canonical"].to_pylist()
+        ):
+            text = text or ""
+            gh = gram_hashes(text)
+            if len(gh) == 0:
+                continue
+            sel = winnow(gh).astype(np.int64)
+            n_h = len(sel)
+            n_n = 1 if len(text) >= min_len else 0
+            k = np.concatenate([sel, [np.int64(needle_key(gh))]]) if n_n else sel
+            keys.append(k)
+            ids.append(np.full(n_h + n_n, doc_id, dtype=np.int64))
+            side = np.zeros(n_h + n_n, dtype=np.int8)
+            if n_n:
+                side[-1] = 1
+            sides.append(side)
+            lens.append(np.full(n_h + n_n, len(text), dtype=np.int64))
+        if not keys:
+            return _SUBSTR_INDEX_SCHEMA.empty_table()
         return pa.table(
-            {"a_id": pa.array(rows_a, pa.int64()), "b_id": pa.array(rows_b, pa.int64())}
+            {
+                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "side": pa.array(np.concatenate(sides), pa.int8()),
+                "n_chars": pa.array(np.concatenate(lens), pa.int64()),
+            }
         )
 
-    out = canonical_docs(sf_dir).map_batches(_contained, batch_format="pyarrow").to_pandas()
+    index = canonical_docs(sf_dir).map_batches(_index_rows, batch_format="pyarrow")
+
+    def _candidates(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        needles = df.filter(pl.col("side") == 1).select(
+            pl.col("key"),
+            pl.col("doc_id").alias("a_id"),
+            pl.col("n_chars").alias("a_len"),
+        )
+        hays = df.filter(pl.col("side") == 0).select(
+            pl.col("key"),
+            pl.col("doc_id").alias("b_id"),
+            pl.col("n_chars").alias("b_len"),
+        )
+        cand = (
+            needles.join(hays, on="key")
+            .filter(
+                (pl.col("a_id") != pl.col("b_id"))
+                & (pl.col("a_len") < pl.col("b_len"))
+            )
+            .select(["a_id", "b_id"])
+            .unique(["a_id", "b_id"])
+        )
+        return cand.to_arrow().cast(_SUBSTR_PAIR_SCHEMA)
+
+    def _dedup(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(tb)
+            .unique(["a_id", "b_id"])
+            .to_arrow()
+            .cast(_SUBSTR_PAIR_SCHEMA)
+        )
+
+    cand = partitioned_group_map(index, "key", _candidates, arrow=True)
+    cand = partitioned_group_map(cand, "a_id", _dedup, arrow=True)
+
+    texts = canonical_docs(sf_dir).materialize()
+    with_texts = attach_lookup(
+        cand,
+        _SUBSTR_PAIR_SCHEMA,
+        ["a_id", "b_id"],
+        texts,
+        "doc_id",
+        "canonical",
+        pa.string(),
+        ["a_text", "b_text"],
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        keep = [
+            a in b
+            for a, b in zip(batch["a_text"].to_pylist(), batch["b_text"].to_pylist())
+        ]
+        return batch.filter(pa.array(keep)).select(["a_id", "b_id"])
+
+    out = with_texts.map_batches(_verify, batch_format="pyarrow").to_pandas()
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+_SUBSTR_INDEX_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("side", pa.int8()),
+        ("n_chars", pa.int64()),
+    ]
+)
+_SUBSTR_PAIR_SCHEMA = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
 
 
 # --- text analysis -----------------------------------------------------------

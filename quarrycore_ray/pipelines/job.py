@@ -118,17 +118,18 @@ def run_dedup_job(
     clusters = ckpt.stage("clusters", _clusters)
 
     def _deduped() -> "rd.Dataset":
-        keep = {
-            r["conv_id"]
-            for r in clusters.filter(expr="is_representative == True").select_columns(
-                ["conv_id"]
-            ).take_all()
-        }
-        keep_ref = ray.put(keep)
+        # Anti-join of exact reps against the merged reps (reps whose
+        # near-dup component has a smaller representative). The
+        # broadcast set is O(near-duplicate reps) — derived from the
+        # edge list, never a take_all of the corpus (a rep survives iff
+        # union-find leaves it as its own component root).
+        assign = driver_union_find(edges)
+        merged = frozenset(k for k, v in assign.items() if k != v)
+        merged_ref = ray.put(merged)
 
         def _f(batch: pa.Table) -> pa.Table:
-            ks = ray.get(keep_ref)
-            mask = [c in ks for c in batch["conv_id"].to_pylist()]
+            drop = ray.get(merged_ref)
+            mask = [c not in drop for c in batch["conv_id"].to_pylist()]
             return batch.filter(pa.array(mask))
 
         return reps.select_columns(["conv_id", "canonical_text", "n_turns"]).map_batches(

@@ -66,7 +66,7 @@ def _assemble_partition(tb: pa.Table) -> pa.Table:
 
 
 def assemble_conversations(
-    ds: "ray.data.Dataset", num_partitions: int = 64, lineage: bool = False
+    ds: "ray.data.Dataset", num_partitions: int | None = None, lineage: bool = False
 ) -> "ray.data.Dataset":
     """transcript rows -> one row per conversation (shuffle #1 on conv_id).
 

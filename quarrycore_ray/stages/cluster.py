@@ -48,7 +48,7 @@ def driver_union_find(edges: "ray.data.Dataset | list[tuple[str, str]]") -> dict
 
 
 def label_propagation(
-    edges: "ray.data.Dataset", max_rounds: int = 20, num_partitions: int = 32
+    edges: "ray.data.Dataset", max_rounds: int = 20, num_partitions: int | None = None
 ) -> "ray.data.Dataset":
     """Distributed min-label propagation -> (node, label) dataset.
 

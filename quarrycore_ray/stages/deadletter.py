@@ -28,10 +28,21 @@ class FallibleRowStage:
     captured into `_error` instead of raising (fail-open, like the
     reference's dedup error path hybrid_dedup.py:177-182)."""
 
-    def __init__(self, fn: Callable, input_col: str, output_col: str):
+    def __init__(
+        self,
+        fn: Callable,
+        input_col: str,
+        output_col: str,
+        output_type: "pa.DataType | None" = None,
+    ):
         self.fn = fn
         self.input_col = input_col
         self.output_col = output_col
+        # An all-failure batch would otherwise infer a null-typed column
+        # and break schema unification against successful batches; the
+        # type is either given explicitly or inferred once from the
+        # first successful value and cached for the actor's lifetime.
+        self.output_type = output_type
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list = []
@@ -43,7 +54,13 @@ class FallibleRowStage:
             except Exception as e:  # noqa: BLE001 — the whole point
                 out.append(None)
                 errs.append(f"{type(e).__name__}: {e}")
-        batch = batch.append_column(self.output_col, pa.array(out))
+        if self.output_type is None and any(v is not None for v in out):
+            self.output_type = pa.array(
+                [v for v in out if v is not None][:1]
+            ).type
+        batch = batch.append_column(
+            self.output_col, pa.array(out, type=self.output_type)
+        )
         return batch.append_column(ERROR_COL, pa.array(errs, pa.string()))
 
 

@@ -67,7 +67,7 @@ def _dedup_partition(tb: pa.Table) -> pa.Table:
 
 
 def exact_dedup(
-    conversations: "ray.data.Dataset", num_partitions: int = 64, lineage: bool = False
+    conversations: "ray.data.Dataset", num_partitions: int | None = None, lineage: bool = False
 ) -> "ray.data.Dataset":
     """conversations -> one row per distinct canonical text (shuffle #2).
 

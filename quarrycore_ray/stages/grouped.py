@@ -33,6 +33,24 @@ import ray.data
 PART_COL = "_part"
 
 
+def default_num_partitions(factor: int = 2, lo: int = 16, hi: int = 512) -> int:
+    """CPU-proportional partition count for coarse grouped execution.
+
+    A fixed count (64 in round 1) over-partitions small sessions and
+    under-partitions big ones — `factor` partitions per CPU keeps every
+    core busy through one wave of stragglers without drowning the
+    scheduler. On a multi-node cluster `ray.cluster_resources()` counts
+    all nodes' CPUs, so the count scales with the cluster.
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover - ray not importable
+        cpus = 8
+    return max(lo, min(hi, factor * cpus))
+
+
 def _crc32_array(values: list[str]) -> np.ndarray:
     crc = zlib.crc32
     return np.fromiter(
@@ -60,7 +78,7 @@ def partitioned_group_map(
     ds: "ray.data.Dataset",
     key: str,
     partition_fn: Callable[[pd.DataFrame], "pa.Table | pd.DataFrame"],
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     lineage_stage: str | None = None,
     arrow: bool = False,
 ) -> "ray.data.Dataset":
@@ -74,6 +92,8 @@ def partitioned_group_map(
     works in polars/numpy). With `lineage_stage` set, each partition
     call reports (rows_in, rows_out, wall_ms) to the metrics actor.
     """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     if lineage_stage is not None:
         from ..state.metrics import Instrumented
 
@@ -100,6 +120,81 @@ def partitioned_group_map(
         .groupby(PART_COL)
         .map_groups(_run, batch_format=fmt)
     )
+
+
+def attach_lookup(
+    left: "ray.data.Dataset",
+    left_schema: pa.Schema,
+    key_cols: list[str],
+    lookup: "ray.data.Dataset",
+    lookup_key: str,
+    value_col: str,
+    value_type: pa.DataType,
+    out_names: list[str],
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Partitioned hash join: attach `lookup[value_col]` to `left` once
+    per entry of `key_cols` (e.g. both endpoints of a pair table).
+
+    The scale-safe replacement for "collect the lookup into a driver
+    dict and `ray.put` it": each pass UNIONs typed left rows with typed
+    lookup rows under a shared join key `_k`, hash-partitions on it
+    (`partitioned_group_map`), and resolves the join with one vectorized
+    polars pass per partition. Lookup rows are flagged with `_lu` so
+    null values on the left never masquerade as lookup entries.
+
+    `left_schema` must describe `left` exactly (unioned blocks need
+    identical schemas); each pass appends `(out_names[i], value_type)`.
+    """
+    import polars as pl
+
+    for key_col, out_name in zip(key_cols, out_names):
+        schema = pa.schema(
+            list(left_schema)
+            + [pa.field("_k", left_schema.field(key_col).type),
+               pa.field("_lv", value_type),
+               pa.field("_lu", pa.int8())]
+        )
+
+        def _left_rows(batch: pa.Table, _schema=schema, _key=key_col) -> pa.Table:
+            n = batch.num_rows
+            batch = batch.append_column("_k", batch[_key])
+            batch = batch.append_column("_lv", pa.nulls(n, _schema.field("_lv").type))
+            batch = batch.append_column("_lu", pa.array(np.zeros(n, dtype=np.int8)))
+            return batch.cast(_schema)
+
+        def _lookup_rows(batch: pa.Table, _schema=schema) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                f.name: pa.nulls(n, f.type) for f in _schema
+            }
+            cols["_k"] = batch[lookup_key].cast(_schema.field("_k").type)
+            cols["_lv"] = batch[value_col].cast(_schema.field("_lv").type)
+            cols["_lu"] = pa.array(np.ones(n, dtype=np.int8))
+            return pa.table(cols).cast(_schema)
+
+        out_schema = pa.schema(list(left_schema) + [pa.field(out_name, value_type)])
+
+        def _join(tb: pa.Table, _out=out_schema, _name=out_name) -> pa.Table:
+            df = pl.from_arrow(tb)
+            lut = (
+                df.filter(pl.col("_lu") == 1)
+                .select(["_k", "_lv"])
+                .unique("_k", keep="any")
+                .rename({"_k": "_jk", "_lv": _name})
+            )
+            rows = df.filter(pl.col("_lu") == 0).drop(["_lv", "_lu"])
+            if rows.height == 0:
+                return _out.empty_table()
+            joined = rows.join(lut, left_on="_k", right_on="_jk", how="left").drop(["_k"])
+            return joined.select([f.name for f in _out]).to_arrow().cast(_out)
+
+        unioned = left.map_batches(_left_rows, batch_format="pyarrow").union(
+            lookup.map_batches(_lookup_rows, batch_format="pyarrow")
+        )
+        left = partitioned_group_map(unioned, "_k", _join, num_partitions, arrow=True)
+        left_schema = out_schema
+    return left
 
 
 def run_bounds(sorted_keys: np.ndarray) -> np.ndarray:

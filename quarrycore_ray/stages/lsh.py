@@ -71,8 +71,19 @@ def _bucket_pair_indices(n: int, bucket_cap: int) -> tuple[np.ndarray, np.ndarra
     """Local (a, b) index pairs for one bucket of n members, skew-capped.
 
     n <= cap: full triangle. Else: triangles within cap-sized chunks plus
-    one chain pair between consecutive chunks (connectivity preserved,
-    pair count O(n * cap)); returns dropped-pair count for lineage.
+    redundant chain pairs bridging consecutive chunks (pair count stays
+    O(n * cap)); returns dropped-pair count for lineage.
+
+    Bridge robustness: a single chain pair would split a genuinely-
+    duplicate component if that one pair failed verification (e.g. a
+    mixed boilerplate bucket whose boundary members are not mutual
+    duplicates), so each boundary emits up to 4 cross-chunk pairs
+    ({last two of chunk i} x {first two of chunk i+1}) — the component
+    survives any single failed bridge verification. Connectivity is
+    still only guaranteed when the bucket's true duplicate structure
+    spans the boundary; a bucket mixing several distinct duplicate
+    groups can split them across chunks by construction (the accepted
+    cost of the cap, recorded via dropped_pairs lineage).
     """
     if n <= bucket_cap:
         ai, bi = np.triu_indices(n, k=1)
@@ -85,8 +96,11 @@ def _bucket_pair_indices(n: int, bucket_cap: int) -> tuple[np.ndarray, np.ndarra
         parts_a.append(ai + start)
         parts_b.append(bi + start)
         if end < n:
-            parts_a.append(np.array([end - 1]))
-            parts_b.append(np.array([end]))
+            left = [i for i in (end - 2, end - 1) if i >= start]
+            right = [j for j in (end, end + 1) if j < n]
+            bridge = [(i, j) for i in left for j in right]
+            parts_a.append(np.array([p[0] for p in bridge]))
+            parts_b.append(np.array([p[1] for p in bridge]))
     a = np.concatenate(parts_a)
     b = np.concatenate(parts_b)
     return a, b, n * (n - 1) // 2 - len(a)
@@ -173,7 +187,7 @@ def _attach_side(side: str, next_key: str | None):
         )
         pairs = df.filter(pl.col("sig").is_null()).drop(["sig", "fp"])
         if side == "a":
-            pairs = pairs.sort(["a_id", "b_id"]).unique(
+            pairs = pairs.sort(["a_id", "b_id", "bucket_size", "dropped_pairs"]).unique(
                 ["a_id", "b_id"], keep="first", maintain_order=True
             )
         if pairs.height == 0:
@@ -217,7 +231,7 @@ _EMPTY_ATTACH = {
 def attach_signatures(
     pairs: "ray.data.Dataset",
     sigs: "ray.data.Dataset",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Join (minhash_sig, simhash) onto pair rows for both endpoints.
 
@@ -288,6 +302,25 @@ def attach_signatures(
     )
 
 
+def _dedup_pairs_partition(tb: pa.Table) -> pa.Table:
+    """Global (a_id, b_id) dedup: one vectorized pass per a_id-keyed
+    partition. The same pair is emitted once per matching LSH band, and
+    band keys hash to different partitions — so a dedicated pass keyed
+    on a_id (all copies of a pair colocate) is required before the
+    broadcast attach; the join attach dedups in its own a_id pass. Sort
+    covers every column so keep-first is deterministic.
+    """
+    import polars as pl
+
+    df = pl.from_arrow(tb)
+    return (
+        df.sort(["a_id", "b_id", "bucket_size", "dropped_pairs"])
+        .unique(["a_id", "b_id"], keep="first", maintain_order=True)
+        .to_arrow()
+        .cast(_EMPTY_PAIRS.schema)
+    )
+
+
 def attach_signatures_broadcast(
     pairs: "ray.data.Dataset", sigs: "ray.data.Dataset"
 ) -> "ray.data.Dataset":
@@ -295,6 +328,9 @@ def attach_signatures_broadcast(
     attach per batch — no shuffle. Used when the distinct-text table
     fits comfortably in the object store (the guide's broadcast-join
     pattern); `attach_signatures` is the at-scale partitioned join.
+    Callers must globally dedup pairs first (`_dedup_pairs_partition`
+    via candidate_pairs) — the per-batch unique below only tidies
+    within-block duplicates.
     """
     lut: dict[str, tuple[bytes, int]] = {}
     for b in sigs.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -331,7 +367,7 @@ BROADCAST_SIG_LIMIT = 1_000_000
 def candidate_pairs(
     with_sigs: "ray.data.Dataset",
     config: DedupConfig | None = None,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     lineage: bool = False,
     attach_strategy: str = "auto",
 ) -> "ray.data.Dataset":
@@ -358,5 +394,11 @@ def candidate_pairs(
             "broadcast" if with_sigs.count() <= BROADCAST_SIG_LIMIT else "join"
         )
     if attach_strategy == "broadcast":
-        return attach_signatures_broadcast(pair_refs, with_sigs)
+        # global pair dedup keyed on a_id: the same pair is emitted once
+        # per matching band across different partitions; the join path
+        # dedups inside its own a_id-keyed attach pass instead.
+        deduped = partitioned_group_map(
+            pair_refs, "a_id", _dedup_pairs_partition, num_partitions, arrow=True
+        )
+        return attach_signatures_broadcast(deduped, with_sigs)
     return attach_signatures(pair_refs, with_sigs, num_partitions)

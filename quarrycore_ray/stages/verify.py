@@ -7,7 +7,7 @@ verification. The shared predicate (`quarrycore_ray.oracle.
 pair_is_duplicate`) keeps the engine bit-consistent with the in-process
 sequential oracle: a pair is a duplicate iff
 
-    jaccard_estimate >= threshold  OR  hamming <= STRICT_HAMMING
+    jaccard_estimate >= threshold  OR  hamming <= config.strict_hamming
 
 (the Hamming clause recovers very-near duplicates whose 128-slot
 estimate fell just below the threshold by sampling noise).
@@ -24,7 +24,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import DedupConfig
-from ..oracle import STRICT_HAMMING
 from .minhash_stage import bytes_to_sigs
 
 
@@ -75,7 +74,7 @@ class PairVerifier:
         a_fp = np.asarray(batch["a_fp"], dtype=np.int64).view(np.uint64)
         b_fp = np.asarray(batch["b_fp"], dtype=np.int64).view(np.uint64)
         ham = _popcount64(np.bitwise_xor(a_fp, b_fp))
-        keep = (jacc >= self.cfg.threshold) | (ham <= STRICT_HAMMING)
+        keep = (jacc >= self.cfg.threshold) | (ham <= self.cfg.strict_hamming)
         out = pa.table(
             {
                 "a_id": batch["a_id"],
