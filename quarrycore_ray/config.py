@@ -61,6 +61,14 @@ class DedupConfig:
     # --- substring stage ---
     min_substring_overlap: int = 100  # chars, reference fuzzy_matcher.py:213-236
 
+    # --- clustering scale switch ---
+    # Verified edge sets up to this size are union-found on the driver
+    # (O(duplicate-pairs) memory, the fast path). Beyond it the pipeline
+    # auto-switches to distributed min-label propagation
+    # (stages/cluster.py:label_propagation) and cluster assignment via
+    # partitioned joins — no driver-side edge or label materialization.
+    labelprop_edge_threshold: int = 50_000_000
+
     def resolved_minhash_concurrency(self) -> int:
         return self.minhash_concurrency or _cpu_fraction(0.5)
 

@@ -44,9 +44,27 @@ from ..stages.verify import PairVerifier
 class DedupResult:
     clusters: "ray.data.Dataset"  # conv_id, cluster_id, is_representative, dup_kind
     unique_conversations: "ray.data.Dataset"  # representatives with canonical_text
-    edges: pa.Table  # verified near-dup edges (a_id, b_id, jaccard, hamming)
+    # verified near-dup edges (a_id, b_id, jaccard, hamming). A pa.Table
+    # on the driver union-find path (edge set is O(duplicate-pairs));
+    # stays a Dataset when the label-propagation path was taken (the
+    # whole point of that path is never materializing edges driver-side).
+    edges: "pa.Table | ray.data.Dataset"
     substring: "ray.data.Dataset | None"
     metrics: dict[str, Any] = field(default_factory=dict)
+
+
+# schema of the exact-dedup reps table (stages/exact.py output), needed
+# by the partitioned lookup joins on the label-propagation path
+_REPS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("canonical_text", pa.string()),
+        ("n_turns", pa.int32()),
+        ("content_hash", pa.string()),
+        ("exact_members", pa.list_(pa.string())),
+        ("exact_group_size", pa.int64()),
+    ]
+)
 
 
 def dedup_transcripts(
@@ -114,7 +132,23 @@ def dedup_conversations(
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=(1, cfg.resolved_verify_concurrency()),
-    )
+    ).materialize()
+    n_edges = edges_ds.count()
+    metrics["verified_edges"] = n_edges
+
+    # S6: connected components. Auto-switch: edge sets up to the
+    # threshold are union-found on the driver (O(duplicate-pairs),
+    # the fast path); an adversarially huge edge set (high-duplication
+    # corpus, the 100 TB north case) takes the distributed label-
+    # propagation path with partitioned-join cluster assignment —
+    # nothing edge- or label-shaped ever lands on the driver.
+    if n_edges > cfg.labelprop_edge_threshold:
+        metrics["cluster_path"] = "label_propagation"
+        return _finish_distributed(
+            reps, edges_ds, cfg, with_substring, metrics, t0
+        )
+    metrics["cluster_path"] = "driver_union_find"
+
     edge_batches = list(edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
     if edge_batches:
         edges = pa.concat_tables(edge_batches)
@@ -127,10 +161,7 @@ def dedup_conversations(
                 "hamming": pa.array([], pa.int64()),
             }
         )
-    metrics["verified_edges"] = edges.num_rows
 
-    # S6: connected components. Edge list is O(duplicates) — driver-side
-    # union-find; see stages/cluster.py for the huge-edge-set variant.
     near_assign = driver_union_find(
         list(
             zip(edges["a_id"].to_pylist(), edges["b_id"].to_pylist())
@@ -189,6 +220,124 @@ def dedup_conversations(
         clusters=clusters,
         unique_conversations=unique_conversations,
         edges=edges,
+        substring=sub,
+        metrics=metrics,
+    )
+
+
+def explode_members_with_label(batch: pa.Table) -> pa.Table:
+    """reps rows with a joined `near_label` column -> per-conversation
+    cluster rows. A rep had >= 1 verified near edge iff near_label is
+    non-null; its exact members inherit the cluster. Shared by the
+    label-propagation paths of `dedup_conversations` and the job runner.
+    """
+    out_conv: list[str] = []
+    out_cluster: list[str] = []
+    out_kind: list[str] = []
+    for rep, members, lab in zip(
+        batch["conv_id"].to_pylist(),
+        batch["exact_members"].to_pylist(),
+        batch["near_label"].to_pylist(),
+    ):
+        cluster = lab if lab is not None else rep
+        rep_kind = "near" if lab is not None else "unique"
+        for m in members:
+            out_conv.append(m)
+            out_cluster.append(cluster)
+            out_kind.append(rep_kind if m == rep else "exact")
+    return pa.table(
+        {
+            "conv_id": pa.array(out_conv, pa.string()),
+            "cluster_id": pa.array(out_cluster, pa.string()),
+            "is_representative": pa.array(
+                [c == v for v, c in zip(out_conv, out_cluster)], pa.bool_()
+            ),
+            "dup_kind": pa.array(out_kind, pa.string()),
+        }
+    )
+
+
+def _finish_distributed(
+    reps: "ray.data.Dataset",
+    edges_ds: "ray.data.Dataset",
+    cfg: DedupConfig,
+    with_substring: bool,
+    metrics: dict[str, Any],
+    t0: float,
+) -> DedupResult:
+    """S6 at adversarial edge scale: distributed min-label propagation +
+    partitioned-join cluster assignment. Output-identical to the driver
+    union-find path (same cluster labels: min conv_id of the component);
+    edges stay a Dataset end to end.
+    """
+    from ..stages.cluster import label_propagation
+    from ..stages.grouped import attach_lookup
+    from ..stages.substring import substring_matches as _substr
+
+    labels = label_propagation(edges_ds).materialize()
+
+    def _merged_count(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.sum(
+            pc.cast(pc.not_equal(batch["node"], batch["label"]), pa.int64())
+        ).as_py() or 0
+        return pa.table({"c": pa.array([n], pa.int64())})
+
+    n_merged = (
+        labels.map_batches(_merged_count, batch_format="pyarrow").sum("c") or 0
+    )
+
+    # label join: a rep appears in `labels` iff it had >= 1 verified edge
+    with_label = attach_lookup(
+        reps, _REPS_SCHEMA, ["conv_id"], labels, "node", "label",
+        pa.string(), ["near_label"],
+    ).materialize()
+
+    clusters = with_label.map_batches(
+        explode_members_with_label, batch_format="pyarrow"
+    ).materialize()
+    metrics["total_conversations"] = clusters.count()
+    metrics["n_clusters"] = metrics["distinct_texts"] - n_merged
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        keep = [
+            lab is None or lab == cid
+            for cid, lab in zip(
+                batch["conv_id"].to_pylist(), batch["near_label"].to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(keep)).drop_columns(["near_label"])
+
+    unique_conversations = with_label.map_batches(_uniq, batch_format="pyarrow")
+
+    sub = None
+    if with_substring:
+
+        def _with_cluster(batch: pa.Table) -> pa.Table:
+            ids = batch["conv_id"].to_pylist()
+            labs = batch["near_label"].to_pylist()
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "canonical_text": batch["canonical_text"],
+                    "cluster_id": pa.array(
+                        [l if l is not None else c for c, l in zip(ids, labs)],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        sub = _substr(
+            with_label.map_batches(_with_cluster, batch_format="pyarrow"),
+            cfg.min_substring_overlap,
+        )
+
+    metrics["wall_s"] = time.perf_counter() - t0
+    return DedupResult(
+        clusters=clusters,
+        unique_conversations=unique_conversations,
+        edges=edges_ds,
         substring=sub,
         metrics=metrics,
     )

@@ -84,7 +84,28 @@ def run_dedup_job(
 
     edges = ckpt.stage("edges", _edges)
 
+    # clustering scale switch (see DedupConfig.labelprop_edge_threshold):
+    # small edge sets are union-found on the driver; huge ones take the
+    # distributed label-propagation path, checkpointed like any stage.
+    n_edges = edges.count()
+    labels = None
+    if n_edges > cfg.labelprop_edge_threshold:
+        from ..stages.cluster import label_propagation
+
+        labels = ckpt.stage("labels", lambda: label_propagation(edges))
+
     def _clusters() -> "rd.Dataset":
+        if labels is not None:
+            from ..stages.grouped import attach_lookup
+            from .dedup import _REPS_SCHEMA, explode_members_with_label
+
+            with_label = attach_lookup(
+                reps, _REPS_SCHEMA, ["conv_id"], labels, "node", "label",
+                pa.string(), ["near_label"],
+            )
+            return with_label.map_batches(
+                explode_members_with_label, batch_format="pyarrow"
+            )
         assign = driver_union_find(edges)
         assign_ref = ray.put(assign)
 
@@ -118,6 +139,36 @@ def run_dedup_job(
     clusters = ckpt.stage("clusters", _clusters)
 
     def _deduped() -> "rd.Dataset":
+        if labels is not None:
+            # pure-dataflow anti-join: attach the propagated label and
+            # keep reps that root their own component (or have no edge)
+            from ..stages.grouped import attach_lookup
+
+            slim_schema = pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("canonical_text", pa.string()),
+                    ("n_turns", pa.int32()),
+                ]
+            )
+            with_label = attach_lookup(
+                reps.select_columns(["conv_id", "canonical_text", "n_turns"]),
+                slim_schema, ["conv_id"], labels, "node", "label",
+                pa.string(), ["near_label"],
+            )
+
+            def _keep_roots(batch: pa.Table) -> pa.Table:
+                keep = [
+                    lab is None or lab == cid
+                    for cid, lab in zip(
+                        batch["conv_id"].to_pylist(),
+                        batch["near_label"].to_pylist(),
+                    )
+                ]
+                return batch.filter(pa.array(keep)).drop_columns(["near_label"])
+
+            return with_label.map_batches(_keep_roots, batch_format="pyarrow")
+
         # Anti-join of exact reps against the merged reps (reps whose
         # near-dup component has a smaller representative). The
         # broadcast set is O(near-duplicate reps) — derived from the
@@ -143,7 +194,8 @@ def run_dedup_job(
         "out_root": out_root,
         "conversations": conversations.count(),
         "distinct_texts": reps.count(),
-        "verified_edges": edges.count(),
+        "verified_edges": n_edges,
+        "cluster_path": "label_propagation" if labels is not None else "driver_union_find",
         "cluster_rows": clusters.count(),
         "deduped": deduped.count(),
         "stages_run": ckpt.stages_run,

@@ -283,3 +283,33 @@ class TestSkewCap:
         res2 = dedup_transcripts(rd.from_arrow(_mk_transcripts(convs2)), config=cfg)
         cl2 = res2.clusters.to_pandas()
         assert set(cl2["cluster_id"]) == {"conv-000"}
+
+
+class TestLabelPropSwitch:
+    def test_labelprop_path_matches_driver_union_find(self):
+        """Forcing the distributed label-propagation path (edge threshold
+        0) must reproduce the driver union-find clusters exactly, and the
+        edges must stay a Dataset (never collected)."""
+        transcripts, _ = generate_transcripts(n_convs=120, seed=7, boilerplate_group=15)
+
+        res_driver = dedup_transcripts(rd.from_arrow(transcripts))
+        assert res_driver.metrics["cluster_path"] == "driver_union_find"
+        cl_driver = res_driver.clusters.to_pandas()
+
+        cfg = DedupConfig(labelprop_edge_threshold=0)
+        res_lp = dedup_transcripts(rd.from_arrow(transcripts), config=cfg)
+        assert res_lp.metrics["cluster_path"] == "label_propagation"
+        assert isinstance(res_lp.edges, rd.Dataset)
+        cl_lp = res_lp.clusters.to_pandas()
+
+        a = dict(zip(cl_driver["conv_id"], cl_driver["cluster_id"]))
+        b = dict(zip(cl_lp["conv_id"], cl_lp["cluster_id"]))
+        assert a == b
+        kinds_a = dict(zip(cl_driver["conv_id"], cl_driver["dup_kind"]))
+        kinds_b = dict(zip(cl_lp["conv_id"], cl_lp["dup_kind"]))
+        assert kinds_a == kinds_b
+        assert res_lp.metrics["n_clusters"] == res_driver.metrics["n_clusters"]
+        assert (
+            res_lp.unique_conversations.count()
+            == res_driver.unique_conversations.count()
+        )
