@@ -106,6 +106,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     canon_docs = f"SELECT doc_id, {_CANON} AS canonical FROM documents"
+
+    from quarrycore_ray.functions.textstats import STOPWORDS
+
+    def _stoplist(lang: str) -> str:
+        return "(" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
+
+    lang_scores = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        f"len(list_filter(words, x -> x IN {_stoplist(lang)})) AS sc FROM w"
+        for lang in sorted(STOPWORDS)
+    )
+
     return {
         "exact_dedup_docs": (
             f"SELECT min(doc_id) AS doc_id, canonical FROM ({canon_docs}) "
@@ -206,6 +218,144 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine
             FROM p WHERE cos >= 0.45
+        """,
+        "langid_docs": f"""
+            -- mirrors functions/textstats.py:LangIdStage exactly:
+            -- stopword hits per language over whitespace-split lower text,
+            -- CJK chars in the first 400 chars vote for zh; best language
+            -- by (score DESC, lang ASC); conf = floor_round(best/total, 6)
+            WITH t AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+            w AS (SELECT doc_id, text, lt,
+                         list_filter(string_split_regex(lt, '\\s+'), x -> x != '')
+                             AS words
+                  FROM t),
+            s AS ({lang_scores}
+                  UNION ALL
+                  SELECT doc_id, 'zh' AS lang,
+                         len(regexp_extract_all(substring(lt, 1, 400), '[一-鿿]')) AS sc
+                  FROM w),
+            agg AS (SELECT doc_id, sum(sc) AS total FROM s GROUP BY doc_id),
+            best AS (
+                SELECT doc_id, lang, sc FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY sc DESC, lang) AS rk
+                    FROM s
+                ) WHERE rk = 1
+            )
+            SELECT w.doc_id,
+                   CASE WHEN a.total > 0 THEN b.lang ELSE 'unknown' END AS pred_lang,
+                   CASE WHEN a.total > 0
+                        THEN floor((b.sc * 1.0 / a.total) * 1000000 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS lang_conf
+            FROM w JOIN best b ON b.doc_id = w.doc_id
+                   JOIN agg a ON a.doc_id = w.doc_id
+        """,
+        "fingerprint_docs": f"""
+            -- mirrors text.py:rolling_fingerprint: polynomial hash
+            -- h = (h*1000003 + ord(ch)) % 2^61 over the first 1024 chars of
+            -- canonical text; HUGEINT keeps the per-term product exact
+            WITH RECURSIVE pw(i, p) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT i + 1, (p * 1000003) % 2305843009213693952
+                FROM pw WHERE i < 1023
+            ),
+            c AS (SELECT doc_id, substring({_CANON}, 1, 1024) AS t FROM documents),
+            ch AS (
+                SELECT doc_id, unnest(string_split(t, '')) AS ch,
+                       generate_subscripts(string_split(t, ''), 1) AS i,
+                       length(t) AS n
+                FROM c WHERE length(t) > 0
+            ),
+            term AS (
+                SELECT ch.doc_id,
+                       (CAST(unicode(ch.ch) AS HUGEINT) * pw.p)
+                           % 2305843009213693952 AS v
+                FROM ch JOIN pw ON pw.i = ch.n - ch.i
+            ),
+            f AS (SELECT doc_id, CAST(sum(v) % 2305843009213693952 AS BIGINT) AS fp
+                  FROM term GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(f.fp, 0) AS fingerprint
+            FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+        """,
+        "chunk_documents": f"""
+            -- mirrors pipelines/dataset.py:TokenChunker: 64-token windows,
+            -- 8-token overlap (step 56); last window starts at the smallest
+            -- k with 56k + 64 >= n
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            n AS (SELECT doc_id, string_split(canonical, ' ') AS words,
+                         len(string_split(canonical, ' ')) AS n
+                  FROM c WHERE canonical != ''),
+            k AS (SELECT doc_id, words, n,
+                         CASE WHEN n <= 64 THEN 0
+                              ELSE CAST(ceil((n - 64) / 56.0) AS BIGINT) END AS kmax
+                  FROM n)
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(
+                       list_slice(words, CAST(56 * i + 1 AS BIGINT),
+                                  CAST(LEAST(56 * i + 64, n) AS BIGINT)),
+                       ' ') AS chunk_text,
+                   LEAST(CAST(64 AS BIGINT), n - 56 * i) AS n_chunk_tokens
+            FROM (SELECT doc_id, words, n,
+                         unnest(generate_series(CAST(0 AS BIGINT), kmax)) AS i
+                  FROM k)
+        """,
+        "simhash_dup_pairs": f"""
+            -- mirrors pipelines/documents.py:simhash_dup_pairs: 64-bit
+            -- SimHash over 7-char shingles with the MD5 feature hash
+            -- (first 8 digest bytes, little-endian), pairs at Hamming <= 3
+            WITH RECURSIVE pw(j, p) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL SELECT j + 1, p * 2 FROM pw WHERE j < 63
+            ),
+            c AS (SELECT doc_id, {_CANON} AS c FROM documents),
+            base AS (
+                SELECT doc_id,
+                       CASE WHEN length(c) < 7 THEN c ELSE lower(c) END AS t,
+                       length(c) AS lc
+                FROM c WHERE length(c) > 0
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN lc < 7 THEN t
+                            ELSE substring(t, CAST(i AS INT), 7) END AS s
+                FROM (SELECT doc_id, t, lc,
+                             unnest(generate_series(1, GREATEST(lc - 6, 1))) AS i
+                      FROM base)
+            ),
+            hv AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substring(hx, 15, 2) || substring(hx, 13, 2)
+                                  || substring(hx, 11, 2) || substring(hx, 9, 2))
+                                 AS BIGINT) AS HUGEINT) * 4294967296
+                       + CAST(('0x' || substring(hx, 7, 2) || substring(hx, 5, 2)
+                               || substring(hx, 3, 2) || substring(hx, 1, 2))
+                              AS BIGINT) AS h
+                FROM (SELECT doc_id, md5(s) AS hx FROM sh)
+            ),
+            votes AS (
+                SELECT doc_id, j, p,
+                       count(*) FILTER (WHERE (h // p) % 2 = 1) AS v,
+                       count(*) AS ns
+                FROM hv CROSS JOIN pw GROUP BY doc_id, j, p
+            ),
+            fpx AS (
+                SELECT doc_id,
+                       sum(CASE WHEN 2 * v > ns THEN p ELSE CAST(0 AS HUGEINT) END)
+                           AS f
+                FROM votes GROUP BY doc_id
+            ),
+            fp AS (
+                SELECT d.doc_id,
+                       COALESCE(CASE WHEN f >= 9223372036854775808
+                                     THEN CAST(f - 18446744073709551616 AS BIGINT)
+                                     ELSE CAST(f AS BIGINT) END, 0) AS fp
+                FROM documents d LEFT JOIN fpx ON fpx.doc_id = d.doc_id
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
         """,
         "source_distribution": (
             "SELECT source, count(*) AS n_docs, floor((sum(n_chars) / (1.0 * count(*))) "

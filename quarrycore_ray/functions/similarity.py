@@ -230,10 +230,46 @@ def ann_lsh_knn(
 
     bucketed = _embeddings(sf_dir).map_batches(_buckets, batch_format="pyarrow")
 
-    def _bucket_scores(g: pd.DataFrame) -> pa.Table:
+    def _bucket_scores_part(tb: pa.Table) -> pa.Table:
+        # all buckets hashed into this partition in one pass
+        # (stages/grouped.py): sort by bucket, slice per run, score only
+        # buckets that contain a query vector
+        import polars as pl
+
+        from ..stages.grouped import run_bounds
+
         qids, qmat = ray.get(q_ref)
-        present = g[g["vec_id"].isin(qids)]
-        if present.empty:
+        qset = set(qids.tolist())
+        df = (
+            pl.from_arrow(tb)
+            .sort(["bucket", "vec_id"])
+            .unique(["bucket", "vec_id"], keep="first", maintain_order=True)
+        )
+        keys = df["bucket"].to_numpy()
+        ids = df["vec_id"].to_numpy()
+        bounds = run_bounds(keys)
+        emb_all: np.ndarray | None = None
+        rows_q: list[np.ndarray] = []
+        rows_n: list[np.ndarray] = []
+        rows_c: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            bucket_ids = ids[s:e]
+            present = [q for q in bucket_ids if q in qset]
+            if not present:
+                continue
+            if emb_all is None:  # decode embeddings lazily, once
+                emb_all = _normalize(
+                    np.asarray(df["embedding"].to_list(), dtype=np.float64)
+                )
+            emb = emb_all[s:e]
+            for q in present:
+                qv = qmat[np.where(qids == q)[0][0]]
+                cos = emb @ qv
+                mask = bucket_ids != q
+                rows_q.append(np.full(int(mask.sum()), q, dtype=np.int64))
+                rows_n.append(bucket_ids[mask])
+                rows_c.append(cos[mask])
+        if not rows_q:
             return pa.table(
                 {
                     "q_id": pa.array([], pa.int64()),
@@ -241,19 +277,6 @@ def ann_lsh_knn(
                     "cosine": pa.array([], pa.float64()),
                 }
             )
-        g = g.drop_duplicates("vec_id")
-        ids = g["vec_id"].to_numpy(dtype=np.int64)
-        emb = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
-        rows_q: list[np.ndarray] = []
-        rows_n: list[np.ndarray] = []
-        rows_c: list[np.ndarray] = []
-        for q in present["vec_id"].unique():
-            qv = qmat[np.where(qids == q)[0][0]]
-            cos = emb @ qv
-            mask = ids != q
-            rows_q.append(np.full(mask.sum(), q, dtype=np.int64))
-            rows_n.append(ids[mask])
-            rows_c.append(cos[mask])
         return pa.table(
             {
                 "q_id": pa.array(np.concatenate(rows_q), pa.int64()),
@@ -262,7 +285,9 @@ def ann_lsh_knn(
             }
         )
 
-    scored = bucketed.groupby("bucket").map_groups(_bucket_scores, batch_format="pandas")
+    from ..stages.grouped import partitioned_group_map
+
+    scored = partitioned_group_map(bucketed, "bucket", _bucket_scores_part, arrow=True)
     pdf = scored.to_pandas().drop_duplicates(["q_id", "n_id"])
     out = (
         pdf.sort_values(["q_id", "cosine", "n_id"], ascending=[True, False, True])

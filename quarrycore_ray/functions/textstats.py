@@ -117,7 +117,13 @@ class LangIdStage:
             best = max(sorted(scores), key=lambda k: scores[k])
             total = sum(scores.values())
             preds.append(best if total else "unknown")
-            confs.append(round(scores[best] / total, 6) if total else 0.0)
+            # floor-round (x*1e6+0.5 -> floor), matching the engine-wide
+            # exactmath convention so the DuckDB oracle reproduces it
+            confs.append(
+                float(floor_round_np(np.array([scores[best] / total]), 6)[0])
+                if total
+                else 0.0
+            )
         batch = batch.append_column("pred_lang", pa.array(preds, pa.string()))
         return batch.append_column("lang_conf", pa.array(confs, pa.float64()))
 

@@ -114,17 +114,27 @@ def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
     Pigeonhole: two 64-bit fingerprints within Hamming distance 3 share
     at least one of four 16-bit bands. Bucket by each band, verify
-    exact Hamming within buckets (Manku et al., WWW 2007). Rows-only
-    check (not SQL-expressible).
+    exact Hamming within buckets (Manku et al., WWW 2007); buckets
+    process as one vectorized pass per coarse hash partition
+    (stages/grouped.py). At much larger corpora the 4x16-bit split must
+    widen (more bands / extra permuted tables, as in Manku) because
+    each 16-bit table has only 65536 buckets.
+
+    The feature hash is the MD5 variant (simhash.md5_feature_hash64) so
+    the full fingerprint, banding, and Hamming filter are reproducible
+    in DuckDB SQL — this query is exact-oracle-checked. The dedup core's
+    verification fingerprints stay SHA-1 (shared-digest optimization,
+    minhash.py).
     """
-    from ..simhash import SimHasher
+    from ..simhash import SimHasher, md5_feature_hash64
+    from ..stages.grouped import partitioned_group_map, run_bounds
     from ..stages.verify import _popcount64
 
     cfg = DedupConfig()
 
     class _Sim:
         def __init__(self):
-            self.sh = SimHasher(cfg.shingle_size)
+            self.sh = SimHasher(cfg.shingle_size, feature_hash=md5_feature_hash64)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             fps = self.sh.fingerprints(batch["canonical"].to_pylist())
@@ -137,7 +147,6 @@ def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
     def _explode(batch: pa.Table) -> pa.Table:
         fp = np.asarray(batch["simhash"], dtype=np.int64).view(np.uint64)
-        n = len(fp)
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
         bands = [(fp >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)]
         band_key = np.concatenate(
@@ -151,41 +160,64 @@ def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def _pairs(g: pd.DataFrame) -> pa.Table:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pa.table(
-                {
-                    "a_id": pa.array([], pa.int64()),
-                    "b_id": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
-        ids = g["doc_id"].to_numpy()
-        fps = g["simhash"].to_numpy().view(np.uint64)
-        ai, bi = np.triu_indices(len(g), k=1)
-        ham = _popcount64(np.bitwise_xor(fps[ai], fps[bi]))
-        keep = ham <= 3
+    def _pairs_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(tb)
+            .sort(["band_key", "doc_id"])
+            .unique(["band_key", "doc_id"], keep="first", maintain_order=True)
+        )
+        keys = df["band_key"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        fps = df["simhash"].to_numpy().view(np.uint64)
+        bounds = run_bounds(keys)
+        all_a: list[np.ndarray] = []
+        all_b: list[np.ndarray] = []
+        all_h: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = int(e - s)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            ham = _popcount64(np.bitwise_xor(fps[ai + s], fps[bi + s]))
+            keep = ham <= 3
+            all_a.append(ids[ai[keep] + s])
+            all_b.append(ids[bi[keep] + s])
+            all_h.append(ham[keep])
+        if not all_a:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
         return pa.table(
             {
-                "a_id": pa.array(ids[ai[keep]], pa.int64()),
-                "b_id": pa.array(ids[bi[keep]], pa.int64()),
-                "hamming": pa.array(ham[keep], pa.int64()),
+                "a_id": pa.array(np.concatenate(all_a), pa.int64()),
+                "b_id": pa.array(np.concatenate(all_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(all_h), pa.int64()),
             }
         )
 
-    pairs = (
+    def _dedup(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(tb)
+            .unique(["a_id", "b_id"])
+            .to_arrow()
+            .cast(_SIMHASH_PAIR_SCHEMA)
+        )
+
+    exploded = (
         canonical_docs(sf_dir)
         .map_batches(_Sim, batch_format="pyarrow", concurrency=(1, 4))
         .map_batches(_explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(_pairs, batch_format="pandas")
     )
-    # dedupe pairs discovered in multiple bands (small result)
-    pdf = pairs.to_pandas()
-    return (
-        pdf.drop_duplicates(["a_id", "b_id"]).sort_values(["a_id", "b_id"]).reset_index(drop=True)
-    )
+    pairs = partitioned_group_map(exploded, "band_key", _pairs_part, arrow=True)
+    pairs = partitioned_group_map(pairs, "a_id", _dedup, arrow=True)
+    return pairs.to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+_SIMHASH_PAIR_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("hamming", pa.int64())]
+)
 
 
 NGRAM_DF_CAP = 1000  # grams in more docs than this are boilerplate: excluded
@@ -591,21 +623,25 @@ def top_docs_by_len(sf_dir: str, k: int = 10) -> "rd.Dataset":
 
 def balanced_sample_by_source(sf_dir: str, k: int = 3) -> "rd.Dataset":
     """First k doc_ids per source (reference constructor.py:169-190
-    max_samples_per_domain semantics, deterministic variant)."""
+    max_samples_per_domain semantics, deterministic variant). One
+    vectorized pass per coarse partition — no per-source dispatch."""
+    from ..stages.grouped import partitioned_group_map
 
-    def _head(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("doc_id").head(k)
-        return pa.table(
-            {
-                "source": pa.array(g["source"].tolist(), pa.string()),
-                "doc_id": pa.array(g["doc_id"].tolist(), pa.int64()),
-            }
+    def _head_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["source", "doc_id"])
+            .group_by("source", maintain_order=True)
+            .head(k)
+        )
+        return out.to_arrow().cast(
+            pa.schema([("source", pa.string()), ("doc_id", pa.int64())])
         )
 
-    return (
-        _docs(sf_dir, ["source", "doc_id"])
-        .groupby("source")
-        .map_groups(_head, batch_format="pandas")
+    return partitioned_group_map(
+        _docs(sf_dir, ["source", "doc_id"]), "source", _head_part, arrow=True
     )
 
 

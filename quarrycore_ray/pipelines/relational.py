@@ -92,23 +92,48 @@ def events_user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     for streaming-shaped workloads. Output: (user_id, n_events,
     n_sessions, first_ts, last_ts).
     """
+    from ..stages.grouped import partitioned_group_map
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def _sessions(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("ts", kind="mergesort")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        n_sessions = int((gaps > gap_minutes * 60).sum()) + 1
-        return pa.table(
-            {
-                "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
-                "n_events": pa.array([len(g)], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
-                "first_ts": pa.array([g["ts"].iloc[0]], pa.timestamp("us")),
-                "last_ts": pa.array([g["ts"].iloc[-1]], pa.timestamp("us")),
-            }
+    def _sessions_part(tb: pa.Table) -> pa.Table:
+        # one vectorized pass over ALL users hashed into this partition
+        # (stages/grouped.py): sort by (user, ts), per-user gap breaks via
+        # a shifted diff masked at user boundaries
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["user_id", "ts"])
+        out = (
+            df.group_by("user_id", maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                (
+                    # exact integer micros (polars total_seconds truncates)
+                    (
+                        pl.col("ts").diff().dt.total_microseconds()
+                        > gap_minutes * 60 * 1_000_000
+                    )
+                    .sum()
+                    .cast(pl.Int64)
+                    + 1
+                ).alias("n_sessions"),
+                pl.col("ts").first().alias("first_ts"),
+                pl.col("ts").last().alias("last_ts"),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("n_sessions", pa.int64()),
+                    ("first_ts", pa.timestamp("us")),
+                    ("last_ts", pa.timestamp("us")),
+                ]
+            )
         )
 
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    return partitioned_group_map(ds, "user_id", _sessions_part, arrow=True)
 
 
 def orders_by_status(sf_dir: str) -> "rd.Dataset":

@@ -23,8 +23,23 @@ _BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
 
 def _feature_hash64(token: str) -> int:
-    """Stable 64-bit feature hash (first 8 bytes of SHA-1, little-endian)."""
+    """Stable 64-bit feature hash (first 8 bytes of SHA-1, little-endian).
+
+    The dedup-core default: the combined signature stage derives MinHash
+    (low 4 bytes) and SimHash (low 8) from one SHA-1 digest per shingle
+    (minhash.py:CombinedMinSimHasher), so the verification fingerprints
+    stay on SHA-1.
+    """
     return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "little")
+
+
+def md5_feature_hash64(token: str) -> int:
+    """MD5 variant (first 8 bytes, little-endian) — identical SimHash
+    algorithm on a different base hash. Used by the standalone
+    `simhash_dup_pairs` query operator because DuckDB ships md5() but
+    not sha1(), making the whole fingerprint SQL-reproducible for the
+    exact-oracle gate."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
 
 
 def simhash_from_hash64(hv: np.ndarray) -> int:
@@ -45,10 +60,16 @@ def simhash_from_hash64(hv: np.ndarray) -> int:
 class SimHasher:
     """Stateful SimHash generator with a feature-hash cache (actor-friendly)."""
 
-    def __init__(self, shingle_size: int = 7, cache_limit: int = 4_000_000):
+    def __init__(
+        self,
+        shingle_size: int = 7,
+        cache_limit: int = 4_000_000,
+        feature_hash=_feature_hash64,
+    ):
         self.shingle_size = shingle_size
         self._cache: dict[str, int] = {}
         self._cache_limit = cache_limit
+        self._feature_hash = feature_hash
 
     def fingerprint(self, text: str) -> int:
         shingles = shingle_set(text, self.shingle_size)
@@ -60,7 +81,7 @@ class SimHasher:
         for s in shingles:
             h = cache.get(s)
             if h is None:
-                h = _feature_hash64(s)
+                h = self._feature_hash(s)
                 if len(cache) < self._cache_limit:
                     cache[s] = h
             hv[i] = h
