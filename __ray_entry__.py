@@ -75,6 +75,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_docs_by_quality": docs.filter_docs_by_quality,
         "langid_docs": docs.langid_docs,
         "fingerprint_docs": docs.fingerprint_docs,
+        # structured extraction (§2.3)
+        "extract_structured": docs.extract_structured,
+        # full-text search (§2.2 FTS analog)
+        "search_docs": docs.search_docs,
+        # conversation formatter (reference formatter.py:60-77)
+        "format_conversation": dset.format_conversation,
         # aggregations / sampling / sorts (§2.6, §2.7)
         "source_distribution": docs.source_distribution,
         "lang_distribution": docs.lang_distribution,
@@ -357,6 +363,36 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
         """,
+        "extract_structured": """
+            -- expected structured-extraction output, recomputed from the
+            -- same deterministic HTML construction the engine parses
+            -- (pipelines/documents.py:extract_structured)
+            WITH h AS (
+                SELECT doc_id, doc_id % 3 AS n_code,
+                       'def fn_' || doc_id || '(x):' || chr(10) ||
+                       '    return x * ' || (doc_id % 7) AS code_body
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_code AS BIGINT) AS n_code_blocks,
+                   CASE WHEN n_code > 0 THEN 'python' ELSE 'none' END AS code_language,
+                   CAST(2 * n_code AS BIGINT) AS n_code_lines,
+                   CASE WHEN n_code > 0 THEN code_body ELSE 'none' END AS first_code,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_links,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://example.com/d/' || doc_id
+                        ELSE 'none' END AS first_href,
+                   CASE WHEN doc_id % 2 = 0 THEN 'content' ELSE 'none' END
+                       AS first_link_type,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_tables,
+                   CASE WHEN doc_id % 5 = 0 THEN 'c' || doc_id ELSE 'none' END
+                       AS table_caption,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS table_n_rows
+            FROM h
+        """,
         "source_distribution": (
             "SELECT source, count(*) AS n_docs, floor((sum(n_chars) / (1.0 * count(*))) "
             "* 1000000 + 0.5) / 1000000.0 AS avg_chars FROM documents GROUP BY source"
@@ -442,6 +478,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, count(*) AS n_suppliers FROM supplier "
             "JOIN nation ON n_nationkey = s_nationkey GROUP BY n_name"
         ),
+        "search_docs": f"""
+            -- keyword search: score = distinct query terms present in the
+            -- doc's lowercased word set (engine: pipelines/documents.py)
+            WITH c AS ({canon_docs}),
+            w AS (SELECT doc_id, string_split(lower(canonical), ' ') AS words FROM c),
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(['data', 'pipeline', 'processing'],
+                                       t -> list_contains(words, t))) AS score
+                FROM w
+            )
+            SELECT doc_id, CAST(score AS BIGINT) AS score
+            FROM s WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "format_conversation": """
+            SELECT doc_id,
+                   'Can you tell me about: ' ||
+                   trim(string_split(text, chr(10))[1]) AS user_content,
+                   text AS assistant_content,
+                   'conversation' AS format
+            FROM documents
+        """,
         "format_instruction": f"""
             SELECT doc_id,
                    '### Instruction:' || chr(10) || 'Summarize the following ' ||

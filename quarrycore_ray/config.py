@@ -30,6 +30,23 @@ class DedupConfig:
     false_positive_weight: float = 0.5
     false_negative_weight: float = 0.5
 
+    # Per-content-type verification thresholds (reference
+    # deduplicator/deduplicator.py:84-91). A conversation table may carry
+    # a `domain` column (DomainType values, protocols.py:68-78); the pair
+    # verifier then applies max(thr_a, thr_b) — the stricter side wins.
+    # Stored as a tuple of pairs so the config stays hashable; see
+    # `threshold_for` / `domain_thresholds`. Domains without an entry
+    # (news/academic/social) fall back to `threshold` (the reference
+    # falls back to its "general" entry; our default threshold 0.85 is
+    # the production hybrid config, stricter than legacy general 0.8).
+    domain_minhash_thresholds: tuple = (
+        ("medical", 0.85),
+        ("legal", 0.83),
+        ("technical", 0.8),
+        ("ecommerce", 0.75),
+        ("general", 0.8),
+    )
+
     # --- SimHash verification layer (north-rule addition) ---
     simhash_bits: int = 64
     # A candidate pair is a duplicate iff signature-Jaccard >= threshold
@@ -68,6 +85,14 @@ class DedupConfig:
     # (stages/cluster.py:label_propagation) and cluster assignment via
     # partitioned joins — no driver-side edge or label materialization.
     labelprop_edge_threshold: int = 50_000_000
+
+    def threshold_for(self, domain: str | None) -> float:
+        """MinHash verification threshold for a content domain."""
+        if domain:
+            for d, t in self.domain_minhash_thresholds:
+                if d == domain:
+                    return t
+        return self.threshold
 
     def resolved_minhash_concurrency(self) -> int:
         return self.minhash_concurrency or _cpu_fraction(0.5)

@@ -25,10 +25,22 @@ import ray.data
 
 
 class EmbedderStage:
-    def __init__(self, dim: int = 64, text_col: str = "canonical_text"):
+    def __init__(
+        self,
+        dim: int = 64,
+        text_col: str = "canonical_text",
+        model_name: str = "all-MiniLM-L6-v2",
+    ):
+        from .models import try_sentence_transformer
+
         self.dim = dim
         self.text_col = text_col
         self._cache: dict[str, tuple[int, float]] = {}
+        # real-model hook: when sentence-transformers is installed the
+        # actor loads the actual model once and _encode delegates to it;
+        # otherwise the deterministic feature-hash stub runs (see
+        # functions/models.py)
+        self._model = try_sentence_transformer(model_name)
 
     def _token_coord(self, tok: str) -> tuple[int, float]:
         hit = self._cache.get(tok)
@@ -42,6 +54,12 @@ class EmbedderStage:
         return hit
 
     def _encode(self, texts: list[str]) -> np.ndarray:
+        if self._model is not None:
+            emb = np.asarray(
+                self._model.encode(texts, normalize_embeddings=True),
+                dtype=np.float32,
+            )
+            return emb
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
         for i, t in enumerate(texts):
             for tok in (t or "").split():

@@ -1,0 +1,59 @@
+"""Optional real-model hooks with deterministic fallbacks.
+
+The reference loads real models in its stateful stages: fasttext
+lid.176 for language ID (`extractor/language_detector.py:167-260`),
+sentence-transformers all-MiniLM-L6-v2 for embeddings
+(`deduplicator/semantic_dedup.py:256-306`), and the HF gpt2 tokenizer
+for chunking (`dataset/chunker.py:15-54`). None of those libraries
+exist in this environment, so every consumer stage falls back to its
+deterministic proxy — but each loader below try-imports the real
+library first, so dropping the dependency into the environment swaps
+the real model in with ZERO call-site changes (each stage calls its
+loader once per actor in __init__).
+
+Loaders return None (never raise) when the library or weights are
+absent; a model object otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def try_sentence_transformer(model_name: str = "all-MiniLM-L6-v2"):
+    """SentenceTransformer(model_name) or None."""
+    try:
+        from sentence_transformers import SentenceTransformer  # type: ignore
+
+        return SentenceTransformer(model_name)
+    except Exception:
+        return None
+
+
+def try_fasttext_langid(model_path: str | None = None):
+    """fasttext lid model or None. Path from $FASTTEXT_LID_PATH."""
+    try:
+        import fasttext  # type: ignore
+
+        path = model_path or os.environ.get("FASTTEXT_LID_PATH", "")
+        if not path or not os.path.exists(path):
+            return None
+        return fasttext.load_model(path)
+    except Exception:
+        return None
+
+
+def try_gpt2_tokenizer():
+    """HF gpt2 tokenizer (via `tokenizers` or `transformers`) or None."""
+    try:
+        from tokenizers import Tokenizer  # type: ignore
+
+        return Tokenizer.from_pretrained("gpt2")
+    except Exception:
+        pass
+    try:
+        from transformers import AutoTokenizer  # type: ignore
+
+        return AutoTokenizer.from_pretrained("gpt2")
+    except Exception:
+        return None

@@ -100,10 +100,24 @@ class LangIdStage:
     """
 
     def __init__(self):
+        from .models import try_fasttext_langid
+
         self.stop = {lang: set(ws) for lang, ws in STOPWORDS.items()}
+        # real-model hook: when fasttext + lid weights are present
+        # ($FASTTEXT_LID_PATH) the actor predicts with the actual model;
+        # the stopword/script heuristic is the deterministic fallback
+        self._model = try_fasttext_langid()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
+        if self._model is not None:
+            labels, probs = self._model.predict(
+                [(t or "").replace("\n", " ") for t in texts]
+            )
+            preds = [ls[0].replace("__label__", "") if ls else "unknown" for ls in labels]
+            confs = [round(float(ps[0]), 6) if len(ps) else 0.0 for ps in probs]
+            batch = batch.append_column("pred_lang", pa.array(preds, pa.string()))
+            return batch.append_column("lang_conf", pa.array(confs, pa.float64()))
         preds: list[str] = []
         confs: list[float] = []
         for t in texts:

@@ -77,12 +77,19 @@ class SequentialLSHOracle:
         self.buckets: dict[tuple[int, int], list[str]] = defaultdict(list)
         self.sigs: dict[str, np.ndarray] = {}
         self.fps: dict[str, int] = {}
+        self.thrs: dict[str, float] = {}
         self.edges: list[tuple[str, str]] = []
 
-    def add(self, doc_id: str, text: str) -> list[str]:
-        """Query-then-insert; returns verified near-duplicate doc ids."""
+    def add(self, doc_id: str, text: str, domain: str | None = None) -> list[str]:
+        """Query-then-insert; returns verified near-duplicate doc ids.
+
+        `domain` selects the per-content-type threshold
+        (config.domain_minhash_thresholds); a pair uses the stricter of
+        its two sides, matching PairVerifier.
+        """
         sig = self.mh.signature(text)
         fp = self.sh.fingerprint(text)
+        thr = self.cfg.threshold_for(domain)
         bh = band_hashes(sig.reshape(1, -1), self.bands, self.rows)[0]
         candidates: set[str] = set()
         for b in range(self.bands):
@@ -91,13 +98,15 @@ class SequentialLSHOracle:
         for cand in candidates:
             je = jaccard_estimate(sig, self.sigs[cand])
             ham = int(hamming_distance(fp, self.fps[cand]))
-            if pair_is_duplicate(je, ham, self.cfg.threshold, self.cfg.strict_hamming):
+            pair_thr = max(thr, self.thrs[cand])
+            if pair_is_duplicate(je, ham, pair_thr, self.cfg.strict_hamming):
                 hits.append(cand)
                 self.edges.append((min(cand, doc_id), max(cand, doc_id)))
         for b in range(self.bands):
             self.buckets[(b, int(bh[b]))].append(doc_id)
         self.sigs[doc_id] = sig
         self.fps[doc_id] = fp
+        self.thrs[doc_id] = thr
         return sorted(hits)
 
     def clusters(self) -> dict[str, str]:

@@ -49,9 +49,24 @@ class TokenChunker:
     """
 
     def __init__(self, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP):
+        from ..functions.models import try_gpt2_tokenizer
+
         self.chunk_tokens = chunk_tokens
         self.overlap = overlap
         self.step = chunk_tokens - overlap
+        # real-model hook: with HF tokenizers installed the actor
+        # tokenizes with actual gpt2 BPE (reference chunker.py:15-54);
+        # whitespace tokens are the deterministic fallback
+        self._tokenizer = try_gpt2_tokenizer()
+
+    def _tokens_and_joiner(self, text: str):
+        """(token sequence, window -> chunk_text) for real or fallback path."""
+        if self._tokenizer is not None:
+            enc = self._tokenizer.encode(text)
+            ids = list(getattr(enc, "ids", enc))
+            return ids, self._tokenizer.decode
+        words = text.split(" ") if text else []
+        return words, " ".join
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_id: list[int] = []
@@ -59,7 +74,7 @@ class TokenChunker:
         out_text: list[str] = []
         out_n: list[int] = []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["canonical"].to_pylist()):
-            words = text.split(" ") if text else []
+            words, join = self._tokens_and_joiner(text)
             if not words:
                 continue
             start = 0
@@ -68,7 +83,7 @@ class TokenChunker:
                 window = words[start : start + self.chunk_tokens]
                 out_id.append(doc_id)
                 out_idx.append(ci)
-                out_text.append(" ".join(window))
+                out_text.append(join(window))
                 out_n.append(len(window))
                 if start + self.chunk_tokens >= len(words):
                     break
@@ -214,15 +229,91 @@ def rejection_sample(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(_f, batch_format="pyarrow")
 
 
+def to_conversation_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Conversation-format records (reference formatter.py:60-77):
+    messages = [user: 'Can you tell me about: <first line>', assistant:
+    full text], plus a `format` tag column. Emits a list<struct> Arrow
+    column — the nested shape HF chat datasets expect."""
+    msg_t = pa.list_(pa.struct([("role", pa.string()), ("content", pa.string())]))
+    msgs = []
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        title = t.split("\n")[0].strip()
+        msgs.append(
+            [
+                {"role": "user", "content": f"Can you tell me about: {title}"},
+                {"role": "assistant", "content": t},
+            ]
+        )
+    batch = batch.append_column("messages", pa.array(msgs, msg_t))
+    return batch.append_column(
+        "format", pa.array(["conversation"] * batch.num_rows, pa.string())
+    )
+
+
+def format_conversation(sf_dir: str) -> "rd.Dataset":
+    """Flattened conversation formatting for the oracle gate:
+    (doc_id, user_content, assistant_content, format). The nested
+    messages shape lives in `to_conversation_batch`."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        nested = to_conversation_batch(batch, text_col="text")
+        msgs = nested["messages"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "user_content": pa.array([m[0]["content"] for m in msgs], pa.string()),
+                "assistant_content": pa.array(
+                    [m[1]["content"] for m in msgs], pa.string()
+                ),
+                "format": nested["format"],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_f, batch_format="pyarrow")
+
+
 def export_dataset(sf_dir: str, out_dir: str, fmt: str = "parquet") -> str:
-    """Exporter (reference dataset/exporter.py:45-107): write formatted
-    dataset as parquet or jsonl; returns output dir."""
+    """Exporter (reference dataset/exporter.py:45-107): write the
+    formatted dataset as parquet, jsonl, or an HF-consumable dataset
+    directory; returns the output path.
+
+    `hf`: with the `datasets` library installed the export goes through
+    `Dataset.save_to_disk` (the reference's HuggingFaceExporter path);
+    without it, the fallback writes sharded parquet under `data/` plus a
+    `dataset_infos.json` — directly loadable with
+    `load_dataset("parquet", data_files="data/*.parquet")`.
+    """
     ds = format_instruction(sf_dir)
     path = os.path.join(out_dir, fmt)
     if fmt == "parquet":
         ds.write_parquet(path)
     elif fmt == "jsonl":
         ds.write_json(path)
+    elif fmt == "hf":
+        try:
+            import datasets  # type: ignore
+
+            hf = datasets.Dataset.from_pandas(ds.to_pandas())
+            hf.save_to_disk(path)
+        except ImportError:
+            import json
+
+            data_dir = os.path.join(path, "data")
+            ds.write_parquet(data_dir)
+            schema = {f.name: str(f.type) for f in ds.schema().base_schema}
+            with open(os.path.join(path, "dataset_infos.json"), "w") as f:
+                json.dump(
+                    {
+                        "default": {
+                            "description": "instruction-formatted export",
+                            "features": schema,
+                            "splits": {"train": {"name": "train"}},
+                        }
+                    },
+                    f,
+                    indent=2,
+                )
     else:
         raise ValueError(f"unknown export format: {fmt}")
     return path

@@ -107,9 +107,9 @@ def dedup_conversations(
     # Repartition first: the exact-dedup groupby emits few fat blocks,
     # which would starve the actor pool (1 task per block).
     mh_conc = cfg.resolved_minhash_concurrency()
-    sig_input = reps.select_columns(["conv_id", "canonical_text"]).repartition(
-        mh_conc * 4
-    )
+    has_domain = "domain" in reps.schema().names
+    sig_cols = ["conv_id", "canonical_text"] + (["domain"] if has_domain else [])
+    sig_input = reps.select_columns(sig_cols).repartition(mh_conc * 4)
     with_sigs = sig_input.map_batches(
         MinHashSimHashStage,
         fn_constructor_kwargs={"config": cfg, "lineage": lineage},
@@ -120,6 +120,19 @@ def dedup_conversations(
         concurrency=(1, mh_conc),
     )
     sig_ds = with_sigs.drop_columns(["canonical_text"])
+
+    def _add_thr(batch: pa.Table) -> pa.Table:
+        # per-row verification threshold from the optional content-domain
+        # tag (reference per-content-type thresholds,
+        # deduplicator/deduplicator.py:84-91 -> config.threshold_for)
+        if "domain" in batch.column_names:
+            thr = [cfg.threshold_for(d) for d in batch["domain"].to_pylist()]
+            batch = batch.drop_columns(["domain"])
+        else:
+            thr = [cfg.threshold] * batch.num_rows
+        return batch.append_column("thr", pa.array(thr, pa.float64()))
+
+    sig_ds = sig_ds.map_batches(_add_thr, batch_format="pyarrow")
 
     # S4: LSH shuffle -> candidate pairs (skew-capped). Streams straight
     # from the signature stage — one execution covers S3-S5.
@@ -289,8 +302,11 @@ def _finish_distributed(
     )
 
     # label join: a rep appears in `labels` iff it had >= 1 verified edge
+    # (extra optional columns like `domain` are dropped — the join needs
+    # an exact schema for its unioned blocks)
     with_label = attach_lookup(
-        reps, _REPS_SCHEMA, ["conv_id"], labels, "node", "label",
+        reps.select_columns([f.name for f in _REPS_SCHEMA]),
+        _REPS_SCHEMA, ["conv_id"], labels, "node", "label",
         pa.string(), ["near_label"],
     ).materialize()
 

@@ -521,6 +521,94 @@ _SUBSTR_INDEX_SCHEMA = pa.schema(
 _SUBSTR_PAIR_SCHEMA = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
 
 
+# --- structured extraction ----------------------------------------------------
+
+
+def extract_structured(sf_dir: str) -> "rd.Dataset":
+    """Structured content extraction over deterministic synthetic HTML
+    (functions/structured.py — the reference's tables/code/links surface,
+    cascade_extractor.py:193-860).
+
+    Each document row is wrapped into an HTML page whose code blocks /
+    links / tables derive arithmetically from doc_id, the engine runs
+    the REAL DOM extractors, and the DuckDB oracle recomputes the
+    expected scalars from the same construction — extraction output is
+    therefore exact-checked by construction.
+    """
+    from ..functions.structured import structured_extract_batch
+
+    def _make_html(batch: pa.Table) -> pa.Table:
+        htmls: list[str] = []
+        for d, s in zip(batch["doc_id"].to_pylist(), batch["source"].to_pylist()):
+            code = (
+                f'<pre><code class="language-python">def fn_{d}(x):\n'
+                f"    return x * {d % 7}</code></pre>"
+            ) * (d % 3)
+            link = (
+                f'<a href="https://example.com/d/{d}" title="t">doc link</a>'
+                if d % 2 == 0
+                else ""
+            )
+            table = (
+                f"<table><caption>c{d}</caption><tr><th>k</th><th>v</th></tr>"
+                f"<tr><td>a</td><td>{d}</td></tr></table>"
+                if d % 5 == 0
+                else ""
+            )
+            htmls.append(
+                f"<html><head><title>Doc {d}</title></head><body>"
+                f"<p>{s} document {d}</p>{code}{link}{table}</body></html>"
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(htmls, pa.string())}
+        )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        codes = batch["code_blocks"].to_pylist()
+        links = batch["links"].to_pylist()
+        tables = batch["tables"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_code_blocks": pa.array([len(c) for c in codes], pa.int64()),
+                "code_language": pa.array(
+                    [c[0]["language"] if c else "none" for c in codes], pa.string()
+                ),
+                "n_code_lines": pa.array(
+                    [sum(b["n_lines"] for b in c) for c in codes], pa.int64()
+                ),
+                "first_code": pa.array(
+                    [c[0]["content"] if c else "none" for c in codes], pa.string()
+                ),
+                "n_links": pa.array([len(ls) for ls in links], pa.int64()),
+                "first_href": pa.array(
+                    [ls[0]["href"] if ls else "none" for ls in links], pa.string()
+                ),
+                "first_link_type": pa.array(
+                    [ls[0]["link_type"] if ls else "none" for ls in links],
+                    pa.string(),
+                ),
+                "n_tables": pa.array([len(ts) for ts in tables], pa.int64()),
+                "table_caption": pa.array(
+                    [ts[0]["caption"] if ts else "none" for ts in tables], pa.string()
+                ),
+                "table_n_rows": pa.array(
+                    [ts[0]["n_rows"] if ts else 0 for ts in tables], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(_make_html, batch_format="pyarrow")
+        .map_batches(
+            lambda b: structured_extract_batch(b, base_url="https://corpus.local"),
+            batch_format="pyarrow",
+        )
+        .map_batches(_derive, batch_format="pyarrow")
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 
@@ -579,6 +667,47 @@ def fingerprint_docs(sf_dir: str) -> "rd.Dataset":
         .map_batches(add_fingerprint, batch_format="pyarrow")
         .drop_columns(["canonical"])
     )
+
+
+def search_docs(
+    sf_dir: str, query: str = "data pipeline processing", k: int = 20
+) -> pd.DataFrame:
+    """Full-text keyword search over the corpus (the reference's FTS5
+    virtual table, storage/schema.py:59-67, as a dataflow scan).
+
+    Score = number of distinct query terms present in the document's
+    lowercased word set; top-k by (score desc, doc_id). At scale this
+    is a single streaming map + small top-k — no index server; a
+    pre-built inverted index (gram table keyed by term) is the
+    alternative when query volume is high.
+    """
+    terms = [t for t in query.lower().split() if t]
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_id: list[int] = []
+        out_score: list[int] = []
+        for i, t in enumerate(batch["canonical"].to_pylist()):
+            words = set((t or "").lower().split(" "))
+            s = sum(1 for term in terms if term in words)
+            if s > 0:
+                out_id.append(ids[i])
+                out_score.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_score, pa.int64()),
+            }
+        )
+
+    out = (
+        canonical_docs(sf_dir)
+        .map_batches(_score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
 
 
 # --- distributions / sampling / sorts ---------------------------------------

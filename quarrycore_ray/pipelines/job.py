@@ -100,7 +100,8 @@ def run_dedup_job(
             from .dedup import _REPS_SCHEMA, explode_members_with_label
 
             with_label = attach_lookup(
-                reps, _REPS_SCHEMA, ["conv_id"], labels, "node", "label",
+                reps.select_columns([f.name for f in _REPS_SCHEMA]),
+                _REPS_SCHEMA, ["conv_id"], labels, "node", "label",
                 pa.string(), ["near_label"],
             )
             return with_label.map_batches(

@@ -37,33 +37,31 @@ def _dedup_partition(tb: pa.Table) -> pa.Table:
     """
     import polars as pl
 
+    has_domain = "domain" in tb.column_names
     df = pl.from_arrow(tb).sort(["content_hash", "conv_id"])
-    out = (
-        df.group_by("content_hash", maintain_order=True)
-        .agg(
-            pl.col("conv_id").first().alias("conv_id"),
-            pl.col("canonical_text").first().alias("canonical_text"),
-            pl.col("n_turns").first().alias("n_turns"),
-            pl.col("conv_id").alias("exact_members"),
-            pl.len().cast(pl.Int64).alias("exact_group_size"),
-        )
-        .select(
-            ["conv_id", "canonical_text", "n_turns", "content_hash",
-             "exact_members", "exact_group_size"]
-        )
-    )
-    return out.to_arrow().cast(
-        pa.schema(
-            [
-                ("conv_id", pa.string()),
-                ("canonical_text", pa.string()),
-                ("n_turns", pa.int32()),
-                ("content_hash", pa.string()),
-                ("exact_members", pa.list_(pa.string())),
-                ("exact_group_size", pa.int64()),
-            ]
-        )
-    )
+    aggs = [
+        pl.col("conv_id").first().alias("conv_id"),
+        pl.col("canonical_text").first().alias("canonical_text"),
+        pl.col("n_turns").first().alias("n_turns"),
+        pl.col("conv_id").alias("exact_members"),
+        pl.len().cast(pl.Int64).alias("exact_group_size"),
+    ]
+    cols = ["conv_id", "canonical_text", "n_turns", "content_hash",
+            "exact_members", "exact_group_size"]
+    fields = [
+        ("conv_id", pa.string()),
+        ("canonical_text", pa.string()),
+        ("n_turns", pa.int32()),
+        ("content_hash", pa.string()),
+        ("exact_members", pa.list_(pa.string())),
+        ("exact_group_size", pa.int64()),
+    ]
+    if has_domain:  # optional content-domain tag rides with the rep
+        aggs.append(pl.col("domain").first().alias("domain"))
+        cols.append("domain")
+        fields.append(("domain", pa.string()))
+    out = df.group_by("content_hash", maintain_order=True).agg(aggs).select(cols)
+    return out.to_arrow().cast(pa.schema(fields))
 
 
 def exact_dedup(

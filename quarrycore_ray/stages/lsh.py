@@ -182,10 +182,11 @@ def _attach_side(side: str, next_key: str | None):
         df = pl.from_arrow(tb)
         lut = (
             df.filter(pl.col("sig").is_not_null())
-            .select(["_k", "sig", "fp"])
-            .rename({"_k": "_jk", "sig": f"{side}_sig", "fp": f"{side}_fp"})
+            .select(["_k", "sig", "fp", "thr"])
+            .rename({"_k": "_jk", "sig": f"{side}_sig", "fp": f"{side}_fp",
+                     "thr": f"{side}_thr"})
         )
-        pairs = df.filter(pl.col("sig").is_null()).drop(["sig", "fp"])
+        pairs = df.filter(pl.col("sig").is_null()).drop(["sig", "fp", "thr"])
         if side == "a":
             pairs = pairs.sort(["a_id", "b_id", "bucket_size", "dropped_pairs"]).unique(
                 ["a_id", "b_id"], keep="first", maintain_order=True
@@ -193,9 +194,10 @@ def _attach_side(side: str, next_key: str | None):
         if pairs.height == 0:
             return _EMPTY_ATTACH[side]
         joined = pairs.join(lut, left_on="_k", right_on="_jk", how="left").drop(["_k"])
-        cols = ["a_id", "b_id", "bucket_size", "dropped_pairs", f"{side}_sig", f"{side}_fp"]
+        cols = ["a_id", "b_id", "bucket_size", "dropped_pairs",
+                f"{side}_sig", f"{side}_fp", f"{side}_thr"]
         if side == "b":
-            cols += ["a_sig", "a_fp"]
+            cols += ["a_sig", "a_fp", "a_thr"]
         out = joined.select(cols).to_arrow()
         return out.cast(_EMPTY_ATTACH[side].schema)
 
@@ -211,6 +213,7 @@ _EMPTY_ATTACH = {
             "dropped_pairs": pa.array([], pa.int64()),
             "a_sig": pa.array([], pa.binary()),
             "a_fp": pa.array([], pa.int64()),
+            "a_thr": pa.array([], pa.float64()),
         }
     ),
     "b": pa.table(
@@ -221,8 +224,10 @@ _EMPTY_ATTACH = {
             "dropped_pairs": pa.array([], pa.int64()),
             "b_sig": pa.array([], pa.binary()),
             "b_fp": pa.array([], pa.int64()),
+            "b_thr": pa.array([], pa.float64()),
             "a_sig": pa.array([], pa.binary()),
             "a_fp": pa.array([], pa.int64()),
+            "a_thr": pa.array([], pa.float64()),
         }
     ),
 }
@@ -247,6 +252,7 @@ def attach_signatures(
                 "_k": batch["conv_id"],
                 "sig": batch["minhash_sig"],
                 "fp": batch["simhash"],
+                "thr": batch["thr"],
                 "a_id": pa.array([None] * batch.num_rows, pa.string()),
                 "b_id": pa.array([None] * batch.num_rows, pa.string()),
                 "bucket_size": pa.array([0] * batch.num_rows, pa.int64()),
@@ -255,6 +261,7 @@ def attach_signatures(
             if key_from == "b":
                 cols["a_sig"] = pa.array([None] * batch.num_rows, pa.binary())
                 cols["a_fp"] = pa.array([0] * batch.num_rows, pa.int64())
+                cols["a_thr"] = pa.array([0.0] * batch.num_rows, pa.float64())
             return pa.table(cols)
 
         return _f
@@ -265,6 +272,7 @@ def attach_signatures(
                 "_k": batch["a_id"],
                 "sig": pa.array([None] * batch.num_rows, pa.binary()),
                 "fp": pa.array([0] * batch.num_rows, pa.int64()),
+                "thr": pa.array([0.0] * batch.num_rows, pa.float64()),
                 "a_id": batch["a_id"],
                 "b_id": batch["b_id"],
                 "bucket_size": batch["bucket_size"],
@@ -278,12 +286,14 @@ def attach_signatures(
                 "_k": batch["b_id"],
                 "sig": pa.array([None] * batch.num_rows, pa.binary()),
                 "fp": pa.array([0] * batch.num_rows, pa.int64()),
+                "thr": pa.array([0.0] * batch.num_rows, pa.float64()),
                 "a_id": batch["a_id"],
                 "b_id": batch["b_id"],
                 "bucket_size": batch["bucket_size"],
                 "dropped_pairs": batch["dropped_pairs"],
                 "a_sig": batch["a_sig"],
                 "a_fp": batch["a_fp"],
+                "a_thr": batch["a_thr"],
             }
         )
 
@@ -332,12 +342,13 @@ def attach_signatures_broadcast(
     via candidate_pairs) — the per-batch unique below only tidies
     within-block duplicates.
     """
-    lut: dict[str, tuple[bytes, int]] = {}
+    lut: dict[str, tuple[bytes, int, float]] = {}
     for b in sigs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for cid, sg, fp in zip(
-            b["conv_id"].to_pylist(), b["minhash_sig"].to_pylist(), b["simhash"].to_pylist()
+        for cid, sg, fp, th in zip(
+            b["conv_id"].to_pylist(), b["minhash_sig"].to_pylist(),
+            b["simhash"].to_pylist(), b["thr"].to_pylist(),
         ):
-            lut[cid] = (sg, fp)
+            lut[cid] = (sg, fp, th)
     import ray as _ray
 
     ref = _ray.put(lut)
@@ -354,7 +365,9 @@ def attach_signatures_broadcast(
         out = out.append_column("a_sig", pa.array([m[x][0] for x in a], pa.binary()))
         out = out.append_column("b_sig", pa.array([m[x][0] for x in bcol], pa.binary()))
         out = out.append_column("a_fp", pa.array([m[x][1] for x in a], pa.int64()))
-        return out.append_column("b_fp", pa.array([m[x][1] for x in bcol], pa.int64()))
+        out = out.append_column("b_fp", pa.array([m[x][1] for x in bcol], pa.int64()))
+        out = out.append_column("a_thr", pa.array([m[x][2] for x in a], pa.float64()))
+        return out.append_column("b_thr", pa.array([m[x][2] for x in bcol], pa.float64()))
 
     return pairs.map_batches(_attach, batch_format="pyarrow")
 
@@ -380,8 +393,20 @@ def candidate_pairs(
     from .grouped import partitioned_group_map
 
     cfg = config or DedupConfig()
-    # multiple consumers (band explode + attach) — materialize once
+    # multiple consumers (band explode + attach) — materialize once.
+    # `thr` (per-row verification threshold, from a domain column
+    # upstream — config.domain_minhash_thresholds) is synthesized at the
+    # global default when absent so the attach schemas stay uniform.
     with_sigs = with_sigs.materialize()
+    if "thr" not in with_sigs.schema().names:
+        def _default_thr(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "thr", pa.array([cfg.threshold] * batch.num_rows, pa.float64())
+            )
+
+        with_sigs = with_sigs.map_batches(
+            _default_thr, batch_format="pyarrow"
+        ).materialize()
     banded = with_sigs.select_columns(["conv_id", "minhash_sig"]).map_batches(
         BandExplode(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
     )

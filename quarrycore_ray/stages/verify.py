@@ -74,7 +74,17 @@ class PairVerifier:
         a_fp = np.asarray(batch["a_fp"], dtype=np.int64).view(np.uint64)
         b_fp = np.asarray(batch["b_fp"], dtype=np.int64).view(np.uint64)
         ham = _popcount64(np.bitwise_xor(a_fp, b_fp))
-        keep = (jacc >= self.cfg.threshold) | (ham <= self.cfg.strict_hamming)
+        # per-pair threshold: strictest of the two sides' domain
+        # thresholds (config.domain_minhash_thresholds); the attach
+        # stages guarantee a_thr/b_thr when the input carried `thr`
+        if "a_thr" in batch.column_names:
+            thr = np.maximum(
+                np.asarray(batch["a_thr"], dtype=np.float64),
+                np.asarray(batch["b_thr"], dtype=np.float64),
+            )
+        else:
+            thr = self.cfg.threshold
+        keep = (jacc >= thr) | (ham <= self.cfg.strict_hamming)
         out = pa.table(
             {
                 "a_id": batch["a_id"],

@@ -1,0 +1,135 @@
+"""Per-content-type dedup thresholds (reference
+deduplicator/deduplicator.py:84-91): a `domain` column on the
+conversation table selects the MinHash verification threshold; a pair
+uses the stricter of its two sides."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from quarrycore_ray.config import DedupConfig
+from quarrycore_ray.pipelines.dedup import dedup_conversations
+from quarrycore_ray.stages.minhash_stage import sig_to_bytes
+from quarrycore_ray.stages.verify import PairVerifier
+
+
+def _verify_batch(a_thr: float, b_thr: float, n_equal: int = 100) -> int:
+    """Rows kept by PairVerifier for a pair agreeing in n_equal/128 slots
+    (jaccard estimate n_equal/128) with Hamming 8 (no strict rescue)."""
+    sig_a = np.arange(128, dtype=np.uint64)
+    sig_b = sig_a.copy()
+    sig_b[n_equal:] += 1_000_000
+    fp_a, fp_b = 0, (1 << 8) - 1  # hamming 8 > strict_hamming 3
+    batch = pa.table(
+        {
+            "a_id": pa.array(["a"], pa.string()),
+            "b_id": pa.array(["b"], pa.string()),
+            "a_sig": pa.array([sig_to_bytes(sig_a)], pa.binary()),
+            "b_sig": pa.array([sig_to_bytes(sig_b)], pa.binary()),
+            "a_fp": pa.array([fp_a], pa.int64()),
+            "b_fp": pa.array([fp_b], pa.int64()),
+            "a_thr": pa.array([a_thr], pa.float64()),
+            "b_thr": pa.array([b_thr], pa.float64()),
+        }
+    )
+    return PairVerifier(DedupConfig())(batch).num_rows
+
+
+class TestVerifierThresholds:
+    def test_lenient_domain_accepts(self):
+        # jaccard estimate 100/128 = 0.78125 >= ecommerce 0.75
+        assert _verify_batch(0.75, 0.75) == 1
+
+    def test_strict_domain_rejects(self):
+        # 0.78125 < medical 0.85
+        assert _verify_batch(0.85, 0.85) == 0
+
+    def test_strictest_side_wins(self):
+        assert _verify_batch(0.75, 0.85) == 0
+
+    def test_threshold_for(self):
+        cfg = DedupConfig()
+        assert cfg.threshold_for("medical") == 0.85
+        assert cfg.threshold_for("ecommerce") == 0.75
+        assert cfg.threshold_for("news") == cfg.threshold  # fallback
+        assert cfg.threshold_for(None) == cfg.threshold
+
+
+def _sig_table(thr_a: float, thr_b: float) -> pa.Table:
+    """Signature table for a pair sharing LSH band 0 (first 16 slots
+    equal => guaranteed candidate) with overall estimate 100/128 = 0.78
+    and Hamming 8 — a borderline pair only lenient domains merge."""
+    sig_a = np.arange(1000, 1128, dtype=np.uint64)
+    sig_b = sig_a.copy()
+    sig_b[100:] += 777  # first 16 equal (band 0 collides), 100/128 agree
+    return pa.table(
+        {
+            "conv_id": pa.array(["conv-a", "conv-b"], pa.string()),
+            "minhash_sig": pa.array(
+                [sig_to_bytes(sig_a), sig_to_bytes(sig_b)], pa.binary()
+            ),
+            "simhash": pa.array([0, (1 << 8) - 1], pa.int64()),
+            "thr": pa.array([thr_a, thr_b], pa.float64()),
+        }
+    )
+
+
+class TestThresholdPlumbing:
+    """`thr` must survive candidate_pairs' attach stage on BOTH paths
+    (broadcast small-side and partitioned join) and reach the verifier."""
+
+    def _edges(self, thr: float, strategy: str) -> int:
+        import ray.data as _rd
+
+        cfg = DedupConfig()
+        pairs = __import__(
+            "quarrycore_ray.stages.lsh", fromlist=["candidate_pairs"]
+        ).candidate_pairs(
+            _rd.from_arrow(_sig_table(thr, thr)), cfg, attach_strategy=strategy
+        )
+        verified = pairs.map_batches(
+            PairVerifier, fn_constructor_kwargs={"config": cfg},
+            batch_format="pyarrow", concurrency=1,
+        )
+        return verified.count()
+
+    def test_broadcast_attach_lenient_vs_strict(self):
+        assert self._edges(0.75, "broadcast") == 1
+        assert self._edges(0.85, "broadcast") == 0
+
+    def test_join_attach_lenient_vs_strict(self):
+        assert self._edges(0.75, "join") == 1
+        assert self._edges(0.85, "join") == 0
+
+
+class TestDomainPipeline:
+    def test_domain_column_flows_end_to_end(self):
+        """dedup_conversations accepts a `domain` column: very-near
+        duplicates still merge, and domain survives on the unique-
+        conversation output (threshold discrimination is covered by
+        TestThresholdPlumbing — borderline pairs rarely share an LSH
+        band, exactly as in the reference's candidate generation)."""
+        base = " ".join(f"word{i:02d}" for i in range(60))
+        near = base.replace("word59", "word99")
+        convs = rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array(["conv-a", "conv-b", "conv-c"], pa.string()),
+                    "canonical_text": pa.array(
+                        [base, near, "totally different text entirely"], pa.string()
+                    ),
+                    "n_turns": pa.array([1, 1, 1], pa.int32()),
+                    "domain": pa.array(
+                        ["medical", "medical", "general"], pa.string()
+                    ),
+                }
+            )
+        )
+        res = dedup_conversations(convs)
+        cl = res.clusters.to_pandas()
+        assign = dict(zip(cl["conv_id"], cl["cluster_id"]))
+        assert assign["conv-b"] == "conv-a"
+        assert assign["conv-c"] == "conv-c"
+        uniq = res.unique_conversations.to_pandas()
+        assert "domain" in uniq.columns
