@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_structured": docs.extract_structured,
         # full-text search (§2.2 FTS analog)
         "search_docs": docs.search_docs,
+        # multimodal binary-column decode (actor pool, stub codec)
+        "media_decode_stats": docs.media_decode_stats,
         # conversation formatter (reference formatter.py:60-77)
         "format_conversation": dset.format_conversation,
         # aggregations / sampling / sorts (§2.6, §2.7)
@@ -478,6 +480,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, count(*) AS n_suppliers FROM supplier "
             "JOIN nation ON n_nationkey = s_nationkey GROUP BY n_name"
         ),
+        "media_decode_stats": """
+            -- expected decode output for the deterministic fake-image
+            -- payloads (pipelines/documents.py:media_decode_stats):
+            -- bytes are (doc_id + i) % 256 over a (8 + doc_id%5) x
+            -- (8 + doc_id%3) raster
+            WITH dims AS (
+                SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h,
+                       unnest(generate_series(CAST(0 AS BIGINT), w * h - 1)) AS i
+                FROM dims
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   floor((sum((doc_id + i) % 256) * 1.0 / (w * h)) * 1000000 + 0.5)
+                       / 1000000.0 AS mean_intensity
+            FROM px GROUP BY doc_id, w, h
+        """,
         "search_docs": f"""
             -- keyword search: score = distinct query terms present in the
             -- doc's lowercased word set (engine: pipelines/documents.py)

@@ -176,6 +176,44 @@ def dom_metrics(html: str) -> dict:
     }
 
 
+# --- social metrics (reference social_metrics_extractor.py:216+) -------------
+
+_HASHTAG_RE = re.compile(r"(?<!&)#\w{2,}")
+_MENTION_RE = re.compile(r"@\w{2,}")
+_ENGAGEMENT_RE = re.compile(
+    r"([\d,]+)\s*(?:shares?|likes?|retweets?|upvotes?|comments?)\b", re.IGNORECASE
+)
+
+
+def social_metrics(html: str) -> dict:
+    """Hashtag/mention counts, social-link count, and engagement totals.
+
+    A deliberately lean port of the reference's SocialMetricsExtractor
+    (platform regex patterns + hashtag/mention scan + sharing
+    indicators): engagement counts come from visible-text patterns like
+    "1,234 shares"; has_social_sharing mirrors the reference's
+    "meaningful data" gate (engagement found OR social links present).
+    """
+    from .structured import extract_links, parse_html
+
+    text = parse_html(html or "").text(strip=False)
+    n_social_links = sum(
+        1 for link in extract_links(html or "") if link["link_type"] == "social"
+    )
+    engagement = sum(
+        int(m.group(1).replace(",", "")) for m in _ENGAGEMENT_RE.finditer(text)
+    )
+    return {
+        "n_hashtags": len(_HASHTAG_RE.findall(text)),
+        "n_mentions": len(_MENTION_RE.findall(text)),
+        "n_social_links": n_social_links,
+        "total_engagement": engagement,
+        "has_social_sharing": engagement > 0 or n_social_links > 0,
+    }
+
+
+_SOCIAL_INT_COLS = ["n_hashtags", "n_mentions", "n_social_links", "total_engagement"]
+
 _DOM_INT_COLS = [
     "total_nodes", "max_depth", "n_paragraphs", "n_headings", "n_images",
     "n_scripts", "n_tables", "n_lists", "text_length",
@@ -197,6 +235,15 @@ def extract_metadata_full(batch: pa.Table, html_col: str = "html") -> pa.Table:
         batch = batch.append_column(
             col, pa.array([r[col] for r in dom_rows], pa.int64())
         )
-    return batch.append_column(
+    batch = batch.append_column(
         "link_density", pa.array([r["link_density"] for r in dom_rows], pa.float64())
+    )
+    social_rows = [social_metrics(h) for h in htmls]
+    for col in _SOCIAL_INT_COLS:
+        batch = batch.append_column(
+            col, pa.array([r[col] for r in social_rows], pa.int64())
+        )
+    return batch.append_column(
+        "has_social_sharing",
+        pa.array([r["has_social_sharing"] for r in social_rows], pa.bool_()),
     )

@@ -121,6 +121,54 @@ def media_features(
     )
 
 
+class FrameSampleStage:
+    """Video frame sampling: one output row per k-th frame (row explosion).
+
+    Fake video payload: b"VID1" + uint16 n_frames + uint16 w + uint16 h
+    + n_frames rasters of w*h bytes. With a real codec this is the
+    ffmpeg/pyav keyframe-extraction stage; the plumbing — explode rows,
+    emit per-frame payloads as IMG1 images chainable into
+    DecodeImageStage — is real.
+    """
+
+    def __init__(self, every: int = 2, decode_stub: bool = True):
+        self.every = every
+        self.decode_stub = decode_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.decode_stub:
+            raise NotImplementedError("real video codec not available")
+        out_media: list[int] = []
+        out_frame: list[int] = []
+        out_payload: list[bytes] = []
+        for mid, p in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if p[:4] != b"VID1":
+                raise ValueError("bad magic")
+            n_frames, w, h = struct.unpack("<HHH", p[4:10])
+            frame_bytes = w * h
+            for fi in range(0, n_frames, self.every):
+                start = 10 + fi * frame_bytes
+                raster = p[start : start + frame_bytes]
+                out_media.append(mid)
+                out_frame.append(fi)
+                out_payload.append(b"IMG1" + struct.pack("<HH", w, h) + raster)
+        return pa.table(
+            {
+                "media_id": pa.array(out_media, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int64()),
+                "payload": pa.array(out_payload, pa.binary()),
+            }
+        )
+
+
+def make_fake_video(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 256, n_frames * width * height, dtype=np.uint8).tobytes()
+    return b"VID1" + struct.pack("<HHH", n_frames, width, height) + raw
+
+
 def synth_media_table(n: int = 50, seed: int = 3) -> pa.Table:
     rows = {
         "media_id": list(range(n)),

@@ -669,6 +669,53 @@ def fingerprint_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def media_decode_stats(sf_dir: str) -> "rd.Dataset":
+    """Multimodal binary-column plumbing, exact-checked: each document
+    row becomes a deterministic fake image payload (bytes
+    (doc_id + i) % 256 over a doc_id-derived raster), the REAL
+    actor-pool decode stage (multimodal.DecodeImageStage) parses it, and
+    the DuckDB oracle recomputes width/height/mean arithmetically.
+    Output: (doc_id, width, height, mean_intensity).
+    """
+    import struct
+
+    from ..exactmath import floor_round
+    from ..multimodal import DecodeImageStage
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for d in batch["doc_id"].to_pylist():
+            w = 8 + d % 5
+            h = 8 + d % 3
+            raw = bytes((d + i) % 256 for i in range(w * h))
+            out.append(b"IMG1" + struct.pack("<HH", w, h) + raw)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
+        )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pc.cast(batch["width"], pa.int64()),
+                "height": pc.cast(batch["height"], pa.int64()),
+                "mean_intensity": floor_round(batch["mean_intensity"], 6),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_payloads, batch_format="pyarrow")
+        .map_batches(
+            DecodeImageStage,
+            batch_format="pyarrow",
+            batch_size=64,  # binary rows are wide; small batches
+            concurrency=(1, 4),
+        )
+        .map_batches(_round, batch_format="pyarrow")
+    )
+
+
 def search_docs(
     sf_dir: str, query: str = "data pipeline processing", k: int = 20
 ) -> pd.DataFrame:

@@ -150,3 +150,38 @@ def _metadata_factory(html_col: str = "html"):
         return metadata_stage(ds, html_col)
 
     return _stage
+
+
+@register_stage("extract_structured")
+def _structured_factory(html_col: str = "html", base_url: str = ""):
+    from .functions.structured import structured_extract_batch
+
+    def _stage(ds):
+        return ds.map_batches(
+            lambda b: structured_extract_batch(b, html_col, base_url),
+            batch_format="pyarrow",
+        )
+
+    return _stage
+
+
+@register_stage("extract_metadata_full")
+def _metadata_full_factory(html_col: str = "html"):
+    from .functions.metadata import extract_metadata_full
+
+    def _stage(ds):
+        return ds.map_batches(
+            lambda b: extract_metadata_full(b, html_col), batch_format="pyarrow"
+        )
+
+    return _stage
+
+
+@register_stage("embed")
+def _embed_factory(dim: int = 64, text_col: str = "canonical_text"):
+    from .functions.embed import embed
+
+    def _stage(ds):
+        return embed(ds, dim, text_col)
+
+    return _stage

@@ -66,6 +66,37 @@ class TestIncrementalDedup:
         ).to_pandas()
         assert sorted(out["conv_id"]) == ["n-2", "n-4"]
 
+    def test_partitioned_confirmation(self, tmp_path):
+        """Bloom blob broadcast + partitioned anti-join of the positive
+        minority: same novel rows as the broadcast path, without an
+        exact-set broadcast."""
+        from quarrycore_ray.pipelines.incremental import (
+            incremental_new_only,
+            write_seen_hashes,
+        )
+
+        hist = _conv_table(
+            {f"h-{i}": f"historical document number {i}" for i in range(50)}
+        )
+        seen_path = str(tmp_path / "seen_part")
+        write_seen_hashes(rd.from_arrow(hist), seen_path)
+
+        new = _conv_table(
+            {
+                **{f"d-{i}": f"historical document number {i}" for i in range(0, 50, 5)},
+                **{f"n-{i}": f"fresh document {i}" for i in range(7)},
+            }
+        )
+        out = incremental_new_only(
+            rd.from_arrow(new), seen_path, use_bloom=True, confirm="partitioned"
+        ).to_pandas()
+        assert sorted(out["conv_id"]) == sorted(f"n-{i}" for i in range(7))
+
+        with pytest.raises(ValueError):
+            incremental_new_only(
+                rd.from_arrow(new), seen_path, use_bloom=False, confirm="partitioned"
+            )
+
 
 class TestHtmlExtract:
     def test_cascade_and_gate(self):

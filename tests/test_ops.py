@@ -149,3 +149,34 @@ class TestSketches:
         est = approx_vocab_size(canonical_docs(SF))
         exact = int(vocab_stats(SF)["vocab_size"].iloc[0])
         assert abs(est - exact) / exact < 0.05
+
+
+class TestFrameSample:
+    def test_every_kth_frame_decodable(self):
+        import struct
+
+        import pyarrow as pa
+
+        from quarrycore_ray.multimodal import (
+            DecodeImageStage,
+            FrameSampleStage,
+            make_fake_video,
+        )
+
+        batch = pa.table(
+            {
+                "media_id": pa.array([7], pa.int64()),
+                "payload": pa.array([make_fake_video(10, 8, 6, seed=1)], pa.binary()),
+            }
+        )
+        frames = FrameSampleStage(every=3)(batch)
+        assert frames["frame_idx"].to_pylist() == [0, 3, 6, 9]
+        assert frames["media_id"].to_pylist() == [7] * 4
+        # sampled frames chain into the image decode stage
+        decoded = DecodeImageStage()(frames)
+        assert decoded["width"].to_pylist() == [8] * 4
+        assert decoded["height"].to_pylist() == [6] * 4
+        # each frame payload carries exactly one raster
+        for p in frames["payload"].to_pylist():
+            w, h = struct.unpack("<HH", p[4:8])
+            assert len(p) == 8 + w * h

@@ -181,3 +181,27 @@ class TestDomMetrics:
         assert out["schema_type"].to_pylist() == ["Article"]
         assert out["n_scripts"].to_pylist() == [3]
         assert out["og_title"].to_pylist() == [""]
+
+
+class TestSocialMetrics:
+    def test_counts_and_engagement(self):
+        from quarrycore_ray.functions.metadata import social_metrics
+
+        html = (
+            "<html><body><p>Check #raydata and #arrow with @builder — "
+            "1,234 shares and 56 likes so far</p>"
+            '<a href="https://twitter.com/x">tweet</a></body></html>'
+        )
+        m = social_metrics(html)
+        assert m["n_hashtags"] == 2
+        assert m["n_mentions"] == 1
+        assert m["n_social_links"] == 1
+        assert m["total_engagement"] == 1290
+        assert m["has_social_sharing"] is True
+
+    def test_entity_refs_not_hashtags(self):
+        from quarrycore_ray.functions.metadata import social_metrics
+
+        m = social_metrics("<p>&#39;quoted&#39; plain text</p>")
+        assert m["n_hashtags"] == 0
+        assert m["has_social_sharing"] is False
