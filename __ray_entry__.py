@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
+        "ann_ivf_knn": similarity.ann_ivf_knn,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,

@@ -7,10 +7,16 @@ here the equivalents are dataflow-native:
 - `knn_cosine`: brute-force top-k — the query matrix is broadcast via
   `ray.put` once, each batch does one float64 matmul against it. The
   correct baseline at any scale where the query side is small.
-- `ann_lsh_knn`: the scale path — random-hyperplane LSH (Charikar 2002)
+- `ann_lsh_knn`: a scale path — random-hyperplane LSH (Charikar 2002)
   buckets both corpus and queries; candidates are scored only within
   matching buckets. Approximate (rows-only check), recall tunable via
   n_planes/n_tables.
+- `ann_ivf_knn`: the second scale path, mirroring the reference's FAISS
+  IVF configuration (semantic_dedup.py:74-76: index_type=IVF, nlist=100,
+  nprobe=10) — spherical k-means coarse quantizer trained on a
+  deterministic sample, one cell per corpus vector, queries probe their
+  `nprobe` nearest cells. The cell groupby is the only shuffle; the
+  trained centroid matrix (nlist x dim, tiny) is broadcast via ray.put.
 """
 
 from __future__ import annotations
@@ -289,6 +295,11 @@ def ann_lsh_knn(
 
     scored = partitioned_group_map(bucketed, "bucket", _bucket_scores_part, arrow=True)
     pdf = scored.to_pandas().drop_duplicates(["q_id", "n_id"])
+    return _finalize_topk(pdf, k)
+
+
+def _finalize_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Deterministic (q_id, n_id, rank, cosine) top-k from scored pairs."""
     out = (
         pdf.sort_values(["q_id", "cosine", "n_id"], ascending=[True, False, True])
         .groupby("q_id")
@@ -298,3 +309,149 @@ def ann_lsh_knn(
     out["rank"] = out.groupby("q_id").cumcount() + 1
     out["cosine"] = floor_round_np(out["cosine"].to_numpy(), 6)
     return out[["q_id", "n_id", "rank", "cosine"]]
+
+
+def spherical_kmeans(
+    sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd's, cosine assignment).
+
+    The coarse-quantizer training step of an IVF index (what
+    `faiss.IndexIVFFlat.train` does for the reference,
+    semantic_dedup.py:212-236). Input rows must be L2-normalized;
+    returns an (n_cells, dim) L2-normalized centroid matrix. Empty
+    cells re-seed from the sample deterministically.
+    """
+    n = len(sample)
+    n_cells = max(1, min(n_cells, n))
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(n, size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members) == 0:
+                centroids[c] = sample[rng.integers(0, n)]
+            else:
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ann_ivf_knn(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    nlist: int = 100,
+    nprobe: int = 10,
+    seed: int = 13,
+    train_sample: int = 16384,
+) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (reference FAISS
+    config semantic_dedup.py:74-76: nlist=100, nprobe=10).
+
+    Scale shape: centroids are trained once on a deterministic
+    hash-stride sample (driver-side — the quantizer is nlist x dim,
+    tiny) and broadcast; every corpus vector is assigned to exactly ONE
+    cell (vs n_tables copies in the LSH variant, so the shuffled volume
+    is 1x corpus); queries probe their `nprobe` nearest cells. Scoring
+    runs inside a partitioned group map over cells — no driver-side
+    candidate materialization.
+    """
+    ds = _embeddings(sf_dir)
+    n_rows = ds.count()
+    # standard IVF sizing: cap cells at ~sqrt(n) so small corpora are not
+    # over-partitioned (reference nlist=100 assumes a large index)
+    nlist = max(1, min(nlist, int(np.sqrt(n_rows)) + 1))
+
+    # deterministic training sample: every stride-th vec_id
+    stride = max(1, n_rows // train_sample)
+
+    def _stride_filter(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(batch["vec_id"], dtype=np.int64) % stride == 0
+        return batch.filter(pa.array(keep))
+
+    sample_df = ds.map_batches(_stride_filter, batch_format="pyarrow").to_pandas()
+    sample = _normalize(np.asarray(sample_df["embedding"].tolist(), dtype=np.float64))
+    centroids = spherical_kmeans(sample, nlist, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    q_ids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = _normalize(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
+    n_probe = min(nprobe, len(centroids))
+    # per-query probe cells: nprobe nearest centroids
+    q_cells = np.argsort(-(q_mat @ centroids.T), axis=1, kind="stable")[:, :n_probe]
+    q_ref = ray.put((q_ids, q_mat, q_cells))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids, emb = _to_matrix(batch)
+        emb_n = _normalize(emb)
+        cell = np.argmax(emb_n @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    celled = ds.map_batches(_assign, batch_format="pyarrow")
+
+    def _cell_scores_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..stages.grouped import run_bounds
+
+        qids, qmat, qcells = ray.get(q_ref)
+        # cell -> row indices of probing queries
+        probing: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for c in qcells[qi]:
+                probing.setdefault(int(c), []).append(qi)
+        df = pl.from_arrow(tb).sort(["cell", "vec_id"])
+        keys = df["cell"].to_numpy()
+        ids = df["vec_id"].to_numpy()
+        bounds = run_bounds(keys)
+        emb_all: np.ndarray | None = None
+        rows_q: list[np.ndarray] = []
+        rows_n: list[np.ndarray] = []
+        rows_c: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            qrows = probing.get(int(keys[s]))
+            if not qrows:
+                continue
+            if emb_all is None:  # decode embeddings lazily, once
+                emb_all = _normalize(
+                    np.asarray(df["embedding"].to_list(), dtype=np.float64)
+                )
+            emb = emb_all[s:e]
+            bucket_ids = ids[s:e]
+            cos = emb @ qmat[qrows].T  # (bucket, n_probing)
+            for col, qi in enumerate(qrows):
+                mask = bucket_ids != qids[qi]
+                rows_q.append(np.full(int(mask.sum()), qids[qi], dtype=np.int64))
+                rows_n.append(bucket_ids[mask])
+                rows_c.append(cos[mask, col])
+        if not rows_q:
+            return pa.table(
+                {
+                    "q_id": pa.array([], pa.int64()),
+                    "n_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(rows_q), pa.int64()),
+                "n_id": pa.array(np.concatenate(rows_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(rows_c), pa.float64()),
+            }
+        )
+
+    from ..stages.grouped import partitioned_group_map
+
+    scored = partitioned_group_map(celled, "cell", _cell_scores_part, arrow=True)
+    pdf = scored.to_pandas().drop_duplicates(["q_id", "n_id"])
+    return _finalize_topk(pdf, k)

@@ -180,3 +180,37 @@ class TestFrameSample:
         for p in frames["payload"].to_pylist():
             w, h = struct.unpack("<HH", p[4:8])
             assert len(p) == 8 + w * h
+
+
+class TestIvfAnn:
+    def test_kmeans_deterministic_normalized(self):
+        from quarrycore_ray.functions.similarity import spherical_kmeans
+
+        rng = np.random.default_rng(0)
+        sample = rng.standard_normal((200, 16))
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        c1 = spherical_kmeans(sample, 8, seed=13)
+        c2 = spherical_kmeans(sample, 8, seed=13)
+        assert np.array_equal(c1, c2)
+        assert c1.shape == (8, 16)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+        # more cells than points clamps
+        assert spherical_kmeans(sample[:3], 8, seed=13).shape[0] == 3
+
+    def test_ivf_recall_vs_exact(self):
+        from quarrycore_ray.functions.similarity import ann_ivf_knn, knn_cosine
+
+        exact = knn_cosine(SF, n_queries=5, k=5)
+        approx = ann_ivf_knn(SF, n_queries=5, k=5)
+        hits = 0
+        for q in exact["q_id"].unique():
+            truth = set(exact[exact["q_id"] == q]["n_id"])
+            got = set(approx[approx["q_id"] == q]["n_id"])
+            hits += len(truth & got)
+        recall = hits / len(exact)
+        # synthetic embeddings are label-clustered; the probed cells
+        # should recover most exact neighbors
+        assert recall >= 0.6, recall
+        # output contract matches the exact variant
+        assert list(approx.columns) == ["q_id", "n_id", "rank", "cosine"]
+        assert (approx.groupby("q_id")["rank"].min() == 1).all()
