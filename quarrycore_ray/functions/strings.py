@@ -1,0 +1,97 @@
+"""Scalar string utilities: slugify and URL decomposition.
+
+Semantics ported (fresh implementation) from the reference's
+dependency-free utilities:
+
+- slugify: `/root/reference/src/quarrycore/utils/slugify.py:46-116` —
+  unsafe chars -> replacement, collapse runs, strip, lowercase,
+  Windows-reserved-name guard, length cap, "untitled" fallback.
+- url_parts: the `urlparse`-based decomposition the reference's crawler
+  and link classifier rely on (`crawler/http_client.py:40,233`,
+  `extractor` link handling): scheme / netloc / path / registered
+  domain, all via the stdlib.
+
+Both ship as scalar functions plus vectorized Arrow batch wrappers so
+they slot into `map_batches(..., batch_format="pyarrow")` stages.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse
+
+import pyarrow as pa
+
+_UNSAFE = re.compile(r"[^A-Za-z0-9\-]")
+
+_WINDOWS_RESERVED = {
+    "CON", "PRN", "AUX", "NUL",
+    *(f"COM{i}" for i in range(1, 10)),
+    *(f"LPT{i}" for i in range(1, 10)),
+}
+
+
+def slugify(
+    text: str,
+    replacement: str = "-",
+    max_length: int | None = 200,
+    lowercase: bool = True,
+) -> str:
+    """Filesystem-safe slug (reference utils/slugify.py:46-116)."""
+    if not text or not text.strip():
+        return "untitled"
+    result = _UNSAFE.sub(replacement, text.strip())
+    if len(replacement) == 1:
+        result = re.sub(f"{re.escape(replacement)}+", replacement, result)
+    result = result.strip(replacement)
+    if lowercase:
+        result = result.lower()
+    parts = result.split(replacement)
+    if parts and parts[0].upper() in _WINDOWS_RESERVED:
+        parts.append("reserved")
+        result = replacement.join(parts)
+    if max_length and len(result) > max_length:
+        result = result[:max_length].rstrip(replacement)
+    return result or "untitled"
+
+
+def slugify_job_id(job_id: str) -> str:
+    """Checkpoint-safe job id (reference utils/slugify.py:119-140)."""
+    return slugify(job_id, replacement="-", max_length=100, lowercase=True)
+
+
+def url_parts(url: str) -> dict[str, str]:
+    """Decompose a URL into scheme/netloc/path/query plus the registered
+    domain (last two host labels — the heuristic the reference's link
+    classifier uses for is_external / social-domain checks)."""
+    p = urlparse(url or "")
+    host = (p.netloc or "").split("@")[-1].split(":")[0].lower()
+    labels = [l for l in host.split(".") if l]
+    domain = ".".join(labels[-2:]) if len(labels) >= 2 else host
+    return {
+        "scheme": p.scheme.lower(),
+        "netloc": p.netloc,
+        "host": host,
+        "domain": domain,
+        "path": p.path,
+        "query": p.query,
+    }
+
+
+# --- vectorized batch wrappers ----------------------------------------------
+
+
+def slugify_column(
+    batch: pa.Table, col: str, out_col: str = "slug", **kwargs
+) -> pa.Table:
+    vals = [slugify(v or "", **kwargs) for v in batch[col].to_pylist()]
+    return batch.append_column(out_col, pa.array(vals, pa.string()))
+
+
+def url_parts_columns(batch: pa.Table, col: str, prefix: str = "url_") -> pa.Table:
+    parts = [url_parts(v or "") for v in batch[col].to_pylist()]
+    for key in ("scheme", "host", "domain", "path"):
+        batch = batch.append_column(
+            f"{prefix}{key}", pa.array([p[key] for p in parts], pa.string())
+        )
+    return batch

@@ -72,3 +72,40 @@ class TestHashing:
 def test_regex_token_count():
     assert regex_token_count("ab, cd!") == 4
     assert regex_token_count("") == 0
+
+
+class TestStrings:
+    def test_slugify_reference_examples(self):
+        from quarrycore_ray.functions.strings import slugify, slugify_job_id
+
+        # reference docstring examples (utils/slugify.py:64-80,134-139)
+        assert slugify("Hello World!") == "hello-world"
+        assert slugify("file/path\\name:test") == "file-path-name-test"
+        assert slugify("My File (v2.1).txt") == "my-file-v2-1-txt"
+        assert slugify("CON") == "con-reserved"
+        assert slugify("") == "untitled"
+        assert slugify("!!!") == "untitled"
+        assert slugify_job_id("job:2024/01/01-12:30:45") == "job-2024-01-01-12-30-45"
+        assert len(slugify("x" * 500)) == 200
+
+    def test_url_parts(self):
+        from quarrycore_ray.functions.strings import url_parts
+
+        p = url_parts("https://Sub.Example.COM:8080/a/b?q=1")
+        assert p["scheme"] == "https"
+        assert p["host"] == "sub.example.com"
+        assert p["domain"] == "example.com"
+        assert p["path"] == "/a/b"
+        assert p["query"] == "q=1"
+        assert url_parts("")["domain"] == ""
+
+    def test_batch_wrappers(self):
+        import pyarrow as pa
+
+        from quarrycore_ray.functions.strings import slugify_column, url_parts_columns
+
+        batch = pa.table({"title": ["A B", None], "url": ["http://x.co/p", None]})
+        out = slugify_column(batch, "title")
+        assert out["slug"].to_pylist() == ["a-b", "untitled"]
+        out2 = url_parts_columns(batch, "url")
+        assert out2["url_domain"].to_pylist() == ["x.co", ""]
