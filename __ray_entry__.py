@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_props_extract": rel.events_props_extract,
         "events_user_sessions": rel.events_user_sessions,
+        "temporal_split": rel.temporal_split,
         "orders_by_status": rel.orders_by_status,
         "customer_order_totals": rel.customer_order_totals,
         "lineitem_pricing_summary": rel.lineitem_pricing_summary,
@@ -440,6 +441,18 @@ def oracle_sql() -> dict[str, str]:
                        AS n_sessions,
                    min(ts) AS first_ts, max(ts) AS last_ts
             FROM o GROUP BY user_id
+        """,
+        "temporal_split": """
+            WITH o AS (
+                SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
+                       count(*) OVER () AS n
+                FROM events
+            )
+            SELECT CASE WHEN rn <= CAST(floor(n * 0.8) AS BIGINT) THEN 'train'
+                        WHEN rn <= CAST(floor(n * 0.9) AS BIGINT) THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts
+            FROM o GROUP BY 1
         """,
         "orders_by_status": """
             SELECT o_orderstatus, count(*) AS n_orders,

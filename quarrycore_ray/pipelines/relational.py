@@ -136,6 +136,38 @@ def events_user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     return partitioned_group_map(ds, "user_id", _sessions_part, arrow=True)
 
 
+def temporal_split(sf_dir: str) -> pd.DataFrame:
+    """Time-ordered 80/10/10 train/val/test split (the reference's
+    `temporal_split=True` mode, protocols.py:429-432): the earliest 80%
+    of events by (ts, event_id) are train, the next 10% val, the rest
+    test. Output (split, n_events, min_ts, max_ts).
+
+    Scale shape: prunes to (ts, event_id) at the read; ONE global sort
+    (the unavoidable shuffle for temporal ordering) followed by
+    `split_at_indices` — per-split counts/extrema come from distributed
+    aggregates, nothing row-shaped lands on the driver. The cutoff
+    indices use the same float expression as the DuckDB oracle
+    (floor(n*0.8) / floor(n*0.9)) so both engines bucket identically.
+    """
+    import math
+
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["ts", "event_id"])
+    n = ds.count()
+    k1, k2 = math.floor(n * 0.8), math.floor(n * 0.9)
+    parts = ds.sort(["ts", "event_id"]).split_at_indices([k1, k2])
+    rows = []
+    for name, part in zip(("train", "val", "test"), parts):
+        agg = part.aggregate(
+            Count(alias_name="n_events"),
+            Min("ts", alias_name="min_ts"),
+            Max("ts", alias_name="max_ts"),
+        )
+        rows.append({"split": name, **agg})
+    return pd.DataFrame(rows, columns=["split", "n_events", "min_ts", "max_ts"])
+
+
 def orders_by_status(sf_dir: str) -> "rd.Dataset":
     """(o_orderstatus, n_orders, total_price, avg_price, max_price).
 

@@ -53,9 +53,40 @@ def read_url_list(path: str) -> "rd.Dataset":
     return ds.map_batches(_clean, batch_format="pyarrow")
 
 
-def write_partitioned(ds: "rd.Dataset", path: str, partition_col: str | None = None):
-    """Partitioned Parquet sink (reference parquet_store.py hive layout)."""
-    if partition_col is None:
-        ds.write_parquet(path)
+def write_partitioned(
+    ds: "rd.Dataset",
+    path: str,
+    partition_cols: list[str] | None = None,
+    date_col: str | None = None,
+):
+    """Hive-partitioned Parquet warm-store sink (reference
+    `storage/parquet_store.py:26-69`: key=value directory layout,
+    snappy compression — pyarrow's default; timestamps partition by
+    their `YYYY-MM-DD` date, `parquet_store.py:58-69`).
+
+    `date_col` names a timestamp column to derive a string `date`
+    partition from (the original timestamp column is preserved in the
+    data files). Partitioned output is also the resumable-run layout:
+    a re-run can skip finished partitions.
+    """
+    cols = list(partition_cols or [])
+    if date_col is not None:
+        import pyarrow.compute as pc
+
+        def _with_date(batch: pa.Table) -> pa.Table:
+            day = pc.strftime(batch[date_col], format="%Y-%m-%d")
+            return batch.append_column("date", day)
+
+        ds = ds.map_batches(_with_date, batch_format="pyarrow")
+        cols.append("date")
+    if cols:
+        ds.write_parquet(path, partition_cols=cols)
     else:
-        ds.write_parquet(path, partition_cols=[partition_col])
+        ds.write_parquet(path)
+
+
+def read_warm_store(path: str, columns: list[str] | None = None) -> "rd.Dataset":
+    """Read a hive-partitioned warm store back (partition columns come
+    back as regular columns; partition pruning happens via `columns=` /
+    downstream filters)."""
+    return rd.read_parquet(path, columns=columns)

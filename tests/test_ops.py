@@ -214,3 +214,26 @@ class TestIvfAnn:
         # output contract matches the exact variant
         assert list(approx.columns) == ["q_id", "n_id", "rank", "cosine"]
         assert (approx.groupby("q_id")["rank"].min() == 1).all()
+
+
+class TestWarmStore:
+    def test_partitioned_roundtrip(self, tmp_path):
+        from quarrycore_ray.sources.io import read_warm_store, write_partitioned
+
+        out = str(tmp_path / "warm")
+        ds = rd.read_parquet(f"{SF}/events.parquet")
+        n = ds.count()
+        write_partitioned(ds, out, partition_cols=["event_type"], date_col="ts")
+        import os
+
+        # hive key=value layout, one directory level per partition col
+        types = sorted(d for d in os.listdir(out) if d.startswith("event_type="))
+        assert types, os.listdir(out)
+        days = os.listdir(os.path.join(out, types[0]))
+        assert all(d.startswith("date=") for d in days)
+
+        back = read_warm_store(out)
+        assert back.count() == n
+        pdf = back.to_pandas()
+        # derived date partition matches the preserved timestamp column
+        assert (pdf["ts"].dt.strftime("%Y-%m-%d") == pdf["date"].astype(str)).all()
