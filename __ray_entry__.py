@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": docs.fingerprint_docs,
         # structured extraction (§2.3)
         "extract_structured": docs.extract_structured,
+        "fuzzy_match_docs": docs.fuzzy_match_docs,
         # full-text search (§2.2 FTS analog)
         "search_docs": docs.search_docs,
         # multimodal binary-column decode (actor pool, stub codec)
@@ -441,6 +442,31 @@ def oracle_sql() -> dict[str, str]:
                        AS n_sessions,
                    min(ts) AS first_ts, max(ts) AS last_ts
             FROM o GROUP BY user_id
+        """,
+        "fuzzy_match_docs": f"""
+            WITH c AS (
+                SELECT doc_id, source,
+                       substr({_CANON}, 1, 100) AS p,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       1.0 - levenshtein(a.p, b.p)::DOUBLE
+                           / greatest(length(a.p), length(b.p), 1) AS sim,
+                       length(a.p) AS la, length(b.p) AS lb
+                FROM c a JOIN c b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE a.rn <= 32 AND b.rn <= 32
+            )
+            SELECT a_id, b_id,
+                   floor(sim * 1000000 + 0.5) / 1000000.0 AS similarity,
+                   CASE WHEN sim >= 0.95 THEN 'near_exact'
+                        WHEN sim >= 0.85 THEN 'very_similar'
+                        WHEN greatest(la, lb)::DOUBLE / greatest(least(la, lb), 1) > 1.5
+                             THEN (CASE WHEN la > lb THEN 'contains' ELSE 'contained_in' END)
+                        ELSE 'similar' END AS match_type
+            FROM pairs WHERE sim >= 0.3
         """,
         "temporal_split": """
             WITH o AS (

@@ -122,8 +122,12 @@ def run_bench() -> dict:
     timed("minhash_dedup_docs", docs.minhash_dedup_docs)
     timed("events_hourly", rel.events_hourly)
     timed("events_user_sessions", rel.events_user_sessions)
+    timed("temporal_split", rel.temporal_split)
     timed("lineitem_pricing_summary", rel.lineitem_pricing_summary)
     timed("knn_cosine", similarity.knn_cosine)
+    timed("ann_ivf_knn", similarity.ann_ivf_knn)
+    timed("extract_structured", docs.extract_structured)
+    timed("search_docs", docs.search_docs)
 
     ray.shutdown()
     return {

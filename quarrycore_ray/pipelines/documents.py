@@ -716,6 +716,82 @@ def media_decode_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def fuzzy_match_docs(
+    sf_dir: str,
+    threshold: float = 0.3,
+    prefix: int = 100,
+    per_source: int = 32,
+) -> "rd.Dataset":
+    """Fuzzy pair scoring with reference match classification
+    (fuzzy_matcher.py:107-125 normalized Levenshtein, :200-211
+    near_exact/very_similar/contains/contained_in/similar) over bounded
+    per-source candidate sets — (a_id, b_id, similarity, match_type).
+
+    Scale shape: candidates are the first `per_source` docs of each
+    source (deterministic by doc_id) scored on a `prefix`-char canonical
+    prefix, so pair count is O(sources * per_source^2) and per-pair cost
+    is O(prefix * distance) regardless of corpus size; sources hash into
+    coarse partitions (one vectorized pass per partition, not per
+    source). Exact DuckDB oracle via `levenshtein()` over the same
+    construction (the engine's distance is code-point exact; DuckDB's
+    is byte-based, so oracle equivalence holds on ASCII corpora like
+    the fixture — they diverge only on multi-byte characters).
+    """
+    from ..functions.fuzzy import classify_match, levenshtein
+    from ..stages.grouped import partitioned_group_map
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        canon = normalize_whitespace_array(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "prefix": pc.utf8_slice_codeunits(canon, 0, prefix),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        _prep, batch_format="pyarrow"
+    )
+
+    def _pairs_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..stages.grouped import run_bounds
+
+        df = pl.from_arrow(tb).sort(["source", "doc_id"])
+        srcs = df["source"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        texts = df["prefix"].to_list()
+        bounds = run_bounds(srcs)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_sim: list[float] = []
+        out_kind: list[str] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            e = min(e, s + per_source)
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    a, b = texts[i], texts[j]
+                    m = max(len(a), len(b), 1)
+                    sim = 1.0 - levenshtein(a, b) / m
+                    if sim >= threshold:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_sim.append(sim)
+                        out_kind.append(classify_match(sim, len(a), len(b)))
+        return pa.table(
+            {
+                "a_id": pa.array(out_a, pa.int64()),
+                "b_id": pa.array(out_b, pa.int64()),
+                "similarity": pa.array(floor_round_np(np.asarray(out_sim)), pa.float64()),
+                "match_type": pa.array(out_kind, pa.string()),
+            }
+        )
+
+    return partitioned_group_map(ds, "source", _pairs_part, arrow=True)
+
+
 def search_docs(
     sf_dir: str, query: str = "data pipeline processing", k: int = 20
 ) -> pd.DataFrame:

@@ -122,3 +122,36 @@ class TestHtmlExtract:
         assert "Body content" in out.loc[1, "text"]
         assert out.loc[2, "extractor"] == "lenient"
         assert out.loc[3, "extractor"] == "" and out.loc[3, "reject_reason"] == "below_min_length"
+
+    def test_domain_cascade_override(self):
+        # per-domain extractor ordering (reference ExtractionSettings.
+        # domain_overrides, config/config.py:376-378): technical pages
+        # skip the strict body pass, others keep the default cascade
+        import pyarrow as pa
+
+        from quarrycore_ray.stages.extract import HtmlExtractStage
+
+        html = (
+            "<html><head><title>T</title></head>"
+            "<body><p>Body content that is long enough to pass.</p></body></html>"
+        )
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "html": pa.array([html, html]),
+                "domain": pa.array(["technical", "general"]),
+            }
+        )
+        stage = HtmlExtractStage(domain_overrides={"technical": ("lenient",)})
+        out = stage(batch)
+        assert out["extractor"].to_pylist() == ["lenient", "strict_body"]
+
+    def test_unknown_strategy_rejected(self):
+        import pytest as _pytest
+
+        from quarrycore_ray.stages.extract import HtmlExtractStage
+
+        with _pytest.raises(ValueError):
+            HtmlExtractStage(domain_overrides={"x": ("nope",)})
+        with _pytest.raises(ValueError):
+            HtmlExtractStage(cascade_order=())

@@ -1,0 +1,169 @@
+"""Property-based tests (hypothesis) over the engine's pure kernels.
+
+The reference suite has no property tests (SURVEY.md §5); these cover
+the invariants the hand-written cases can't sweep: arbitrary unicode
+through canonicalization/slugify, no-false-negative Bloom membership,
+MinHash signature bounds and containment monotonicity, union-find
+component consistency, floor-round ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quarrycore_ray.exactmath import floor_round_np
+from quarrycore_ray.functions.strings import slugify
+from quarrycore_ray.minhash import MinHasher, jaccard_estimate, shingle_set
+from quarrycore_ray.state.bloom import BloomFilter
+from quarrycore_ray.stages.cluster import driver_union_find
+from quarrycore_ray.text import normalize_whitespace
+
+TEXT = st.text(max_size=300)
+
+
+class TestTextProperties:
+    @given(TEXT)
+    @settings(max_examples=200, deadline=None)
+    def test_normalize_whitespace_idempotent(self, s):
+        once = normalize_whitespace(s)
+        assert normalize_whitespace(once) == once
+        assert "  " not in once
+        assert once == once.strip()
+
+    @given(TEXT)
+    @settings(max_examples=200, deadline=None)
+    def test_slugify_safe_and_idempotent(self, s):
+        out = slugify(s)
+        assert out == "untitled" or all(c.isalnum() or c == "-" for c in out)
+        assert out == out.lower()
+        assert len(out) <= 200
+        assert slugify(out) == out  # slugs are fixed points
+
+    @given(TEXT, st.integers(min_value=2, max_value=9))
+    @settings(max_examples=150, deadline=None)
+    def test_shingles_follow_spec(self, s, k):
+        # mirrors the reference spec (minhash_redis.py:162-184): short
+        # raw text passes through verbatim; otherwise shingles are over
+        # the lowercased whitespace-collapsed text
+        sh = shingle_set(s, k)
+        if not s:
+            assert sh == set()
+        elif len(s) < k:
+            assert sh == {s}
+        else:
+            normalized = " ".join(s.lower().split())
+            if len(normalized) < k:
+                assert sh == ({normalized} if normalized else set())
+            else:
+                assert all(len(x) == k for x in sh)
+                # long texts are insensitive to extra whitespace
+                assert shingle_set("  " + s + "\t", k) == sh
+
+
+class TestBloomProperties:
+    @given(st.lists(st.text(max_size=50), max_size=100))
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives(self, keys):
+        bf = BloomFilter(capacity=1000)
+        bf.add_many(keys)
+        assert all(k in bf for k in keys)
+        # serialization preserves membership
+        back = BloomFilter.from_bytes(bf.to_bytes())
+        assert all(k in back for k in keys)
+
+
+class TestMinHashProperties:
+    @given(st.text(min_size=7, max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_signature_bounds_and_self_similarity(self, s):
+        mh = MinHasher()
+        sig = mh.signature(s)
+        assert sig.shape == (128,)
+        if shingle_set(s):
+            assert (sig < (1 << 32)).all()
+            assert jaccard_estimate(sig, sig) == 1.0
+
+    @given(st.text(min_size=20, max_size=200), st.text(min_size=0, max_size=30))
+    @settings(max_examples=50, deadline=None)
+    def test_concat_overlaps(self, base, suffix):
+        # appending text can only keep-or-lower each signature slot:
+        # the shingle set of base+suffix is a superset of... NOT in
+        # general (boundary shingles change) — but the estimate between
+        # a text and itself-plus-suffix must be positive when they share
+        # any shingle, and symmetric either way.
+        mh = MinHasher()
+        a = mh.signature(base)
+        b = mh.signature(base + suffix)
+        est_ab = jaccard_estimate(a, b)
+        est_ba = jaccard_estimate(b, a)
+        assert est_ab == est_ba
+        shared = shingle_set(base) & shingle_set(base + suffix)
+        if shared and not suffix.strip():
+            # whitespace-only suffix is canonicalized away -> identical
+            assert est_ab == 1.0
+
+
+class TestClusterProperties:
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_union_find_components(self, raw_edges):
+        edges = [(f"c{a}", f"c{b}") for a, b in raw_edges if a != b]
+        assign = driver_union_find(edges)
+        # representative is the component minimum and shared transitively
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        seen: set[str] = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp = {start}
+            stack = [start]
+            while stack:
+                n = stack.pop()
+                for m in adj[n]:
+                    if m not in comp:
+                        comp.add(m)
+                        stack.append(m)
+            seen |= comp
+            rep = min(comp)
+            for n in comp:
+                assert assign.get(n, n) == rep
+
+
+class TestExactMathProperties:
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_floor_round_ordering(self, xs):
+        arr = np.array(xs, dtype=np.float64)
+        out = floor_round_np(arr)
+        # floor(x*1e6 + 0.5)/1e6 is round-half-up to the 1e-6 grid:
+        # values stay within half a grid cell (plus float error) and
+        # the map is monotone nondecreasing
+        tol = 5e-7 + np.abs(arr) * 1e-9 + 1e-12
+        assert (np.abs(out - arr) <= tol).all()
+        order = np.argsort(arr, kind="stable")
+        assert (np.diff(out[order]) >= -1e-12).all()
+        # idempotent on its own grid
+        assert np.allclose(floor_round_np(out), out, atol=1e-12)
