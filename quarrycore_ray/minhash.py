@@ -170,7 +170,9 @@ class CombinedMinSimHasher:
         self._cache: dict[str, int] = {}  # shingle -> h64 (SHA-1 amortization)
         self._cache_limit = cache_limit
 
-    def compute(self, texts, chunk_docs: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    def compute(
+        self, texts, chunk_docs: int = 256, block_shingles: int = 4096
+    ) -> tuple[np.ndarray, np.ndarray]:
         """(signatures (n, num_perm) uint64, fingerprints (n,) uint64).
 
         Chunked: each chunk's unique shingles are SHA-1-hashed (with an
@@ -183,6 +185,17 @@ class CombinedMinSimHasher:
         Per-document signature = column-min over its rows; SimHash votes
         from the matching bit matrix. Bit-identical to `MinHasher` +
         `SimHasher` (the oracle path).
+
+        The permute runs cache-blocked over `block_shingles`-row
+        sub-blocks: a full (U, num_perm) uint64 intermediate is
+        ~100 MB per chunk and its multi-pass arithmetic plus the
+        scattered per-doc row gathers are DRAM-bandwidth-bound, which
+        anti-scales when many actors share one memory bus
+        (BASELINE.md round-2 bandwidth analysis). Blocks of 4096 keep
+        each intermediate at ~4 MB (cache-resident); per-doc minima
+        and SimHash votes accumulate across blocks — the column-min
+        and vote-sum are order-independent, so outputs stay
+        bit-identical.
         """
         from_bytes = int.from_bytes
         sha1 = hashlib.sha1
@@ -221,26 +234,42 @@ class CombinedMinSimHasher:
                     if len(cache) < limit:
                         cache[s] = h
                 h64[k] = h
-            # (U, num_perm) permuted hashes, Mersenne reduction in place
-            x = np.outer(h64 & mask32, self.a)
-            x += self.b  # wraps mod 2^64, as datasketch's uint64 math does
-            hi = x >> sixty_one
-            x &= _MERSENNE_PRIME
-            x += hi
-            x[x >= _MERSENNE_PRIME] -= _MERSENNE_PRIME
-            x &= _MAX_HASH
-            phv = x
-            # (U, 64) bit matrix for SimHash votes
-            bits = ((h64[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+            # sorted per-doc indices: each U-block then touches one
+            # contiguous slice per doc (min/vote-sum are order-free)
+            doc_idx = [np.sort(idx) for idx in doc_idx]
+            n_chunk = len(chunk)
+            chunk_sigs = np.full((n_chunk, self.num_perm), _HASH_INIT, dtype=np.uint64)
+            votes = np.zeros((n_chunk, 64), dtype=np.int64)
+            for b0 in range(0, U, block_shingles):
+                b1 = min(b0 + block_shingles, U)
+                hb = h64[b0:b1]
+                # (block, num_perm) permuted hashes, Mersenne reduction
+                x = np.outer(hb & mask32, self.a)
+                x += self.b  # wraps mod 2^64, as datasketch's uint64 math does
+                hi = x >> sixty_one
+                x &= _MERSENNE_PRIME
+                x += hi
+                x[x >= _MERSENNE_PRIME] -= _MERSENNE_PRIME
+                x &= _MAX_HASH
+                # (block, 64) bit matrix for SimHash votes
+                bits = ((hb[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+                for i, idx in enumerate(doc_idx):
+                    lo, hi_i = np.searchsorted(idx, (b0, b1))
+                    if lo == hi_i:
+                        continue
+                    sub = idx[lo:hi_i] - b0
+                    np.minimum(
+                        chunk_sigs[i], x[sub].min(axis=0), out=chunk_sigs[i]
+                    )
+                    votes[i] += bits[sub].sum(axis=0, dtype=np.int64)
             for i, idx in enumerate(doc_idx):
                 row = c0 + i
                 if len(idx) == 0:
                     sigs[row] = _HASH_INIT
                     fps[row] = 0
                     continue
-                sigs[row] = phv[idx].min(axis=0)
-                votes = bits[idx].sum(axis=0)
-                majority = votes * 2 > len(idx)
+                sigs[row] = chunk_sigs[i]
+                majority = votes[i] * 2 > len(idx)
                 fps[row] = bit_w[majority].sum(dtype=np.uint64)
         return sigs, fps
 
