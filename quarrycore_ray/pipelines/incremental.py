@@ -67,7 +67,7 @@ def incremental_new_only(
         blob, exact = ray.get(summary_ref)
         hashes = batch["content_hash"].to_pylist()
         if blob is not None:
-            bf_local = BloomFilter.from_bytes(blob)
+            bf_local = BloomFilter.from_bytes(blob, copy=False)
             maybe_seen = bf_local.contains_many(hashes)
             keep = [
                 not (m and h in exact) for m, h in zip(maybe_seen, hashes)
@@ -106,7 +106,7 @@ def _incremental_partitioned(
 
     def _split(positive: bool):
         def _f(batch: pa.Table) -> pa.Table:
-            bf_local = BloomFilter.from_bytes(ray.get(blob_ref))
+            bf_local = BloomFilter.from_bytes(ray.get(blob_ref), copy=False)
             maybe = bf_local.contains_many(batch["content_hash"].to_pylist())
             mask = maybe if positive else [not m for m in maybe]
             return batch.filter(pa.array(mask))

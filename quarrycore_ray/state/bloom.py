@@ -40,6 +40,11 @@ class BloomFilter:
         return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.n_bits)
 
     def add(self, key: str) -> None:
+        if not self.bits.flags.writeable:
+            # ufunc.at writes THROUGH a read-only frombuffer view
+            # (mutating the shared plasma / bytes buffer) instead of
+            # raising, so guard explicitly.
+            raise ValueError("cannot add to a zero-copy (read-only) BloomFilter")
         pos = self._positions(key)
         np.bitwise_or.at(self.bits, (pos // 64).astype(np.int64), np.uint64(1) << (pos % 64))
 
@@ -61,10 +66,16 @@ class BloomFilter:
         return header + self.bits.tobytes()
 
     @classmethod
-    def from_bytes(cls, data: bytes) -> "BloomFilter":
+    def from_bytes(cls, data: bytes, copy: bool = True) -> "BloomFilter":
+        """Deserialize. `copy=False` returns a READ-ONLY filter backed
+        zero-copy by `data` — the right mode for membership probes
+        against a `ray.put` blob (no per-task copy of the bit array;
+        plasma buffers are shared). `add` on a zero-copy filter raises
+        (numpy read-only array)."""
         n_bits, n_hashes = np.frombuffer(data[:16], dtype=np.uint64)
         bf = cls.__new__(cls)
         bf.n_bits = int(n_bits)
         bf.n_hashes = int(n_hashes)
-        bf.bits = np.frombuffer(data[16:], dtype=np.uint64).copy()
+        bits = np.frombuffer(data[16:], dtype=np.uint64)
+        bf.bits = bits.copy() if copy else bits
         return bf

@@ -155,3 +155,23 @@ class TestHtmlExtract:
             HtmlExtractStage(domain_overrides={"x": ("nope",)})
         with _pytest.raises(ValueError):
             HtmlExtractStage(cascade_order=())
+
+
+class TestBloomZeroCopy:
+    def test_readonly_view_membership(self):
+        from quarrycore_ray.state.bloom import BloomFilter
+
+        bf = BloomFilter(capacity=100)
+        bf.add_many([f"k{i}" for i in range(50)])
+        blob = bf.to_bytes()
+        view = BloomFilter.from_bytes(blob, copy=False)
+        assert all(f"k{i}" in view for i in range(50))
+        assert not view.bits.flags.writeable
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            view.add("new-key")
+        # the default copy mode stays writable
+        writable = BloomFilter.from_bytes(blob)
+        writable.add("new-key")
+        assert "new-key" in writable
