@@ -59,13 +59,23 @@ class MinHashSimHashStage:
         self.hasher = CombinedMinSimHasher(
             cfg.num_perm, cfg.minhash_seed, cfg.shingle_size
         )
+        # Cache-block size for the permute kernel, sized so the POOL's
+        # aggregate (block, num_perm) uint64 working set stays within a
+        # shared-LLC budget: measured on a bandwidth-capped host, 4096
+        # wins with <=8 actors (1835 vs 1632 rows/s at pool=2) and 2048
+        # wins with 16 actors (4512 vs 3920 rows/s) — one actor's block
+        # is ~block KB, and past ~32 MB aggregate the kernel falls off
+        # the LLC onto the shared DRAM bus and anti-scales.
+        pool = cfg.resolved_minhash_concurrency()
+        budget_rows = (32 * 1024 * 1024) // (max(pool, 1) * cfg.num_perm * 8)
+        self.block_shingles = max(1024, min(4096, 1 << budget_rows.bit_length() - 1))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time
 
         t0 = _time.perf_counter()
         texts = batch["canonical_text"].to_pylist()
-        sigs, fps = self.hasher.compute(texts)
+        sigs, fps = self.hasher.compute(texts, block_shingles=self.block_shingles)
         if self.lineage:
             from ..state.metrics import report
 
