@@ -60,6 +60,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         ).clusters
 
+    def incremental_near_dup_docs(sf_dir: str):
+        """Continuous-crawl incremental near-dup: base conversations form
+        the historical signature index; the planted -dup / -ws variants
+        arrive as the 'new batch' and must each match their base via the
+        two-sided LSH probe (pipelines/incremental.incremental_near_dup)."""
+        import hashlib as _hashlib
+        import os as _os
+
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.incremental import (
+            incremental_near_dup,
+            write_signature_index,
+        )
+        from quarrycore_ray.stages.canonical import assemble_conversations
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        convs = assemble_conversations(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        ).materialize()
+
+        def _is_variant(cid: str) -> bool:
+            return cid.endswith("-dup") or cid.endswith("-ws")
+
+        hist = convs.filter(lambda r: not _is_variant(r["conv_id"]))
+        new = convs.filter(lambda r: _is_variant(r["conv_id"]))
+        tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        idx = f"/tmp/qc_incr_index_{tag}"
+        if not _os.path.exists(idx):
+            write_signature_index(hist, idx)
+        res = incremental_near_dup(new, idx)
+        return (
+            res.matches.to_pandas()
+            .sort_values(["new_id", "hist_id"])
+            .reset_index(drop=True)
+        )
+
     return {
         # dedup core (SURVEY.md §2.1)
         "exact_dedup_docs": docs.exact_dedup_docs,
@@ -68,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         "substring_containment": docs.substring_containment,
         "dedup_transcripts_full": dedup_transcripts_full,
+        "incremental_near_dup_docs": incremental_near_dup_docs,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,

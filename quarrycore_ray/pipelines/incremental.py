@@ -12,12 +12,16 @@ SURVEY.md §2.5).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
 
+from ..config import DedupConfig
 from ..state.bloom import BloomFilter
 from ..stages.exact import add_content_hash
 
@@ -136,3 +140,216 @@ def _incremental_partitioned(
         return batch.filter(pc.is_null(batch["_seen"])).drop_columns(["_seen"])
 
     return negatives.union(confirmed.map_batches(_novel, batch_format="pyarrow"))
+
+
+# --- Incremental NEAR-duplicate detection vs a historical signature index ---
+#
+# The continuous-crawl shape of the north rule: a 100 TB corpus is
+# processed in arriving batches, and each batch must be near-dedup'd
+# against everything already accepted WITHOUT re-signaturing history.
+# The historical state is a Parquet *signature index* (conv_id,
+# minhash_sig, simhash, thr) written by `write_signature_index` — at
+# 10^12-turn scale it is orders of magnitude smaller than the corpus
+# (132 bytes/doc vs KBs of text) and streams through the same LSH band
+# shuffle as the flagship. Reference analog: the ever-growing Redis
+# MinHashLSH index probed per new document
+# (`/root/reference/src/quarrycore/dedup/minhash_redis.py:204-255`),
+# re-expressed as a two-sided band-bucket join instead of a shared
+# mutable store.
+
+_LEFT = "h|"  # historical-side id prefix ('h' sorts before 'n')
+_RIGHT = "n|"
+
+
+def _prefix_ids(tag: str):
+    def _f(batch: pa.Table) -> pa.Table:
+        col = pc.binary_join_element_wise(
+            pa.scalar(tag), batch["conv_id"].cast(pa.string()), ""
+        )
+        return batch.set_column(
+            batch.column_names.index("conv_id"), "conv_id", col
+        )
+
+    return _f
+
+
+def write_signature_index(
+    conversations: "rd.Dataset", path: str, config: DedupConfig | None = None
+) -> None:
+    """Persist the MinHash+SimHash signature index of a processed corpus.
+
+    `conversations` are assembled docs (conv_id, canonical_text[, domain]).
+    One streaming actor-pool pass; output columns (conv_id, minhash_sig,
+    simhash, thr) — `thr` is the per-row domain verification threshold
+    so future probes verify at the strictest of both sides' domains.
+    """
+    from ..stages.minhash_stage import MinHashSimHashStage
+
+    cfg = config or DedupConfig()
+    conc = cfg.resolved_minhash_concurrency()
+    has_domain = "domain" in conversations.schema().names
+    cols = ["conv_id", "canonical_text"] + (["domain"] if has_domain else [])
+    sigs = conversations.select_columns(cols).map_batches(
+        MinHashSimHashStage,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.sig_batch_size,
+        concurrency=(1, conc),
+    )
+
+    def _thr(batch: pa.Table) -> pa.Table:
+        if "domain" in batch.column_names:
+            thr = [cfg.threshold_for(d) for d in batch["domain"].to_pylist()]
+        else:
+            thr = [cfg.threshold] * batch.num_rows
+        return batch.append_column("thr", pa.array(thr, pa.float64()))
+
+    sigs.map_batches(_thr, batch_format="pyarrow").select_columns(
+        ["conv_id", "minhash_sig", "simhash", "thr"]
+    ).write_parquet(path)
+
+
+@dataclass
+class IncrementalNearDupResult:
+    new_only: "rd.Dataset"  # new docs with no verified historical twin
+    matches: "rd.Dataset"   # (hist_id, new_id, jaccard, hamming)
+
+
+def incremental_near_dup(
+    new_conversations: "rd.Dataset",
+    index_path: str,
+    config: DedupConfig | None = None,
+    num_partitions: int | None = None,
+) -> IncrementalNearDupResult:
+    """Near-dup probe of a new batch against a historical signature index.
+
+    Two-sided LSH: both sides band-explode into light (band_key, conv_id)
+    rows (ids prefixed 'h|'/'n|' so sides never collide and split
+    contiguously inside a sorted bucket), one hash shuffle co-buckets
+    them, and only CROSS pairs are emitted (hist x new; skew-capped on
+    the historical side — see `make_cross_pair_emitter`). Signatures are
+    joined back via the partitioned attach and pairs are verified by the
+    standard actor-pool predicate (sig-Jaccard >= max(thr) OR SimHash
+    Hamming <= strict). New-batch-internal duplicates are out of scope —
+    run the flagship `dedup_conversations` over the batch first, then
+    probe its representatives here.
+
+    Nothing is broadcast and nothing materializes on the driver: the
+    index streams from Parquet, so the accepted-corpus state can grow
+    without bound (the Redis-index scale cliff the reference hits).
+    """
+    from ..stages.grouped import attach_lookup, partitioned_group_map
+    from ..stages.lsh import (
+        BandExplode,
+        attach_signatures,
+        make_cross_pair_emitter,
+    )
+    from ..stages.minhash_stage import MinHashSimHashStage
+    from ..stages.verify import PairVerifier
+
+    cfg = config or DedupConfig()
+    conc = cfg.resolved_minhash_concurrency()
+
+    new_sigs = (
+        new_conversations.select_columns(["conv_id", "canonical_text"])
+        .map_batches(
+            MinHashSimHashStage,
+            fn_constructor_kwargs={"config": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.sig_batch_size,
+            concurrency=(1, conc),
+        )
+        .drop_columns(["canonical_text"])
+    )
+
+    def _default_thr(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "thr", pa.array([cfg.threshold] * batch.num_rows, pa.float64())
+        )
+
+    new_sigs = (
+        new_sigs.map_batches(_default_thr, batch_format="pyarrow")
+        .map_batches(_prefix_ids(_RIGHT), batch_format="pyarrow")
+        .materialize()  # feeds band explode + attach + anti-join
+    )
+    hist_sigs = rd.read_parquet(
+        index_path, columns=["conv_id", "minhash_sig", "simhash", "thr"]
+    ).map_batches(_prefix_ids(_LEFT), batch_format="pyarrow")
+
+    sig_cols = ["conv_id", "minhash_sig"]
+    banded = (
+        hist_sigs.select_columns(sig_cols)
+        .union(new_sigs.select_columns(sig_cols))
+        .map_batches(BandExplode(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    )
+    pairs = partitioned_group_map(
+        banded, "band_key", make_cross_pair_emitter(cfg.bucket_cap, _LEFT),
+        num_partitions, arrow=True,
+    )
+    # the attach dedups (a_id, b_id) globally inside its a_id-keyed pass
+    with_sigs = attach_signatures(
+        pairs, hist_sigs.union(new_sigs), num_partitions
+    )
+    verified = with_sigs.map_batches(
+        PairVerifier,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.resolved_verify_concurrency()),
+    )
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hist_id": pc.utf8_slice_codeunits(batch["a_id"], len(_LEFT)),
+                "new_id": pc.utf8_slice_codeunits(batch["b_id"], len(_RIGHT)),
+                "jaccard": batch["jaccard"],
+                "hamming": batch["hamming"],
+            }
+        )
+
+    matches = verified.map_batches(_strip, batch_format="pyarrow").materialize()
+
+    # anti-semi-join: new docs with no verified match stream through a
+    # partitioned lookup (no driver set, no broadcast of matched ids)
+    new_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("minhash_sig", pa.binary()),
+            ("simhash", pa.int64()),
+            ("thr", pa.float64()),
+        ]
+    )
+
+    def _unprefix(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("conv_id"),
+            "conv_id",
+            pc.utf8_slice_codeunits(batch["conv_id"], len(_RIGHT)),
+        )
+
+    flagged = attach_lookup(
+        new_sigs, new_schema, ["conv_id"],
+        matches.map_batches(
+            lambda b: pa.table(
+                {
+                    "new_id": pc.binary_join_element_wise(
+                        pa.scalar(_RIGHT), b["new_id"], ""
+                    ),
+                    "_dup": pa.array([1] * b.num_rows, pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "new_id", "_dup", pa.int8(), ["_dup"],
+        num_partitions,
+    )
+
+    def _novel(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch["_dup"])
+        return batch.filter(keep).drop_columns(["_dup", "minhash_sig", "simhash", "thr"])
+
+    new_only = flagged.map_batches(_novel, batch_format="pyarrow").map_batches(
+        _unprefix, batch_format="pyarrow"
+    )
+    return IncrementalNearDupResult(new_only=new_only, matches=matches)

@@ -154,6 +154,77 @@ def make_pair_emitter(bucket_cap: int):
     return _emit_pairs
 
 
+def make_cross_pair_emitter(bucket_cap: int, left_prefix: str = "h|"):
+    """Partition-level pair generation for the INCREMENTAL (two-sided)
+    case: pairs only span sides — left ids (historical index, prefixed
+    `left_prefix`) x right ids (new batch) within a band bucket.
+    Side membership rides in the id prefix, so band rows stay as light
+    as the self-join path's (band_key, conv_id).
+
+    Skew cap: the historical side of a bucket is truncated to its first
+    `bucket_cap` members (sorted ids, deterministic). Unlike the
+    self-join emitter no chain links are needed — cross pairs carry no
+    connectivity obligation, each new doc just needs >= 1 surviving
+    verified match; a true near-dup shares ~all bands with its twin, so
+    a cap in one bucket is recovered by the other bands. Dropped-pair
+    counts are recorded for lineage as in the self-join path.
+    """
+
+    def _emit_pairs(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from .grouped import run_bounds
+
+        df = (
+            pl.from_arrow(tb)
+            .sort(["band_key", "conv_id"])
+            .unique(["band_key", "conv_id"], keep="first", maintain_order=True)
+        )
+        keys = df["band_key"].to_numpy()
+        bounds = run_bounds(keys)
+        ids = df["conv_id"].to_numpy()
+        is_left = np.array(
+            [s.startswith(left_prefix) for s in ids], dtype=bool
+        )
+        all_a: list[np.ndarray] = []
+        all_b: list[np.ndarray] = []
+        sizes: list[np.ndarray] = []
+        dropped_col: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            lmask = is_left[s:e]
+            nl = int(lmask.sum())
+            nr = int(e - s) - nl
+            if nl == 0 or nr == 0:
+                continue
+            # ids are sorted within the run and left_prefix sorts left
+            # ids first, so positions split contiguously at s+nl
+            li = np.arange(s, s + min(nl, bucket_cap))
+            ri = np.arange(s + nl, e)
+            ai = np.repeat(li, len(ri))
+            bi = np.tile(ri, len(li))
+            all_a.append(ai)
+            all_b.append(bi)
+            n_pairs = len(ai)
+            sizes.append(np.full(n_pairs, e - s, dtype=np.int64))
+            d = np.zeros(n_pairs, dtype=np.int64)
+            d[0] = max(nl - bucket_cap, 0) * nr
+            dropped_col.append(d)
+        if not all_a:
+            return _EMPTY_PAIRS
+        a_idx = np.concatenate(all_a)
+        b_idx = np.concatenate(all_b)
+        return pa.table(
+            {
+                "a_id": pa.array(ids[a_idx].tolist(), pa.string()),
+                "b_id": pa.array(ids[b_idx].tolist(), pa.string()),
+                "bucket_size": pa.array(np.concatenate(sizes)),
+                "dropped_pairs": pa.array(np.concatenate(dropped_col)),
+            }
+        )
+
+    return _emit_pairs
+
+
 # typed empty result as Arrow (a typed empty pandas frame with object
 # columns trips Ray's block-size estimation on zero-length inputs)
 _EMPTY_PAIRS = pa.table(

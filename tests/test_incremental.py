@@ -157,6 +157,82 @@ class TestHtmlExtract:
             HtmlExtractStage(cascade_order=())
 
 
+class TestIncrementalNearDup:
+    def test_planted_truth_split(self, tmp_path):
+        """Split a synthetic corpus with planted dup variants into a
+        historical side (cluster bases) and a new batch (exact /
+        whitespace / near variants + moved unique singletons): every
+        variant must match its base in the index, every moved unique
+        conv must come out in new_only."""
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.incremental import (
+            incremental_near_dup,
+            write_signature_index,
+        )
+        from quarrycore_ray.stages.canonical import assemble_conversations
+        from quarrycore_ray.synth import write_corpus
+
+        root = write_corpus(str(tmp_path / "corpus"), n_convs=150, seed=23)
+        truth = pq.read_table(root + "/truth_clusters.parquet").to_pandas()
+        is_base = truth["conv_id"] == truth["truth_cluster_id"]
+        variants = truth[
+            ~is_base & truth["dup_kind"].isin(["exact", "whitespace", "near"])
+        ]
+        # new side: the cross-catchable variants + 20 unique singletons
+        # (only bases NOT referenced by any variant may move — a moved
+        # base would leave its variants nothing to match in the index)
+        referenced = set(truth[~is_base]["truth_cluster_id"])
+        singles = truth[is_base & (truth["dup_kind"] == "unique")]["conv_id"]
+        moved_unique = set(sorted(set(singles) - referenced)[:20])
+        new_ids = set(variants["conv_id"]) | moved_unique
+        hist_ids = set(truth["conv_id"]) - new_ids
+
+        convs = assemble_conversations(
+            rd.read_parquet(root + "/transcripts")
+        ).materialize()
+        hist = convs.filter(lambda r: r["conv_id"] in hist_ids)
+        new = convs.filter(lambda r: r["conv_id"] in new_ids)
+        idx = str(tmp_path / "sig_index")
+        write_signature_index(hist, idx)
+
+        res = incremental_near_dup(new, idx)
+        matches = res.matches.to_pandas()
+        new_only = set(res.new_only.to_pandas()["conv_id"])
+
+        # recall: every planted variant matched >= 1 historical doc of
+        # its truth cluster
+        matched_by = matches.groupby("new_id")["hist_id"].apply(set).to_dict()
+        base_of = dict(zip(truth["conv_id"], truth["truth_cluster_id"]))
+        cluster_members = truth.groupby("truth_cluster_id")["conv_id"].apply(set)
+        missed = []
+        for v in variants["conv_id"]:
+            want = (cluster_members[base_of[v]] & hist_ids)
+            if not (matched_by.get(v, set()) & want):
+                missed.append(v)
+        assert not missed, f"variants with no historical match: {missed[:5]}"
+        # precision of the anti-join: unique movers all come through,
+        # matched variants never do
+        assert moved_unique <= new_only
+        assert not (set(variants["conv_id"]) & new_only)
+        # ids round-trip unprefixed
+        assert all(not c.startswith(("h|", "n|")) for c in new_only)
+
+    def test_empty_new_batch(self, tmp_path):
+        from quarrycore_ray.pipelines.incremental import (
+            incremental_near_dup,
+            write_signature_index,
+        )
+
+        hist = rd.from_arrow(_conv_table({"h-1": "some historical text here"}))
+        idx = str(tmp_path / "idx")
+        write_signature_index(hist, idx)
+        new = rd.from_arrow(_conv_table({})).filter(lambda r: True)
+        res = incremental_near_dup(new, idx)
+        assert res.matches.count() == 0
+        assert res.new_only.count() == 0
+
+
 class TestBloomZeroCopy:
     def test_readonly_view_membership(self):
         from quarrycore_ray.state.bloom import BloomFilter
