@@ -34,6 +34,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from quarrycore_ray.functions import similarity
+    from quarrycore_ray.pipelines import curation as cur
     from quarrycore_ray.pipelines import dataset as dset
     from quarrycore_ray.pipelines import documents as docs
     from quarrycore_ray.pipelines import relational as rel
@@ -150,6 +151,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_sample": dset.curriculum_sample,
         "rejection_sample": dset.rejection_sample,
         "vocab_size_approx": vocab_size_approx,
+        # corpus curation (C4/CCNet/Gopher lineage)
+        "segment_dedup_docs": cur.segment_dedup_docs,
+        "pii_redact_docs": cur.pii_redact_docs,
+        "repetition_stats_docs": cur.repetition_stats_docs,
+        # as-of join (custom operator: Ray Data lacks a primitive)
+        "events_asof_join": rel.events_asof_join,
     }
 
 
@@ -157,6 +164,9 @@ def oracle_sql() -> dict[str, str]:
     canon_docs = f"SELECT doc_id, {_CANON} AS canonical FROM documents"
 
     from quarrycore_ray.functions.textstats import STOPWORDS
+    from quarrycore_ray.pipelines.curation import EMAIL_RE as _EMAIL_RE
+    from quarrycore_ray.pipelines.curation import IP_RE as _IP_RE
+    from quarrycore_ray.pipelines.curation import PHONE_RE as _PHONE_RE
 
     def _stoplist(lang: str) -> str:
         return "(" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
@@ -654,5 +664,98 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY cos DESC, n_id) AS rk
                 FROM s
             ) WHERE rk <= 5
+        """,
+        # --- corpus curation (pipelines/curation.py) ---
+        "segment_dedup_docs": f"""
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w,
+                         generate_subscripts(words, 1) - 1 AS i FROM c),
+            segs AS (
+                SELECT doc_id, i // 10 AS seg_idx,
+                       string_agg(w, ' ' ORDER BY i) AS seg
+                FROM w GROUP BY doc_id, i // 10
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_total_segs
+                       FROM segs GROUP BY doc_id),
+            kept AS (
+                SELECT doc_id, seg_idx, seg FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+                    FROM segs
+                ) WHERE rn = 1
+            )
+            SELECT k.doc_id,
+                   string_agg(k.seg, ' ' ORDER BY k.seg_idx) AS kept_text,
+                   count(*) AS n_kept_segs,
+                   any_value(t.n_total_segs) AS n_total_segs
+            FROM kept k JOIN totals t USING (doc_id)
+            GROUP BY k.doc_id
+        """,
+        "pii_redact_docs": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       {_CANON} || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com or call 555-0'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || ' from host 10.' || CAST(doc_id % 250 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+                       || '.' || CAST(doc_id % 99 AS VARCHAR) AS t
+                FROM documents
+            ),
+            -- cascade identical to the engine: count each pattern on the
+            -- text the replacement is applied to (both sides run RE2)
+            e AS (SELECT doc_id, t,
+                         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+                         regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+                  FROM inj),
+            p AS (SELECT *, len(regexp_extract_all(t1, '{_PHONE_RE}')) AS n_phones,
+                         regexp_replace(t1, '{_PHONE_RE}', '<PHONE>', 'g') AS t2
+                  FROM e)
+            SELECT doc_id,
+                   regexp_replace(t2, '{_IP_RE}', '<IP>', 'g') AS redacted,
+                   n_emails, n_phones,
+                   len(regexp_extract_all(t2, '{_IP_RE}')) AS n_ips
+            FROM p
+        """,
+        "repetition_stats_docs": f"""
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w,
+                         generate_subscripts(words, 1) AS i FROM c),
+            wc AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY doc_id, w),
+            top AS (SELECT doc_id, sum(n) AS n_words, max(n) AS top_n
+                    FROM wc GROUP BY doc_id),
+            bg AS (
+                SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS b
+                FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY b IS NOT NULL
+            ),
+            bstat AS (SELECT doc_id, count(*) AS nb,
+                             count(DISTINCT b) AS ub
+                      FROM bg GROUP BY doc_id)
+            SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+                   floor((t.top_n * 1.0 / t.n_words) * 1000000 + 0.5)
+                       / 1000000.0 AS top_word_frac,
+                   coalesce(
+                       floor((1.0 - b.ub * 1.0 / b.nb) * 1000000 + 0.5)
+                           / 1000000.0, 0.0) AS dup_bigram_frac
+            FROM top t LEFT JOIN bstat b USING (doc_id)
+        """,
+        # --- as-of join (pipelines/relational.py:events_asof_join) ---
+        "events_asof_join": """
+            WITH v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'view'),
+            c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, c.ts,
+                   -- latest view at-or-before the click; ts ties broken
+                   -- by max event_id (the engine's sort order)
+                   arg_max(v.value,
+                           CAST(epoch_us(v.ts) AS HUGEINT) * 1000000000000
+                               + v.event_id) AS last_view_value
+            FROM c LEFT JOIN v
+              ON v.user_id = c.user_id AND v.ts <= c.ts
+            GROUP BY c.event_id, c.user_id, c.ts
         """,
     }

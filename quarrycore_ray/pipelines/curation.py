@@ -1,0 +1,271 @@
+"""Corpus-curation operators for LLM training data.
+
+The C4 / CCNet / Gopher lineage of web-corpus cleaning, re-expressed
+Ray-Data-first over the `documents` table: global segment-level exact
+dedup (C4's "discard all but one of any three-sentence span"), PII
+redaction (regex scrub with typed placeholder tokens), and repetition
+quality metrics (Gopher's duplicate-n-gram fractions). The reference's
+single-process quality pipeline applies per-document scorers
+(`/root/reference/src/quarrycore/quality/assessor.py:70-119`); these
+operators extend that surface with the *cross-document* curation steps a
+100 TB pipeline needs, each with an exact DuckDB oracle.
+
+Scale notes per operator are in the docstrings; the common theme is that
+the only shuffles are hash-partitions on compact keys (segment digest,
+int doc_id) via `stages.grouped.partitioned_group_map` — never on text.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..exactmath import floor_round_np
+from ..stages.grouped import partitioned_group_map
+from ..text import normalize_whitespace_array, sha256_hex_array
+
+SEG_WORDS = 10  # words per dedup segment (C4 uses 3 sentences; the
+# synthetic corpus has no sentence punctuation, so fixed word windows)
+
+
+def _canonical_docs(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canonical": normalize_whitespace_array(batch["text"]),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# --- C4-style global segment dedup ------------------------------------------
+
+
+def segment_dedup_docs(sf_dir: str, seg_words: int = SEG_WORDS) -> "rd.Dataset":
+    """Remove every repeated occurrence of any `seg_words`-word segment
+    across the WHOLE corpus, keeping only its first occurrence in
+    (doc_id, seg_idx) order, then reassemble documents from their
+    surviving segments (C4 §2.2's span dedup, word-window variant).
+
+    Output: (doc_id, kept_text, n_kept_segs, n_total_segs) for documents
+    with >= 1 surviving segment.
+
+    Scale shape: segmentation is a per-batch polars explode (no
+    shuffle); the global keep-first decision hash-partitions on the
+    segment's sha256 digest, so all occurrences of a segment meet in one
+    partition and one vectorized pass keeps the (doc_id, seg_idx)-min
+    row per digest — the same coarse-partitioned keep-min plan as
+    `stages/exact.py`, applied to sub-document granularity. Reassembly
+    hash-partitions survivors on int doc_id. Both shuffle payloads are
+    one segment (~60 bytes) per row, never whole documents.
+    """
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("canonical").str.split(" ").alias("_w")
+        )
+        segs = (
+            df.select(["doc_id", "_w"])
+            .explode("_w")
+            .with_columns(pl.int_range(pl.len()).over("doc_id").alias("_i"))
+            .group_by(
+                "doc_id", (pl.col("_i") // seg_words).alias("seg_idx"),
+                maintain_order=True,
+            )
+            .agg(pl.col("_w").str.join(" ").alias("seg"))
+            .with_columns(pl.len().over("doc_id").alias("n_total_segs"))
+        )
+        tb = segs.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("seg_idx", pa.int64()),
+                    ("seg", pa.string()),
+                    ("n_total_segs", pa.int64()),
+                ]
+            )
+        )
+        return tb.append_column("seg_hash", sha256_hex_array(tb["seg"]))
+
+    def _keep_first(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["seg_hash", "doc_id", "seg_idx"])
+            .unique(["seg_hash"], keep="first", maintain_order=True)
+            .drop(["seg_hash"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("seg_idx", pa.int64()),
+                    ("seg", pa.string()),
+                    ("n_total_segs", pa.int64()),
+                ]
+            )
+        )
+
+    def _reassemble(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["doc_id", "seg_idx"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                pl.col("seg").str.join(" ").alias("kept_text"),
+                pl.len().cast(pl.Int64).alias("n_kept_segs"),
+                pl.col("n_total_segs").first(),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("kept_text", pa.string()),
+                    ("n_kept_segs", pa.int64()),
+                    ("n_total_segs", pa.int64()),
+                ]
+            )
+        )
+
+    exploded = _canonical_docs(sf_dir).map_batches(_explode, batch_format="pyarrow")
+    survivors = partitioned_group_map(exploded, "seg_hash", _keep_first, arrow=True)
+    return partitioned_group_map(survivors, "doc_id", _reassemble, arrow=True)
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# RE2 syntax shared verbatim with the DuckDB oracle (both engines run
+# RE2, so match boundaries and non-overlapping left-to-right counting
+# agree by construction)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact_docs(sf_dir: str) -> "rd.Dataset":
+    """Scrub emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens and count each kind per document.
+
+    The synthetic corpus contains no PII, so a deterministic PII suffix
+    derived from doc_id is appended first (identically in the DuckDB
+    oracle) — the operator under test is the cascade itself: redact
+    emails, then phones on the email-redacted text, then IPs, counting
+    each pattern on the text it is applied to. Output: (doc_id,
+    redacted, n_emails, n_phones, n_ips).
+
+    Scale shape: a pure `map_batches` over Arrow string arrays — Arrow's
+    RE2 kernels (`replace_substring_regex` / `count_substring_regex`)
+    run compiled and zero-copy; no shuffle, no state, linear scan.
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        # the PII suffix is synthetic test scaffolding (the corpus has
+        # none); the operator under test — the RE2 cascade below — stays
+        # fully vectorized
+        suffix = pa.array(
+            [
+                f"contact user{d}@mail.example.com or call 555-0{d % 1000:03d}"
+                f" from host 10.{d % 250}.{(d * 7) % 250}.{d % 99}"
+                for d in ids.to_pylist()
+            ],
+            pa.string(),
+        )
+        injected = pc.binary_join_element_wise(batch["canonical"], suffix, " ")
+        n_emails = pc.count_substring_regex(injected, EMAIL_RE)
+        no_email = pc.replace_substring_regex(injected, EMAIL_RE, "<EMAIL>")
+        n_phones = pc.count_substring_regex(no_email, PHONE_RE)
+        no_phone = pc.replace_substring_regex(no_email, PHONE_RE, "<PHONE>")
+        n_ips = pc.count_substring_regex(no_phone, IP_RE)
+        redacted = pc.replace_substring_regex(no_phone, IP_RE, "<IP>")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "redacted": redacted,
+                "n_emails": n_emails.cast(pa.int64()),
+                "n_phones": n_phones.cast(pa.int64()),
+                "n_ips": n_ips.cast(pa.int64()),
+            }
+        )
+
+    return _canonical_docs(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+# --- Gopher repetition metrics ----------------------------------------------
+
+
+def repetition_stats_docs(sf_dir: str) -> "rd.Dataset":
+    """Per-document repetition metrics in the Gopher rules' shape
+    (Rae et al. 2021, Table A1): fraction of tokens taken by the single
+    most frequent word, and fraction of word bigrams that are repeat
+    occurrences. Output: (doc_id, n_words, top_word_frac,
+    dup_bigram_frac), fractions floor-rounded at 1e-6 to match the
+    oracle's arithmetic.
+
+    Scale shape: per-document metrics are embarrassingly parallel — one
+    polars explode + two grouped reductions per batch, no shuffle. A
+    quality-filter predicate (e.g. top_word_frac <= 0.2) composes as a
+    downstream `filter` without recomputation.
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl
+
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("canonical").str.split(" ").alias("_w")
+        )
+        words = (
+            df.select(["doc_id", "_w"])
+            .explode("_w")
+            .with_columns(pl.col("_w").shift(-1).over("doc_id").alias("_nxt"))
+            .with_columns(
+                pl.concat_str(
+                    [pl.col("_w"), pl.col("_nxt")], separator=" "
+                ).alias("_bg")
+            )
+        )
+        per_doc = words.group_by("doc_id", maintain_order=True).agg(
+            pl.len().cast(pl.Int64).alias("n_words"),
+            pl.col("_w").unique_counts().max().cast(pl.Int64).alias("_top"),
+            pl.col("_bg").is_not_null().sum().cast(pl.Int64).alias("_n_bigrams"),
+            pl.col("_bg").drop_nulls().n_unique().cast(pl.Int64).alias(
+                "_uniq_bigrams"
+            ),
+        )
+        n_words = per_doc["n_words"].to_numpy().astype(np.float64)
+        top = per_doc["_top"].to_numpy().astype(np.float64)
+        nb = per_doc["_n_bigrams"].to_numpy().astype(np.float64)
+        ub = per_doc["_uniq_bigrams"].to_numpy().astype(np.float64)
+        top_frac = np.where(n_words > 0, top / np.maximum(n_words, 1), 0.0)
+        dup_frac = np.where(nb > 0, 1.0 - ub / np.maximum(nb, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(per_doc["doc_id"].to_numpy(), pa.int64()),
+                "n_words": pa.array(per_doc["n_words"].to_numpy(), pa.int64()),
+                "top_word_frac": pa.array(
+                    floor_round_np(top_frac, 6), pa.float64()
+                ),
+                "dup_bigram_frac": pa.array(
+                    floor_round_np(dup_frac, 6), pa.float64()
+                ),
+            }
+        )
+
+    return _canonical_docs(sf_dir).map_batches(_f, batch_format="pyarrow")

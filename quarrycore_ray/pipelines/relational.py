@@ -341,3 +341,69 @@ def supplier_nation_counts(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_suppliers"))
     )
     return out.to_pandas().sort_values("n_name").reset_index(drop=True)
+
+
+def events_asof_join(sf_dir: str) -> "rd.Dataset":
+    """As-of join: each 'click' event picks up the value of the latest
+    'view' event by the same user at or before its timestamp (ties on
+    ts broken by max event_id). Output: (event_id, user_id, ts,
+    last_view_value) — null when the user has no prior view.
+
+    Ray Data has no as-of join primitive; the streaming-safe
+    composition is the tagged-union merge: both sides union into one
+    dataset, hash-partition on user_id (`partitioned_group_map`), and
+    inside each partition ONE vectorized polars pass sorts by
+    (user_id, ts, side, event_id) — views ordered before clicks at
+    equal ts — and forward-fills the last view value within each user
+    run. No broadcast, no per-user dispatch, and each row crosses the
+    shuffle exactly once, so the plan holds when users number 10^9.
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        etype = batch["event_type"]
+        keep = pc.is_in(etype, value_set=pa.array(["view", "click"]))
+        batch = batch.filter(keep)
+        is_click = pc.equal(batch["event_type"], pa.scalar("click"))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                # views (0) sort before clicks (1) at equal ts, so a
+                # same-instant view is visible to the click
+                "_side": pc.cast(is_click, pa.int8()),
+                "value": batch["value"],
+            }
+        )
+
+    def _merge(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["user_id", "ts", "_side", "event_id"])
+        df = df.with_columns(
+            pl.when(pl.col("_side") == 0)
+            .then(pl.col("value"))
+            .otherwise(None)
+            .forward_fill()
+            .over("user_id")
+            .alias("last_view_value")
+        )
+        out = df.filter(pl.col("_side") == 1).select(
+            ["event_id", "user_id", "ts", "last_view_value"]
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("last_view_value", pa.float64()),
+                ]
+            )
+        )
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    return partitioned_group_map(tagged, "user_id", _merge, arrow=True)

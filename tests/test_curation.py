@@ -1,0 +1,169 @@
+"""Corpus-curation operators (pipelines/curation.py) and the as-of join
+(pipelines/relational.py) on planted fixtures: segment dedup keeps
+exactly the first occurrence of every repeated window, PII redaction
+counts and replaces each pattern kind, repetition metrics match
+hand-computed values, and the as-of join honors tie/no-match rules."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+
+def _write_docs(tmp_path, texts: dict[int, str]) -> str:
+    tb = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(tb, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+class TestSegmentDedup:
+    def test_first_occurrence_wins(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import segment_dedup_docs
+
+        seg_a = "a b c"  # shared 3-word segment
+        sf = _write_docs(
+            tmp_path,
+            {
+                # doc 0: [a b c] [d e f]
+                0: f"{seg_a} d e f",
+                # doc 1: [a b c] [g h i] -> first segment is a repeat
+                1: f"{seg_a} g h i",
+                # doc 2: entirely the repeated segment -> fully removed
+                2: seg_a,
+                # doc 3: unique, survives whole (incl. short tail)
+                3: "j k l m",
+            },
+        )
+        out = (
+            segment_dedup_docs(sf, seg_words=3)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert list(out.index) == [0, 1, 3]
+        assert out.loc[0, "kept_text"] == "a b c d e f"
+        assert out.loc[0, "n_kept_segs"] == 2 and out.loc[0, "n_total_segs"] == 2
+        assert out.loc[1, "kept_text"] == "g h i"
+        assert out.loc[1, "n_kept_segs"] == 1 and out.loc[1, "n_total_segs"] == 2
+        assert out.loc[3, "kept_text"] == "j k l m"
+        assert out.loc[3, "n_kept_segs"] == 2  # "j k l" + "m"
+
+    def test_within_doc_repeat_removed(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import segment_dedup_docs
+
+        sf = _write_docs(tmp_path, {7: "x y z x y z"})
+        out = segment_dedup_docs(sf, seg_words=3).to_pandas()
+        assert out.loc[0, "kept_text"] == "x y z"
+        assert out.loc[0, "n_total_segs"] == 2
+
+
+class TestPiiRedact:
+    def test_counts_and_placeholders(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import pii_redact_docs
+
+        sf = _write_docs(tmp_path, {5: "hello world"})
+        out = pii_redact_docs(sf).to_pandas()
+        row = out.iloc[0]
+        assert row["n_emails"] == 1
+        assert row["n_phones"] == 1
+        assert row["n_ips"] == 1
+        assert (
+            row["redacted"]
+            == "hello world contact <EMAIL> or call <PHONE> from host <IP>"
+        )
+
+    def test_multiple_matches_counted(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import pii_redact_docs
+
+        # text itself contains an extra email and IP
+        sf = _write_docs(tmp_path, {3: "ping a.b@c.io from 1.2.3.4 ok"})
+        out = pii_redact_docs(sf).to_pandas()
+        row = out.iloc[0]
+        assert row["n_emails"] == 2 and row["n_ips"] == 2
+        assert row["redacted"].count("<EMAIL>") == 2
+        assert row["redacted"].count("<IP>") == 2
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import repetition_stats_docs
+
+        sf = _write_docs(
+            tmp_path,
+            {
+                # words: a a a b -> top a=3/4; bigrams: (a a),(a a),(a b)
+                # -> 3 total, 2 unique -> dup 1/3
+                0: "a a a b",
+                # single word: no bigrams -> dup 0
+                1: "solo",
+            },
+        )
+        out = repetition_stats_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_words"] == 4
+        assert out.loc[0, "top_word_frac"] == 0.75
+        assert out.loc[0, "dup_bigram_frac"] == pytest.approx(0.333333, abs=1e-6)
+        assert out.loc[1, "n_words"] == 1
+        assert out.loc[1, "top_word_frac"] == 1.0
+        assert out.loc[1, "dup_bigram_frac"] == 0.0
+
+
+class TestAsofJoin:
+    def _write_events(self, tmp_path, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"])
+        tb = pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                ]
+            )
+        )
+        pq.write_table(tb, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_latest_prior_view_with_ties(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import events_asof_join
+
+        t = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        sf = self._write_events(
+            tmp_path,
+            [
+                (0, 1, t, "view", 10.0),
+                (1, 1, t + s, "view", 20.0),
+                (2, 1, t + 2 * s, "click", 0.0),   # -> 20.0 (latest prior)
+                (3, 1, t + 3 * s, "view", 30.0),
+                (4, 1, t + 3 * s, "click", 0.0),   # same-instant view counts -> 30.0
+                (5, 2, t, "click", 0.0),           # user 2 has no view -> null
+                (6, 3, t, "view", 1.0),
+                (7, 3, t, "view", 2.0),            # ts tie: max event_id wins
+                (8, 3, t + s, "click", 0.0),       # -> 2.0
+                (9, 1, t, "purchase", 99.0),       # other types ignored
+            ],
+        )
+        out = (
+            events_asof_join(sf)
+            .to_pandas()
+            .set_index("event_id")
+            .sort_index()
+        )
+        assert list(out.index) == [2, 4, 5, 8]
+        assert out.loc[2, "last_view_value"] == 20.0
+        assert out.loc[4, "last_view_value"] == 30.0
+        assert pd.isna(out.loc[5, "last_view_value"])
+        assert out.loc[8, "last_view_value"] == 2.0
