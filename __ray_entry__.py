@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_docs": cur.repetition_stats_docs,
         # as-of join (custom operator: Ray Data lacks a primitive)
         "events_asof_join": rel.events_asof_join,
+        # exact quantiles via value histogram (§2.6 analytics)
+        "length_quantiles": docs.length_quantiles,
+        # sliding-window aggregate (§2.10)
+        "events_sliding_window": rel.events_sliding_window,
     }
 
 
@@ -741,6 +745,32 @@ def oracle_sql() -> dict[str, str]:
                        floor((1.0 - b.ub * 1.0 / b.nb) * 1000000 + 0.5)
                            / 1000000.0, 0.0) AS dup_bigram_frac
             FROM top t LEFT JOIN bstat b USING (doc_id)
+        """,
+        # --- exact quantiles (pipelines/documents.py:length_quantiles) ---
+        "length_quantiles": """
+            WITH s AS (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r,
+                       count(*) OVER () AS n
+                FROM documents
+            ),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+            SELECT q, n_chars
+            FROM qs JOIN s ON s.r = CAST(floor((s.n - 1) * q) AS BIGINT)
+        """,
+        # --- sliding window (pipelines/relational.py:events_sliding_window) ---
+        "events_sliding_window": """
+            WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, hour, n_events,
+                   floor(avg(n_events * 1.0) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) * 1000000 + 0.5) / 1000000.0 AS ma3
+            FROM h
         """,
         # --- as-of join (pipelines/relational.py:events_asof_join) ---
         "events_asof_join": """

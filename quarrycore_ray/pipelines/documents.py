@@ -923,3 +923,37 @@ def vocab_stats(sf_dir: str) -> pd.DataFrame:
             "vocab_size": pd.array([vocab_size], dtype="int64"),
         }
     )
+
+
+def length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantiles of document length: for each q the value at
+    0-indexed position floor((n-1)*q) of (n_chars, doc_id) ascending
+    order. Output: (q, n_chars).
+
+    Scale shape: a global sort is NOT needed for exact quantiles of a
+    low-cardinality integer column — one `groupby(n_chars).count()`
+    shuffle builds the value histogram (distinct lengths are O(10^4)
+    regardless of row count), and the driver walks the cumulative sum.
+    This is the exact-counting analog of a quantile sketch; for
+    high-cardinality doubles the same plan runs over binned values with
+    a per-bin refinement pass.
+    """
+    hist = (
+        _docs(sf_dir, ["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    n = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    rows = []
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        target = int(np.floor((n - 1) * q))
+        idx = int(np.searchsorted(cum.to_numpy(), target + 1))
+        rows.append({"q": q, "n_chars": int(hist["n_chars"].iloc[idx])})
+    out = pd.DataFrame(rows)
+    out["q"] = out["q"].astype("float64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out

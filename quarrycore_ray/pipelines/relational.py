@@ -407,3 +407,65 @@ def events_asof_join(sf_dir: str) -> "rd.Dataset":
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     return partitioned_group_map(tagged, "user_id", _merge, arrow=True)
+
+
+def events_sliding_window(sf_dir: str) -> "rd.Dataset":
+    """Sliding-window aggregate: per event_type, 3-row moving average of
+    hourly event counts (current + 2 preceding hours with data).
+    Output: (event_type, hour, n_events, ma3) with ma3 floor-rounded at
+    1e-6 — identical to the oracle's
+    `avg(n) OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)`.
+
+    Scale shape: the tumbling hourly aggregate is the only full-data
+    shuffle (same plan as `events_hourly`); the window pass then runs
+    per event_type inside one hash partition with a vectorized polars
+    rolling mean — window state never leaves the partition, so the plan
+    is the streaming-safe "aggregate then window over the much smaller
+    keyed series" decomposition.
+    """
+    from ..exactmath import floor_round
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+    def _window(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(tb)
+            .sort(["event_type", "hour"])
+            .with_columns(
+                pl.col("n_events")
+                .cast(pl.Float64)
+                .rolling_mean(window_size=3, min_samples=1)
+                .over("event_type")
+                .alias("ma3")
+            )
+        )
+        out = df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("hour", pa.timestamp("us")),
+                    ("n_events", pa.int64()),
+                    ("ma3", pa.float64()),
+                ]
+            )
+        )
+        return out.set_column(3, "ma3", floor_round(out["ma3"], 6))
+
+    return partitioned_group_map(hourly, "event_type", _window, arrow=True)

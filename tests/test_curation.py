@@ -167,3 +167,62 @@ class TestAsofJoin:
         assert out.loc[4, "last_view_value"] == 30.0
         assert pd.isna(out.loc[5, "last_view_value"])
         assert out.loc[8, "last_view_value"] == 2.0
+
+
+class TestLengthQuantiles:
+    def test_hand_computed(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import length_quantiles
+
+        # lengths 1..10 -> q-th value at floor(9*q): q=.5 -> idx 4 -> 5
+        tb = pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "n_chars": pa.array(list(range(1, 11)), pa.int64()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "documents.parquet"))
+        out = length_quantiles(str(tmp_path)).set_index("q")
+        assert out.loc[0.25, "n_chars"] == 3   # floor(9*.25)=2 -> value 3
+        assert out.loc[0.5, "n_chars"] == 5
+        assert out.loc[0.9, "n_chars"] == 9    # floor(8.1)=8 -> value 9
+        assert out.loc[0.99, "n_chars"] == 9   # floor(8.91)=8
+
+
+class TestSlidingWindow:
+    def test_rolling_mean_per_type(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import events_sliding_window
+
+        t = dt.datetime(2024, 1, 1)
+        h = dt.timedelta(hours=1)
+        rows = []
+        # type A: 1, 2, 3 events in consecutive hours -> ma3 = 1, 1.5, 2
+        eid = 0
+        for hour, n in [(0, 1), (1, 2), (2, 3)]:
+            for _ in range(n):
+                rows.append((eid, t + hour * h)); eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "ts"])
+        df["user_id"] = 1
+        df["event_type"] = "A"
+        df["value"] = 0.0
+        df["props"] = "{}"
+        tb = pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            )
+        )
+        pq.write_table(tb, str(tmp_path / "events.parquet"))
+        out = (
+            events_sliding_window(str(tmp_path))
+            .to_pandas()
+            .sort_values("hour")
+            .reset_index(drop=True)
+        )
+        assert out["n_events"].tolist() == [1, 2, 3]
+        assert out["ma3"].tolist() == [1.0, 1.5, 2.0]
