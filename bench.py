@@ -129,6 +129,11 @@ def run_bench() -> dict:
     timed("extract_structured", docs.extract_structured)
     timed("search_docs", docs.search_docs)
 
+    from quarrycore_ray.pipelines import curation as cur
+
+    timed("segment_dedup_docs", cur.segment_dedup_docs)
+    timed("events_asof_join", rel.events_asof_join)
+
     ray.shutdown()
     return {
         "metric": "transcript_dedup_e2e_seconds",

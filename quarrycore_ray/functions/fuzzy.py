@@ -130,7 +130,15 @@ def make_fuzzy_scorer(algorithm: str = "ratio", threshold: float = 0.8, max_memb
 def fuzzy_cluster_scores(
     clustered: "ray.data.Dataset", algorithm: str = "ratio", threshold: float = 0.8
 ) -> "ray.data.Dataset":
-    """clustered (conv_id, cluster_id, canonical_text) -> fuzzy pair scores."""
-    return clustered.groupby("cluster_id").map_groups(
-        make_fuzzy_scorer(algorithm, threshold), batch_format="pandas"
+    """clustered (conv_id, cluster_id, canonical_text) -> fuzzy pair scores.
+
+    Coarse-partitioned on cluster_id (stages/grouped.py): duplicate
+    clusters are unbounded in number at corpus scale, so per-cluster
+    Ray dispatch is replaced by one task per hash partition."""
+    from ..stages.grouped import partitioned_group_map, per_group_in_partition
+
+    return partitioned_group_map(
+        clustered,
+        "cluster_id",
+        per_group_in_partition(make_fuzzy_scorer(algorithm, threshold), "cluster_id"),
     )

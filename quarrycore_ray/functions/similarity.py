@@ -66,16 +66,31 @@ def knn_cosine(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     q_ref = ray.put((q_ids, q_mat))
 
     def _score(batch: pa.Table) -> pa.Table:
+        # per-batch top-k combiner: only k candidates per (batch, query)
+        # cross the q_id shuffle, so the exchanged table is O(k *
+        # n_batches * n_queries) — not O(corpus * n_queries). Per-batch
+        # selection uses the same (cosine desc, n_id asc) order as the
+        # final reduce, so the global top-k is preserved exactly.
         qids, qmat = ray.get(q_ref)
         ids, emb = _to_matrix(batch)
         emb = _normalize(emb)
         cos = emb @ qmat.T  # (n_batch, n_queries)
         n, nq = cos.shape
+        out_q: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for j in range(nq):
+            keep = ids != qids[j]  # self-match excluded BEFORE selection
+            cids, ccos = ids[keep], cos[keep, j]
+            order = np.lexsort((cids, -ccos))[: min(k, len(cids))]
+            out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+            out_n.append(cids[order])
+            out_c.append(ccos[order])
         return pa.table(
             {
-                "q_id": pa.array(np.tile(qids, n), pa.int64()),
-                "n_id": pa.array(np.repeat(ids, nq), pa.int64()),
-                "cosine": pa.array(cos.reshape(-1), pa.float64()),
+                "q_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "n_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
             }
         )
 

@@ -122,6 +122,26 @@ def partitioned_group_map(
     )
 
 
+def per_group_in_partition(
+    group_fn: Callable[[pd.DataFrame], pa.Table], key: str
+) -> Callable[[pd.DataFrame], pa.Table]:
+    """Adapt a one-group pandas fn into a partition fn for
+    `partitioned_group_map`: iterate the partition's groups in-process
+    and concat their typed Arrow outputs.
+
+    For group bodies that are inherently per-pair Python (SequenceMatcher
+    scans, fuzzy ratios) the per-group cost is unchanged — the win is
+    that Ray dispatch, block creation, and batch-format conversion drop
+    from once-per-group (unbounded: one per duplicate cluster) to
+    once-per-partition (bounded: O(CPUs))."""
+
+    def _part(df: pd.DataFrame) -> pa.Table:
+        outs = [group_fn(g) for _, g in df.groupby(key, sort=False)]
+        return pa.concat_tables(outs)
+
+    return _part
+
+
 def attach_lookup(
     left: "ray.data.Dataset",
     left_schema: pa.Schema,

@@ -99,6 +99,10 @@ def substring_matches(
     """clustered conversations (conv_id, cluster_id, canonical_text) ->
     substring-match edges within clusters."""
     multi = clustered.select_columns(["conv_id", "cluster_id", "canonical_text"])
-    return multi.groupby("cluster_id").map_groups(
-        make_substring_scanner(min_overlap), batch_format="pandas"
+    from .grouped import partitioned_group_map, per_group_in_partition
+
+    return partitioned_group_map(
+        multi,
+        "cluster_id",
+        per_group_in_partition(make_substring_scanner(min_overlap), "cluster_id"),
     )
