@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": cur.segment_dedup_docs,
         "pii_redact_docs": cur.pii_redact_docs,
         "repetition_stats_docs": cur.repetition_stats_docs,
+        "decontaminate_docs": cur.decontaminate_docs,
         # as-of join (custom operator: Ray Data lacks a primitive)
         "events_asof_join": rel.events_asof_join,
         # exact quantiles via value histogram (§2.6 analytics)
@@ -695,6 +696,24 @@ def oracle_sql() -> dict[str, str]:
                    any_value(t.n_total_segs) AS n_total_segs
             FROM kept k JOIN totals t USING (doc_id)
             GROUP BY k.doc_id
+        """,
+        "decontaminate_docs": f"""
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w,
+                         generate_subscripts(words, 1) - 1 AS i FROM c),
+            segs AS (
+                SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS seg
+                FROM w GROUP BY doc_id, i // 10
+            ),
+            bench AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 50 = 0),
+            hits AS (
+                SELECT DISTINCT t.doc_id, t.seg
+                FROM segs t JOIN bench b USING (seg)
+                WHERE t.doc_id % 50 != 0
+            )
+            SELECT doc_id, count(*) AS n_contaminated_segs
+            FROM hits GROUP BY doc_id
         """,
         "pii_redact_docs": f"""
             WITH inj AS (

@@ -51,24 +51,10 @@ def _canonical_docs(sf_dir: str) -> "rd.Dataset":
 # --- C4-style global segment dedup ------------------------------------------
 
 
-def segment_dedup_docs(sf_dir: str, seg_words: int = SEG_WORDS) -> "rd.Dataset":
-    """Remove every repeated occurrence of any `seg_words`-word segment
-    across the WHOLE corpus, keeping only its first occurrence in
-    (doc_id, seg_idx) order, then reassemble documents from their
-    surviving segments (C4 §2.2's span dedup, word-window variant).
-
-    Output: (doc_id, kept_text, n_kept_segs, n_total_segs) for documents
-    with >= 1 surviving segment.
-
-    Scale shape: segmentation is a per-batch polars explode (no
-    shuffle); the global keep-first decision hash-partitions on the
-    segment's sha256 digest, so all occurrences of a segment meet in one
-    partition and one vectorized pass keeps the (doc_id, seg_idx)-min
-    row per digest — the same coarse-partitioned keep-min plan as
-    `stages/exact.py`, applied to sub-document granularity. Reassembly
-    hash-partitions survivors on int doc_id. Both shuffle payloads are
-    one segment (~60 bytes) per row, never whole documents.
-    """
+def _make_segment_explode(seg_words: int):
+    """Per-batch polars explode of canonical text into non-overlapping
+    `seg_words`-word segments: (doc_id, seg_idx, seg, n_total_segs,
+    seg_hash). No shuffle — segmentation is embarrassingly parallel."""
 
     def _explode(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -98,6 +84,28 @@ def segment_dedup_docs(sf_dir: str, seg_words: int = SEG_WORDS) -> "rd.Dataset":
             )
         )
         return tb.append_column("seg_hash", sha256_hex_array(tb["seg"]))
+
+    return _explode
+
+
+def segment_dedup_docs(sf_dir: str, seg_words: int = SEG_WORDS) -> "rd.Dataset":
+    """Remove every repeated occurrence of any `seg_words`-word segment
+    across the WHOLE corpus, keeping only its first occurrence in
+    (doc_id, seg_idx) order, then reassemble documents from their
+    surviving segments (C4 §2.2's span dedup, word-window variant).
+
+    Output: (doc_id, kept_text, n_kept_segs, n_total_segs) for documents
+    with >= 1 surviving segment.
+
+    Scale shape: segmentation is a per-batch polars explode (no
+    shuffle); the global keep-first decision hash-partitions on the
+    segment's sha256 digest, so all occurrences of a segment meet in one
+    partition and one vectorized pass keeps the (doc_id, seg_idx)-min
+    row per digest — the same coarse-partitioned keep-min plan as
+    `stages/exact.py`, applied to sub-document granularity. Reassembly
+    hash-partitions survivors on int doc_id. Both shuffle payloads are
+    one segment (~60 bytes) per row, never whole documents.
+    """
 
     def _keep_first(tb: pa.Table) -> pa.Table:
         import polars as pl
@@ -143,9 +151,73 @@ def segment_dedup_docs(sf_dir: str, seg_words: int = SEG_WORDS) -> "rd.Dataset":
             )
         )
 
-    exploded = _canonical_docs(sf_dir).map_batches(_explode, batch_format="pyarrow")
+    exploded = _canonical_docs(sf_dir).map_batches(
+        _make_segment_explode(seg_words), batch_format="pyarrow"
+    )
     survivors = partitioned_group_map(exploded, "seg_hash", _keep_first, arrow=True)
     return partitioned_group_map(survivors, "doc_id", _reassemble, arrow=True)
+
+
+def decontaminate_docs(
+    sf_dir: str, seg_words: int = SEG_WORDS, holdout_mod: int = 50
+) -> "rd.Dataset":
+    """Benchmark decontamination: flag training documents that share any
+    `seg_words`-word segment with a holdout/benchmark set (the GPT-3 /
+    Gopher n-gram overlap filter applied before training). The holdout
+    is the deterministic slice doc_id % holdout_mod == 0; output is
+    (doc_id, n_contaminated_segs) over contaminated TRAINING docs, where
+    the count is of distinct contaminated segment values per doc.
+
+    Scale shape: both sides explode into segment rows per batch; ONE
+    hash shuffle on the segment digest co-locates every occurrence, and
+    the partition pass emits distinct (train doc_id, seg_hash) pairs for
+    digests that also carry a holdout row — a semi-join expressed as the
+    same coarse-partitioned group map as every other keyed step. The
+    benchmark side is typically tiny but nothing assumes it: no
+    broadcast, no driver state, skew bounded by segment-value
+    cardinality.
+    """
+
+    segs = _canonical_docs(sf_dir).map_batches(
+        _make_segment_explode(seg_words), batch_format="pyarrow"
+    )
+
+    def _sides(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "seg_hash": batch["seg_hash"],
+                "_bench": pa.array((ids % holdout_mod == 0).astype(np.int8)),
+            }
+        )
+
+    def _semi(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        hot = df.filter(pl.col("_bench") == 1).select("seg_hash").unique()
+        hits = (
+            df.filter(pl.col("_bench") == 0)
+            .join(hot, on="seg_hash", how="semi")
+            .select(["doc_id", "seg_hash"])
+            .unique()  # distinct segment values per doc
+        )
+        return hits.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("seg_hash", pa.string())])
+        )
+
+    pairs = partitioned_group_map(
+        segs.map_batches(_sides, batch_format="pyarrow"), "seg_hash", _semi,
+        arrow=True,
+    )
+    from ray.data.aggregate import Count
+
+    return pairs.groupby("doc_id").aggregate(
+        Count(alias_name="n_contaminated_segs")
+    )
 
 
 # --- PII redaction -----------------------------------------------------------

@@ -226,3 +226,29 @@ class TestSlidingWindow:
         )
         assert out["n_events"].tolist() == [1, 2, 3]
         assert out["ma3"].tolist() == [1.0, 1.5, 2.0]
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import decontaminate_docs
+
+        shared = "q w e"
+        sf = _write_docs(
+            tmp_path,
+            {
+                0: f"{shared} z z z",          # holdout (0 % 2 == 0)
+                1: f"{shared} u i o",          # train: 1 shared segment
+                2: "n m k l p r",              # holdout, disjoint
+                3: "totally clean text here wow yes",  # train: clean
+                5: f"{shared} {shared}",       # train: same seg twice -> counts once
+            },
+        )
+        out = (
+            decontaminate_docs(sf, seg_words=3, holdout_mod=2)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert list(out.index) == [1, 5]
+        assert out.loc[1, "n_contaminated_segs"] == 1
+        assert out.loc[5, "n_contaminated_segs"] == 1
