@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": rel.events_asof_join,
         # exact quantiles via value histogram (§2.6 analytics)
         "length_quantiles": docs.length_quantiles,
+        # group top-k (§2.7) and rollup aggregates (§2.6)
+        "top_docs_per_source": docs.top_docs_per_source,
+        "orders_rollup": rel.orders_rollup,
         # sliding-window aggregate (§2.10)
         "events_sliding_window": rel.events_sliding_window,
     }
@@ -776,6 +779,24 @@ def oracle_sql() -> dict[str, str]:
             qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
             SELECT q, n_chars
             FROM qs JOIN s ON s.r = CAST(floor((s.n - 1) * q) AS BIGINT)
+        """,
+        # --- group top-k (pipelines/documents.py:top_docs_per_source) ---
+        "top_docs_per_source": """
+            SELECT source, doc_id, n_chars, rank FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rank
+                FROM documents
+            ) WHERE rank <= 2
+        """,
+        # --- rollup (pipelines/relational.py:orders_rollup) ---
+        "orders_rollup": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                       / 1000000.0 AS sum_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         # --- sliding window (pipelines/relational.py:events_sliding_window) ---
         "events_sliding_window": """

@@ -957,3 +957,44 @@ def length_quantiles(sf_dir: str) -> pd.DataFrame:
     out["q"] = out["q"].astype("float64")
     out["n_chars"] = out["n_chars"].astype("int64")
     return out
+
+
+def top_docs_per_source(sf_dir: str, k: int = 2) -> "rd.Dataset":
+    """Group top-k: the k longest documents per source by
+    (n_chars desc, doc_id asc), with a per-source rank. Output:
+    (source, doc_id, n_chars, rank).
+
+    Scale shape: sources are unbounded (domains), so this is the
+    coarse-partitioned plan — hash-partition on source, ONE vectorized
+    polars pass ranks every source in the partition. No global sort and
+    no per-group dispatch; each partition emits <= k rows per source, so
+    output stays small even when one source holds 10^9 docs.
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    def _rank_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["source", "n_chars", "doc_id"], descending=[False, True, False])
+            .with_columns(
+                (pl.int_range(pl.len()).over("source") + 1).alias("rank")
+            )
+            .filter(pl.col("rank") <= k)
+        )
+        return out.select(["source", "doc_id", "n_chars", "rank"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("doc_id", pa.int64()),
+                    ("n_chars", pa.int64()),
+                    ("rank", pa.int64()),
+                ]
+            )
+        )
+
+    return partitioned_group_map(
+        _docs(sf_dir, ["source", "doc_id", "n_chars"]), "source", _rank_part,
+        arrow=True,
+    )

@@ -469,3 +469,55 @@ def events_sliding_window(sf_dir: str) -> "rd.Dataset":
         return out.set_column(3, "ma3", floor_round(out["ma3"], 6))
 
     return partitioned_group_map(hourly, "event_type", _window, arrow=True)
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregate: order counts and exact price sums at three
+    grouping levels — (status, priority), (status), and grand total —
+    with NULL marking the rolled-up dimension (ANSI GROUP BY ROLLUP).
+    Output: (o_orderstatus, o_orderpriority, n_orders, sum_price).
+
+    Scale shape: ONE full-data shuffle computes the finest-level
+    aggregate (micro-unit integer sums, order-independent); the coarser
+    levels re-aggregate the tiny finest-level table (statuses x
+    priorities rows) on the driver — the standard rollup decomposition,
+    where each level is a reduction of the previous one, not a rescan.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_u": _micros(batch["o_totalprice"]),
+            }
+        )
+
+    fine = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n_orders"), Sum("price_u", alias_name="sum_u"))
+        .to_pandas()
+    )
+    lv1 = (
+        fine.groupby("o_orderstatus", as_index=False)[["n_orders", "sum_u"]]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    lv0 = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n_orders": [fine["n_orders"].sum()],
+            "sum_u": [fine["sum_u"].sum()],
+        }
+    )
+    out = pd.concat([fine, lv1, lv0], ignore_index=True)[
+        ["o_orderstatus", "o_orderpriority", "n_orders", "sum_u"]
+    ]
+    out["sum_price"] = out.pop("sum_u") / 1e6
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"], na_position="first"
+    ).reset_index(drop=True)

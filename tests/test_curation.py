@@ -252,3 +252,53 @@ class TestDecontaminate:
         assert list(out.index) == [1, 5]
         assert out.loc[1, "n_contaminated_segs"] == 1
         assert out.loc[5, "n_contaminated_segs"] == 1
+
+
+class TestGroupTopK:
+    def test_rank_and_ties(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import top_docs_per_source
+
+        tb = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "source": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+                "n_chars": pa.array([10, 30, 30, 5, 9], pa.int64()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "documents.parquet"))
+        out = (
+            top_docs_per_source(str(tmp_path), k=2)
+            .to_pandas()
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)
+        )
+        # source a: 30-char tie broken by doc_id asc -> docs 1, 2
+        assert out[out.source == "a"]["doc_id"].tolist() == [1, 2]
+        # source b: 9 then 5
+        assert out[out.source == "b"]["doc_id"].tolist() == [4, 3]
+        assert out["rank"].tolist() == [1, 2, 1, 2]
+
+
+class TestRollup:
+    def test_three_levels(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import orders_rollup
+
+        tb = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O", "O", "F"], pa.string()),
+                "o_totalprice": pa.array([10.5, 20.25, 1.0], pa.float64()),
+                "o_orderdate": pa.array([None, None, None], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-HI", "2-LO", "1-HI"], pa.string()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "orders.parquet"))
+        out = orders_rollup(str(tmp_path))
+        # 3 fine rows + 2 status subtotals + 1 grand total
+        assert len(out) == 6
+        grand = out[out.o_orderstatus.isna()]
+        assert grand["n_orders"].tolist() == [3]
+        assert grand["sum_price"].tolist() == [31.75]
+        o_sub = out[(out.o_orderstatus == "O") & out.o_orderpriority.isna()]
+        assert o_sub["sum_price"].tolist() == [30.75]
