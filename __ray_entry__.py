@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_knn": similarity.ann_lsh_knn,
         "ann_ivf_knn": similarity.ann_ivf_knn,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
+        "label_centroids": similarity.label_centroids,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "format_instruction": dset.format_instruction,
@@ -672,6 +673,19 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY cos DESC, n_id) AS rk
                 FROM s
             ) WHERE rk <= 5
+        """,
+        # --- vector aggregate (functions/similarity.py:label_centroids) ---
+        "label_centroids": """
+            WITH u AS (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   floor((sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                                   AS BIGINT)) / 1000000.0 / count(*))
+                         * 1000000 + 0.5) / 1000000.0 AS mean_val
+            FROM u GROUP BY label, dim
         """,
         # --- corpus curation (pipelines/curation.py) ---
         "segment_dedup_docs": f"""

@@ -470,3 +470,61 @@ def ann_ivf_knn(
     scored = partitioned_group_map(celled, "cell", _cell_scores_part, arrow=True)
     pdf = scored.to_pandas().drop_duplicates(["q_id", "n_id"])
     return _finalize_topk(pdf, k)
+
+
+def label_centroids(sf_dir: str) -> "rd.Dataset":
+    """Per-label embedding centroids as (label, dim, mean_val) rows —
+    the vector aggregate behind k-means/IVF training and class
+    prototypes, with the combiner pattern aggregates need at scale.
+
+    Each batch pre-reduces to ONE partial row per (label, dim): vector
+    components are quantized to exact integer micro-units (order-
+    independent sums, see relational._micros) and summed per label with
+    numpy, so the shuffle carries O(labels x dim x n_batches) tiny rows
+    instead of every embedding. A labels x dim groupby-sum then derives
+    mean = sum_u / 1e6 / n, floor-rounded to 6 dp in lockstep with the
+    DuckDB oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..exactmath import floor_round_np
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch["label"], dtype=np.int64)
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb_u = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        n_lab, dim = len(uniq), emb_u.shape[1]
+        sums = np.zeros((n_lab, dim), dtype=np.int64)
+        np.add.at(sums, inv, emb_u)
+        counts = np.bincount(inv, minlength=n_lab).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
+                "sum_u": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    agg = (
+        _embeddings(sf_dir)
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_u", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def _mean(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["s"], dtype=np.float64)
+        n = np.asarray(batch["n"], dtype=np.float64)
+        return pa.table(
+            {
+                "label": batch["label"],
+                "dim": batch["dim"],
+                "mean_val": pa.array(
+                    floor_round_np(s / 1e6 / np.maximum(n, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_mean, batch_format="pyarrow")

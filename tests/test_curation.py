@@ -302,3 +302,30 @@ class TestRollup:
         assert grand["sum_price"].tolist() == [31.75]
         o_sub = out[(out.o_orderstatus == "O") & out.o_orderpriority.isna()]
         assert o_sub["sum_price"].tolist() == [30.75]
+
+
+class TestLabelCentroids:
+    def test_hand_computed(self, tmp_path):
+        from quarrycore_ray.functions.similarity import label_centroids
+
+        tb = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 2.0], [3.0, 4.0], [10.0, 20.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([7, 7, 8], pa.int32()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "embeddings.parquet"))
+        out = (
+            label_centroids(str(tmp_path))
+            .to_pandas()
+            .set_index(["label", "dim"])
+            .sort_index()
+        )
+        assert out.loc[(7, 0), "mean_val"] == 2.0
+        assert out.loc[(7, 1), "mean_val"] == 3.0
+        assert out.loc[(8, 0), "mean_val"] == 10.0
+        assert out.loc[(8, 1), "mean_val"] == 20.0
