@@ -60,7 +60,16 @@ def label_propagation(
     min-semilattice, so `sum(changed) == 0` is exact convergence.
     Rounds needed = component diameter (tiny for dup clusters).
     """
-    from .grouped import partitioned_group_map
+    from .grouped import default_num_partitions, partitioned_group_map
+
+    # block-count discipline: Ray's sort-based groupby emits one output
+    # block per input block and the round's 3-way union stacks all of
+    # them, so without coalescing the label table's block count grows
+    # geometrically (measured 18 -> 54 -> 126 -> 270 in 3 rounds) and
+    # per-round scheduling cost turns quadratic. Repartitioning each
+    # round's (tiny) label table back to a fixed count keeps every BSP
+    # round constant-cost.
+    nparts = num_partitions or default_num_partitions()
 
     def to_directed(batch: pa.Table) -> pa.Table:
         import pyarrow as _pa
@@ -77,6 +86,7 @@ def label_propagation(
     adj = (
         edges.select_columns(["a_id", "b_id"])
         .map_batches(to_directed, batch_format="pyarrow")
+        .repartition(nparts)
         .materialize()  # reused every round
     )
 
@@ -84,9 +94,12 @@ def label_propagation(
         nodes = df["node"].drop_duplicates()
         return pd.DataFrame({"node": nodes, "peer": None, "label": nodes})
 
-    labels = partitioned_group_map(
-        adj, "node", init_labels, num_partitions
-    ).select_columns(["node", "label"]).materialize()
+    labels = (
+        partitioned_group_map(adj, "node", init_labels, num_partitions)
+        .select_columns(["node", "label"])
+        .repartition(nparts)
+        .materialize()
+    )
 
     import pyarrow as _pa
 
@@ -161,7 +174,11 @@ def label_propagation(
 
         reduced = partitioned_group_map(msgs, "node", reduce_min, num_partitions).materialize()
         n_changed = reduced.sum("changed")
-        labels = reduced.select_columns(["node", "label"]).materialize()
+        labels = (
+            reduced.select_columns(["node", "label"])
+            .repartition(nparts)
+            .materialize()
+        )
         if not n_changed:
             break
     return labels
