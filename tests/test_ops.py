@@ -237,3 +237,37 @@ class TestWarmStore:
         pdf = back.to_pandas()
         # derived date partition matches the preserved timestamp column
         assert (pdf["ts"].dt.strftime("%Y-%m-%d") == pdf["date"].astype(str)).all()
+
+
+class TestBenchContract:
+    def test_bench_emits_one_json_line(self, tmp_path):
+        """The external driver parses bench.py's stdout as ONE JSON line
+        with a fixed key contract — a silent format break would void the
+        round's bench artifact, so pin it here. Runs the headline on a
+        tiny corpus in a fresh subprocess (bench owns its own Ray
+        session; queries skipped)."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS="4",
+            GRAFT_BENCH_CONVS="300",
+            GRAFT_SKIP_QUERIES="1",
+            GRAFT_BENCH_CORPUS_DIR=str(tmp_path / "corpus"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=420, check=True,
+        ).stdout
+        lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+        assert len(lines) == 1, f"stdout must be one JSON line, got: {lines}"
+        rec = json.loads(lines[0])
+        for key in ("metric", "value", "unit", "queries", "sf", "num_cpus",
+                    "n_turns", "turns_per_sec", "n_clusters"):
+            assert key in rec, f"missing key {key}"
+        assert rec["unit"] == "sec" and rec["value"] > 0
+        assert rec["num_cpus"] == 4 and rec["n_turns"] > 0
