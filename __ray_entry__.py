@@ -166,6 +166,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": rel.orders_rollup,
         # sliding-window aggregate (§2.10)
         "events_sliding_window": rel.events_sliding_window,
+        # anti-join (tagged-union, no broadcast)
+        "customers_without_recent_orders": rel.customers_without_recent_orders,
+        # multi-way join + pre-aggregation + top-k combiner (TPC-H Q3 shape)
+        "top_revenue_orders": rel.top_revenue_orders,
+        # lag window (§2.10)
+        "events_interarrival": rel.events_interarrival,
+        # exact distinct-count per group (partial pair-dedup, disjoint partials)
+        "event_type_distinct_users": rel.event_type_distinct_users,
+        # per-group exact quantiles via value histograms (§2.6)
+        "length_quantiles_by_source": docs.length_quantiles_by_source,
     }
 
 
@@ -825,6 +835,65 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) * 1000000 + 0.5) / 1000000.0 AS ma3
             FROM h
+        """,
+        # --- anti-join (pipelines/relational.py:customers_without_recent_orders) ---
+        "customers_without_recent_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2001-01-01'
+            )
+        """,
+        # --- TPC-H Q3 shape (pipelines/relational.py:top_revenue_orders) ---
+        "top_revenue_orders": """
+            WITH seg AS (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ),
+            o AS (
+                SELECT o_orderkey, o_orderdate, o_orderpriority
+                FROM orders JOIN seg ON o_custkey = c_custkey
+                WHERE o_orderdate < DATE '1998-01-01'
+            ),
+            l AS (
+                SELECT l_orderkey,
+                       sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                      * 1000000 + 0.5) AS BIGINT)) AS rev_u
+                FROM lineitem WHERE l_shipdate > DATE '1998-01-01'
+                GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   floor((l.rev_u / 1000000.0) * 100 + 0.5) / 100.0 AS revenue
+            FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+            ORDER BY l.rev_u DESC, o.o_orderkey LIMIT 10
+        """,
+        # --- lag window (pipelines/relational.py:events_interarrival) ---
+        "events_interarrival": """
+            SELECT event_id, user_id, ts,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        """,
+        # --- distinct count per group (relational.py:event_type_distinct_users) ---
+        "event_type_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        # --- per-group quantiles (documents.py:length_quantiles_by_source) ---
+        "length_quantiles_by_source": """
+            WITH s AS (
+                SELECT source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY n_chars, doc_id
+                       ) - 1 AS r,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents
+            ),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
+            SELECT source, q, n_chars
+            FROM qs JOIN s ON s.r = CAST(floor((s.n - 1) * q) AS BIGINT)
         """,
         # --- as-of join (pipelines/relational.py:events_asof_join) ---
         "events_asof_join": """

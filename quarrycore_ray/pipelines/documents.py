@@ -959,6 +959,58 @@ def length_quantiles(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def length_quantiles_by_source(sf_dir: str) -> "rd.Dataset":
+    """Exact per-group quantiles: for each source, the n_chars value at
+    0-indexed position floor((n-1)*q) of that source's ascending length
+    order, q in {0.25, 0.5, 0.75, 0.9}. Output: (source, q, n_chars).
+
+    Scale shape: the grouped analog of `length_quantiles` — one
+    `groupby(source, n_chars).count()` shuffle collapses 10^12 rows to
+    per-source value histograms (distinct lengths are O(10^4) per
+    source), then a second hash-partition on source walks each group's
+    cumulative counts vectorized. No global sort, no per-group
+    dispatch, and nothing row-shaped ever reaches the driver.
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    QS = (0.25, 0.5, 0.75, 0.9)
+
+    hist = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby(["source", "n_chars"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("q", pa.float64()), ("n_chars", pa.int64())]
+    )
+
+    def _walk(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["source", "n_chars"])
+        srcs, qs, vals = [], [], []
+        for (src,), g in df.group_by("source", maintain_order=True):
+            counts = g["n"].to_numpy()
+            lengths = g["n_chars"].to_numpy()
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            for q in QS:
+                target = int(np.floor((n - 1) * q))
+                srcs.append(src)
+                qs.append(q)
+                vals.append(int(lengths[np.searchsorted(cum, target + 1)]))
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "q": pa.array(qs, pa.float64()),
+                "n_chars": pa.array(vals, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return partitioned_group_map(hist, "source", _walk, arrow=True)
+
+
 def top_docs_per_source(sf_dir: str, k: int = 2) -> "rd.Dataset":
     """Group top-k: the k longest documents per source by
     (n_chars desc, doc_id asc), with a per-source rank. Output:

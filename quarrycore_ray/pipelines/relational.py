@@ -471,6 +471,308 @@ def events_sliding_window(sf_dir: str) -> "rd.Dataset":
     return partitioned_group_map(hourly, "event_type", _window, arrow=True)
 
 
+def customers_without_recent_orders(
+    sf_dir: str, cutoff: str = "2001-01-01"
+) -> "rd.Dataset":
+    """Anti-join: customers with NO order on/after `cutoff`. Output:
+    (c_custkey, c_name, c_acctbal).
+
+    Both sides are fact-scale at 10^12 rows, so no broadcast: the
+    tagged-union anti-join unions typed customer rows (_side=0) with
+    date-filtered, per-batch-deduped order custkeys (_side=1),
+    hash-partitions ONCE on custkey (`partitioned_group_map`), and each
+    partition drops customers whose key appears on the order side with
+    one vectorized polars anti-join. Every row crosses the shuffle
+    exactly once; the order side ships only distinct keys.
+    """
+    import numpy as np
+
+    cut = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
+    schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_acctbal", pa.float64()),
+            ("_side", pa.int8()),
+        ]
+    )
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        ).cast(schema)
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            batch.filter(pc.greater_equal(batch["o_orderdate"], cut))["o_custkey"]
+        )
+        n = len(keys)
+        return pa.table(
+            {
+                "c_custkey": keys,
+                "c_name": pa.nulls(n, pa.string()),
+                "c_acctbal": pa.nulls(n, pa.float64()),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        ).cast(schema)
+
+    out_schema = pa.schema(list(schema)[:3])
+
+    def _anti(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        cust = df.filter(pl.col("_side") == 0).drop("_side")
+        seen = df.filter(pl.col("_side") == 1).select("c_custkey").unique()
+        if cust.height == 0:
+            return out_schema.empty_table()
+        return (
+            cust.join(seen, on="c_custkey", how="anti")
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    unioned = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .map_batches(_cust, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+                _orders, batch_format="pyarrow"
+            )
+        )
+    )
+    from ..stages.grouped import partitioned_group_map
+
+    return partitioned_group_map(unioned, "c_custkey", _anti, arrow=True)
+
+
+def top_revenue_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> pd.DataFrame:
+    """TPC-H-Q3-shaped multi-way join: revenue of orders placed before
+    `cutoff` by customers in `segment`, counting only lineitems shipped
+    after `cutoff`; top-k by revenue. Output: (o_orderkey, o_orderdate,
+    o_orderpriority, revenue).
+
+    Join strategy by side size: `customer` is the dimension table — the
+    filtered segment's custkeys broadcast once via `ray.put` and orders
+    semi-join against them per batch (numpy isin, no shuffle).
+    `lineitem`, the 10^12-row fact side, pre-aggregates revenue per
+    orderkey FIRST (micro-unit integer sums, one shuffle) so the join
+    input shrinks from line-items to orders. The two order-keyed sides
+    then meet in a tagged-union partitioned inner join — one more
+    shuffle, each row crossing once. Top-k runs as a per-batch combiner
+    (each block keeps its k best) before a driver sort of the k-sized
+    remnants, never a global sort.
+    """
+    import numpy as np
+
+    cut = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy()
+    seg_ref = ray.put(np.sort(seg_keys))
+
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("rev_u", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+            ("_side", pa.int8()),
+        ]
+    )
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["o_orderdate"], cut))
+        keys = ray.get(seg_ref)
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        if len(keys) == 0:
+            batch = batch.slice(0, 0)
+        else:
+            idx = np.searchsorted(keys, ck)
+            idx[idx == len(keys)] = 0
+            batch = batch.filter(pa.array(keys[idx] == ck))
+        n = batch.num_rows
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "rev_u": pa.nulls(n, pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        ).cast(schema)
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cut))
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table(
+            {"o_orderkey": batch["l_orderkey"], "rev_u": _micros(disc)}
+        )
+
+    lineitem_rev = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(_rev, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev_u", alias_name="rev_u"))
+    )
+
+    def _lrows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "rev_u": batch["rev_u"],
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        ).cast(schema)
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+            ("revenue", pa.float64()),
+        ]
+    )
+
+    def _join(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        rev = df.filter(pl.col("_side") == 0).select(["o_orderkey", "rev_u"])
+        ords = df.filter(pl.col("_side") == 1).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+        j = ords.join(rev, on="o_orderkey", how="inner")
+        if j.height == 0:
+            return out_schema.empty_table()
+        j = j.with_columns(
+            (pl.col("rev_u").cast(pl.Float64) / 1e6).alias("revenue")
+        ).drop("rev_u")
+        return j.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
+
+    unioned = lineitem_rev.map_batches(_lrows, batch_format="pyarrow").union(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(_orders, batch_format="pyarrow")
+    )
+    from ..stages.grouped import partitioned_group_map
+
+    joined = partitioned_group_map(unioned, "o_orderkey", _join, arrow=True)
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("revenue", "descending"), ("o_orderkey", "ascending")],
+        )
+        return batch.take(order[:k])
+
+    best = joined.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    best = best.sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+    best["revenue"] = (np.floor(best["revenue"] * 100 + 0.5) / 100.0).astype("float64")
+    return best.reset_index(drop=True)
+
+
+def events_interarrival(sf_dir: str) -> "rd.Dataset":
+    """Lag window: per event, microseconds since the same user's previous
+    event (null for the user's first). Output: (event_id, user_id, ts,
+    gap_us) — one row per input event, exact int64 arithmetic.
+
+    The window never crosses a user, so the scale plan is
+    hash-partition on user_id + ONE vectorized polars pass per
+    partition (sort by user_id, ts, event_id; diff masked at user
+    boundaries via `over`). No global sort, no per-user dispatch.
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _lag(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            pl.col("ts")
+            .diff()
+            .dt.total_microseconds()
+            .over("user_id")
+            .alias("gap_us")
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("gap_us", pa.int64()),
+                ]
+            )
+        )
+
+    return partitioned_group_map(ds, "user_id", _lag, arrow=True)
+
+
+def event_type_distinct_users(sf_dir: str) -> "rd.Dataset":
+    """COUNT(DISTINCT user_id) per event_type, exactly. Output:
+    (event_type, n_users).
+
+    Distinct-count is shuffle-heavy done naively (all rows keyed by
+    type). This plan dedups (type, user) pairs per batch first, then
+    hash-partitions on user_id — every (type, user) pair lands in
+    exactly one partition, so per-partition distinct-pair counts are
+    disjoint and the final per-type Sum over P partial rows is exact.
+    Shuffle volume is distinct pairs, not events; the final aggregate
+    moves O(P x types) rows.
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _localdedup(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(batch).unique().to_arrow().cast(
+            pa.schema([("event_type", pa.string()), ("user_id", pa.int64())])
+        )
+
+    def _count(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .unique()
+            .group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n_partial"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("event_type", pa.string()), ("n_partial", pa.int64())])
+        )
+
+    partial = partitioned_group_map(
+        ds.map_batches(_localdedup, batch_format="pyarrow"), "user_id", _count,
+        arrow=True,
+    )
+    return (
+        partial.groupby("event_type")
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+    )
+
+
 def orders_rollup(sf_dir: str) -> pd.DataFrame:
     """ROLLUP aggregate: order counts and exact price sums at three
     grouping levels — (status, priority), (status), and grand total —

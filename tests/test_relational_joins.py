@@ -1,0 +1,203 @@
+"""Join/window/distinct operators added on top of the round-1 relational
+surface (pipelines/relational.py, pipelines/documents.py): tagged-union
+anti-join, TPC-H-Q3-shaped multi-way join with a top-k combiner, per-user
+lag windows, exact distinct-count per group, and per-group exact
+quantiles — all on planted fixtures with hand-computed expectations."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> None:
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+class TestAntiJoin:
+    def test_customers_without_recent_orders(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import (
+            customers_without_recent_orders,
+        )
+
+        _write(
+            tmp_path,
+            "customer",
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "c_name": pa.array(["a", "b", "c", "d"], pa.string()),
+                    "c_acctbal": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+                }
+            ),
+        )
+        old, new = dt.datetime(2000, 1, 1), dt.datetime(2001, 6, 1)
+        _write(
+            tmp_path,
+            "orders",
+            pa.table(
+                {
+                    # cust 1: recent order -> excluded; cust 2: only old
+                    # orders -> kept; cust 3: old AND recent -> excluded;
+                    # cust 4: no orders at all -> kept
+                    "o_custkey": pa.array([1, 2, 2, 3, 3], pa.int64()),
+                    "o_orderdate": pa.array([new, old, old, old, new],
+                                            pa.timestamp("us")),
+                }
+            ),
+        )
+        out = (
+            customers_without_recent_orders(str(tmp_path), cutoff="2001-01-01")
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        assert out["c_custkey"].tolist() == [2, 4]
+        assert out["c_name"].tolist() == ["b", "d"]
+
+
+class TestTopRevenueOrders:
+    def test_planted_q3(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import top_revenue_orders
+
+        _write(
+            tmp_path,
+            "customer",
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2], pa.int64()),
+                    "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE"],
+                                             pa.string()),
+                }
+            ),
+        )
+        before, after = dt.datetime(1997, 6, 1), dt.datetime(1998, 6, 1)
+        _write(
+            tmp_path,
+            "orders",
+            pa.table(
+                {
+                    # order 10: qualifies (BUILDING cust, placed before cutoff)
+                    # order 11: wrong segment; order 12: placed after cutoff
+                    "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                    "o_custkey": pa.array([1, 2, 1], pa.int64()),
+                    "o_orderdate": pa.array([before, before, after],
+                                            pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-HI", "2-LO", "1-HI"],
+                                                pa.string()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "lineitem",
+            pa.table(
+                {
+                    # order 10: two qualifying items (10*0.9 + 20*1.0 = 29)
+                    # plus one shipped too early (ignored); order 11 would
+                    # have revenue but its order fails the segment filter
+                    "l_orderkey": pa.array([10, 10, 10, 11], pa.int64()),
+                    "l_extendedprice": pa.array([10.0, 20.0, 99.0, 50.0],
+                                                pa.float64()),
+                    "l_discount": pa.array([0.1, 0.0, 0.0, 0.0], pa.float64()),
+                    "l_shipdate": pa.array([after, after, before, after],
+                                           pa.timestamp("us")),
+                }
+            ),
+        )
+        out = top_revenue_orders(str(tmp_path), segment="BUILDING",
+                                 cutoff="1998-01-01", k=5)
+        assert out["o_orderkey"].tolist() == [10]
+        assert out["revenue"].tolist() == [29.0]
+        assert out["o_orderpriority"].tolist() == ["1-HI"]
+
+
+class TestInterarrival:
+    def test_gaps_and_ties(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import events_interarrival
+
+        t = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        _write(
+            tmp_path,
+            "events",
+            pa.table(
+                {
+                    "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 2, 1], pa.int64()),
+                    # user 1: t, t+1s, t+1s (tie -> event_id order), t+3s
+                    "ts": pa.array([t, t + s, t + s, t, t + 3 * s],
+                                   pa.timestamp("us")),
+                }
+            ),
+        )
+        out = (
+            events_interarrival(str(tmp_path))
+            .to_pandas()
+            .set_index("event_id")
+            .sort_index()
+        )
+        assert pd.isna(out.loc[0, "gap_us"])      # user 1 first event
+        assert out.loc[1, "gap_us"] == 1_000_000
+        assert out.loc[2, "gap_us"] == 0          # ts tie, later event_id
+        assert pd.isna(out.loc[3, "gap_us"])      # user 2 first event
+        assert out.loc[4, "gap_us"] == 2_000_000
+
+
+class TestDistinctUsers:
+    def test_duplicate_pairs_counted_once(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import event_type_distinct_users
+
+        t = dt.datetime(2024, 1, 1)
+        _write(
+            tmp_path,
+            "events",
+            pa.table(
+                {
+                    "event_id": pa.array(list(range(6)), pa.int64()),
+                    "user_id": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+                    "event_type": pa.array(
+                        ["a", "a", "a", "b", "b", "a"], pa.string()
+                    ),
+                    "ts": pa.array([t] * 6, pa.timestamp("us")),
+                }
+            ),
+        )
+        out = (
+            event_type_distinct_users(str(tmp_path))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        assert out.loc["a", "n_users"] == 3   # users 1, 2, 3
+        assert out.loc["b", "n_users"] == 1   # user 3
+
+
+class TestQuantilesBySource:
+    def test_hand_computed(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import length_quantiles_by_source
+
+        # source a: lengths 1..10 -> q.5 at floor(9*.5)=4 -> 5
+        # source b: lengths [2, 4] -> q.5 at floor(1*.5)=0 -> 2, q.9 -> 2
+        _write(
+            tmp_path,
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(12)), pa.int64()),
+                    "source": pa.array(["a"] * 10 + ["b"] * 2, pa.string()),
+                    "n_chars": pa.array(list(range(1, 11)) + [2, 4], pa.int64()),
+                }
+            ),
+        )
+        out = (
+            length_quantiles_by_source(str(tmp_path))
+            .to_pandas()
+            .set_index(["source", "q"])
+            .sort_index()
+        )
+        assert out.loc[("a", 0.25), "n_chars"] == 3
+        assert out.loc[("a", 0.5), "n_chars"] == 5
+        assert out.loc[("a", 0.9), "n_chars"] == 9
+        assert out.loc[("b", 0.5), "n_chars"] == 2
+        assert out.loc[("b", 0.9), "n_chars"] == 2  # floor((2-1)*0.9) = 0 -> first value
