@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_distinct_users": rel.event_type_distinct_users,
         # per-group exact quantiles via value histograms (§2.6)
         "length_quantiles_by_source": docs.length_quantiles_by_source,
+        # heavy hitters: top-k terms via per-batch combiner (§2.6;
+        # Misra-Gries two-pass variant tested in pytest)
+        "top_terms": docs.top_terms,
     }
 
 
@@ -835,6 +838,14 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) * 1000000 + 0.5) / 1000000.0 AS ma3
             FROM h
+        """,
+        # --- heavy hitters (pipelines/documents.py:top_terms) ---
+        "top_terms": f"""
+            WITH c AS (SELECT {_CANON} AS canonical FROM documents),
+            w AS (SELECT unnest(string_split(canonical, ' ')) AS token FROM c
+                  WHERE canonical != '')
+            SELECT token, count(*) AS n FROM w
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         # --- anti-join (pipelines/relational.py:customers_without_recent_orders) ---
         "customers_without_recent_orders": """

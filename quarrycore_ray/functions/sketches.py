@@ -66,6 +66,55 @@ class HyperLogLog:
         return h
 
 
+class MisraGries:
+    """Mergeable weighted Misra-Gries heavy-hitter sketch.
+
+    Guarantee: after summarizing a stream of total weight N with
+    capacity m, every key's sketch count undercounts its true count by
+    at most N/m, and any key with true count > N/m is present. Merging
+    (Agarwal et al., "Mergeable Summaries", PODS 2012) sums counters
+    then subtracts the (m+1)-th largest value, preserving the bound —
+    so per-batch sketches built inside `map_batches` combine into one
+    cluster-wide summary without shuffling token counts.
+    """
+
+    def __init__(self, capacity: int = 4096):
+        self.capacity = capacity
+        self.counters: dict[str, int] = {}
+
+    def update_many(self, keys, counts) -> None:
+        c = self.counters
+        for k, n in zip(keys, counts):
+            if k in c:
+                c[k] += int(n)
+            else:
+                c[k] = int(n)
+        if len(c) > self.capacity:
+            self._shrink()
+
+    def _shrink(self) -> None:
+        # subtract the (capacity+1)-th largest count from everything;
+        # at least one counter drops to <= 0 and is evicted
+        vals = sorted(self.counters.values(), reverse=True)
+        cut = vals[self.capacity]
+        self.counters = {
+            k: v - cut for k, v in self.counters.items() if v > cut
+        }
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.capacity)
+        merged = dict(self.counters)
+        for k, v in other.counters.items():
+            merged[k] = merged.get(k, 0) + v
+        out.counters = merged
+        if len(merged) > out.capacity:
+            out._shrink()
+        return out
+
+    def candidates(self) -> list[str]:
+        return list(self.counters)
+
+
 def approx_vocab_size(ds, text_col: str = "canonical", p: int = 12) -> float:
     """Distributed approximate distinct-token count: one HLL per batch
     (pre-aggregation inside map_batches), merged on the driver — the

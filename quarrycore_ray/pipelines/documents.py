@@ -925,6 +925,96 @@ def vocab_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def top_terms(sf_dir: str, k: int = 20, method: str = "exact") -> pd.DataFrame:
+    """Heavy hitters: the k most frequent whitespace tokens over
+    canonical text, ties broken by token ascending. Output: (token, n).
+
+    method="exact" (the oracle-checked path): a per-batch combiner
+    collapses each block to its distinct (token, partial-count) pairs
+    before the groupby — shuffle volume is distinct-tokens-per-block,
+    not total tokens — then a per-batch top-k combiner reduces the
+    vocab-sized count table to k rows per block before the driver sort.
+
+    method="sketch" (the shuffle-free scale path): one weighted
+    Misra-Gries sketch per batch (functions/sketches.MisraGries),
+    merged on the driver into a candidate set of <= capacity tokens;
+    a second pass recounts ONLY candidates exactly (broadcast set,
+    per-batch filtered combiner). Output equals the exact path whenever
+    the true k-th count exceeds totalTokens/capacity — the standard
+    two-pass distributed heavy-hitter guarantee, asserted in tests.
+    """
+    import polars as pl
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch.select(["canonical"]))
+            .filter(pl.col("canonical") != "")
+            .select(pl.col("canonical").str.split(" ").alias("token"))
+            .explode("token")
+            .group_by("token")
+            .agg(pl.len().cast(pl.Int64).alias("n_partial"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("n_partial", pa.int64())])
+        )
+
+    docs = canonical_docs(sf_dir)
+
+    if method == "sketch":
+        from ..functions.sketches import MisraGries
+
+        def _sketch(batch: pa.Table) -> pa.Table:
+            part = _partial(batch)
+            mg = MisraGries()
+            mg.update_many(part["token"].to_pylist(), part["n_partial"].to_pylist())
+            import pickle
+
+            return pa.table(
+                {"sketch": pa.array([pickle.dumps(mg.counters)], pa.binary())}
+            )
+
+        import pickle
+
+        merged = MisraGries()
+        for b in docs.map_batches(_sketch, batch_format="pyarrow").iter_batches(
+            batch_size=1024, batch_format="pyarrow"
+        ):
+            for blob in b["sketch"].to_pylist():
+                other = MisraGries()
+                other.counters = pickle.loads(blob)
+                merged = merged.merge(other)
+        cand_ref = ray.put(set(merged.candidates()))
+
+        def _recount(batch: pa.Table) -> pa.Table:
+            part = _partial(batch)
+            cand = ray.get(cand_ref)
+            mask = pa.array([t in cand for t in part["token"].to_pylist()])
+            return part.filter(mask)
+
+        counts = (
+            docs.map_batches(_recount, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("n_partial", alias_name="n"))
+        )
+    else:
+        counts = (
+            docs.map_batches(_partial, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("n_partial", alias_name="n"))
+        )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        return batch.take(order[:k])
+
+    best = counts.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    best = best.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    best["n"] = best["n"].astype("int64")
+    return best[["token", "n"]].reset_index(drop=True)
+
+
 def length_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact quantiles of document length: for each q the value at
     0-indexed position floor((n-1)*q) of (n_chars, doc_id) ascending

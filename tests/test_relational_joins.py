@@ -201,3 +201,76 @@ class TestQuantilesBySource:
         assert out.loc[("a", 0.9), "n_chars"] == 9
         assert out.loc[("b", 0.5), "n_chars"] == 2
         assert out.loc[("b", 0.9), "n_chars"] == 2  # floor((2-1)*0.9) = 0 -> first value
+
+
+class TestTopTerms:
+    def _write_zipf(self, tmp_path):
+        # zipf-ish corpus: term_i appears ~200/i times; heavy head far
+        # above the MG bound N/capacity so the two-pass sketch is exact
+        texts = []
+        words = []
+        for i in range(1, 101):
+            words.extend([f"w{i:03d}"] * (200 // i))
+        for start in range(0, len(words), 40):
+            texts.append(" ".join(words[start:start + 40]))
+        tb = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_exact_top_and_ties(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import top_terms
+
+        sf = self._write_zipf(tmp_path)
+        out = top_terms(sf, k=5)
+        assert out["token"].tolist()[:2] == ["w001", "w002"]
+        assert out["n"].tolist()[0] == 200
+        assert out["n"].tolist()[1] == 100
+        # counts are non-increasing; ties broken by token asc
+        assert all(a >= b for a, b in zip(out["n"], out["n"][1:]))
+
+    def test_sketch_matches_exact(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import top_terms
+
+        sf = self._write_zipf(tmp_path)
+        exact = top_terms(sf, k=10, method="exact")
+        sketched = top_terms(sf, k=10, method="sketch")
+        pd.testing.assert_frame_equal(exact, sketched)
+
+
+class TestMisraGries:
+    def test_undercount_bound_and_merge(self):
+        from quarrycore_ray.functions.sketches import MisraGries
+
+        import collections
+        import random
+
+        rng = random.Random(7)
+        stream = [f"k{rng.randint(0, 400):03d}" for _ in range(5000)]
+        stream += ["hot"] * 500
+        rng.shuffle(stream)
+        truth = collections.Counter(stream)
+        n_total = len(stream)
+
+        # two sketches over two halves, merged — simulates per-batch
+        # sketches combined on the driver
+        half = n_total // 2
+        a, b = MisraGries(capacity=64), MisraGries(capacity=64)
+        ca, cb = collections.Counter(stream[:half]), collections.Counter(stream[half:])
+        a.update_many(list(ca), list(ca.values()))
+        b.update_many(list(cb), list(cb.values()))
+        m = a.merge(b)
+
+        bound = n_total / 64
+        # every key above the bound must be present
+        for k, n in truth.items():
+            if n > bound:
+                assert k in m.counters
+        # sketch never overcounts, and undercounts by at most the bound
+        for k, v in m.counters.items():
+            assert v <= truth[k]
+            assert truth[k] - v <= bound
