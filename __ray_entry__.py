@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # heavy hitters: top-k terms via per-batch combiner (§2.6;
         # Misra-Gries two-pass variant tested in pytest)
         "top_terms": docs.top_terms,
+        # CUBE aggregate (all grouping sets of status x priority)
+        "orders_cube": rel.orders_cube,
     }
 
 
@@ -824,6 +826,15 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS sum_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        # --- cube (pipelines/relational.py:orders_cube) ---
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                       / 1000000.0 AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         # --- sliding window (pipelines/relational.py:events_sliding_window) ---
         "events_sliding_window": """

@@ -133,6 +133,8 @@ def run_bench() -> dict:
 
     timed("segment_dedup_docs", cur.segment_dedup_docs)
     timed("events_asof_join", rel.events_asof_join)
+    timed("top_revenue_orders", rel.top_revenue_orders)
+    timed("top_terms", docs.top_terms)
 
     ray.shutdown()
     return {

@@ -471,6 +471,62 @@ def events_sliding_window(sf_dir: str) -> "rd.Dataset":
     return partitioned_group_map(hourly, "event_type", _window, arrow=True)
 
 
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE aggregate: order counts and exact price sums at all four
+    grouping levels of (status, priority) — fine, status-only,
+    priority-only, grand total — NULL marking rolled-up dimensions
+    (ANSI GROUP BY CUBE). Output: (o_orderstatus, o_orderpriority,
+    n_orders, sum_price).
+
+    Scale shape: identical to `orders_rollup` — ONE full-data shuffle
+    at the finest level, then every coarser grouping set re-aggregates
+    the tiny (statuses x priorities)-row table on the driver.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_u": _micros(batch["o_totalprice"]),
+            }
+        )
+
+    fine = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n_orders"), Sum("price_u", alias_name="sum_u"))
+        .to_pandas()
+    )
+    by_status = (
+        fine.groupby("o_orderstatus", as_index=False)[["n_orders", "sum_u"]]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    by_priority = (
+        fine.groupby("o_orderpriority", as_index=False)[["n_orders", "sum_u"]]
+        .sum()
+        .assign(o_orderstatus=None)
+    )
+    grand = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n_orders": [fine["n_orders"].sum()],
+            "sum_u": [fine["sum_u"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_status, by_priority, grand], ignore_index=True)[
+        ["o_orderstatus", "o_orderpriority", "n_orders", "sum_u"]
+    ]
+    out["sum_price"] = out.pop("sum_u") / 1e6
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"], na_position="first"
+    ).reset_index(drop=True)
+
+
 def customers_without_recent_orders(
     sf_dir: str, cutoff: str = "2001-01-01"
 ) -> "rd.Dataset":

@@ -274,3 +274,30 @@ class TestMisraGries:
         for k, v in m.counters.items():
             assert v <= truth[k]
             assert truth[k] - v <= bound
+
+
+class TestCube:
+    def test_four_grouping_sets(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import orders_cube
+
+        _write(
+            tmp_path,
+            "orders",
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_orderstatus": pa.array(["O", "O", "F"], pa.string()),
+                    "o_totalprice": pa.array([10.5, 20.25, 1.0], pa.float64()),
+                    "o_orderpriority": pa.array(["1-HI", "2-LO", "1-HI"],
+                                                pa.string()),
+                }
+            ),
+        )
+        out = orders_cube(str(tmp_path))
+        # 3 fine + 2 by-status + 2 by-priority + 1 grand = 8
+        assert len(out) == 8
+        grand = out[out.o_orderstatus.isna() & out.o_orderpriority.isna()]
+        assert grand["sum_price"].tolist() == [31.75]
+        hi = out[out.o_orderstatus.isna() & (out.o_orderpriority == "1-HI")]
+        assert hi["n_orders"].tolist() == [2]
+        assert hi["sum_price"].tolist() == [11.5]
