@@ -904,15 +904,30 @@ def vocab_stats(sf_dir: str) -> pd.DataFrame:
     sketch path would be an HLL per batch; exact here so the SQL oracle
     matches bit-for-bit)."""
 
-    def _tokens(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch["canonical"].to_pylist():
-            if t:
-                toks.extend(t.split(" "))
-        return pa.table({"token": pa.array(toks, pa.string())})
+    def _partial(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: shuffle distinct-tokens-per-block, not
+        # every token occurrence (same shape as top_terms)
+        import polars as pl
 
-    tokens = canonical_docs(sf_dir).map_batches(_tokens, batch_format="pyarrow")
-    token_counts = tokens.groupby("token").aggregate(Count(alias_name="n"))
+        out = (
+            pl.from_arrow(batch.select(["canonical"]))
+            .filter(pl.col("canonical") != "")
+            .select(pl.col("canonical").str.split(" ").alias("token"))
+            .explode("token")
+            .group_by("token")
+            .agg(pl.len().cast(pl.Int64).alias("n_partial"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("n_partial", pa.int64())])
+        )
+
+    token_counts = (
+        canonical_docs(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .materialize()
+    )
     vocab_size = token_counts.count()
     total_tokens = int(token_counts.sum("n"))
     n_docs = _docs(sf_dir, ["doc_id"]).count()

@@ -152,21 +152,41 @@ def attach_lookup(
     value_type: pa.DataType,
     out_names: list[str],
     num_partitions: int | None = None,
+    broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
-    """Partitioned hash join: attach `lookup[value_col]` to `left` once
-    per entry of `key_cols` (e.g. both endpoints of a pair table).
+    """Hash join: attach `lookup[value_col]` to `left` once per entry of
+    `key_cols` (e.g. both endpoints of a pair table).
 
-    The scale-safe replacement for "collect the lookup into a driver
-    dict and `ray.put` it": each pass UNIONs typed left rows with typed
-    lookup rows under a shared join key `_k`, hash-partitions on it
-    (`partitioned_group_map`), and resolves the join with one vectorized
-    polars pass per partition. Lookup rows are flagged with `_lu` so
-    null values on the left never masquerade as lookup entries.
+    Strategy switch (same rule as the LSH signature attach,
+    stages/lsh.py): a lookup under `broadcast_limit` rows is collected
+    once, `ray.put`, and resolved for every key column in a SINGLE
+    map_batches — zero shuffles. Above the limit, the scale path: each
+    pass UNIONs typed left rows with typed lookup rows under a shared
+    join key `_k`, hash-partitions on it (`partitioned_group_map`), and
+    resolves the join with one vectorized polars pass per partition.
+    Lookup rows are flagged with `_lu` so null values on the left never
+    masquerade as lookup entries.
 
     `left_schema` must describe `left` exactly (unioned blocks need
     identical schemas); each pass appends `(out_names[i], value_type)`.
     """
     import polars as pl
+
+    lookup = lookup.materialize()
+    if lookup.count() <= broadcast_limit:
+        lut_df = lookup.select_columns([lookup_key, value_col]).to_pandas()
+        ref = ray.put(dict(zip(lut_df[lookup_key], lut_df[value_col])))
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            for key_col, out_name in zip(key_cols, out_names):
+                vals = [lut.get(k) for k in batch[key_col].to_pylist()]
+                batch = batch.append_column(
+                    out_name, pa.array(vals, value_type)
+                )
+            return batch
+
+        return left.map_batches(_attach, batch_format="pyarrow")
 
     for key_col, out_name in zip(key_cols, out_names):
         schema = pa.schema(

@@ -301,3 +301,52 @@ class TestCube:
         hi = out[out.o_orderstatus.isna() & (out.o_orderpriority == "1-HI")]
         assert hi["n_orders"].tolist() == [2]
         assert hi["sum_price"].tolist() == [11.5]
+
+
+class TestAttachLookup:
+    def test_broadcast_and_partitioned_agree(self):
+        import ray.data as rd
+
+        from quarrycore_ray.stages.grouped import attach_lookup
+
+        left_schema = pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()), ("x", pa.int64())]
+        )
+        left_tb = pa.table(
+            {
+                "a_id": pa.array([1, 2, 3, 7], pa.int64()),   # 7 misses
+                "b_id": pa.array([2, 3, 1, 1], pa.int64()),
+                "x": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+        lookup_tb = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "n": pa.array([100, 200, 300], pa.int64()),
+            }
+        )
+
+        def run(limit):
+            out = attach_lookup(
+                rd.from_arrow(left_tb),
+                left_schema,
+                ["a_id", "b_id"],
+                rd.from_arrow(lookup_tb),
+                "doc_id",
+                "n",
+                pa.int64(),
+                ["na", "nb"],
+                broadcast_limit=limit,
+            )
+            return (
+                out.to_pandas()
+                .sort_values(["a_id", "b_id"])
+                .reset_index(drop=True)
+            )
+
+        bcast = run(1_000_000)   # broadcast fast path
+        part = run(0)            # forced tagged-union partitioned join
+        pd.testing.assert_frame_equal(bcast, part)
+        assert bcast["na"].tolist()[:3] == [100, 200, 300]
+        assert pd.isna(bcast["na"].iloc[3])
+        assert bcast.loc[0, "nb"] == 200
