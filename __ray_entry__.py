@@ -98,6 +98,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    def transcript_turn_stats(sf_dir: str):
+        """Turn-level analytics over the transcript corpus (north-rule
+        payload): per conversation, total turns and per-role turn counts
+        via ONE groupby over vectorized role flags."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        import ray.data as rd
+        from ray.data.aggregate import Count as _Count
+        from ray.data.aggregate import Sum as _Sum
+
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        ds = rd.from_arrow(transcripts_from_documents(sf_dir))
+
+        def _flags(batch: _pa.Table) -> _pa.Table:
+            return _pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "is_user": _pc.cast(
+                        _pc.equal(batch["role"], _pa.scalar("user")), _pa.int64()
+                    ),
+                }
+            )
+
+        agg = (
+            ds.map_batches(_flags, batch_format="pyarrow")
+            .groupby("conv_id")
+            .aggregate(
+                _Count(alias_name="n_turns"),
+                _Sum("is_user", alias_name="n_user_turns"),
+            )
+        )
+
+        def _derive(batch: _pa.Table) -> _pa.Table:
+            return batch.append_column(
+                "n_assistant_turns",
+                _pc.subtract(batch["n_turns"], batch["n_user_turns"]),
+            )
+
+        return agg.map_batches(_derive, batch_format="pyarrow")
+
     return {
         # dedup core (SURVEY.md §2.1)
         "exact_dedup_docs": docs.exact_dedup_docs,
@@ -181,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": docs.top_terms,
         # CUBE aggregate (all grouping sets of status x priority)
         "orders_cube": rel.orders_cube,
+        # turn-level transcript analytics (north-rule payload)
+        "transcript_turn_stats": transcript_turn_stats,
     }
 
 
@@ -849,6 +893,37 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) * 1000000 + 0.5) / 1000000.0 AS ma3
             FROM h
+        """,
+        # --- turn-level transcript analytics (synth.transcripts_from_documents
+        #     is deterministic in doc_id/text, so the expected per-conversation
+        #     turn counts are recomputable in SQL: turns = 12-word chunks,
+        #     roles alternate user/assistant, doc_id%10==0 -> '-dup' copy,
+        #     doc_id%10==5 -> '-ws' whitespace variant) ---
+        "transcript_turn_stats": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x != '')) AS nw
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id,
+                       'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                       CASE WHEN nw = 0 THEN 1
+                            ELSE CAST(ceil(nw / 12.0) AS BIGINT) END AS n_turns
+                FROM w
+            ),
+            all_convs AS (
+                SELECT conv_id, n_turns FROM t
+                UNION ALL
+                SELECT conv_id || '-dup', n_turns FROM t WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT conv_id || '-ws', n_turns FROM t WHERE doc_id % 10 = 5
+            )
+            SELECT conv_id, n_turns,
+                   (n_turns + 1) // 2 AS n_user_turns,
+                   n_turns // 2 AS n_assistant_turns
+            FROM all_convs
         """,
         # --- heavy hitters (pipelines/documents.py:top_terms) ---
         "top_terms": f"""
