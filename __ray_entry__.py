@@ -140,6 +140,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_derive, batch_format="pyarrow")
 
+    def duplicate_turns_q(sf_dir: str):
+        """Turn-level exact dedup over the transcript corpus
+        (pipelines/dedup.duplicate_turns)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.dedup import duplicate_turns
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return duplicate_turns(rd.from_arrow(transcripts_from_documents(sf_dir)))
+
     return {
         # dedup core (SURVEY.md §2.1)
         "exact_dedup_docs": docs.exact_dedup_docs,
@@ -225,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": rel.orders_cube,
         # turn-level transcript analytics (north-rule payload)
         "transcript_turn_stats": transcript_turn_stats,
+        # turn-level exact dedup across conversations
+        "duplicate_turns": duplicate_turns_q,
     }
 
 
@@ -924,6 +936,55 @@ def oracle_sql() -> dict[str, str]:
                    (n_turns + 1) // 2 AS n_user_turns,
                    n_turns // 2 AS n_assistant_turns
             FROM all_convs
+        """,
+        # --- turn-level exact dedup (pipelines/dedup.py:duplicate_turns);
+        #     oracle reconstructs the synth's turn texts: 12-word chunks
+        #     joined by ' ' (base/-dup convs) or '  ' + trailing newline
+        #     (-ws convs), then counts distinct conversations per text ---
+        "duplicate_turns": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x != '') AS words
+                FROM documents
+            ),
+            n AS (SELECT doc_id, words, len(words) AS n FROM c),
+            k AS (
+                SELECT doc_id, words, n,
+                       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(ceil(n / 12.0) AS BIGINT) - 1 END AS kmax
+                FROM n
+            ),
+            turns AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_slice(words, CAST(12 * i + 1 AS BIGINT),
+                                      CAST(LEAST(12 * i + 12, n) AS BIGINT)),
+                           ' ') AS t,
+                       array_to_string(
+                           list_slice(words, CAST(12 * i + 1 AS BIGINT),
+                                      CAST(LEAST(12 * i + 12, n) AS BIGINT)),
+                           '  ') || chr(10) AS t_ws
+                FROM (SELECT doc_id, words, n,
+                             unnest(generate_series(CAST(0 AS BIGINT), kmax)) AS i
+                      FROM k)
+            ),
+            convs AS (
+                SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                       t AS turn_text
+                FROM turns
+                UNION ALL
+                SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-dup',
+                       t
+                FROM turns WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-ws',
+                       t_ws
+                FROM turns WHERE doc_id % 10 = 5
+            )
+            SELECT turn_text, count(DISTINCT conv_id) AS n_convs
+            FROM convs GROUP BY turn_text
+            HAVING count(DISTINCT conv_id) > 1
         """,
         # --- heavy hitters (pipelines/documents.py:top_terms) ---
         "top_terms": f"""

@@ -383,3 +383,63 @@ def _attach_cluster(text_ds: "ray.data.Dataset", near_assign: dict[str, str]):
         )
 
     return text_ds.map_batches(_f, batch_format="pyarrow")
+
+
+def duplicate_turns(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Turn-level exact dedup: turn texts that appear in MORE THAN ONE
+    conversation, with the number of distinct conversations sharing
+    them. Output: (turn_text, n_convs).
+
+    The turn-granularity analog of the conversation-level exact stage
+    (stages/exact.py) — the operator a segment/citation-dedup pass runs
+    before conversation clustering. Scale shape: rows are keyed by the
+    turn-text SHA-256 (never the text itself, which would ship the
+    corpus as a shuffle KEY; the text rides along as a value column
+    once per distinct (turn, conv) pair after per-batch dedup), then
+    ONE hash partition counts distinct conversations per digest
+    vectorized (stages/grouped.partitioned_group_map).
+    """
+    from ..stages.grouped import partitioned_group_map
+    from ..text import sha256_hex_array
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = pa.table(
+            {
+                "h": sha256_hex_array(batch["text"]),
+                "conv_id": batch["conv_id"],
+                "turn_text": batch["text"],
+            }
+        )
+        # per-batch dedup: a turn repeated inside one conversation
+        # crosses the shuffle once
+        return (
+            pl.from_arrow(out)
+            .unique(["h", "conv_id"])
+            .to_arrow()
+            .cast(out.schema)
+        )
+
+    out_schema = pa.schema([("turn_text", pa.string()), ("n_convs", pa.int64())])
+
+    def _count(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .unique(["h", "conv_id"])
+            .group_by("h")
+            .agg(
+                pl.col("turn_text").first(),
+                pl.len().cast(pl.Int64).alias("n_convs"),
+            )
+            .filter(pl.col("n_convs") > 1)
+            .select(["turn_text", "n_convs"])
+        )
+        return out.to_arrow().cast(out_schema)
+
+    keyed = transcripts.select_columns(["conv_id", "text"]).map_batches(
+        _keyed, batch_format="pyarrow"
+    )
+    return partitioned_group_map(keyed, "h", _count, arrow=True)

@@ -350,3 +350,32 @@ class TestAttachLookup:
         assert bcast["na"].tolist()[:3] == [100, 200, 300]
         assert pd.isna(bcast["na"].iloc[3])
         assert bcast.loc[0, "nb"] == 200
+
+
+class TestDuplicateTurns:
+    def test_cross_conv_turn_counting(self):
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.dedup import duplicate_turns
+
+        tb = pa.table(
+            {
+                "conv_id": pa.array(
+                    ["a", "a", "a", "b", "b", "c"], pa.string()
+                ),
+                # "hello" in convs a+b (a has it twice -> counted once);
+                # "bye" only in conv a; "hm" in b+c
+                "text": pa.array(
+                    ["hello", "hello", "bye", "hello", "hm", "hm"], pa.string()
+                ),
+            }
+        )
+        out = (
+            duplicate_turns(rd.from_arrow(tb))
+            .to_pandas()
+            .set_index("turn_text")
+            .sort_index()
+        )
+        assert list(out.index) == ["hello", "hm"]
+        assert out.loc["hello", "n_convs"] == 2
+        assert out.loc["hm", "n_convs"] == 2
