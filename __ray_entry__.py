@@ -140,6 +140,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_derive, batch_format="pyarrow")
 
+    def tool_usage_stats(sf_dir: str):
+        """Agent-transcript tool analytics: per tool, total tool-call
+        turns and distinct conversations using it. Turn counts are one
+        groupby; distinct conversations pre-dedup (tool, conv) pairs per
+        batch so only distinct pairs cross the shuffle."""
+        import pandas as pd
+        import pyarrow as _pa
+
+        import ray.data as rd
+        from ray.data.aggregate import Count as _Count
+
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        ds = (
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+            .select_columns(["tool", "conv_id"])
+            .filter(lambda r: r["tool"] != "")
+            .materialize()
+        )
+        turns = (
+            ds.groupby("tool").aggregate(_Count(alias_name="n_turns")).to_pandas()
+        )
+
+        def _pairs(batch: _pa.Table) -> _pa.Table:
+            import polars as pl
+
+            return pl.from_arrow(batch).unique().to_arrow().cast(batch.schema)
+
+        convs = (
+            ds.map_batches(_pairs, batch_format="pyarrow")
+            .groupby(["tool", "conv_id"])
+            .aggregate(_Count(alias_name="_one"))
+            .groupby("tool")
+            .aggregate(_Count(alias_name="n_convs"))
+            .to_pandas()
+        )
+        out = turns.merge(convs, on="tool")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out.sort_values("tool").reset_index(drop=True)
+
     def duplicate_turns_q(sf_dir: str):
         """Turn-level exact dedup over the transcript corpus
         (pipelines/dedup.duplicate_turns)."""
@@ -237,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_turn_stats": transcript_turn_stats,
         # turn-level exact dedup across conversations
         "duplicate_turns": duplicate_turns_q,
+        # agent tool-call analytics (tool column of the transcript schema)
+        "tool_usage_stats": tool_usage_stats,
     }
 
 
@@ -936,6 +979,46 @@ def oracle_sql() -> dict[str, str]:
                    (n_turns + 1) // 2 AS n_user_turns,
                    n_turns // 2 AS n_assistant_turns
             FROM all_convs
+        """,
+        # --- agent tool-call analytics (synth plants tool='search'/'code'
+        #     on assistant turns as (doc_id + turn_idx) % 4 == 1 / 3) ---
+        "tool_usage_stats": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x != '')) AS nw
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id,
+                       'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                       CASE WHEN nw = 0 THEN 1
+                            ELSE CAST(ceil(nw / 12.0) AS BIGINT) END AS n_turns
+                FROM w
+            ),
+            convs AS (
+                SELECT doc_id, conv_id, n_turns FROM t
+                UNION ALL
+                SELECT doc_id, conv_id || '-dup', n_turns FROM t
+                WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, conv_id || '-ws', n_turns FROM t
+                WHERE doc_id % 10 = 5
+            ),
+            turns AS (
+                SELECT doc_id, conv_id,
+                       unnest(generate_series(CAST(0 AS BIGINT), n_turns - 1)) AS i
+                FROM convs
+            ),
+            tools AS (
+                SELECT conv_id,
+                       CASE WHEN i % 2 = 1 AND (doc_id + i) % 4 = 1 THEN 'search'
+                            WHEN i % 2 = 1 AND (doc_id + i) % 4 = 3 THEN 'code'
+                       END AS tool
+                FROM turns
+            )
+            SELECT tool, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+            FROM tools WHERE tool IS NOT NULL GROUP BY tool
         """,
         # --- turn-level exact dedup (pipelines/dedup.py:duplicate_turns);
         #     oracle reconstructs the synth's turn texts: 12-word chunks

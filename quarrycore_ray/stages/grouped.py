@@ -173,9 +173,15 @@ def attach_lookup(
     import polars as pl
 
     lookup = lookup.materialize()
-    if lookup.count() <= broadcast_limit:
-        lut_df = lookup.select_columns([lookup_key, value_col]).to_pandas()
-        ref = ray.put(dict(zip(lut_df[lookup_key], lut_df[value_col])))
+    n_lookup = lookup.count()
+    if n_lookup <= broadcast_limit:
+        if n_lookup == 0:
+            # an empty lookup has no schema — every left key misses
+            lut = {}
+        else:
+            lut_df = lookup.select_columns([lookup_key, value_col]).to_pandas()
+            lut = dict(zip(lut_df[lookup_key], lut_df[value_col]))
+        ref = ray.put(lut)
 
         def _attach(batch: pa.Table) -> pa.Table:
             lut = ray.get(ref)

@@ -261,7 +261,7 @@ def transcripts_from_documents(sf_dir: str, seed: int = 7) -> pa.Table:
     tools: list[str] = []
     tss: list[_dt.datetime] = []
 
-    def emit(cid: str, words: list[str], ci: int, ws: bool = False) -> None:
+    def emit(cid: str, words: list[str], ci: int, did: int, ws: bool = False) -> None:
         base_ts = _EPOCH + _dt.timedelta(minutes=ci)
         chunks = [words[i : i + 12] for i in range(0, len(words), 12)] or [[""]]
         for ti, chunk in enumerate(chunks):
@@ -270,7 +270,15 @@ def transcripts_from_documents(sf_dir: str, seed: int = 7) -> pa.Table:
             turn_idxs.append(ti)
             roles.append(_ROLES[ti % 2])
             texts.append(sep.join(chunk) + ("\n" if ws else ""))
-            tools.append("")
+            # deterministic agent tool calls on assistant turns (text and
+            # therefore dedup semantics are untouched): (doc_id + ti) % 4
+            # == 1 -> 'search', == 3 -> 'code', else no tool
+            if ti % 2 == 1 and (did + ti) % 4 == 1:
+                tools.append("search")
+            elif ti % 2 == 1 and (did + ti) % 4 == 3:
+                tools.append("code")
+            else:
+                tools.append("")
             tss.append(base_ts + _dt.timedelta(seconds=ti))
 
     ids = docs.column("doc_id").to_pylist()
@@ -279,13 +287,13 @@ def transcripts_from_documents(sf_dir: str, seed: int = 7) -> pa.Table:
     for doc_id, text in zip(ids, txts):
         words = (text or "").split()
         cid = f"doc-{doc_id:08d}"
-        emit(cid, words, ci)
+        emit(cid, words, ci, doc_id)
         ci += 1
         if doc_id % 10 == 0:
-            emit(f"{cid}-dup", words, ci)
+            emit(f"{cid}-dup", words, ci, doc_id)
             ci += 1
         elif doc_id % 10 == 5:
-            emit(f"{cid}-ws", words, ci, ws=True)
+            emit(f"{cid}-ws", words, ci, doc_id, ws=True)
             ci += 1
 
     return pa.table(
