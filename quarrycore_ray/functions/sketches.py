@@ -115,6 +115,101 @@ class MisraGries:
         return list(self.counters)
 
 
+class QuantileSketch:
+    """Mergeable equal-weight quantile summary (t-digest-lite).
+
+    Keeps at most `capacity` (value, weight) centroids. Updating or
+    merging concatenates centroids and, over capacity, re-compresses by
+    sorting and pooling into equal-weight chunks — each centroid then
+    spans ~1/capacity of the total weight, so any quantile query lands
+    within one chunk of the true rank: rank error <= totalWeight /
+    capacity per compression round. The distributed shape mirrors the
+    HLL/Misra-Gries operators: one sketch per batch inside
+    `map_batches`, a tiny driver merge — no sort, no shuffle, where the
+    exact path (`documents.length_quantiles`) needs a value-histogram
+    groupby.
+    """
+
+    def __init__(self, capacity: int = 512):
+        self.capacity = capacity
+        self.values = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    def update(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        self.values = np.concatenate([self.values, v])
+        self.weights = np.concatenate([self.weights, np.ones(len(v))])
+        if len(self.values) > 2 * self.capacity:
+            self._compress()
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        out = QuantileSketch(self.capacity)
+        out.values = np.concatenate([self.values, other.values])
+        out.weights = np.concatenate([self.weights, other.weights])
+        if len(out.values) > out.capacity:
+            out._compress()
+        return out
+
+    def _compress(self) -> None:
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        total = w.sum()
+        # pool sorted centroids into <= capacity equal-weight chunks
+        edges = np.linspace(0, total, self.capacity + 1)
+        cum = np.cumsum(w)
+        idx = np.searchsorted(cum - 1e-9, edges[1:-1])
+        bounds = np.concatenate([[0], idx, [len(v)]])
+        vals, wts = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e > s:
+                cw = w[s:e].sum()
+                vals.append(float((v[s:e] * w[s:e]).sum() / cw))
+                wts.append(float(cw))
+        self.values = np.array(vals)
+        self.weights = np.array(wts)
+
+    def quantile(self, q: float) -> float:
+        if len(self.values) == 0:
+            return float("nan")
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        return float(v[min(int(np.searchsorted(cum, target)), len(v) - 1)])
+
+
+def approx_quantiles(
+    ds,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    capacity: int = 512,
+) -> dict[float, float]:
+    """Distributed approximate quantiles: one QuantileSketch per batch
+    inside `map_batches`, merged on the driver — the shuffle-free
+    alternative to the exact value-histogram groupby
+    (`pipelines/documents.length_quantiles`). Use when the column is
+    high-cardinality continuous (no small histogram exists)."""
+    import pickle
+
+    import pyarrow as pa
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        sk = QuantileSketch(capacity)
+        sk.update(np.asarray(batch[col], dtype=np.float64))
+        blob = pickle.dumps((sk.values, sk.weights))
+        return pa.table({"sketch": pa.array([blob], pa.binary())})
+
+    merged = QuantileSketch(capacity)
+    for b in ds.map_batches(_sketch, batch_format="pyarrow").iter_batches(
+        batch_size=1024, batch_format="pyarrow"
+    ):
+        for blob in b["sketch"].to_pylist():
+            other = QuantileSketch(capacity)
+            other.values, other.weights = pickle.loads(blob)
+            merged = merged.merge(other)
+    return {q: merged.quantile(q) for q in qs}
+
+
 def approx_vocab_size(ds, text_col: str = "canonical", p: int = 12) -> float:
     """Distributed approximate distinct-token count: one HLL per batch
     (pre-aggregation inside map_batches), merged on the driver — the

@@ -167,3 +167,75 @@ class TestExactMathProperties:
         assert (np.diff(out[order]) >= -1e-12).all()
         # idempotent on its own grid
         assert np.allclose(floor_round_np(out), out, atol=1e-12)
+
+
+class TestMisraGriesProperties:
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(1, 25)),
+            max_size=150,
+        ),
+        st.integers(min_value=4, max_value=32),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_bound_presence_and_merge(self, items, cap):
+        import collections
+
+        from quarrycore_ray.functions.sketches import MisraGries
+
+        truth = collections.Counter()
+        for k, n in items:
+            truth[f"k{k}"] += n
+        total = sum(truth.values())
+
+        half = len(items) // 2
+        a, b = MisraGries(capacity=cap), MisraGries(capacity=cap)
+        for k, n in items[:half]:
+            a.update_many([f"k{k}"], [n])
+        for k, n in items[half:]:
+            b.update_many([f"k{k}"], [n])
+        m = a.merge(b)
+
+        bound = total / cap
+        for k, n in truth.items():
+            if n > bound:
+                assert k in m.counters
+        for k, v in m.counters.items():
+            assert v <= truth[k]
+            assert truth[k] - v <= bound + 1e-9
+        assert len(m.counters) <= cap
+
+
+class TestQuantileSketchProperties:
+    @given(
+        st.lists(
+            st.floats(min_value=-1e5, max_value=1e5,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1,
+            max_size=2000,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_rank_error_bound_and_merge(self, xs):
+        from quarrycore_ray.functions.sketches import QuantileSketch
+
+        cap = 128
+        # per-batch sketches merged on the driver, like the Ray shape
+        half = len(xs) // 2
+        a, b = QuantileSketch(cap), QuantileSketch(cap)
+        a.update(xs[:half])
+        b.update(xs[half:])
+        m = a.merge(b)
+
+        s = sorted(xs)
+        n = len(s)
+        for q in (0.1, 0.5, 0.9):
+            est = m.quantile(q)
+            # rank of the estimate must be within a few chunks of q*n
+            import bisect
+
+            lo = bisect.bisect_left(s, est)
+            hi = bisect.bisect_right(s, est)
+            target = q * n
+            slack = max(4.0, 4.0 * n / cap)
+            assert lo - slack <= target <= hi + slack

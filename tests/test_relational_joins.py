@@ -379,3 +379,25 @@ class TestDuplicateTurns:
         assert list(out.index) == ["hello", "hm"]
         assert out.loc["hello", "n_convs"] == 2
         assert out.loc["hm", "n_convs"] == 2
+
+
+class TestApproxQuantiles:
+    def test_matches_exact_within_tolerance(self):
+        import numpy as np
+
+        import ray.data as rd
+
+        from quarrycore_ray.functions.sketches import approx_quantiles
+
+        # deterministic skewed data: exact quantiles known from sorting
+        rng = np.random.RandomState(3)
+        vals = np.concatenate([rng.exponential(100, 5000), rng.normal(1000, 50, 2000)])
+        tb = pa.table({"x": pa.array(vals, pa.float64())})
+        est = approx_quantiles(rd.from_arrow(tb), "x", qs=(0.25, 0.5, 0.9))
+        s = np.sort(vals)
+        n = len(s)
+        for q, e in est.items():
+            true_val = s[int(np.floor((n - 1) * q))]
+            # rank error bound: estimate's rank within ~2*n/capacity
+            rank = np.searchsorted(s, e)
+            assert abs(rank - q * n) <= 2 * n / 512 + 8, (q, e, true_val)
