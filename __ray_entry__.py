@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_turns": duplicate_turns_q,
         # agent tool-call analytics (tool column of the transcript schema)
         "tool_usage_stats": tool_usage_stats,
+        # hopping window (overlapping 2h/1h windows via bounded expansion)
+        "events_hopping_window": rel.events_hopping_window,
     }
 
 
@@ -1135,6 +1137,18 @@ def oracle_sql() -> dict[str, str]:
             qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
             SELECT source, q, n_chars
             FROM qs JOIN s ON s.r = CAST(floor((s.n - 1) * q) AS BIGINT)
+        """,
+        # --- hopping window (pipelines/relational.py:events_hopping_window) ---
+        "events_hopping_window": """
+            WITH x AS (
+                SELECT event_type,
+                       unnest([date_trunc('hour', ts),
+                               date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                           AS window_start
+                FROM events
+            )
+            SELECT event_type, window_start, count(*) AS n_events
+            FROM x GROUP BY 1, 2
         """,
         # --- as-of join (pipelines/relational.py:events_asof_join) ---
         "events_asof_join": """

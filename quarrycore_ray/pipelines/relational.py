@@ -471,6 +471,43 @@ def events_sliding_window(sf_dir: str) -> "rd.Dataset":
     return partitioned_group_map(hourly, "event_type", _window, arrow=True)
 
 
+def events_hopping_window(sf_dir: str) -> "rd.Dataset":
+    """Hopping-window aggregate: 2-hour windows hopping every hour
+    (each event belongs to exactly two windows). Output: (event_type,
+    window_start, n_events).
+
+    The batch-engine expression of an overlapping streaming window:
+    window membership is a vectorized per-event EXPANSION (each event
+    emits one row per covering window — here 2, computed as
+    floor_temporal(ts) and floor_temporal(ts) - 1h) inside map_batches,
+    then the window reduce is the same multi-key groupby as the
+    tumbling case. Expansion factor = window/hop is a constant, so
+    shuffle volume stays linear in events.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    hour_us = 3_600_000_000
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        prev = pc.cast(
+            pc.subtract(pc.cast(hour, pa.int64()), pa.scalar(hour_us)),
+            pa.timestamp("us"),
+        )
+        etype = batch["event_type"]
+        return pa.concat_tables(
+            [
+                pa.table({"event_type": etype, "window_start": hour}),
+                pa.table({"event_type": etype, "window_start": prev}),
+            ]
+        )
+
+    return (
+        ds.map_batches(_expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
 def orders_cube(sf_dir: str) -> pd.DataFrame:
     """CUBE aggregate: order counts and exact price sums at all four
     grouping levels of (status, priority) — fine, status-only,

@@ -401,3 +401,32 @@ class TestApproxQuantiles:
             # rank error bound: estimate's rank within ~2*n/capacity
             rank = np.searchsorted(s, e)
             assert abs(rank - q * n) <= 2 * n / 512 + 8, (q, e, true_val)
+
+
+class TestHoppingWindow:
+    def test_each_event_in_two_windows(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import events_hopping_window
+
+        t = dt.datetime(2024, 1, 1, 5, 30)  # window starts 05:00 and 04:00
+        _write(
+            tmp_path,
+            "events",
+            pa.table(
+                {
+                    "event_id": pa.array([0, 1], pa.int64()),
+                    "ts": pa.array([t, t], pa.timestamp("us")),
+                    "event_type": pa.array(["a", "a"], pa.string()),
+                }
+            ),
+        )
+        out = (
+            events_hopping_window(str(tmp_path))
+            .to_pandas()
+            .sort_values("window_start")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 2
+        assert out["window_start"].tolist() == [
+            dt.datetime(2024, 1, 1, 4), dt.datetime(2024, 1, 1, 5)
+        ]
+        assert out["n_events"].tolist() == [2, 2]
