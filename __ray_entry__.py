@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": dset.train_val_test_split,
         "curriculum_sample": dset.curriculum_sample,
         "rejection_sample": dset.rejection_sample,
+        # weighted reservoir sampling (A-Res shape, deterministic priorities)
+        "weighted_sample_docs": dset.weighted_sample_docs,
         "vocab_size_approx": vocab_size_approx,
         # corpus curation (C4/CCNet/Gopher lineage)
         "segment_dedup_docs": cur.segment_dedup_docs,
@@ -763,6 +765,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
                    doc_id, n_chars
             FROM documents ORDER BY n_chars, doc_id LIMIT 100
+        """,
+        "weighted_sample_docs": """
+            WITH q AS (
+                SELECT doc_id, n_chars,
+                       (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) / 4294967296.0)
+                       / greatest(n_chars, 1) AS pri
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   floor(pri * 1000000000 + 0.5) / 1000000000.0 AS priority
+            FROM q ORDER BY pri, doc_id LIMIT 50
         """,
         "rejection_sample": f"""
             WITH q AS (

@@ -229,6 +229,65 @@ def rejection_sample(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(_f, batch_format="pyarrow")
 
 
+def weighted_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Distributed weighted sampling (the A-Res / Efraimidis-Spirakis
+    shape): each doc gets priority u / w — u a deterministic md5-derived
+    uniform, w = n_chars — and the k SMALLEST priorities win, so longer
+    docs are proportionally likelier. Output: (doc_id, n_chars,
+    priority), priority floor-rounded at 1e-9.
+
+    Determinism across engines: u = hash_int / 2^32 and u / w are each
+    a single correctly-rounded IEEE double op, so the engine and the
+    SQL oracle compute bit-identical priorities and select identical
+    rows — no RNG, no float-library divergence (this is why the key is
+    u/w and not the classic u^(1/w): pow is not correctly rounded).
+    Scale shape: priorities are per-row map work; selection is a
+    per-batch top-k combiner (each block keeps its k best) and a final
+    k-row driver sort — never a global sort.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..exactmath import floor_round_np
+
+    def _pri(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                for d in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        u = h / 2**32
+        w = np.maximum(np.asarray(batch["n_chars"], dtype=np.int64), 1)
+        pri = u / w
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "pri": pa.array(pri, pa.float64()),
+            }
+        )
+        order = pc.sort_indices(
+            out, sort_keys=[("pri", "ascending"), ("doc_id", "ascending")]
+        )
+        return out.take(order[:k])
+
+    best = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(_pri, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["pri", "doc_id"])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    best["priority"] = floor_round_np(best.pop("pri").to_numpy(), 9)
+    return best[["doc_id", "n_chars", "priority"]]
+
+
 def to_conversation_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Conversation-format records (reference formatter.py:60-77):
     messages = [user: 'Can you tell me about: <first line>', assistant:

@@ -430,3 +430,35 @@ class TestHoppingWindow:
             dt.datetime(2024, 1, 1, 4), dt.datetime(2024, 1, 1, 5)
         ]
         assert out["n_events"].tolist() == [2, 2]
+
+
+class TestWeightedSample:
+    def test_matches_bruteforce_priorities(self, tmp_path):
+        import hashlib
+
+        import numpy as np
+
+        from quarrycore_ray.pipelines.dataset import weighted_sample_docs
+
+        ids = list(range(40))
+        chars = [(i * 37) % 500 + 1 for i in ids]
+        _write(
+            tmp_path,
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_chars": pa.array(chars, pa.int64()),
+                }
+            ),
+        )
+        out = weighted_sample_docs(str(tmp_path), k=5)
+        # brute-force reference: same deterministic priority, k smallest
+        pri = {
+            d: (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) / 2**32)
+            / max(c, 1)
+            for d, c in zip(ids, chars)
+        }
+        expect = sorted(ids, key=lambda d: (pri[d], d))[:5]
+        assert out["doc_id"].tolist() == expect
+        assert (np.diff(out["priority"]) >= 0).all()
