@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage_stats": tool_usage_stats,
         # hopping window (overlapping 2h/1h windows via bounded expansion)
         "events_hopping_window": rel.events_hopping_window,
+        # robust per-group outlier filter (median + MAD, all-integer exact)
+        "length_outliers": docs.length_outliers,
     }
 
 
@@ -1137,6 +1139,36 @@ def oracle_sql() -> dict[str, str]:
         "event_type_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # --- robust outliers (documents.py:length_outliers): median and MAD
+        #     use the value at 0-indexed floor((n-1)*0.5) of ascending order,
+        #     matching the engine's histogram walk exactly ---
+        "length_outliers": """
+            WITH m AS (
+                SELECT source, n_chars AS med FROM (
+                    SELECT source, n_chars,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY n_chars, doc_id) - 1 AS r,
+                           count(*) OVER (PARTITION BY source) AS n
+                    FROM documents
+                ) WHERE r = CAST(floor((n - 1) * 0.5) AS BIGINT)
+            ),
+            d AS (
+                SELECT doc_id, dd.source, n_chars,
+                       abs(n_chars - med) AS dev
+                FROM documents dd JOIN m USING (source)
+            ),
+            mad AS (
+                SELECT source, dev AS mad FROM (
+                    SELECT source, dev,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY dev, doc_id) - 1 AS r,
+                           count(*) OVER (PARTITION BY source) AS n
+                    FROM d
+                ) WHERE r = CAST(floor((n - 1) * 0.5) AS BIGINT)
+            )
+            SELECT doc_id, d.source, n_chars, dev
+            FROM d JOIN mad USING (source) WHERE dev > 3 * mad
         """,
         # --- per-group quantiles (documents.py:length_quantiles_by_source) ---
         "length_quantiles_by_source": """

@@ -1116,6 +1116,77 @@ def length_quantiles_by_source(sf_dir: str) -> "rd.Dataset":
     return partitioned_group_map(hist, "source", _walk, arrow=True)
 
 
+def length_outliers(sf_dir: str, k_mad: int = 3) -> "rd.Dataset":
+    """Robust per-group outlier filter (Gopher-style): documents whose
+    length deviates from their source's median by more than `k_mad` x
+    that source's MAD (median absolute deviation). All-integer exact —
+    no float statistics. Output: (doc_id, source, n_chars, dev).
+
+    Scale shape: medians come from per-source VALUE HISTOGRAMS (one
+    groupby collapse + one tiny partitioned walk each — same plan as
+    `length_quantiles_by_source`), never a global sort; the per-source
+    median/MAD tables attach back to the row stream via `attach_lookup`
+    (broadcast under 1M sources, partitioned join above). Two
+    histogram rounds + two attaches, each row crossing each shuffle
+    once.
+    """
+    from ..stages.grouped import attach_lookup, partitioned_group_map
+
+    med_schema = pa.schema([("source", pa.string()), ("med", pa.int64())])
+
+    def _grouped_median(hist: "rd.Dataset", value_col: str) -> "rd.Dataset":
+        def _walk(tb: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(tb).sort(["source", value_col])
+            srcs, meds = [], []
+            for (src,), g in df.group_by("source", maintain_order=True):
+                counts = g["n"].to_numpy()
+                vals = g[value_col].to_numpy()
+                cum = np.cumsum(counts)
+                target = int(np.floor((int(cum[-1]) - 1) * 0.5))
+                srcs.append(src)
+                meds.append(int(vals[np.searchsorted(cum, target + 1)]))
+            return pa.table(
+                {"source": pa.array(srcs, pa.string()),
+                 "med": pa.array(meds, pa.int64())}
+            ).cast(med_schema)
+
+        return partitioned_group_map(hist, "source", _walk, arrow=True)
+
+    docs_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("n_chars", pa.int64())]
+    )
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    med = _grouped_median(
+        docs.groupby(["source", "n_chars"]).aggregate(Count(alias_name="n")),
+        "n_chars",
+    )
+    with_med = attach_lookup(
+        docs, docs_schema, ["source"], med, "source", "med", pa.int64(), ["med"]
+    )
+
+    def _dev(batch: pa.Table) -> pa.Table:
+        dev = pc.abs(pc.subtract(batch["n_chars"], batch["med"]))
+        return batch.drop_columns(["med"]).append_column("dev", dev)
+
+    devs = with_med.map_batches(_dev, batch_format="pyarrow").materialize()
+    mad = _grouped_median(
+        devs.groupby(["source", "dev"]).aggregate(Count(alias_name="n")), "dev"
+    )
+    dev_schema = pa.schema(list(docs_schema) + [pa.field("dev", pa.int64())])
+    flagged = attach_lookup(
+        devs, dev_schema, ["source"], mad, "source", "med", pa.int64(), ["mad"]
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["dev"], pc.multiply(batch["mad"], pa.scalar(k_mad)))
+        return batch.filter(keep).drop_columns(["mad"])
+
+    return flagged.map_batches(_filter, batch_format="pyarrow")
+
+
 def top_docs_per_source(sf_dir: str, k: int = 2) -> "rd.Dataset":
     """Group top-k: the k longest documents per source by
     (n_chars desc, doc_id asc), with a per-source rank. Output:

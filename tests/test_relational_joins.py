@@ -462,3 +462,27 @@ class TestWeightedSample:
         expect = sorted(ids, key=lambda d: (pri[d], d))[:5]
         assert out["doc_id"].tolist() == expect
         assert (np.diff(out["priority"]) >= 0).all()
+
+
+class TestLengthOutliers:
+    def test_hand_computed_mad(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import length_outliers
+
+        # source a: lengths [10,10,10,10,100] -> med 10, devs [0,0,0,0,90]
+        # -> MAD 0 -> doc 4 (dev 90 > 0) is the only outlier
+        # source b: [5,6,7] -> med 6, devs [1,0,1] -> MAD 1 -> none (>3)
+        _write(
+            tmp_path,
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(8)), pa.int64()),
+                    "source": pa.array(["a"] * 5 + ["b"] * 3, pa.string()),
+                    "n_chars": pa.array([10, 10, 10, 10, 100, 5, 6, 7],
+                                        pa.int64()),
+                }
+            ),
+        )
+        out = length_outliers(str(tmp_path)).to_pandas()
+        assert out["doc_id"].tolist() == [4]
+        assert out["dev"].tolist() == [90]
