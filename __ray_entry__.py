@@ -82,11 +82,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         ).materialize()
 
-        def _is_variant(cid: str) -> bool:
-            return cid.endswith("-dup") or cid.endswith("-ws")
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
 
-        hist = convs.filter(lambda r: not _is_variant(r["conv_id"]))
-        new = convs.filter(lambda r: _is_variant(r["conv_id"]))
+        def _split(variants: bool):
+            def _f(batch: _pa.Table) -> _pa.Table:
+                is_var = _pc.or_(
+                    _pc.ends_with(batch["conv_id"], pattern="-dup"),
+                    _pc.ends_with(batch["conv_id"], pattern="-ws"),
+                )
+                return batch.filter(is_var if variants else _pc.invert(is_var))
+
+            return _f
+
+        hist = convs.map_batches(_split(False), batch_format="pyarrow")
+        new = convs.map_batches(_split(True), batch_format="pyarrow")
         tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
         idx = f"/tmp/qc_incr_index_{tag}"
         if not _os.path.exists(idx):
@@ -153,10 +163,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from quarrycore_ray.synth import transcripts_from_documents
 
+        import pyarrow.compute as _pc2
+
+        def _nonempty(batch: _pa.Table) -> _pa.Table:
+            return batch.filter(_pc2.not_equal(batch["tool"], _pa.scalar("")))
+
         ds = (
             rd.from_arrow(transcripts_from_documents(sf_dir))
             .select_columns(["tool", "conv_id"])
-            .filter(lambda r: r["tool"] != "")
+            .map_batches(_nonempty, batch_format="pyarrow")
             .materialize()
         )
         turns = (
