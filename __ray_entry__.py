@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_knn": similarity.ann_ivf_knn,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "label_centroids": similarity.label_centroids,
+        "label_scatter": similarity.label_scatter,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "format_instruction": dset.format_instruction,
@@ -833,6 +834,34 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT)) / 1000000.0 / count(*))
                          * 1000000 + 0.5) / 1000000.0 AS mean_val
             FROM u GROUP BY label, dim
+        """,
+        # --- within-cluster scatter (functions/similarity.py:label_scatter) ---
+        "label_scatter": """
+            WITH u0 AS (
+                SELECT CAST(label AS BIGINT) AS label, vec_id,
+                       unnest(embedding) AS vf,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            ),
+            u AS (SELECT label, vec_id, CAST(vf AS DOUBLE) AS v, dim FROM u0),
+            c AS (
+                SELECT label, dim,
+                       floor((sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT))
+                              / 1000000.0 / count(*)) * 1000000 + 0.5)
+                           / 1000000.0 AS m
+                FROM u GROUP BY label, dim
+            ),
+            t AS (
+                SELECT u.label, u.vec_id,
+                       CAST(floor((u.v - c.m) * (u.v - c.m) * 1000000 + 0.5)
+                            AS BIGINT) AS term_u
+                FROM u JOIN c ON c.label = u.label AND c.dim = u.dim
+            ),
+            d AS (SELECT label, vec_id, sum(term_u) AS d2_u FROM t GROUP BY 1, 2)
+            SELECT label, count(*) AS n_vecs,
+                   floor((sum(d2_u) / 1000000.0 / count(*)) * 1000000 + 0.5)
+                       / 1000000.0 AS mean_sq_dist
+            FROM d GROUP BY label
         """,
         # --- corpus curation (pipelines/curation.py) ---
         "segment_dedup_docs": f"""

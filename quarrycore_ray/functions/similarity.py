@@ -472,6 +472,69 @@ def ann_ivf_knn(
     return _finalize_topk(pdf, k)
 
 
+def label_scatter(sf_dir: str) -> "rd.Dataset":
+    """Within-cluster scatter: per label, the mean squared distance of
+    its vectors to the label centroid — the compactness diagnostic
+    behind k-means quality and semantic-dedup threshold tuning.
+    Output: (label, n_vecs, mean_sq_dist).
+
+    Exactness across engines: centroids are the floor-rounded means of
+    `label_centroids` (bit-equal to the oracle by construction); each
+    squared per-dimension term is then quantized to integer micro-units
+    so the per-vector and per-label sums are order-independent.
+
+    Scale shape: the centroid matrix is labels x dim — k-means-sized,
+    broadcast once via `ray.put` (the standard small-side pattern; a
+    10^6-label model at dim 64 is ~500 MB and would switch to the
+    partitioned attach). Distances are one vectorized numpy pass per
+    batch; the final reduce is a labels-sized groupby.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..exactmath import floor_round_np
+
+    cent = label_centroids(sf_dir).to_pandas()
+    dim = int(cent["dim"].max()) + 1
+    mats: dict[int, np.ndarray] = {}
+    for lab, g in cent.groupby("label"):
+        m = np.zeros(dim, dtype=np.float64)
+        m[g["dim"].to_numpy()] = g["mean_val"].to_numpy()
+        mats[int(lab)] = m
+    cent_ref = ray.put(mats)
+
+    def _dist(batch: pa.Table) -> pa.Table:
+        lut = ray.get(cent_ref)
+        labels = np.asarray(batch["label"], dtype=np.int64)
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        cmat = np.stack([lut[int(lb)] for lb in labels])
+        diff = emb - cmat
+        term_u = np.floor(diff * diff * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(labels, pa.int64()),
+                "d2_u": pa.array(term_u.sum(axis=1), pa.int64()),
+            }
+        )
+
+    agg = (
+        _embeddings(sf_dir)
+        .map_batches(_dist, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"), Sum("d2_u", alias_name="s"))
+    )
+
+    def _mean(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["s"], dtype=np.float64)
+        n = np.asarray(batch["n_vecs"], dtype=np.float64)
+        out = batch.drop_columns(["s"])
+        return out.append_column(
+            "mean_sq_dist",
+            pa.array(floor_round_np(s / 1e6 / np.maximum(n, 1), 6), pa.float64()),
+        )
+
+    return agg.map_batches(_mean, batch_format="pyarrow")
+
+
 def label_centroids(sf_dir: str) -> "rd.Dataset":
     """Per-label embedding centroids as (label, dim, mean_val) rows —
     the vector aggregate behind k-means/IVF training and class

@@ -486,3 +486,31 @@ class TestLengthOutliers:
         out = length_outliers(str(tmp_path)).to_pandas()
         assert out["doc_id"].tolist() == [4]
         assert out["dev"].tolist() == [90]
+
+
+class TestLabelScatter:
+    def test_hand_computed(self, tmp_path):
+        from quarrycore_ray.functions.similarity import label_scatter
+
+        # label 7: vecs (0,0) and (2,2) -> centroid (1,1), each vec at
+        # squared distance 2 -> mean 2.0; label 8: single vec -> 0.0
+        tb = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[0.0, 0.0], [2.0, 2.0], [5.0, 5.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([7, 7, 8], pa.int32()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "embeddings.parquet"))
+        out = (
+            label_scatter(str(tmp_path))
+            .to_pandas()
+            .set_index("label")
+            .sort_index()
+        )
+        assert out.loc[7, "n_vecs"] == 2
+        assert out.loc[7, "mean_sq_dist"] == 2.0
+        assert out.loc[8, "mean_sq_dist"] == 0.0
