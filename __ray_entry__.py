@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from quarrycore_ray.pipelines import dataset as dset
     from quarrycore_ray.pipelines import documents as docs
     from quarrycore_ray.pipelines import relational as rel
+    from quarrycore_ray.pipelines import training as trn
 
     def vocab_size_approx(sf_dir: str):
         """HLL approximate distinct-token count (rows-only: sketch
@@ -302,6 +303,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": rel.events_hopping_window,
         # robust per-group outlier filter (median + MAD, all-integer exact)
         "length_outliers": docs.length_outliers,
+        # training-data construction (pipelines/training.py)
+        "tfidf_top_terms": trn.tfidf_top_terms,
+        "gopher_quality_docs": trn.gopher_quality_docs,
+        "pack_sequences": trn.pack_sequences,
+        "unigram_logprob_docs": trn.unigram_logprob_docs,
+        "source_mixing_weights": trn.source_mixing_weights,
     }
 
 
@@ -1239,6 +1246,112 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, window_start, count(*) AS n_events
             FROM x GROUP BY 1, 2
+        """,
+        # --- training-data construction (pipelines/training.py) ---
+        "tfidf_top_terms": f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            w AS (SELECT doc_id, unnest(string_split(canonical, ' ')) AS token
+                  FROM c),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            s AS (
+                SELECT tf.doc_id, tf.token,
+                       tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df)
+                           AS score
+                FROM tf JOIN df USING (token)
+            ),
+            r AS (SELECT doc_id, token, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, token) AS rank
+                  FROM s)
+            SELECT doc_id, token,
+                   floor(score * 1000000 + 0.5) / 1000000.0 AS tfidf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "gopher_quality_docs": f"""
+            WITH c AS (SELECT doc_id, text, {_CANON} AS canonical FROM documents),
+            b AS (
+                SELECT doc_id,
+                       len(string_split(canonical, ' ')) AS n_words,
+                       length(canonical) AS n_chars,
+                       string_split(canonical, ' ') AS words,
+                       len(regexp_extract_all(text, '#'))
+                           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+                       length(text) - length(replace(text, chr(10), '')) + 1
+                           AS n_lines,
+                       len(regexp_extract_all(text, '(?m)^[-*] ')) AS bullets,
+                       len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS ellipsis
+                FROM c
+            ),
+            m AS (
+                SELECT doc_id, n_words,
+                       (n_chars - n_words + 1) * 1.0 / n_words AS mwl,
+                       n_sym * 1.0 / n_words AS sym,
+                       bullets * 1.0 / n_lines AS bf,
+                       ellipsis * 1.0 / n_lines AS ef,
+                       len(list_filter({_STOPLIST_SQL.replace("(", "[", 1).replace(")", "]")},
+                                       t -> list_contains(words, t))) AS stop_hits
+                FROM b
+            )
+            SELECT doc_id, n_words,
+                   floor(mwl * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+                   floor(sym * 1000000 + 0.5) / 1000000.0 AS symbol_ratio,
+                   floor(bf * 1000000 + 0.5) / 1000000.0 AS bullet_frac,
+                   floor(ef * 1000000 + 0.5) / 1000000.0 AS ellipsis_frac,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                                  AND mwl >= 3 AND mwl <= 10
+                                  AND sym < 0.1 AND bf < 0.9 AND ef < 0.3
+                                  AND stop_hits >= 2
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM m
+        """,
+        "pack_sequences": f"""
+            WITH n AS (SELECT doc_id, len(string_split({_CANON}, ' ')) AS n_tokens
+                       FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+                         sum(n_tokens) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) - n_tokens AS tokens_before
+                  FROM n)
+            SELECT doc_id, n_tokens,
+                   CAST(tokens_before // 512 AS BIGINT) AS bin_id
+            FROM s
+        """,
+        "unigram_logprob_docs": f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            w AS (SELECT doc_id, unnest(string_split(canonical, ' ')) AS token
+                  FROM c),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+            cnt AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+            tot AS (SELECT sum(c) AS t FROM cnt),
+            term AS (
+                SELECT tf.doc_id, tf.tf,
+                       CAST(floor(-ln(cnt.c * 1.0 / tot.t) * 1000000 + 0.5)
+                            AS BIGINT) AS u
+                FROM tf JOIN cnt USING (token) CROSS JOIN tot
+            ),
+            d AS (SELECT doc_id, sum(tf) AS n_tokens, sum(tf * u) AS su
+                  FROM term GROUP BY doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   floor((su / 1000000.0 / n_tokens) * 1000000 + 0.5) / 1000000.0
+                       AS avg_neg_logprob
+            FROM d
+        """,
+        "source_mixing_weights": """
+            WITH s AS (SELECT source, count(*) AS n_docs FROM documents
+                       GROUP BY source),
+            w AS (SELECT source, n_docs,
+                         CAST(floor(pow(n_docs * 1.0 /
+                                        (SELECT sum(n_docs) FROM s), 0.7)
+                                    * 1000000000 + 0.5) AS BIGINT) AS w_u
+                  FROM s)
+            SELECT source, n_docs,
+                   floor((w_u * 1.0 / (SELECT sum(w_u) FROM w)) * 1000000 + 0.5)
+                       / 1000000.0 AS mix_weight
+            FROM w
         """,
         # --- as-of join (pipelines/relational.py:events_asof_join) ---
         "events_asof_join": """

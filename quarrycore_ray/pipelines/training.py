@@ -1,0 +1,383 @@
+"""Training-data construction operators.
+
+Extends the reference's dataset analytics / quality surface
+(`/root/reference/src/quarrycore/dataset/analytics.py:27-101`,
+`/root/reference/src/quarrycore/quality/scorers.py:74-146`) with the
+standard public corpus-curation recipes a 100 TB pipeline needs:
+TF-IDF keyword extraction, Gopher-style quality rules, sequence
+packing via a distributed prefix sum, unigram-LM log-prob scoring,
+and temperature-scaled source mixing.
+
+Scale notes
+-----------
+* Term-level tables (`_term_counts`) are built per batch with one
+  vectorized polars explode+count — complete per document because each
+  input row is one whole document, so no shuffle is needed to finish a
+  doc's term counts.
+* Global lookups (document frequency, corpus token counts) are
+  token-keyed aggregates attached back with
+  `stages.grouped.attach_lookup`, which broadcasts below 1M entries and
+  switches to a hash-partitioned join above (same rule as the LSH
+  signature attach).
+* Float reductions follow the micro-unit integer pattern
+  (`exactmath.py`): transcendentals are applied per element, floored to
+  integer micro-units, and summed exactly so results are independent of
+  reduction order — bit-identical to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..exactmath import floor_round_np
+from ..stages.grouped import attach_lookup, partitioned_group_map
+from ..text import normalize_whitespace_array
+from .documents import _docs, canonical_docs
+
+# the deterministic English stoplist shared with quality_scores
+# (functions/textstats.py) and its SQL twin in __ray_entry__
+STOPLIST = ("the", "and", "of", "a", "to", "in", "is", "that", "it", "for")
+
+TF_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("token", pa.string()),
+        pa.field("tf", pa.int64()),
+    ]
+)
+
+
+def _term_counts(ds: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, token, tf) term-frequency triples, one vectorized polars
+    explode+count per batch (complete per doc: one input row = one doc).
+
+    Single-space split of the canonical text; an empty canonical yields
+    the single token '' (mirroring DuckDB ``string_split('', ' ')``)."""
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", "canonical"]))
+        out = (
+            df.with_columns(pl.col("canonical").str.split(" ").alias("token"))
+            .drop("canonical")
+            .explode("token")
+            .group_by(["doc_id", "token"])
+            .len()
+            .rename({"len": "tf"})
+        )
+        return out.to_arrow().cast(TF_SCHEMA)
+
+    return ds.map_batches(_tf, batch_format="pyarrow")
+
+
+def _token_aggregate(
+    tf: "rd.Dataset", alias: str, value: str | None = None
+) -> "rd.Dataset":
+    """Token-keyed global aggregate with a per-batch combiner: partial
+    sums per batch, then one small groupby — only (token, partial) rows
+    cross the shuffle, never the raw triples. `value=None` counts rows
+    (document frequency over tf triples); otherwise sums `value`."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if value is None:
+            df = pl.from_arrow(batch.select(["token"]))
+            out = df.group_by("token").len().rename({"len": "_part_sum"})
+        else:
+            df = pl.from_arrow(batch.select(["token", value]))
+            out = df.group_by("token").agg(pl.col(value).sum().alias("_part_sum"))
+        return out.to_arrow().cast(
+            pa.schema(
+                [pa.field("token", pa.string()), pa.field("_part_sum", pa.int64())]
+            )
+        )
+
+    return (
+        tf.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("_part_sum", alias_name=alias))
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Per-document top-k TF-IDF keywords: score = tf * ln(N / df).
+
+    Document frequency is a token-keyed aggregate attached back to the
+    term triples (broadcast/join switch via `attach_lookup`); top-k per
+    doc runs inside a hash-partitioned group map (one vectorized polars
+    pass per partition, never per doc). Output
+    (doc_id, token, tfidf, rank), rank 1..k ordered by
+    (score desc, token asc)."""
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    tf = _term_counts(canonical_docs(sf_dir)).materialize()
+
+    df_tbl = _token_aggregate(tf, "df")
+    scored = attach_lookup(
+        tf, TF_SCHEMA, ["token"], df_tbl, "token", "df", pa.int64(), ["df"]
+    )
+
+    def _topk(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        tfs = np.asarray(tb["tf"], dtype=np.float64)
+        dfs = np.asarray(tb["df"], dtype=np.float64)
+        # identical IEEE sequence to the oracle: tf * ln(N * 1.0 / df)
+        score = tfs * np.log(float(n_docs) / dfs)
+        df = pl.from_arrow(tb.select(["doc_id", "token"])).with_columns(
+            pl.Series("score", score)
+        )
+        df = df.sort(["doc_id", "score", "token"], descending=[False, True, False])
+        df = df.with_columns(
+            pl.int_range(1, pl.len() + 1).over("doc_id").alias("rank")
+        ).filter(pl.col("rank") <= k)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "token": pa.array(df["token"].to_list(), pa.string()),
+                "tfidf": pa.array(
+                    floor_round_np(df["score"].to_numpy()), pa.float64()
+                ),
+                "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(scored, "doc_id", _topk, arrow=True)
+
+
+def gopher_quality_docs(sf_dir: str) -> "rd.Dataset":
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    recipe), fully vectorized Arrow kernels — one stateless map_batches,
+    no shuffle.
+
+    Emitted metrics (rounded 6 dp) and the unrounded keep predicate:
+      n_words        single-space split of canonical text
+      mean_word_len  (len(canonical) - n_words + 1) / n_words — exact,
+                     since canonical is single-space joined
+      symbol_ratio   ('#' + '...' occurrences in raw text) / n_words
+      bullet_frac    lines starting '- ' or '* '  / n_lines
+      ellipsis_frac  lines ending '...'           / n_lines
+      stop_hits      distinct STOPLIST words present
+      keep           50<=n_words<=100000 and 3<=mean_word_len<=10 and
+                     symbol_ratio<0.1 and bullet_frac<0.9 and
+                     ellipsis_frac<0.3 and stop_hits>=2   (as int64)
+    """
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        text = batch["text"]
+        canon = normalize_whitespace_array(text)
+        nw = np.asarray(
+            pc.cast(pc.list_value_length(pc.split_pattern(canon, " ")), pa.int64())
+        )
+        n_chars = np.asarray(pc.cast(pc.utf8_length(canon), pa.int64()))
+        mean_wl = (n_chars - nw + 1) * 1.0 / nw
+        n_sym = np.asarray(
+            pc.cast(pc.count_substring(text, pattern="#"), pa.int64())
+        ) + np.asarray(pc.cast(pc.count_substring(text, pattern="..."), pa.int64()))
+        sym_ratio = n_sym * 1.0 / nw
+        n_lines = (
+            np.asarray(pc.cast(pc.count_substring(text, pattern="\n"), pa.int64())) + 1
+        )
+        bullets = np.asarray(
+            pc.cast(pc.count_substring_regex(text, pattern=r"(?m)^[\-\*] "), pa.int64())
+        )
+        ellipsis = np.asarray(
+            pc.cast(pc.count_substring_regex(text, pattern=r"(?m)\.\.\.$"), pa.int64())
+        )
+        bullet_frac = bullets * 1.0 / n_lines
+        ellipsis_frac = ellipsis * 1.0 / n_lines
+        words = pl.from_arrow(pa.table({"w": pc.split_pattern(canon, " ")}))
+        hits = (
+            words.select(
+                sum(
+                    pl.col("w").list.contains(s).cast(pl.Int64) for s in STOPLIST
+                ).alias("h")
+            )["h"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        keep = (
+            (nw >= 50)
+            & (nw <= 100000)
+            & (mean_wl >= 3)
+            & (mean_wl <= 10)
+            & (sym_ratio < 0.1)
+            & (bullet_frac < 0.9)
+            & (ellipsis_frac < 0.3)
+            & (hits >= 2)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(nw, pa.int64()),
+                "mean_word_len": pa.array(floor_round_np(mean_wl), pa.float64()),
+                "symbol_ratio": pa.array(floor_round_np(sym_ratio), pa.float64()),
+                "bullet_frac": pa.array(floor_round_np(bullet_frac), pa.float64()),
+                "ellipsis_frac": pa.array(
+                    floor_round_np(ellipsis_frac), pa.float64()
+                ),
+                "stop_hits": pa.array(hits, pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _stats, batch_format="pyarrow"
+    )
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = 512, bucket_size: int = 1024
+) -> "rd.Dataset":
+    """Contiguous sequence packing via a distributed prefix sum: docs in
+    doc_id order are concatenated into fixed token-budget bins;
+    bin_id = (tokens before this doc) // budget.
+
+    Two-phase scan (the classic BSP prefix sum): (1) per-bucket token
+    totals — buckets are contiguous doc_id ranges — aggregated into a
+    corpus/bucket_size-row table whose running offsets are computed on
+    the driver and broadcast; (2) a hash-partitioned group map computes
+    the within-bucket cumulative sum and adds the bucket offset. The
+    driver holds corpus/bucket_size rows, not the corpus; at extreme
+    scale the same scan recurses over the totals table. All-integer —
+    no float reduction anywhere."""
+    import polars as pl
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        nw = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch["canonical"], " ")),
+            pa.int64(),
+        )
+        bucket = pc.cast(
+            pc.divide(batch["doc_id"], pa.scalar(bucket_size, pa.int64())), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": nw, "bucket": bucket}
+        )
+
+    tok = (
+        canonical_docs(sf_dir).map_batches(_prep, batch_format="pyarrow").materialize()
+    )
+    totals = (
+        tok.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    offs = totals["tot"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(dict(zip(totals["bucket"].astype(int), offs.astype(int))))
+
+    def _assign(tb: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        df = pl.from_arrow(tb).sort(["bucket", "doc_id"])
+        df = df.with_columns(
+            (pl.col("n_tokens").cum_sum().over("bucket") - pl.col("n_tokens")).alias(
+                "_local"
+            ),
+            pl.col("bucket")
+            .replace_strict(offsets, return_dtype=pl.Int64)
+            .alias("_off"),
+        )
+        before = df["_local"].to_numpy() + df["_off"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64()),
+                "bin_id": pa.array(before // budget, pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(tok, "bucket", _assign, arrow=True)
+
+
+def unigram_logprob_docs(sf_dir: str) -> "rd.Dataset":
+    """Unigram language-model scoring: per doc, the mean negative log
+    probability of its tokens under the corpus unigram distribution
+    (the shuffle-light analog of a KenLM perplexity filter).
+
+    Corpus counts are a token-keyed aggregate attached back via
+    `attach_lookup`; per-token -ln p is floored to integer micro-units
+    before the per-doc sum so the reduction is exact and
+    order-independent. Output (doc_id, n_tokens, avg_neg_logprob)."""
+    tf = _term_counts(canonical_docs(sf_dir)).materialize()
+    cnt = _token_aggregate(tf, "c", value="tf").materialize()
+    total = int(cnt.sum("c"))
+
+    with_cnt = attach_lookup(
+        tf, TF_SCHEMA, ["token"], cnt, "token", "c", pa.int64(), ["c"]
+    )
+
+    def _terms(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"], dtype=np.float64)
+        tfs = np.asarray(batch["tf"], dtype=np.int64)
+        u = np.floor(-np.log(c / float(total)) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tf": batch["tf"],
+                "su": pa.array(tfs * u, pa.int64()),
+            }
+        )
+
+    agg = (
+        with_cnt.map_batches(_terms, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("tf", alias_name="n_tokens"), Sum("su", alias_name="_su")
+        )
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        su = np.asarray(batch["_su"], dtype=np.float64)
+        n = np.asarray(batch["n_tokens"], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+                "avg_neg_logprob": pa.array(
+                    floor_round_np(su / 1e6 / n), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def source_mixing_weights(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
+    """Temperature-scaled source mixing weights (the multinomial
+    alpha-sampling recipe used for multi-source pretraining mixes):
+    w_s = (n_s / N)^alpha, normalized over sources.
+
+    The distributed part is one groupby count; the final normalization
+    runs on the per-source table (|sources| rows — driver-small by
+    construction). Weights are normalized over micro-unit integers so
+    the sum is order-independent."""
+    agg = (
+        _docs(sf_dir, ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n = int(agg["n_docs"].sum())
+    w = (agg["n_docs"].to_numpy(dtype=np.float64) / float(n)) ** alpha
+    w_u = np.floor(w * 1e9 + 0.5).astype(np.int64)
+    tot = int(w_u.sum())
+    return pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_docs": agg["n_docs"].astype("int64"),
+            "mix_weight": floor_round_np(w_u * 1.0 / tot),
+        }
+    )

@@ -1,0 +1,161 @@
+"""Training-data construction operators (pipelines/training.py) on
+planted fixtures: TF-IDF ranks match hand-computed scores, Gopher rules
+keep/drop the right documents, sequence packing reproduces the global
+prefix sum, unigram log-probs match math.log arithmetic, and mixing
+weights follow the temperature power law."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts: dict[int, str], sources: dict[int, str] | None = None):
+    ids = sorted(texts)
+    cols = {
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[k] for k in ids], pa.string()),
+    }
+    if sources is not None:
+        cols["source"] = pa.array([sources[k] for k in ids], pa.string())
+    pq.write_table(pa.table(cols), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+class TestTfidf:
+    def test_ranks_match_hand_computation(self, tmp_path):
+        from quarrycore_ray.pipelines.training import tfidf_top_terms
+
+        # 'rare' appears only in doc 0 (df=1), 'shared' in all three (df=3)
+        sf = _write_docs(
+            tmp_path,
+            {
+                0: "rare shared shared",
+                1: "shared common common",
+                2: "shared common other",
+            },
+        )
+        out = tfidf_top_terms(sf, k=2).to_pandas()
+        d0 = out[out.doc_id == 0].sort_values("rank")
+        # doc 0: score(rare) = 1*ln(3/1) = 1.0986; score(shared) = 2*ln(3/3) = 0
+        assert list(d0.token) == ["rare", "shared"]
+        assert abs(d0.iloc[0].tfidf - math.log(3.0)) < 1e-6
+        assert d0.iloc[1].tfidf == 0.0
+        # every doc emits exactly min(k, n_distinct_terms) rows
+        assert out.groupby("doc_id").size().max() <= 2
+        assert list(out.columns) == ["doc_id", "token", "tfidf", "rank"]
+
+    def test_rank_ties_break_by_token(self, tmp_path):
+        from quarrycore_ray.pipelines.training import tfidf_top_terms
+
+        # 'aa' and 'bb' both unique to doc 0 with tf=1 -> equal scores,
+        # tie broken alphabetically
+        sf = _write_docs(tmp_path, {0: "bb aa", 1: "zz"})
+        out = tfidf_top_terms(sf, k=2).to_pandas()
+        d0 = out[out.doc_id == 0].sort_values("rank")
+        assert list(d0.token) == ["aa", "bb"]
+
+
+class TestGopherRules:
+    def test_keep_and_drop(self, tmp_path):
+        from quarrycore_ray.pipelines.training import gopher_quality_docs
+
+        good = "the quick brown fox jumps over that lazy dog again " * 6  # 60 words
+        short = "way too short"
+        symbols = ("# " * 30 + "the and that it is for ok " * 5).strip()
+        sf = _write_docs(tmp_path, {0: good, 1: short, 2: symbols})
+        out = gopher_quality_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "keep"] == 1
+        assert out.loc[0, "n_words"] == 60
+        assert out.loc[0, "stop_hits"] >= 2
+        # doc 1: under the 50-word floor
+        assert out.loc[1, "keep"] == 0
+        # doc 2: symbol ratio 30/65 >= 0.1
+        assert out.loc[2, "keep"] == 0
+        assert out.loc[2, "symbol_ratio"] > 0.1
+
+    def test_bullet_and_ellipsis_lines(self, tmp_path):
+        from quarrycore_ray.pipelines.training import gopher_quality_docs
+
+        text = "- first bullet\n- second bullet\ntrailing thought...\nplain line"
+        sf = _write_docs(tmp_path, {0: text})
+        out = gopher_quality_docs(sf).to_pandas().iloc[0]
+        assert abs(out.bullet_frac - 2 / 4) < 1e-6
+        assert abs(out.ellipsis_frac - 1 / 4) < 1e-6
+
+
+class TestPackSequences:
+    def test_prefix_sum_bins(self, tmp_path):
+        from quarrycore_ray.pipelines.training import pack_sequences
+
+        # token counts 5, 5, 5, 2 with budget 8:
+        # before = 0, 5, 10, 15 -> bins 0, 0, 1, 1
+        sf = _write_docs(
+            tmp_path,
+            {
+                0: "a b c d e",
+                1: "f g h i j",
+                2: "k l m n o",
+                3: "p q",
+            },
+        )
+        out = (
+            pack_sequences(sf, budget=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out.n_tokens) == [5, 5, 5, 2]
+        assert list(out.bin_id) == [0, 0, 1, 1]
+
+    def test_bucket_boundaries_preserve_global_order(self, tmp_path):
+        from quarrycore_ray.pipelines.training import pack_sequences
+
+        # bucket_size=2 forces multiple buckets; the bucket offsets must
+        # stitch the per-bucket cumsums into one global prefix sum
+        texts = {i: " ".join(["w"] * 3) for i in range(10)}  # 3 tokens each
+        sf = _write_docs(tmp_path, texts)
+        out = (
+            pack_sequences(sf, budget=4, bucket_size=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        expect = [(3 * i) // 4 for i in range(10)]
+        assert list(out.bin_id) == expect
+
+
+class TestUnigramLogprob:
+    def test_matches_math_log(self, tmp_path):
+        from quarrycore_ray.pipelines.training import unigram_logprob_docs
+
+        # corpus: 'a' x3, 'b' x1 -> p(a)=3/4, p(b)=1/4
+        sf = _write_docs(tmp_path, {0: "a a a", 1: "b"})
+        out = unigram_logprob_docs(sf).to_pandas().set_index("doc_id")
+        u_a = math.floor(-math.log(3 / 4) * 1e6 + 0.5)
+        u_b = math.floor(-math.log(1 / 4) * 1e6 + 0.5)
+        exp0 = math.floor((3 * u_a / 1e6 / 3) * 1e6 + 0.5) / 1e6
+        exp1 = math.floor((u_b / 1e6 / 1) * 1e6 + 0.5) / 1e6
+        assert out.loc[0, "avg_neg_logprob"] == exp0
+        assert out.loc[1, "avg_neg_logprob"] == exp1
+        assert out.loc[0, "n_tokens"] == 3
+
+
+class TestSourceMixing:
+    def test_temperature_flattens(self, tmp_path):
+        from quarrycore_ray.pipelines.training import source_mixing_weights
+
+        texts = {i: "x" for i in range(10)}
+        sources = {i: ("big" if i < 9 else "small") for i in range(10)}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = source_mixing_weights(sf, alpha=0.7).set_index("source")
+        assert out.loc["big", "n_docs"] == 9
+        # weights normalized
+        assert abs(out.mix_weight.sum() - 1.0) < 1e-5
+        # alpha < 1 flattens: small source gets MORE than its 0.1 share
+        assert out.loc["small", "mix_weight"] > 0.1
+        assert out.loc["big", "mix_weight"] < 0.9
+        # exact power-law ratio (up to micro-unit rounding)
+        ratio = out.loc["big", "mix_weight"] / out.loc["small", "mix_weight"]
+        assert abs(ratio - 9**0.7) < 1e-3
