@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "label_centroids": similarity.label_centroids,
         "label_scatter": similarity.label_scatter,
+        # int8 scalar quantization stats (shuffle-compression pass)
+        "quantize_embeddings": similarity.quantize_embeddings,
+        # SemDeDup-shaped cluster-scoped semantic prune
+        "semdedup_prune": similarity.semdedup_prune,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "format_instruction": dset.format_instruction,
@@ -869,6 +873,55 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum(d2_u) / 1000000.0 / count(*)) * 1000000 + 0.5)
                        / 1000000.0 AS mean_sq_dist
             FROM d GROUP BY label
+        """,
+        # --- int8 quantization stats (functions/similarity.py) ---
+        "quantize_embeddings": """
+            WITH u AS (
+                SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                       len(embedding) AS dim
+                FROM embeddings
+            ),
+            a AS (SELECT vec_id, max(abs(v)) AS amax, any_value(dim) AS dim
+                  FROM u GROUP BY vec_id),
+            t AS (
+                SELECT u.vec_id, a.dim, a.amax,
+                       CAST(floor(
+                           (v - (CASE WHEN a.amax = 0 THEN 0.0
+                                      ELSE greatest(least(
+                                          floor(v / (a.amax / 127.0) + 0.5),
+                                          127.0), -127.0) END
+                                 * (a.amax / 127.0)))
+                           * (v - (CASE WHEN a.amax = 0 THEN 0.0
+                                        ELSE greatest(least(
+                                            floor(v / (a.amax / 127.0) + 0.5),
+                                            127.0), -127.0) END
+                                   * (a.amax / 127.0)))
+                           * 1000000000000 + 0.5) AS BIGINT) AS tu
+                FROM u JOIN a USING (vec_id)
+            ),
+            d AS (SELECT vec_id, any_value(dim) AS dim, any_value(amax) AS amax,
+                         sum(tu) AS su
+                  FROM t GROUP BY vec_id)
+            SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                   floor((amax / 127.0) * 1000000000 + 0.5) / 1000000000.0
+                       AS scale,
+                   floor((su / 1000000000000.0 / dim) * 1000000000 + 0.5)
+                       / 1000000000.0 AS mse
+            FROM d
+        """,
+        # --- SemDeDup cluster-scoped prune (functions/similarity.py) ---
+        "semdedup_prune": """
+            WITH p AS (
+                SELECT b.vec_id AS vec_id, CAST(a.label AS BIGINT) AS label,
+                       a.vec_id AS earlier_id
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))
+                      >= 0.35
+            )
+            SELECT vec_id, label, min(earlier_id) AS kept_id
+            FROM p GROUP BY vec_id, label
         """,
         # --- corpus curation (pipelines/curation.py) ---
         "segment_dedup_docs": f"""

@@ -591,3 +591,101 @@ def label_centroids(sf_dir: str) -> "rd.Dataset":
         )
 
     return agg.map_batches(_mean, batch_format="pyarrow")
+
+
+def quantize_embeddings(sf_dir: str) -> "rd.Dataset":
+    """Per-vector int8 scalar quantization stats — the compression pass
+    a 100 TB embedding corpus runs before shipping vectors through a
+    shuffle (4x smaller blocks): scale = max|v| / 127,
+    q_i = clip(floor(v_i/scale + 0.5), -127, 127), and the
+    reconstruction MSE. One stateless vectorized map_batches, no
+    shuffle; squared errors are floored to 1e-12 integer units before
+    the per-vector sum so the reduction is exact against the oracle.
+
+    Output (vec_id, dim, scale, mse), floats floor-rounded to 9 dp.
+    """
+
+    def _q(batch: pa.Table) -> pa.Table:
+        ids, v = _to_matrix(batch)
+        amax = np.abs(v).max(axis=1)
+        scale = amax / 127.0
+        sc = scale[:, None]
+        q = np.floor(
+            np.divide(v, sc, out=np.zeros_like(v), where=sc > 0) + 0.5
+        )
+        q = np.clip(q, -127.0, 127.0)
+        recon = q * sc
+        d = v - recon
+        tu = np.floor(d * d * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+        dim = v.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "dim": pa.array(np.full(len(ids), dim, dtype=np.int64)),
+                "scale": pa.array(floor_round_np(scale, 9), pa.float64()),
+                "mse": pa.array(
+                    floor_round_np(tu / 1e12 / dim, 9), pa.float64()
+                ),
+            }
+        )
+
+    return _embeddings(sf_dir).map_batches(_q, batch_format="pyarrow")
+
+
+def semdedup_prune(sf_dir: str, threshold: float = 0.35) -> "rd.Dataset":
+    """SemDeDup-shaped semantic prune (Abbas et al. 2023, public
+    recipe): within each embedding cluster, drop every vector that has
+    an earlier (smaller vec_id) neighbor at cosine >= threshold.
+
+    Clusters come from the table's `label` column (when absent, the
+    spherical k-means quantizer behind `ann_ivf_knn` produces the same
+    assignment). The O(n^2) cosine work is confined to each cluster —
+    the whole point of the recipe — and clusters are processed with one
+    vectorized numpy pass per hash partition via
+    `partitioned_group_map`, never per-cluster Python dispatch.
+
+    Output (vec_id, label, kept_id): the pruned vector, its cluster,
+    and the smallest earlier neighbor that keeps it out — an all-integer
+    result, so oracle comparison is exact.
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    def _part(tb: pa.Table) -> pa.Table:
+        labels = np.asarray(tb["label"], dtype=np.int64)
+        ids, emb = _to_matrix(tb)
+        out_vec, out_lab, out_kept = [], [], []
+        for lab in np.unique(labels):
+            sel = labels == lab
+            lids = ids[sel]
+            order = np.argsort(lids, kind="stable")
+            lids = lids[order]
+            m = _normalize(emb[sel][order])
+            cos = m @ m.T
+            # earlier neighbor: strictly lower triangle, at/above threshold
+            hit = np.tril(cos >= threshold, k=-1)
+            has = hit.any(axis=1)
+            if not has.any():
+                continue
+            kept = np.where(hit[has], lids[None, :], np.iinfo(np.int64).max).min(
+                axis=1
+            )
+            out_vec.append(lids[has])
+            out_lab.append(np.full(int(has.sum()), lab, dtype=np.int64))
+            out_kept.append(kept)
+        if not out_vec:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "kept_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_vec), pa.int64()),
+                "label": pa.array(np.concatenate(out_lab), pa.int64()),
+                "kept_id": pa.array(np.concatenate(out_kept), pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(_embeddings(sf_dir), "label", _part, arrow=True)

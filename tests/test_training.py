@@ -159,3 +159,77 @@ class TestSourceMixing:
         # exact power-law ratio (up to micro-unit rounding)
         ratio = out.loc["big", "mix_weight"] / out.loc["small", "mix_weight"]
         assert abs(ratio - 9**0.7) < 1e-3
+
+
+def _write_embeddings(tmp_path, vecs, labels):
+    tb = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tb, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_and_scale(self, tmp_path):
+        from quarrycore_ray.functions.similarity import quantize_embeddings
+
+        sf = _write_embeddings(
+            tmp_path, [[1.0, -0.5, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0]], [0, 0]
+        )
+        out = quantize_embeddings(sf).to_pandas().set_index("vec_id")
+        assert abs(out.loc[0, "scale"] - 1.0 / 127) < 1e-9
+        # exactly representable values quantize with tiny error
+        assert out.loc[0, "mse"] < 1e-5
+        # the all-zero vector: scale 0, zero error (no div-by-zero)
+        assert out.loc[1, "scale"] == 0.0
+        assert out.loc[1, "mse"] == 0.0
+        assert out.loc[0, "dim"] == 4
+
+    def test_clip_bounds(self, tmp_path):
+        from quarrycore_ray.functions.similarity import quantize_embeddings
+
+        # one dominant component: smallest components round to 0,
+        # reconstruction error bounded by (scale/2)^2 per dim
+        sf = _write_embeddings(tmp_path, [[127.0, 0.4, -0.4, 0.1]], [0])
+        out = quantize_embeddings(sf).to_pandas().iloc[0]
+        assert abs(out.scale - 1.0) < 1e-9
+        assert out.mse <= 0.25
+
+
+class TestSemdedupPrune:
+    def test_prunes_within_cluster_only(self, tmp_path):
+        from quarrycore_ray.functions.similarity import semdedup_prune
+
+        # vecs 0,1 identical in label 0 -> 1 pruned, kept_id 0
+        # vec 2 identical direction but label 1 -> untouched (cluster-scoped)
+        # vec 3 orthogonal in label 0 -> survives
+        sf = _write_embeddings(
+            tmp_path,
+            [[1.0, 0.0], [2.0, 0.0], [3.0, 0.0], [0.0, 1.0]],
+            [0, 0, 1, 0],
+        )
+        out = semdedup_prune(sf, threshold=0.9).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0].vec_id == 1
+        assert out.iloc[0].kept_id == 0
+        assert out.iloc[0].label == 0
+
+    def test_chain_keeps_earliest(self, tmp_path):
+        from quarrycore_ray.functions.similarity import semdedup_prune
+
+        # three near-identical vectors in one cluster: 1 and 2 both
+        # report kept_id=0 (the earliest), not a chain
+        sf = _write_embeddings(
+            tmp_path,
+            [[1.0, 0.01], [1.0, 0.02], [1.0, 0.03]],
+            [5, 5, 5],
+        )
+        out = semdedup_prune(sf, threshold=0.99).to_pandas().sort_values("vec_id")
+        assert list(out.vec_id) == [1, 2]
+        assert list(out.kept_id) == [0, 0]
