@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": trn.pack_sequences,
         "unigram_logprob_docs": trn.unigram_logprob_docs,
         "source_mixing_weights": trn.source_mixing_weights,
+        "oov_rate_docs": trn.oov_rate_docs,
+        "source_overlap": trn.source_overlap,
     }
 
 
@@ -1405,6 +1407,48 @@ def oracle_sql() -> dict[str, str]:
                    floor((w_u * 1.0 / (SELECT sum(w_u) FROM w)) * 1000000 + 0.5)
                        / 1000000.0 AS mix_weight
             FROM w
+        """,
+        "oov_rate_docs": f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            w AS (SELECT doc_id, unnest(string_split(canonical, ' ')) AS token
+                  FROM c),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+            cnt AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+            vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 20),
+            d AS (
+                SELECT doc_id, sum(tf) AS n_tokens,
+                       sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+                                THEN tf ELSE 0 END) AS n_oov
+                FROM tf GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   floor((n_oov * 1.0 / n_tokens) * 1000000 + 0.5) / 1000000.0
+                       AS oov_rate
+            FROM d
+        """,
+        "source_overlap": f"""
+            WITH c AS (SELECT doc_id, source, string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, source, unnest(words) AS w,
+                         generate_subscripts(words, 1) - 1 AS i FROM c),
+            segs AS (
+                SELECT doc_id, source, string_agg(w, ' ' ORDER BY i) AS seg
+                FROM w GROUP BY doc_id, source, i // 10
+            ),
+            d AS (SELECT DISTINCT source, seg FROM segs),
+            sizes AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+            sh AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS n_shared
+                FROM d a JOIN d b ON a.seg = b.seg AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared,
+                   floor((n_shared * 1.0 / (sa.n + sb.n - n_shared))
+                         * 1000000 + 0.5) / 1000000.0 AS jaccard
+            FROM sh JOIN sizes sa ON sa.source = source_a
+                    JOIN sizes sb ON sb.source = source_b
         """,
         # --- as-of join (pipelines/relational.py:events_asof_join) ---
         "events_asof_join": """

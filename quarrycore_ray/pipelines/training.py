@@ -381,3 +381,163 @@ def source_mixing_weights(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
             "mix_weight": floor_round_np(w_u * 1.0 / tot),
         }
     )
+
+
+def oov_rate_docs(sf_dir: str, vocab_size: int = 20) -> "rd.Dataset":
+    """Out-of-vocabulary rate per document against the corpus top-K
+    vocabulary — the tokenizer-prep diagnostic run before committing to
+    a vocab (docs with high OOV are scripts/languages the vocab misses).
+
+    Two-pass: (1) token totals via the per-batch combiner aggregate,
+    top-K selected with a deterministic (count desc, token asc) sort —
+    the vocab is K rows, broadcast via ray.put; (2) per-doc OOV token
+    sums via one groupby over per-row flags. Output
+    (doc_id, n_tokens, n_oov, oov_rate)."""
+    tf = _term_counts(canonical_docs(sf_dir)).materialize()
+    vocab_rows = (
+        _token_aggregate(tf, "c", value="tf")
+        .sort(["c", "token"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    vocab_ref = ray.put(frozenset(vocab_rows["token"]))
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        toks = batch["token"].to_pylist()
+        tfs = np.asarray(batch["tf"], dtype=np.int64)
+        oov = np.fromiter(
+            (t not in vocab for t in toks), dtype=bool, count=len(toks)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tf": batch["tf"],
+                "oov": pa.array(np.where(oov, tfs, 0), pa.int64()),
+            }
+        )
+
+    agg = (
+        tf.map_batches(_flags, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("tf", alias_name="n_tokens"), Sum("oov", alias_name="n_oov"))
+    )
+
+    def _rate(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_tokens"], dtype=np.float64)
+        o = np.asarray(batch["n_oov"], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+                "n_oov": pc.cast(batch["n_oov"], pa.int64()),
+                "oov_rate": pa.array(floor_round_np(o / n), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_rate, batch_format="pyarrow")
+
+
+def source_overlap(sf_dir: str, seg_words: int = 10) -> "rd.Dataset":
+    """Cross-source content-overlap matrix: for every source pair, the
+    number of shared distinct `seg_words`-word segments and their
+    Jaccard overlap — the corpus-composition audit run before mixing
+    sources (near-identical mirrors show up as jaccard ~= 1).
+
+    Shape: distinct (source, segment) pairs (per-batch pre-dedup, one
+    groupby), then pairs are emitted per segment inside a hash-
+    partitioned group map — a segment present in k sources emits
+    k(k-1)/2 pairs, bounded by the (small) source count, so boilerplate
+    segments cannot blow up the pair table the way unbounded bucket
+    joins would. Per-source distinct-segment totals ride the same
+    distinct table. Output (source_a, source_b, n_shared, jaccard)."""
+    import polars as pl
+
+    from ray.data.aggregate import Count
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch["source"],
+                "canonical": normalize_whitespace_array(batch["text"]),
+            }
+        )
+
+    def _segs(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["source", "canonical"]))
+        out = (
+            df.with_columns(pl.col("canonical").str.split(" ").alias("w"))
+            .drop("canonical")
+            .with_row_index("_doc")
+            .explode("w")
+            .with_columns(
+                (pl.int_range(pl.len()).over("_doc") // seg_words).alias("_seg_idx")
+            )
+            .group_by(["_doc", "_seg_idx", "source"], maintain_order=True)
+            .agg(pl.col("w").str.join(" ").alias("seg"))
+            .select(["source", "seg"])
+            .unique()
+        )
+        return out.to_arrow().cast(
+            pa.schema([pa.field("source", pa.string()), pa.field("seg", pa.string())])
+        )
+
+    distinct = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(_canon, batch_format="pyarrow")
+        .map_batches(_segs, batch_format="pyarrow")
+        .groupby(["seg", "source"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    sizes = (
+        distinct.groupby("source")
+        .aggregate(Count(alias_name="n_segs"))
+        .to_pandas()
+    )
+    sizes_ref = ray.put(dict(zip(sizes["source"], sizes["n_segs"].astype(int))))
+
+    def _pairs(tb: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tb)
+        out = (
+            df.sort(["seg", "source"])
+            .group_by("seg", maintain_order=True)
+            .agg(pl.col("source").alias("srcs"))
+        )
+        a_out, b_out = [], []
+        for srcs in out["srcs"].to_list():
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    a_out.append(srcs[i])
+                    b_out.append(srcs[j])
+        return pa.table(
+            {
+                "source_a": pa.array(a_out, pa.string()),
+                "source_b": pa.array(b_out, pa.string()),
+            }
+        )
+
+    counts = (
+        partitioned_group_map(distinct, "seg", _pairs, arrow=True)
+        .groupby(["source_a", "source_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+
+    def _jaccard(batch: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        na = np.array([sizes[s] for s in batch["source_a"].to_pylist()], dtype=np.float64)
+        nb = np.array([sizes[s] for s in batch["source_b"].to_pylist()], dtype=np.float64)
+        sh = np.asarray(batch["n_shared"], dtype=np.float64)
+        return pa.table(
+            {
+                "source_a": batch["source_a"],
+                "source_b": batch["source_b"],
+                "n_shared": pc.cast(batch["n_shared"], pa.int64()),
+                "jaccard": pa.array(
+                    floor_round_np(sh / (na + nb - sh)), pa.float64()
+                ),
+            }
+        )
+
+    return counts.map_batches(_jaccard, batch_format="pyarrow")

@@ -233,3 +233,67 @@ class TestSemdedupPrune:
         out = semdedup_prune(sf, threshold=0.99).to_pandas().sort_values("vec_id")
         assert list(out.vec_id) == [1, 2]
         assert list(out.kept_id) == [0, 0]
+
+
+class TestOovRate:
+    def test_topk_vocab_and_rates(self, tmp_path):
+        from quarrycore_ray.pipelines.training import oov_rate_docs
+
+        # counts: a=3, b=1, c=1 -> vocab(k=1) = {a}
+        sf = _write_docs(tmp_path, {0: "a a b", 1: "a c"})
+        out = oov_rate_docs(sf, vocab_size=1).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_tokens"] == 3 and out.loc[0, "n_oov"] == 1
+        assert abs(out.loc[0, "oov_rate"] - 1 / 3) < 1e-6
+        assert out.loc[1, "n_oov"] == 1
+        assert abs(out.loc[1, "oov_rate"] - 0.5) < 1e-6
+
+    def test_vocab_ties_break_by_token(self, tmp_path):
+        from quarrycore_ray.pipelines.training import oov_rate_docs
+
+        # b and z tie at count 1; vocab(k=1) picks 'b' alphabetically
+        sf = _write_docs(tmp_path, {0: "b z"})
+        out = oov_rate_docs(sf, vocab_size=1).to_pandas().iloc[0]
+        assert out.n_oov == 1  # z is OOV, b is in-vocab
+
+
+class TestSourceOverlap:
+    def test_shared_segments_and_jaccard(self, tmp_path):
+        from quarrycore_ray.pipelines.training import source_overlap
+
+        # 2-word segments: X = {"a b", "c d"}, Y = {"a b", "x y"}
+        # shared = 1, jaccard = 1 / (2 + 2 - 1) = 1/3
+        sf = _write_docs(
+            tmp_path,
+            {0: "a b c d", 1: "a b x y"},
+            sources={0: "X", 1: "Y"},
+        )
+        out = source_overlap(sf, seg_words=2).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row.source_a, row.source_b) == ("X", "Y")
+        assert row.n_shared == 1
+        assert abs(row.jaccard - 1 / 3) < 1e-6
+
+    def test_disjoint_sources_emit_nothing(self, tmp_path):
+        from quarrycore_ray.pipelines.training import source_overlap
+
+        sf = _write_docs(
+            tmp_path,
+            {0: "a b", 1: "x y"},
+            sources={0: "X", 1: "Y"},
+        )
+        out = source_overlap(sf, seg_words=2).to_pandas()
+        assert len(out) == 0
+
+    def test_duplicate_segments_counted_once(self, tmp_path):
+        from quarrycore_ray.pipelines.training import source_overlap
+
+        # the shared segment appears twice in X but counts once (distinct)
+        sf = _write_docs(
+            tmp_path,
+            {0: "a b", 1: "a b", 2: "a b c c"},
+            sources={0: "X", 1: "X", 2: "Y"},
+        )
+        out = source_overlap(sf, seg_words=2).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0].n_shared == 1
