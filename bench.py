@@ -49,8 +49,26 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def host_first_touch_gbps(mb: int = 128) -> float:
+    """First-touch page-fault bandwidth probe (BASELINE.md host-state
+    advisory): the sandbox VM intermittently degrades to ~0.01 GB/s
+    faulting fresh pages from the hypervisor (vs >= 1 GB/s healthy),
+    which inflates every wall-clock number ~2.5-3x while leaving
+    correctness untouched. Recording the probe beside each bench run
+    makes cross-run comparisons interpretable."""
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    t0 = time.perf_counter()
+    np.ones(n)
+    return round(mb / 1024.0 / (time.perf_counter() - t0), 3)
+
+
 def run_bench() -> dict:
     import ray
+
+    probe_gbps = host_first_touch_gbps()
+    log(f"host first-touch probe: {probe_gbps} GB/s (healthy >= 1)")
 
     ray.init(
         address="local",
@@ -100,6 +118,7 @@ def run_bench() -> dict:
             "n_turns": int(n_turns),
             "turns_per_sec": round(turns_per_sec, 1),
             "n_clusters": int(n_clusters),
+            "host_first_touch_gbps": probe_gbps,
         }
 
     def timed(name: str, fn) -> None:
@@ -136,6 +155,11 @@ def run_bench() -> dict:
     timed("top_revenue_orders", rel.top_revenue_orders)
     timed("top_terms", docs.top_terms)
 
+    from quarrycore_ray.pipelines import training as trn
+
+    timed("tfidf_top_terms", trn.tfidf_top_terms)
+    timed("unigram_logprob_docs", trn.unigram_logprob_docs)
+
     ray.shutdown()
     return {
         "metric": "transcript_dedup_e2e_seconds",
@@ -147,6 +171,7 @@ def run_bench() -> dict:
         "n_turns": int(n_turns),
         "turns_per_sec": round(turns_per_sec, 1),
         "n_clusters": int(n_clusters),
+        "host_first_touch_gbps": probe_gbps,
     }
 
 
@@ -181,6 +206,10 @@ def run_scaling() -> dict:
         f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "n_turns": r_lo["n_turns"],
+        "host_first_touch_gbps": [
+            r_lo.get("host_first_touch_gbps"),
+            r_hi.get("host_first_touch_gbps"),
+        ],
     }
 
 
