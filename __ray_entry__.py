@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixing_weights": trn.source_mixing_weights,
         "oov_rate_docs": trn.oov_rate_docs,
         "source_overlap": trn.source_overlap,
+        "pmi_bigrams": trn.pmi_bigrams,
+        "filter_below_source_median": trn.filter_below_source_median,
     }
 
 
@@ -1449,6 +1451,64 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000.0 AS jaccard
             FROM sh JOIN sizes sa ON sa.source = source_a
                     JOIN sizes sb ON sb.source = source_b
+        """,
+        "pmi_bigrams": f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            w0 AS (SELECT doc_id, string_split(canonical, ' ') AS words FROM c),
+            w AS (SELECT doc_id, unnest(words) AS w,
+                         generate_subscripts(words, 1) AS i FROM w0),
+            uni AS (SELECT w AS token, count(*) AS c FROM w GROUP BY w),
+            tot AS (SELECT sum(c) AS t FROM uni),
+            bg AS (
+                SELECT doc_id, w AS w1, lead(w, 1) OVER win AS w2
+                FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY w2 IS NOT NULL
+            ),
+            pc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2
+                   HAVING count(*) >= 5),
+            s AS (
+                SELECT w1, w2, n_pair,
+                       ln(n_pair) + ln(t) - ln(u1.c) - ln(u2.c) AS pmi
+                FROM pc JOIN uni u1 ON u1.token = w1
+                        JOIN uni u2 ON u2.token = w2
+                        CROSS JOIN tot
+            )
+            SELECT w1, w2, n_pair,
+                   floor(pmi * 1000000 + 0.5) / 1000000.0 AS pmi
+            FROM s ORDER BY floor(pmi * 1000000 + 0.5) / 1000000.0 DESC, w1, w2
+            LIMIT 20
+        """,
+        "filter_below_source_median": f"""
+            WITH t AS (
+                SELECT doc_id, source, canonical,
+                       string_split(canonical, ' ') AS words
+                FROM (SELECT doc_id, source, {_CANON} AS canonical FROM documents)
+            ), s AS (
+                SELECT doc_id, source,
+                    least(length(canonical) / 400.0, 1.0) AS ls,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        5.0 * len(list_filter(words, w -> w IN {_STOPLIST_SQL})) / len(words),
+                        1.0) END AS lgs,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        2.0 * len(list_distinct(words)) / len(words), 1.0) END AS ch
+                FROM t
+            ), q AS (
+                SELECT doc_id, source,
+                       floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000 + 0.5)
+                           / 1000000.0 AS quality
+                FROM s
+            ),
+            med AS (
+                SELECT source, quality AS med FROM (
+                    SELECT source, quality,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY quality, doc_id) - 1 AS r,
+                           count(*) OVER (PARTITION BY source) AS n
+                    FROM q
+                ) WHERE r = CAST(floor((n - 1) * 0.5) AS BIGINT)
+            )
+            SELECT doc_id, q.source, quality
+            FROM q JOIN med USING (source) WHERE quality > med
         """,
         # --- as-of join (pipelines/relational.py:events_asof_join) ---
         "events_asof_join": """

@@ -541,3 +541,160 @@ def source_overlap(sf_dir: str, seg_words: int = 10) -> "rd.Dataset":
         )
 
     return counts.map_batches(_jaccard, batch_format="pyarrow")
+
+
+def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
+    """Top-k adjacent-word bigrams by pointwise mutual information:
+    PMI = ln(c_ab * T / (c_a * c_b)) — the collocation detector behind
+    tokenizer-merge candidates and phrase mining.
+
+    Two count aggregates (unigrams from the tf triples, bigrams from a
+    per-batch sliding zip), both with per-batch combiners; unigram
+    counts for the surviving >= min_count bigrams are attached from the
+    (broadcast/join-switched) lookup; final top-k via per-batch top-k
+    combiner + driver merge of k-row partials. Output
+    (w1, w2, n_pair, pmi) sorted (pmi desc, w1, w2)."""
+    import polars as pl
+
+    docs = canonical_docs(sf_dir).materialize()
+    tf = _term_counts(docs)
+    uni = _token_aggregate(tf, "c", value="tf").materialize()
+    total = int(uni.sum("c"))
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["canonical"]))
+        out = (
+            df.with_row_index("_doc")
+            .with_columns(pl.col("canonical").str.split(" ").alias("w"))
+            .drop("canonical")
+            .explode("w")
+            .with_columns(pl.col("w").shift(-1).over("_doc").alias("w2"))
+            .drop_nulls("w2")
+            .group_by(["w", "w2"])
+            .len()
+            .rename({"w": "w1", "len": "n"})
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    pa.field("w1", pa.string()),
+                    pa.field("w2", pa.string()),
+                    pa.field("n", pa.int64()),
+                ]
+            )
+        )
+
+    pairs = (
+        docs.map_batches(_bigrams, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n_pair"))
+        .filter(expr=f"n_pair >= {min_count}")
+        .materialize()
+    )
+    pair_schema = pa.schema(
+        [
+            pa.field("w1", pa.string()),
+            pa.field("w2", pa.string()),
+            pa.field("n_pair", pa.int64()),
+        ]
+    )
+    with_counts = attach_lookup(
+        pairs, pair_schema, ["w1", "w2"], uni, "token", "c", pa.int64(), ["c1", "c2"]
+    )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        nab = np.asarray(batch["n_pair"], dtype=np.float64)
+        c1 = np.asarray(batch["c1"], dtype=np.float64)
+        c2 = np.asarray(batch["c2"], dtype=np.float64)
+        # log-sum form, left-associative — the identical IEEE sequence
+        # to the oracle's ln(n)+ln(T)-ln(c1)-ln(c2) (a product form would
+        # round differently between int-exact SQL and float numpy)
+        pmi = np.log(nab) + np.log(float(total)) - np.log(c1) - np.log(c2)
+        out = pa.table(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "n_pair": batch["n_pair"],
+                "pmi": pa.array(floor_round_np(pmi), pa.float64()),
+            }
+        )
+        df = pl.from_arrow(out).sort(
+            ["pmi", "w1", "w2"], descending=[True, False, False]
+        )
+        return df.head(k).to_arrow().cast(out.schema)
+
+    partials = with_counts.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    return (
+        partials.sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def filter_below_source_median(sf_dir: str) -> "rd.Dataset":
+    """Per-source quality gate: keep documents whose quality score is
+    strictly above their source's median — composition of the quality
+    scorer and the per-group histogram-quantile machinery (no global
+    sort; medians come from exact per-source value histograms over
+    micro-unit scores).
+
+    Output (doc_id, source, quality) for the surviving docs."""
+    from ..functions.textstats import quality_scores
+
+    def _scored(batch: pa.Table) -> pa.Table:
+        qb = quality_scores(
+            batch.append_column(
+                "canonical", normalize_whitespace_array(batch["text"])
+            )
+        )
+        q_u = np.floor(
+            np.asarray(qb["quality"], dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "q_u": pa.array(q_u, pa.int64()),
+            }
+        )
+
+    scored = (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(_scored, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # per-(source, value) histogram -> exact median at floor((n-1)*0.5)
+    hist = (
+        scored.groupby(["source", "q_u"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "q_u"])
+    )
+    medians: dict[str, int] = {}
+    for src, g in hist.groupby("source", sort=False):
+        n = int(g["n"].sum())
+        target = (n - 1) // 2
+        cum = g["n"].cumsum()
+        medians[src] = int(g.loc[cum > target, "q_u"].iloc[0])
+    med_ref = ray.put(medians)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        q_u = np.asarray(batch["q_u"], dtype=np.int64)
+        cut = np.array([med[s] for s in batch["source"].to_pylist()], dtype=np.int64)
+        keep = q_u > cut
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "source": out["source"],
+                "quality": pa.array(
+                    np.asarray(out["q_u"], dtype=np.float64) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return scored.map_batches(_filter, batch_format="pyarrow")

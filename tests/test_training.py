@@ -297,3 +297,54 @@ class TestSourceOverlap:
         out = source_overlap(sf, seg_words=2).to_pandas()
         assert len(out) == 1
         assert out.iloc[0].n_shared == 1
+
+
+class TestPmiBigrams:
+    def test_known_collocation(self, tmp_path):
+        from quarrycore_ray.pipelines.training import pmi_bigrams
+
+        # "x y" x5 -> bigram (x,y) 5 times, (y,x) 4 times; T=10, c_x=c_y=5
+        sf = _write_docs(tmp_path, {0: "x y x y x y x y x y"})
+        out = pmi_bigrams(sf, k=5, min_count=5)
+        assert len(out) == 1  # (y,x) has count 4 < min_count
+        row = out.iloc[0]
+        assert (row.w1, row.w2) == ("x", "y")
+        assert row.n_pair == 5
+        # pmi = ln5 + ln10 - ln5 - ln5 = ln 2
+        assert abs(row.pmi - math.log(2.0)) < 1e-6
+
+    def test_topk_orders_by_pmi(self, tmp_path):
+        from quarrycore_ray.pipelines.training import pmi_bigrams
+
+        # 'a b' always adjacent (high PMI); 'c' pairs with many partners
+        text = "a b c d a b c e a b c f a b c g a b c h"
+        sf = _write_docs(tmp_path, {i: text for i in range(3)})
+        out = pmi_bigrams(sf, k=2, min_count=3)
+        assert list(out.columns) == ["w1", "w2", "n_pair", "pmi"]
+        assert len(out) == 2
+        assert out.pmi.is_monotonic_decreasing
+
+
+class TestSourceMedianFilter:
+    def test_keeps_strictly_above_median(self, tmp_path):
+        from quarrycore_ray.pipelines.training import filter_below_source_median
+
+        # 5 docs in one source with strictly increasing length scores
+        texts = {
+            i: " ".join(["the word is that it for and of in to"] * (i + 1))
+            for i in range(5)
+        }
+        sf = _write_docs(tmp_path, texts, sources={i: "S" for i in range(5)})
+        out = filter_below_source_median(sf).to_pandas()
+        kept = sorted(out.doc_id)
+
+        # expectation derived from the engine's own quality scores
+        from quarrycore_ray.pipelines.documents import quality_score_docs
+
+        q = quality_score_docs(sf).to_pandas().set_index("doc_id")["quality"]
+        med = sorted(q)[(len(q) - 1) // 2]
+        expect = sorted(q[q > med].index)
+        assert kept == expect
+        assert 0 < len(kept) < len(q)  # strict median filter is non-trivial
+        assert (out.source == "S").all()
+        assert out.quality.between(0, 1).all()
