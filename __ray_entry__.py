@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_split": rel.temporal_split,
         "orders_by_status": rel.orders_by_status,
         "customer_order_totals": rel.customer_order_totals,
+        # left-outer join + aggregate (zeros for order-less customers)
+        "customer_order_totals_full": rel.customer_order_totals_full,
         "lineitem_pricing_summary": rel.lineitem_pricing_summary,
         "supplier_nation_counts": rel.supplier_nation_counts,
         # similarity search
@@ -706,6 +708,18 @@ def oracle_sql() -> dict[str, str]:
                    t.total_spent AS total_spent, t.n_orders AS n_orders
             FROM t JOIN customer c ON c.c_custkey = t.o_custkey
             ORDER BY t.total_spent DESC, c_custkey LIMIT 10
+        """,
+        "customer_order_totals_full": """
+            SELECT c.c_custkey, c.c_name,
+                   COALESCE(t.n_orders, 0) AS n_orders,
+                   COALESCE(floor((t.su / 1000000.0) * 100 + 0.5) / 100.0, 0.0)
+                       AS total_spent
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_orders,
+                       sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                           AS su
+                FROM orders GROUP BY o_custkey
+            ) t ON t.o_custkey = c.c_custkey
         """,
         "lineitem_pricing_summary": """
             WITH u AS (

@@ -916,3 +916,112 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["o_orderstatus", "o_orderpriority"], na_position="first"
     ).reset_index(drop=True)
+
+
+def customer_order_totals_full(sf_dir: str) -> "rd.Dataset":
+    """LEFT OUTER join + aggregate: EVERY customer with order count and
+    total spend, zeros for customers who never ordered (the outer-join
+    complement of `customer_order_totals`'s inner top-10).
+
+    Same tagged-union shape as the anti-join above — both sides
+    fact-scale, no broadcast: customer rows (_side 0) union per-batch
+    pre-aggregated order partials (_side 1; only (custkey, sum_u, n)
+    partial rows cross the shuffle), one hash partitioning on custkey,
+    then a vectorized polars left join per partition. Money sums ride
+    exact integer micro-units. Output
+    (c_custkey, c_name, n_orders, total_spent)."""
+    import numpy as np
+    import polars as pl
+
+    schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("_su", pa.int64()),
+            ("_n", pa.int64()),
+            ("_side", pa.int8()),
+        ]
+    )
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "_su": pa.nulls(n, pa.int64()),
+                "_n": pa.nulls(n, pa.int64()),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        ).cast(schema)
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "c_custkey": batch["o_custkey"],
+                    "_su": _micros(batch["o_totalprice"]),
+                }
+            )
+        )
+        part = df.group_by("c_custkey").agg(
+            pl.col("_su").sum(), pl.len().cast(pl.Int64).alias("_n")
+        )
+        n = part.height
+        return (
+            part.with_columns(
+                pl.lit(None, dtype=pl.String).alias("c_name"),
+                pl.lit(1, dtype=pl.Int8).alias("_side"),
+            )
+            .select(["c_custkey", "c_name", "_su", "_n", "_side"])
+            .to_arrow()
+            .cast(schema)
+        )
+
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("n_orders", pa.int64()),
+            ("total_spent", pa.float64()),
+        ]
+    )
+
+    def _join(tb: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tb)
+        cust = df.filter(pl.col("_side") == 0).select(["c_custkey", "c_name"])
+        if cust.height == 0:
+            return out_schema.empty_table()
+        agg = (
+            df.filter(pl.col("_side") == 1)
+            .group_by("c_custkey")
+            .agg(pl.col("_su").sum(), pl.col("_n").sum())
+        )
+        joined = cust.join(agg, on="c_custkey", how="left")
+        su = joined["_su"].fill_null(0).to_numpy().astype(np.float64)
+        n = joined["_n"].fill_null(0).to_numpy().astype(np.int64)
+        spent = np.where(
+            n > 0, np.floor((su / 1e6) * 100 + 0.5) / 100.0, 0.0
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    joined["c_custkey"].to_numpy(), pa.int64()
+                ),
+                "c_name": pa.array(joined["c_name"].to_list(), pa.string()),
+                "n_orders": pa.array(n, pa.int64()),
+                "total_spent": pa.array(spent, pa.float64()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        _cust, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        _orders, batch_format="pyarrow"
+    )
+    from ..stages.grouped import partitioned_group_map
+
+    return partitioned_group_map(
+        cust.union(orders), "c_custkey", _join, arrow=True
+    )

@@ -514,3 +514,41 @@ class TestLabelScatter:
         assert out.loc[7, "n_vecs"] == 2
         assert out.loc[7, "mean_sq_dist"] == 2.0
         assert out.loc[8, "mean_sq_dist"] == 0.0
+
+
+class TestLeftOuterJoin:
+    def test_customer_order_totals_full(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import customer_order_totals_full
+
+        _write(
+            tmp_path,
+            "customer",
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                    "c_name": pa.array(["a", "b", "c"], pa.string()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "orders",
+            pa.table(
+                {
+                    # cust 1: two orders; cust 2: none; cust 3: one order
+                    "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                    "o_totalprice": pa.array([10.5, 20.25, 5.0], pa.float64()),
+                }
+            ),
+        )
+        out = (
+            customer_order_totals_full(str(tmp_path))
+            .to_pandas()
+            .set_index("c_custkey")
+            .sort_index()
+        )
+        assert list(out.index) == [1, 2, 3]
+        assert out.loc[1, "n_orders"] == 2 and out.loc[1, "total_spent"] == 30.75
+        # the outer side: zero orders, zero spend — row still present
+        assert out.loc[2, "n_orders"] == 0 and out.loc[2, "total_spent"] == 0.0
+        assert out.loc[3, "n_orders"] == 1 and out.loc[3, "total_spent"] == 5.0
