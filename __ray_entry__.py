@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": cur.decontaminate_docs,
         # as-of join (custom operator: Ray Data lacks a primitive)
         "events_asof_join": rel.events_asof_join,
+        # bounded time-range join: view -> click conversion funnel
+        "funnel_conversions": rel.funnel_conversions,
         # exact quantiles via value histogram (§2.6 analytics)
         "length_quantiles": docs.length_quantiles,
         # group top-k (§2.7) and rollup aggregates (§2.6)
@@ -1523,6 +1525,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, q.source, quality
             FROM q JOIN med USING (source) WHERE quality > med
+        """,
+        # --- funnel (pipelines/relational.py:funnel_conversions) ---
+        "funnel_conversions": """
+            WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+            c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click'),
+            conv AS (
+                SELECT c.event_id, c.user_id,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM v
+                           WHERE v.user_id = c.user_id
+                             AND v.ts <= c.ts
+                             AND v.ts > c.ts - INTERVAL 30 MINUTE
+                       ) THEN 1 ELSE 0 END AS converted
+                FROM c
+            )
+            SELECT user_id, count(*) AS n_clicks,
+                   CAST(sum(converted) AS BIGINT) AS n_converted
+            FROM conv GROUP BY user_id
         """,
         # --- as-of join (pipelines/relational.py:events_asof_join) ---
         "events_asof_join": """

@@ -1025,3 +1025,78 @@ def customer_order_totals_full(sf_dir: str) -> "rd.Dataset":
     return partitioned_group_map(
         cust.union(orders), "c_custkey", _join, arrow=True
     )
+
+
+def funnel_conversions(sf_dir: str, window_minutes: int = 30) -> "rd.Dataset":
+    """Behavioral funnel: per user, how many 'click' events were
+    conversions — preceded by a 'view' from the same user within
+    `window_minutes` (a bounded time-range join, the asof-join shape
+    with a recency predicate on top).
+
+    Same tagged-union merge as `events_asof_join`: one hash
+    partitioning on user_id, one vectorized polars pass per partition
+    (sort, forward-fill last view timestamp within each user run, then
+    an integer-microsecond recency test), and the per-user aggregate
+    falls out inside the same partition — users are co-located by
+    construction, so no second shuffle. Output
+    (user_id, n_clicks, n_converted)."""
+    from ..stages.grouped import partitioned_group_map
+
+    import numpy as np
+
+    window_us = window_minutes * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(["view", "click"]))
+        batch = batch.filter(keep)
+        is_click = pc.equal(batch["event_type"], pa.scalar("click"))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "_side": pc.cast(is_click, pa.int8()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_clicks", pa.int64()),
+            ("n_converted", pa.int64()),
+        ]
+    )
+
+    def _merge(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["user_id", "ts", "_side", "event_id"])
+        df = df.with_columns(
+            pl.when(pl.col("_side") == 0)
+            .then(pl.col("ts"))
+            .otherwise(None)
+            .fill_null(strategy="forward")
+            .over("user_id")
+            .alias("_last_view")
+        ).filter(pl.col("_side") == 1)
+        if df.height == 0:
+            return out_schema.empty_table()
+        click_us = df["ts"].cast(pl.Int64).to_numpy()
+        view_us = df["_last_view"].cast(pl.Int64).to_numpy()
+        has_view = df["_last_view"].is_not_null().to_numpy()
+        conv = has_view & (click_us - np.where(has_view, view_us, 0) < window_us)
+        agg = (
+            df.select("user_id")
+            .with_columns(pl.Series("_conv", conv.astype(np.int64)))
+            .group_by("user_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_clicks"),
+                pl.col("_conv").sum().alias("n_converted"),
+            )
+        )
+        return agg.to_arrow().cast(out_schema)
+
+    return partitioned_group_map(
+        ds.map_batches(_tag, batch_format="pyarrow"), "user_id", _merge, arrow=True
+    )

@@ -552,3 +552,47 @@ class TestLeftOuterJoin:
         # the outer side: zero orders, zero spend — row still present
         assert out.loc[2, "n_orders"] == 0 and out.loc[2, "total_spent"] == 0.0
         assert out.loc[3, "n_orders"] == 1 and out.loc[3, "total_spent"] == 5.0
+
+
+class TestFunnelConversions:
+    def test_window_boundaries(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import funnel_conversions
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        m = dt.timedelta(minutes=1)
+        _write(
+            tmp_path,
+            "events",
+            pa.table(
+                {
+                    "event_id": pa.array(list(range(8)), pa.int64()),
+                    "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+                    "event_type": pa.array(
+                        # u1: view, click(+5m, conv), click(+40m, stale),
+                        #     view-free click later handled by ffill chain
+                        ["view", "click", "click", "other",
+                         # u2: click BEFORE any view -> not converted
+                         "click", "view",
+                         # u3: view and click same instant -> converted
+                         "view", "click"],
+                        pa.string(),
+                    ),
+                    "ts": pa.array(
+                        [base, base + 5 * m, base + 40 * m, base + 41 * m,
+                         base, base + 1 * m,
+                         base, base],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+        )
+        out = (
+            funnel_conversions(str(tmp_path), window_minutes=30)
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        assert out.loc[1, "n_clicks"] == 2 and out.loc[1, "n_converted"] == 1
+        assert out.loc[2, "n_clicks"] == 1 and out.loc[2, "n_converted"] == 0
+        # same-instant view counts (v.ts <= c.ts)
+        assert out.loc[3, "n_clicks"] == 1 and out.loc[3, "n_converted"] == 1
