@@ -348,3 +348,53 @@ class TestSourceMedianFilter:
         assert 0 < len(kept) < len(q)  # strict median filter is non-trivial
         assert (out.source == "S").all()
         assert out.quality.between(0, 1).all()
+
+
+class TestRandomizedSerialOracles:
+    """Seeded random inputs checked against serial numpy recomputation —
+    sweeps the distributed two-phase scan and quantization kernels over
+    shapes the hand fixtures don't cover."""
+
+    def test_pack_sequences_matches_serial_prefix_sum(self, tmp_path):
+        from quarrycore_ray.pipelines.training import pack_sequences
+
+        rng = np.random.default_rng(7)
+        n_tok = rng.integers(1, 40, size=200)
+        texts = {i: " ".join(["w"] * int(n)) for i, n in enumerate(n_tok)}
+        sf = _write_docs(tmp_path, texts)
+        out = (
+            pack_sequences(sf, budget=64, bucket_size=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        before = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        assert list(out.n_tokens) == list(n_tok)
+        assert list(out.bin_id) == list(before // 64)
+
+    def test_quantize_matches_serial_numpy(self, tmp_path):
+        from quarrycore_ray.functions.similarity import quantize_embeddings
+
+        rng = np.random.default_rng(11)
+        vecs = (rng.standard_normal((50, 16)) * rng.uniform(0.1, 10)).astype(
+            np.float32
+        )
+        sf = _write_embeddings(tmp_path, vecs.tolist(), [0] * 50)
+        out = (
+            quantize_embeddings(sf)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        v = vecs.astype(np.float64)
+        amax = np.abs(v).max(axis=1)
+        scale = amax / 127.0
+        q = np.clip(np.floor(v / scale[:, None] + 0.5), -127, 127)
+        d = v - q * scale[:, None]
+        tu = np.floor(d * d * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+        exp_mse = np.floor(tu / 1e12 / 16 * 1e9 + 0.5) / 1e9
+        exp_scale = np.floor(scale * 1e9 + 0.5) / 1e9
+        assert np.array_equal(out.scale.to_numpy(), exp_scale)
+        assert np.array_equal(out.mse.to_numpy(), exp_mse)
+        # quantization error bound: each component off by at most scale/2
+        assert (out.mse.to_numpy() <= (scale / 2) ** 2 + 1e-12).all()
