@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": rel.events_hopping_window,
         # robust per-group outlier filter (median + MAD, all-integer exact)
         "length_outliers": docs.length_outliers,
+        # distributed ROW_NUMBER over a full ordering (no global sort)
+        "global_length_rank": docs.global_length_rank,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -1293,6 +1295,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, d.source, n_chars, dev
             FROM d JOIN mad USING (source) WHERE dev > 3 * mad
+        """,
+        # --- global rank (documents.py:global_length_rank) ---
+        "global_length_rank": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+            FROM documents
         """,
         # --- per-group quantiles (documents.py:length_quantiles_by_source) ---
         "length_quantiles_by_source": """

@@ -1226,3 +1226,49 @@ def top_docs_per_source(sf_dir: str, k: int = 2) -> "rd.Dataset":
         _docs(sf_dir, ["source", "doc_id", "n_chars"]), "source", _rank_part,
         arrow=True,
     )
+
+
+def global_length_rank(sf_dir: str) -> "rd.Dataset":
+    """Dense global rank of every document by (n_chars asc, doc_id asc)
+    — the distributed ROW_NUMBER() over a full-corpus ordering, WITHOUT
+    a global sort: (1) per-value counts (one bounded groupby over the
+    value histogram); (2) driver cumsum of the (small) histogram is
+    broadcast and each hash partition ranks its values locally — rank =
+    values-before offset + position within the value group. Same
+    two-phase scan as `training.pack_sequences`; all-integer.
+
+    Output (doc_id, n_chars, rank), rank 1-based."""
+    import polars as pl
+
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).materialize()
+    hist = (
+        ds.groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    offs = hist["n"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(dict(zip(hist["n_chars"].astype(int), offs.astype(int))))
+
+    def _rank(tb: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        df = pl.from_arrow(tb).sort(["n_chars", "doc_id"])
+        df = df.with_columns(
+            (pl.int_range(1, pl.len() + 1).over("n_chars")).alias("_local"),
+            pl.col("n_chars")
+            .replace_strict(offsets, return_dtype=pl.Int64)
+            .alias("_off"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+                "rank": pa.array(
+                    df["_off"].to_numpy() + df["_local"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    return partitioned_group_map(ds, "n_chars", _rank, arrow=True)

@@ -398,3 +398,31 @@ class TestRandomizedSerialOracles:
         assert np.array_equal(out.mse.to_numpy(), exp_mse)
         # quantization error bound: each component off by at most scale/2
         assert (out.mse.to_numpy() <= (scale / 2) ** 2 + 1e-12).all()
+
+
+class TestGlobalLengthRank:
+    def test_matches_serial_row_number(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import global_length_rank
+
+        rng = np.random.default_rng(3)
+        # heavy ties: only 5 distinct lengths over 60 docs
+        lens = rng.integers(1, 6, size=60)
+        texts = {i: "x" * int(n) for i, n in enumerate(lens)}
+        ids = sorted(texts)
+        tb = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[k] for k in ids], pa.string()),
+                "n_chars": pa.array([len(texts[k]) for k in ids], pa.int64()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "documents.parquet"))
+        out = (
+            global_length_rank(str(tmp_path))
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        order = sorted(ids, key=lambda i: (len(texts[i]), i))
+        assert list(out.doc_id) == order
+        assert list(out["rank"]) == list(range(1, 61))
