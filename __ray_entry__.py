@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": docs.length_outliers,
         # distributed ROW_NUMBER over a full ordering (no global sort)
         "global_length_rank": docs.global_length_rank,
+        # 2-D Pareto skyline (distributive local-prune + tiny final pass)
+        "skyline_docs": docs.skyline_docs,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -1295,6 +1297,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, d.source, n_chars, dev
             FROM d JOIN mad USING (source) WHERE dev > 3 * mad
+        """,
+        # --- skyline (documents.py:skyline_docs) ---
+        "skyline_docs": f"""
+            WITH t AS (
+                SELECT doc_id, n_chars, canonical,
+                       string_split(canonical, ' ') AS words
+                FROM (SELECT doc_id, n_chars, {_CANON} AS canonical
+                      FROM documents)
+            ), s AS (
+                SELECT doc_id, n_chars,
+                    least(length(canonical) / 400.0, 1.0) AS ls,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        5.0 * len(list_filter(words, w -> w IN {_STOPLIST_SQL})) / len(words),
+                        1.0) END AS lgs,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        2.0 * len(list_distinct(words)) / len(words), 1.0) END AS ch
+                FROM t
+            ), q AS (
+                SELECT doc_id, n_chars,
+                       CAST(floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000
+                                  + 0.5) AS BIGINT) AS q_u
+                FROM s
+            )
+            SELECT a.doc_id, a.n_chars, a.q_u / 1000000.0 AS quality
+            FROM q a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM q b
+                WHERE b.n_chars >= a.n_chars AND b.q_u >= a.q_u
+                  AND (b.n_chars > a.n_chars OR b.q_u > a.q_u)
+            )
         """,
         # --- global rank (documents.py:global_length_rank) ---
         "global_length_rank": """

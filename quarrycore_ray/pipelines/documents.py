@@ -1272,3 +1272,75 @@ def global_length_rank(sf_dir: str) -> "rd.Dataset":
         )
 
     return partitioned_group_map(ds, "n_chars", _rank, arrow=True)
+
+
+def skyline_docs(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto-optimal set) over (n_chars max, quality max):
+    documents not dominated by any other on both dimensions (see
+    PAPERS.md, "Marrying Top-k with Skyline Queries", SIGMOD 2021, for
+    the operator family).
+
+    Skylines are distributive — the global skyline is contained in the
+    union of per-block skylines — so each batch prunes its dominated
+    rows locally with an O(n log n) sort-scan (no n^2 anywhere), and
+    only the tiny local skylines travel to the final single-partition
+    pass that runs the same kernel once over their union. Quality rides
+    as exact micro-units; equal points are mutually non-dominating and
+    all survive. Output (doc_id, n_chars, quality)."""
+    import polars as pl
+
+    from ..functions.textstats import quality_scores
+
+    def _scored(batch: pa.Table) -> pa.Table:
+        qb = quality_scores(
+            batch.append_column(
+                "canonical", normalize_whitespace_array(batch["text"])
+            )
+        )
+        q_u = np.floor(
+            np.asarray(qb["quality"], dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "q_u": pa.array(q_u, pa.int64()),
+            }
+        )
+
+    def _local_skyline(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        # per-x group max, then running max of y over strictly-greater x
+        gmax = (
+            df.group_by("n_chars")
+            .agg(pl.col("q_u").max().alias("_gmax"))
+            .sort("n_chars", descending=True)
+            .with_columns(
+                pl.col("_gmax").cum_max().shift(1).alias("_better_x_max")
+            )
+        )
+        out = df.join(gmax, on="n_chars")
+        keep = (pl.col("q_u") == pl.col("_gmax")) & (
+            pl.col("_better_x_max").is_null()
+            | (pl.col("q_u") > pl.col("_better_x_max"))
+        )
+        return (
+            out.filter(keep)
+            .select(["doc_id", "n_chars", "q_u"])
+            .to_arrow()
+            .cast(batch.schema)
+        )
+
+    local = (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(_scored, batch_format="pyarrow")
+        .map_batches(_local_skyline, batch_format="pyarrow")
+        .repartition(1)
+    )
+    # final pass over the union of local skylines (batch_size=None ->
+    # the whole single block in one call)
+    sky = local.map_batches(
+        _local_skyline, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    sky["quality"] = sky.pop("q_u") / 1e6
+    return sky.sort_values("doc_id").reset_index(drop=True)

@@ -426,3 +426,51 @@ class TestGlobalLengthRank:
         order = sorted(ids, key=lambda i: (len(texts[i]), i))
         assert list(out.doc_id) == order
         assert list(out["rank"]) == list(range(1, 61))
+
+
+class TestSkyline:
+    def test_matches_serial_dominance_scan(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import skyline_docs
+
+        rng = np.random.default_rng(5)
+        # random texts -> varied (n_chars, quality); include exact ties
+        words = ["the", "fast", "table", "scan", "zz", "qq", "row"]
+        texts = {
+            i: " ".join(rng.choice(words, size=rng.integers(1, 30)))
+            for i in range(80)
+        }
+        texts[80] = texts[0]  # duplicate point: both must survive together
+        ids = sorted(texts)
+        tb = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[k] for k in ids], pa.string()),
+                "n_chars": pa.array(
+                    [len(texts[k]) for k in ids], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "documents.parquet"))
+        out = skyline_docs(str(tmp_path))
+
+        # serial O(n^2) dominance oracle over the engine's own scores
+        from quarrycore_ray.pipelines.documents import quality_score_docs
+
+        q = quality_score_docs(str(tmp_path)).to_pandas().set_index("doc_id")
+        pts = {
+            i: (len(texts[i]), round(q.loc[i, "quality"] * 1e6))
+            for i in ids
+        }
+        expect = sorted(
+            a
+            for a in ids
+            if not any(
+                pts[b][0] >= pts[a][0]
+                and pts[b][1] >= pts[a][1]
+                and pts[b] != pts[a]
+                for b in ids
+            )
+        )
+        assert list(out.doc_id) == expect
+        # the duplicated point pair survives or falls together
+        assert (0 in expect) == (80 in expect)
