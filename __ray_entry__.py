@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_length_rank": docs.global_length_rank,
         # 2-D Pareto skyline (distributive local-prune + tiny final pass)
         "skyline_docs": docs.skyline_docs,
+        # reference heuristic spam + grammar-fallback scores
+        "heuristic_quality_docs": docs.heuristic_quality_docs,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -338,6 +340,12 @@ def oracle_sql() -> dict[str, str]:
 
     def _stoplist(lang: str) -> str:
         return "(" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
+
+    from quarrycore_ray.pipelines.documents import SPAM_KEYWORDS
+
+    spam_kw_sum = " + ".join(
+        f"CASE WHEN contains(lt, '{k}') THEN 1 ELSE 0 END" for k in SPAM_KEYWORDS
+    )
 
     lang_scores = " UNION ALL ".join(
         f"SELECT doc_id, '{lang}' AS lang, "
@@ -1327,6 +1335,59 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.n_chars >= a.n_chars AND b.q_u >= a.q_u
                   AND (b.n_chars > a.n_chars OR b.q_u > a.q_u)
             )
+        """,
+        # --- heuristic + grammar-fallback quality (documents.py) ---
+        "heuristic_quality_docs": f"""
+            WITH b AS (
+                SELECT doc_id, text, lower(text) AS lt,
+                       len(regexp_extract_all(text, '\\S+')) AS n_words,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '[A-Z]')) AS upper,
+                       length(text) - length(replace(text, '!', '')) AS n_excl,
+                       length(text) - length(replace(text, '.', '')) AS n_dot
+                FROM documents
+            ),
+            spam AS (
+                SELECT doc_id,
+                       CASE WHEN n_words = 0 THEN 0.0 ELSE (
+                           least(({spam_kw_sum}) / 5.0, 1.0)
+                           + least((CASE WHEN n_chars > 0
+                                         THEN upper * 1.0 / n_chars
+                                         ELSE 0.0 END) / 0.3, 1.0)
+                           + least((n_excl * 1.0 / (n_dot + 1)) / 0.1, 1.0)
+                       ) / 3 END AS spam_score
+                FROM b
+            ),
+            sent AS (
+                SELECT doc_id,
+                       trim(unnest(string_split(text, '.')),
+                            ' ' || chr(10) || chr(9) || chr(13)) AS s
+                FROM b
+            ),
+            sp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN NOT regexp_matches(s, '^[A-Z]')
+                                THEN 1 ELSE 0 END) AS cap,
+                       sum(CASE WHEN len(regexp_extract_all(s, '\\S+')) < 3
+                                  OR len(regexp_extract_all(s, '\\S+')) > 50
+                                THEN 1 ELSE 0 END) AS ln
+                FROM sent WHERE s != '' GROUP BY doc_id
+            ),
+            pen AS (
+                SELECT b.doc_id,
+                       COALESCE(sp.cap, 0) + COALESCE(sp.ln, 0)
+                       + 2 * CASE WHEN contains(text, '  ') THEN 1 ELSE 0 END
+                       + 2 * CASE WHEN regexp_matches(text, '[,.!?][a-zA-Z]')
+                                  THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '[.!?]{{2,}}')
+                              THEN 1 ELSE 0 END AS p
+                FROM b LEFT JOIN sp ON sp.doc_id = b.doc_id
+            )
+            SELECT spam.doc_id,
+                   floor(spam_score * 1000000 + 0.5) / 1000000.0 AS spam_score,
+                   floor(greatest(0.0, least(1.0, 1 - p * 0.05))
+                         * 1000000 + 0.5) / 1000000.0 AS grammar_score
+            FROM spam JOIN pen ON pen.doc_id = spam.doc_id
         """,
         # --- global rank (documents.py:global_length_rank) ---
         "global_length_rank": """

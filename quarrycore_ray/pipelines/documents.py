@@ -1344,3 +1344,117 @@ def skyline_docs(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     sky["quality"] = sky.pop("q_u") / 1e6
     return sky.sort_values("doc_id").reset_index(drop=True)
+
+
+# spam keyword list verbatim from the reference heuristic scorer
+# (/root/reference/src/quarrycore/quality/heuristic_scorer.py:47-59)
+SPAM_KEYWORDS = (
+    "free", "win", "winner", "cash", "prize", "limited time",
+    "offer", "subscribe", "buy now", "click here", "urgent",
+)
+_WS = " \n\t\r"
+
+
+def heuristic_quality_docs(sf_dir: str) -> "rd.Dataset":
+    """Reference heuristic + grammar-fallback quality scores, fully
+    vectorized (one stateless map_batches, no shuffle):
+
+    spam_score — /root/reference/src/quarrycore/quality/heuristic_scorer.py:111-136:
+      mean of min(spam_kw_hits/5, 1), min(upper_ratio/0.3, 1),
+      min((n_excl/(n_dot+1))/0.1, 1); 0.0 for empty docs.
+    grammar_score — .../quality/grammar_scorer.py:93-148 (the
+      LanguageTool-absent fallback, the one this env would run):
+      1 - 0.05 * penalties, clamped to [0,1]; penalties = sentences not
+      starting with a capital + sentences with <3 or >50 words
+      + 2*(double space) + 2*(missing space after punctuation)
+      + (repeated punctuation). Uppercase/capital checks are ASCII
+      [A-Z] (reference uses str.isupper(); identical on this corpus).
+
+    Output (doc_id, spam_score, grammar_score), floor-rounded 6 dp.
+    """
+    import polars as pl
+
+    from ..exactmath import floor_round_np
+
+    def _score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        lower = pc.utf8_lower(text)
+        n_words = np.asarray(
+            pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        )
+        n_chars = np.asarray(pc.cast(pc.utf8_length(text), pa.int64()))
+
+        kw_hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for k in SPAM_KEYWORDS:
+            kw_hits += np.asarray(
+                pc.cast(pc.match_substring(lower, pattern=k), pa.int64())
+            )
+        upper = np.asarray(
+            pc.cast(pc.count_substring_regex(text, pattern="[A-Z]"), pa.int64())
+        )
+        n_excl = np.asarray(
+            pc.cast(pc.count_substring(text, pattern="!"), pa.int64())
+        )
+        n_dot = np.asarray(
+            pc.cast(pc.count_substring(text, pattern="."), pa.int64())
+        )
+        s_kw = np.minimum(kw_hits / 5.0, 1.0)
+        with np.errstate(invalid="ignore"):
+            s_up = np.minimum(
+                np.where(n_chars > 0, upper / np.maximum(n_chars, 1), 0.0) / 0.3,
+                1.0,
+            )
+        s_ex = np.minimum((n_excl / (n_dot + 1)) / 0.1, 1.0)
+        spam = np.where(n_words == 0, 0.0, (s_kw + s_up + s_ex) / 3)
+
+        # grammar fallback: per-sentence penalties via one polars pass
+        sent = (
+            pl.from_arrow(pa.table({"t": text}))
+            .with_row_index("_i")
+            .with_columns(pl.col("t").str.split(".").alias("s"))
+            .explode("s")
+            .with_columns(pl.col("s").str.strip_chars(_WS).alias("s"))
+            .filter(pl.col("s") != "")
+            .with_columns(
+                (~pl.col("s").str.contains(r"^[A-Z]")).cast(pl.Int64).alias("cap"),
+                pl.col("s").str.count_matches(r"\S+").alias("nw"),
+            )
+            .with_columns(
+                ((pl.col("nw") < 3) | (pl.col("nw") > 50))
+                .cast(pl.Int64)
+                .alias("ln")
+            )
+            .group_by("_i")
+            .agg(pl.col("cap").sum(), pl.col("ln").sum())
+        )
+        pen = np.zeros(batch.num_rows, dtype=np.int64)
+        idx = sent["_i"].to_numpy().astype(np.int64)
+        pen[idx] += sent["cap"].to_numpy().astype(np.int64)
+        pen[idx] += sent["ln"].to_numpy().astype(np.int64)
+        pen += 2 * np.asarray(
+            pc.cast(pc.match_substring(text, pattern="  "), pa.int64())
+        )
+        pen += 2 * np.asarray(
+            pc.cast(
+                pc.match_substring_regex(text, pattern=r"[,.!?][a-zA-Z]"),
+                pa.int64(),
+            )
+        )
+        pen += np.asarray(
+            pc.cast(
+                pc.match_substring_regex(text, pattern=r"[.!?]{2,}"), pa.int64()
+            )
+        )
+        grammar = np.maximum(0.0, np.minimum(1.0, 1.0 - pen * 0.05))
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "spam_score": pa.array(floor_round_np(spam), pa.float64()),
+                "grammar_score": pa.array(floor_round_np(grammar), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow"
+    )

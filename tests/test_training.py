@@ -474,3 +474,40 @@ class TestSkyline:
         assert list(out.doc_id) == expect
         # the duplicated point pair survives or falls together
         assert (0 in expect) == (80 in expect)
+
+
+class TestHeuristicQuality:
+    def test_spam_formula(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import heuristic_quality_docs
+
+        spammy = "FREE CASH PRIZE! Buy now! Click here! Win a prize! URGENT!"
+        clean = "The quarterly report shows steady revenue growth this year."
+        sf = _write_docs(tmp_path, {0: spammy, 1: clean})
+        out = heuristic_quality_docs(sf).to_pandas().set_index("doc_id")
+        # spammy: kw hits free/cash/prize/buy now/click here/win/urgent = 7
+        # -> kw term saturates at 1.0; many uppercase; !/(.+1) saturates
+        assert out.loc[0, "spam_score"] > 0.6
+        assert out.loc[1, "spam_score"] < 0.25
+        assert out.loc[0, "spam_score"] > out.loc[1, "spam_score"]
+
+    def test_grammar_penalties(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import heuristic_quality_docs
+
+        # 2 well-formed sentences of 4+ words -> no penalties
+        good = "This is a sentence. Here is another one."
+        # lowercase starts (2), short sentences (2), double space (2),
+        # missing space after punct (2), repeated punctuation (1) -> 9
+        bad = "bad one.  tiny.Next!! ok"
+        sf = _write_docs(tmp_path, {0: good, 1: bad})
+        out = heuristic_quality_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "grammar_score"] == 1.0
+        assert out.loc[1, "grammar_score"] < 0.7
+        # reference clamp: never below 0
+        assert (out.grammar_score >= 0).all()
+
+    def test_empty_and_wordless(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import heuristic_quality_docs
+
+        sf = _write_docs(tmp_path, {0: "", 1: "   "})
+        out = heuristic_quality_docs(sf).to_pandas()
+        assert (out.spam_score == 0.0).all()
