@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_docs": docs.skyline_docs,
         # reference heuristic spam + grammar-fallback scores
         "heuristic_quality_docs": docs.heuristic_quality_docs,
+        # reference lexical scorer (diversity, ASL, Flesch proxy)
+        "lexical_quality_docs": docs.lexical_quality_docs,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -1388,6 +1390,49 @@ def oracle_sql() -> dict[str, str]:
                    floor(greatest(0.0, least(1.0, 1 - p * 0.05))
                          * 1000000 + 0.5) / 1000000.0 AS grammar_score
             FROM spam JOIN pen ON pen.doc_id = spam.doc_id
+        """,
+        # --- lexical scorer (documents.py:lexical_quality_docs) ---
+        "lexical_quality_docs": f"""
+            WITH b AS (
+                SELECT doc_id, text, {_CANON} AS canonical,
+                       len(regexp_extract_all(text, '\\S+')) AS n_words,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS syll
+                FROM documents
+            ),
+            sent AS (
+                SELECT doc_id,
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9)
+                                        || chr(13)) != ''
+                                THEN 1 ELSE 0 END) AS n_sent
+                FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s
+                      FROM b)
+                GROUP BY doc_id
+            ),
+            m AS (
+                SELECT b.doc_id, n_words, syll,
+                       COALESCE(sent.n_sent, 0) AS n_sent,
+                       len(list_distinct(string_split(canonical, ' ')))
+                           AS n_distinct,
+                       len(string_split(canonical, ' ')) AS n_canon
+                FROM b LEFT JOIN sent ON sent.doc_id = b.doc_id
+            )
+            SELECT doc_id,
+                   floor((CASE WHEN n_words > 0
+                               THEN n_distinct * 1.0 / greatest(n_canon, 1)
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS lexical_diversity,
+                   floor((CASE WHEN n_words > 0
+                               THEN n_words * 1.0 / greatest(n_sent, 1)
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS avg_sentence_length,
+                   floor((CASE WHEN n_words > 0
+                               THEN 206.835
+                                    - 1.015 * (n_words * 1.0 / greatest(n_sent, 1))
+                                    - 84.6 * (syll * 1.0 / greatest(n_words, 1))
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS flesch
+            FROM m
         """,
         # --- global rank (documents.py:global_length_rank) ---
         "global_length_rank": """

@@ -1458,3 +1458,89 @@ def heuristic_quality_docs(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+def lexical_quality_docs(sf_dir: str) -> "rd.Dataset":
+    """Reference lexical scorer metrics
+    (/root/reference/src/quarrycore/quality/lexical_scorer.py:12-60),
+    vectorized, one stateless map_batches:
+
+      lexical_diversity    type-token ratio over the single-space split
+                           of canonical text (calculate_lexical_diversity)
+      avg_sentence_length  \\S+ words / non-empty '.'-split sentences
+      flesch               206.835 - 1.015*ASL - 84.6*(syllables/word),
+                           syllables = lowercase [aeiouy]+ vowel groups —
+                           a deterministic proxy for textstat's counter
+                           (library absent in this env; formula is the
+                           published Flesch reading-ease)
+
+    All 0.0 for docs with no words. Output (doc_id, lexical_diversity,
+    avg_sentence_length, flesch), floor-rounded 6 dp."""
+    import polars as pl
+
+    from ..exactmath import floor_round_np
+
+    def _score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        canon = normalize_whitespace_array(text)
+        n_words = np.asarray(
+            pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        )
+        syll = np.asarray(
+            pc.cast(
+                pc.count_substring_regex(
+                    pc.utf8_lower(text), pattern=r"[aeiouy]+"
+                ),
+                pa.int64(),
+            )
+        )
+        df = pl.from_arrow(pa.table({"t": text, "c": canon}))
+        n_sent = (
+            df.select(
+                pl.col("t")
+                .str.split(".")
+                .list.eval(
+                    pl.element().str.strip_chars(_WS).ne("").cast(pl.Int64)
+                )
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_distinct = (
+            df.select(
+                pl.col("c").str.split(" ").list.n_unique().alias("u")
+            )["u"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_canon_words = np.asarray(
+            pc.cast(pc.list_value_length(pc.split_pattern(canon, " ")), pa.int64())
+        )
+        has = n_words > 0
+        div = np.where(has, n_distinct / np.maximum(n_canon_words, 1), 0.0)
+        asl = np.where(
+            has, n_words / np.maximum(n_sent, 1), 0.0
+        )
+        flesch = np.where(
+            has,
+            206.835
+            - 1.015 * asl
+            - 84.6 * (syll / np.maximum(n_words, 1)),
+            0.0,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lexical_diversity": pa.array(floor_round_np(div), pa.float64()),
+                "avg_sentence_length": pa.array(
+                    floor_round_np(asl), pa.float64()
+                ),
+                "flesch": pa.array(floor_round_np(flesch), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow"
+    )

@@ -511,3 +511,31 @@ class TestHeuristicQuality:
         sf = _write_docs(tmp_path, {0: "", 1: "   "})
         out = heuristic_quality_docs(sf).to_pandas()
         assert (out.spam_score == 0.0).all()
+
+
+class TestLexicalQuality:
+    def test_hand_computed_metrics(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import lexical_quality_docs
+
+        # 2 sentences, 8 words, all distinct
+        text = "The cat sat down. A dog ran away."
+        sf = _write_docs(tmp_path, {0: text, 1: ""})
+        out = lexical_quality_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "lexical_diversity"] == 1.0
+        assert out.loc[0, "avg_sentence_length"] == 4.0
+        # syllable proxy: vowel groups of lowercased text
+        import re
+
+        syll = len(re.findall(r"[aeiouy]+", text.lower()))
+        exp = 206.835 - 1.015 * 4.0 - 84.6 * (syll / 8)
+        assert abs(out.loc[0, "flesch"] - exp) < 1e-6
+        # empty doc: all zeros
+        assert (out.loc[1] == 0.0).all()
+
+    def test_repetition_lowers_diversity(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import lexical_quality_docs
+
+        sf = _write_docs(tmp_path, {0: "word word word word", 1: "a b c d"})
+        out = lexical_quality_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "lexical_diversity"] == 0.25
+        assert out.loc[1, "lexical_diversity"] == 1.0
