@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heuristic_quality_docs": docs.heuristic_quality_docs,
         # reference lexical scorer (diversity, ASL, Flesch proxy)
         "lexical_quality_docs": docs.lexical_quality_docs,
+        # reference extraction-confidence score (weighted components)
+        "extraction_confidence_docs": docs.extraction_confidence_docs,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -1433,6 +1435,110 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
                        AS flesch
             FROM m
+        """,
+        # --- extraction confidence (documents.py:extraction_confidence_docs;
+        #     constants cast to DOUBLE so DuckDB's decimal arithmetic
+        #     matches the engine's float sequence bit-for-bit) ---
+        "extraction_confidence_docs": r"""
+            WITH b AS (
+                SELECT doc_id, text, lower(text) AS lt,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '\S+')) AS n_words
+                FROM documents
+            ),
+            pat AS (
+                SELECT doc_id, n_chars, n_words,
+                       len(regexp_extract_all(lt, '\b(article|paragraph|section|content)\b'))
+                       + len(regexp_extract_all(lt, '\b(introduction|conclusion|summary)\b'))
+                       + len(regexp_extract_all(lt, '\b(first|second|third|finally|however|therefore)\b'))
+                           AS good,
+                       len(regexp_extract_all(lt, '\b(click here|read more|advertisement|sponsored)\b'))
+                       + len(regexp_extract_all(lt, '\b(cookie|privacy|terms|conditions)\b'))
+                       + len(regexp_extract_all(lt, '\b(loading|error|404|not found)\b'))
+                           AS bad,
+                       len(regexp_extract_all(lt, '\b(home|about|contact|menu|navigation)\b'))
+                       + len(regexp_extract_all(lt, '\b(previous|next|back|forward)\b'))
+                       + len(regexp_extract_all(lt, '\b(login|register|sign up|sign in)\b'))
+                           AS nav,
+                       len(list_distinct(regexp_extract_all(lt, '\S+'))) AS n_uniq
+                FROM b
+            ),
+            sent AS (
+                SELECT doc_id,
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13)) != ''
+                                THEN 1 ELSE 0 END) AS n_sent
+                FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s FROM b)
+                GROUP BY doc_id
+            ),
+            para AS (
+                SELECT doc_id,
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13)) != ''
+                                THEN 1 ELSE 0 END) AS n_para
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10) || chr(10))) AS s
+                      FROM b)
+                GROUP BY doc_id
+            ),
+            valid AS (
+                SELECT doc_id,
+                       sum(CASE WHEN length(trim(s, ' ' || chr(10) || chr(9) || chr(13))) > 10
+                                THEN 1 ELSE 0 END) AS n_valid
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '[^.!?]+')) AS s
+                      FROM b)
+                GROUP BY doc_id
+            ),
+            m AS (
+                SELECT p.doc_id, p.n_chars, p.n_words,
+                       CASE WHEN n_chars < 50 THEN 0.0
+                            WHEN n_chars < 200 THEN 0.3
+                            WHEN n_chars < 500 THEN 0.6
+                            WHEN n_chars <= 5000 THEN 1.0
+                            WHEN n_chars <= 10000 THEN 0.9
+                            WHEN n_chars <= 20000 THEN 0.7
+                            ELSE 0.5 END AS cl,
+                       least(1.0,
+                             CASE WHEN n_words > 50 THEN 0.3 ELSE 0.0 END
+                             + CASE WHEN COALESCE(s.n_sent, 0) > 3
+                                    THEN 0.2 ELSE 0.0 END
+                             + CASE WHEN COALESCE(pp.n_para, 0) > 1
+                                    THEN 0.2 ELSE 0.0 END
+                             + CASE WHEN n_words > 0
+                                      AND n_uniq * 1.0 / greatest(n_words, 1) > 0.3
+                                    THEN 0.3 ELSE 0.0 END) AS st,
+                       good, bad, nav, n_uniq,
+                       COALESCE(v.n_valid, 0) AS n_valid
+                FROM pat p
+                LEFT JOIN sent s ON s.doc_id = p.doc_id
+                LEFT JOIN para pp ON pp.doc_id = p.doc_id
+                LEFT JOIN valid v ON v.doc_id = p.doc_id
+            ),
+            tq AS (
+                SELECT doc_id, cl, st, n_chars,
+                       CASE WHEN n_chars = 0 THEN 0.0 ELSE greatest(0.0, least(1.0,
+                           0.5 + least(0.3, (good * 100) / greatest(n_chars, 1) * 10)
+                           - least(0.4, (bad * 100) / greatest(n_chars, 1) * 20)
+                           - least(0.2, (nav * 100) / greatest(n_chars, 1) * 15)
+                           + CASE WHEN n_valid > 0
+                                    AND n_chars * 1.0 / n_valid >= 50
+                                    AND n_chars * 1.0 / n_valid <= 150
+                                  THEN 0.1 ELSE 0.0 END
+                           - CASE WHEN n_words > 20
+                                    AND n_uniq * 1.0 / n_words < 0.3
+                                  THEN 0.2 ELSE 0.0 END
+                       )) END AS tq
+                FROM m
+            )
+            SELECT doc_id,
+                   floor(cl * 1000000 + 0.5) / 1000000.0 AS content_length_score,
+                   floor(st * 1000000 + 0.5) / 1000000.0 AS structure_score,
+                   floor(tq * 1000000 + 0.5) / 1000000.0 AS text_quality_score,
+                   floor(greatest(0.0, least(1.0,
+                       cl * 0.15 + st * 0.20 + tq * 0.25
+                       + 0.6::DOUBLE * 0.15 + 0.5::DOUBLE * 0.15
+                       + 0.5::DOUBLE * 0.10)) * 1000000 + 0.5) / 1000000.0
+                       AS confidence
+            FROM tq
         """,
         # --- global rank (documents.py:global_length_rank) ---
         "global_length_rank": """

@@ -1544,3 +1544,169 @@ def lexical_quality_docs(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+# verbatim pattern lists from the reference extraction-confidence scorer
+# (/root/reference/src/quarrycore/extractor/confidence_scorer.py:57-73)
+_GOOD_PATTERNS = (
+    r"\b(article|paragraph|section|content)\b",
+    r"\b(introduction|conclusion|summary)\b",
+    r"\b(first|second|third|finally|however|therefore)\b",
+)
+_BAD_PATTERNS = (
+    r"\b(click here|read more|advertisement|sponsored)\b",
+    r"\b(cookie|privacy|terms|conditions)\b",
+    r"\b(loading|error|404|not found)\b",
+)
+_NAV_PATTERNS = (
+    r"\b(home|about|contact|menu|navigation)\b",
+    r"\b(previous|next|back|forward)\b",
+    r"\b(login|register|sign up|sign in)\b",
+)
+
+
+def extraction_confidence_docs(sf_dir: str) -> "rd.Dataset":
+    """Reference extraction-confidence score for text-only inputs
+    (/root/reference/src/quarrycore/extractor/confidence_scorer.py:77-129
+    weights; component formulas 134-235), one vectorized map_batches:
+
+      content_length  bucketed by len(text) (134-152)
+      structure       +0.3 words>50, +0.2 sentences>3, +0.2 paragraphs>1,
+                      +0.3 type-token ratio>0.3, capped 1.0 (154-175)
+      text_quality    base 0.5 + good-pattern boost - bad/nav penalties
+                      (per-100-char densities), +0.1 sentence-length
+                      bonus, -0.2 high-repetition penalty, clamped
+                      (177-235)
+      method          0.60 ('heuristic_fallback' — our regex cascade's
+                      reliability class, 44-53)
+      html/domain     0.5 each (no original HTML / no crawl URL, the
+                      reference's no-context defaults, 249/310)
+
+      confidence = 0.15*cl + 0.20*st + 0.25*tq + 0.15*0.6 + 0.15*0.5
+                   + 0.10*0.5, clamped to [0,1] (34-41, 118-129).
+
+    Sentence/paragraph counts (the reference takes them from upstream
+    extraction) are defined here as non-empty '.'-split segments and
+    non-empty blank-line blocks. Output (doc_id, content_length_score,
+    structure_score, text_quality_score, confidence), 6 dp."""
+    import polars as pl
+
+    from ..exactmath import floor_round_np
+
+    def _score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        lower = pc.utf8_lower(text)
+        n_chars = np.asarray(pc.cast(pc.utf8_length(text), pa.int64()))
+        n_words = np.asarray(
+            pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        )
+
+        # content length buckets (confidence_scorer.py:134-152)
+        cl = np.select(
+            [
+                n_chars < 50,
+                n_chars < 200,
+                n_chars < 500,
+                n_chars <= 5000,
+                n_chars <= 10000,
+                n_chars <= 20000,
+            ],
+            [0.0, 0.3, 0.6, 1.0, 0.9, 0.7],
+            default=0.5,
+        )
+
+        df = pl.from_arrow(pa.table({"t": text, "lt": lower}))
+        n_sent = (
+            df.select(
+                pl.col("t")
+                .str.split(".")
+                .list.eval(
+                    pl.element().str.strip_chars(_WS).ne("").cast(pl.Int64)
+                )
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_para = (
+            df.select(
+                pl.col("t")
+                .str.split("\n\n")
+                .list.eval(
+                    pl.element().str.strip_chars(_WS).ne("").cast(pl.Int64)
+                )
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        wstats = df.select(
+            pl.col("lt")
+            .str.extract_all(r"\S+")
+            .list.n_unique()
+            .alias("u"),
+        )
+        n_uniq = wstats["u"].to_numpy().astype(np.int64)
+        diversity = np.where(n_words > 0, n_uniq / np.maximum(n_words, 1), 0.0)
+
+        st = (
+            np.where(n_words > 50, 0.3, 0.0)
+            + np.where(n_sent > 3, 0.2, 0.0)
+            + np.where(n_para > 1, 0.2, 0.0)
+            + np.where(diversity > 0.3, 0.3, 0.0)
+        )
+        st = np.minimum(1.0, st)
+
+        # text quality (confidence_scorer.py:177-235)
+        def _count(patterns) -> np.ndarray:
+            tot = np.zeros(len(n_chars), dtype=np.int64)
+            for p in patterns:
+                tot += np.asarray(
+                    pc.cast(pc.count_substring_regex(lower, pattern=p), pa.int64())
+                )
+            return tot
+
+        good, bad, nav = _count(_GOOD_PATTERNS), _count(_BAD_PATTERNS), _count(_NAV_PATTERNS)
+        ln = np.maximum(n_chars, 1)
+        tq = 0.5 + np.minimum(0.3, (good * 100) / ln * 10)
+        tq = tq - np.minimum(0.4, (bad * 100) / ln * 20)
+        tq = tq - np.minimum(0.2, (nav * 100) / ln * 15)
+        # sentence-structure bonus: [.!?]+ split, stripped len > 10
+        n_valid = (
+            df.select(
+                pl.col("t")
+                .str.extract_all(r"[^.!?]+")
+                .list.eval(
+                    (pl.element().str.strip_chars(_WS).str.len_chars() > 10)
+                    .cast(pl.Int64)
+                )
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        avg_sl = np.where(n_valid > 0, n_chars / np.maximum(n_valid, 1), 0.0)
+        tq = tq + np.where((n_valid > 0) & (avg_sl >= 50) & (avg_sl <= 150), 0.1, 0.0)
+        tq = tq - np.where((n_words > 20) & (diversity < 0.3), 0.2, 0.0)
+        tq = np.where(n_chars == 0, 0.0, np.maximum(0.0, np.minimum(1.0, tq)))
+
+        conf = (
+            cl * 0.15 + st * 0.20 + tq * 0.25 + 0.6 * 0.15 + 0.5 * 0.15 + 0.5 * 0.10
+        )
+        conf = np.maximum(0.0, np.minimum(1.0, conf))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "content_length_score": pa.array(floor_round_np(cl), pa.float64()),
+                "structure_score": pa.array(floor_round_np(st), pa.float64()),
+                "text_quality_score": pa.array(floor_round_np(tq), pa.float64()),
+                "confidence": pa.array(floor_round_np(conf), pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow"
+    )

@@ -539,3 +539,37 @@ class TestLexicalQuality:
         out = lexical_quality_docs(sf).to_pandas().set_index("doc_id")
         assert out.loc[0, "lexical_diversity"] == 0.25
         assert out.loc[1, "lexical_diversity"] == 1.0
+
+
+class TestExtractionConfidence:
+    def test_component_buckets_and_weights(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import extraction_confidence_docs
+
+        # ~900 chars of well-structured prose: optimal length bucket,
+        # full structure score
+        para = (
+            "However the article section provides a thorough introduction "
+            "to the topic. " * 6
+        ).strip()
+        rich = para + "\n\n" + para
+        tiny = "too short"
+        spam_nav = "click here to login and register now home about contact menu"
+        sf = _write_docs(tmp_path, {0: rich, 1: tiny, 2: spam_nav})
+        out = extraction_confidence_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "content_length_score"] == 1.0  # 500..5000 chars
+        assert out.loc[0, "structure_score"] >= 0.7
+        assert out.loc[1, "content_length_score"] == 0.0  # < 50 chars
+        # bad + nav pattern penalties drag text quality down
+        assert out.loc[2, "text_quality_score"] < out.loc[0, "text_quality_score"]
+        # weighted total stays in [0, 1] and orders sensibly
+        assert out.confidence.between(0, 1).all()
+        assert out.loc[0, "confidence"] > out.loc[1, "confidence"]
+
+    def test_constant_tail(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import extraction_confidence_docs
+
+        # empty text: cl=0, st=0, tq=0 -> confidence = method/html/domain
+        # defaults only = 0.6*0.15 + 0.5*0.15 + 0.5*0.10 = 0.215
+        sf = _write_docs(tmp_path, {0: ""})
+        out = extraction_confidence_docs(sf).to_pandas().iloc[0]
+        assert abs(out.confidence - 0.215) < 1e-6
