@@ -321,6 +321,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_quality_docs": docs.lexical_quality_docs,
         # reference extraction-confidence score (weighted components)
         "extraction_confidence_docs": docs.extraction_confidence_docs,
+        # reference content-analyzer reading/lexical metrics; MATTR
+        # window 50 so the windowed path is exercised on this corpus
+        # (engine default 100 matches content_analyzer.py:715)
+        "reading_metrics_docs": lambda sf: docs.reading_metrics_docs(
+            sf, mattr_window=50
+        ),
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -345,11 +351,12 @@ def oracle_sql() -> dict[str, str]:
     def _stoplist(lang: str) -> str:
         return "(" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
 
-    from quarrycore_ray.pipelines.documents import SPAM_KEYWORDS
+    from quarrycore_ray.pipelines.documents import ANALYZER_STOPWORDS, SPAM_KEYWORDS
 
     spam_kw_sum = " + ".join(
         f"CASE WHEN contains(lt, '{k}') THEN 1 ELSE 0 END" for k in SPAM_KEYWORDS
     )
+    analyzer_stops = "(" + ",".join(f"'{w}'" for w in sorted(ANALYZER_STOPWORDS)) + ")"
 
     lang_scores = " UNION ALL ".join(
         f"SELECT doc_id, '{lang}' AS lang, "
@@ -1539,6 +1546,145 @@ def oracle_sql() -> dict[str, str]:
                        + 0.5::DOUBLE * 0.10)) * 1000000 + 0.5) / 1000000.0
                        AS confidence
             FROM tq
+        """,
+        # --- content-analyzer metrics (documents.py:reading_metrics_docs) ---
+        "reading_metrics_docs": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '\\b\\w+\\b') AS toks
+                FROM documents
+            ),
+            wa AS (
+                SELECT doc_id, unnest(toks) AS w FROM base
+            ),
+            sylw AS (
+                SELECT doc_id, w, length(w) AS wl,
+                       CASE WHEN len(regexp_extract_all(w, '[aeiouy]+'))
+                                 - CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END <= 0
+                            THEN 1
+                            ELSE len(regexp_extract_all(w, '[aeiouy]+'))
+                                 - CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END
+                       END AS syl
+                FROM wa
+            ),
+            wagg AS (
+                SELECT doc_id, sum(syl) AS syll,
+                       sum(CASE WHEN wl > 1 THEN 1 ELSE 0 END) AS wc,
+                       sum(CASE WHEN wl > 1 THEN wl ELSE 0 END) AS sum_chars,
+                       sum(CASE WHEN wl > 1 AND syl >= 3 THEN 1 ELSE 0 END)
+                           AS n_complex
+                FROM sylw GROUP BY doc_id
+            ),
+            sent AS (
+                SELECT doc_id,
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                                     != '' THEN 1 ELSE 0 END) AS sc
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(text, '[.!?]+')) AS s
+                      FROM base)
+                GROUP BY doc_id
+            ),
+            para AS (
+                SELECT doc_id,
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                                     != '' THEN 1 ELSE 0 END) AS pc
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10) || chr(10))) AS s
+                      FROM base)
+                GROUP BY doc_id
+            ),
+            cbase AS (
+                SELECT doc_id,
+                       list_filter(toks, x -> length(x) > 1
+                                   AND x NOT IN {analyzer_stops}) AS cwl
+                FROM base
+            ),
+            cw AS (
+                SELECT doc_id, unnest(cwl) AS w,
+                       generate_subscripts(cwl, 1) - 1 AS pos,
+                       len(cwl) AS n
+                FROM cbase WHERE len(cwl) > 0
+            ),
+            cprev AS (
+                SELECT doc_id, w, pos, n,
+                       COALESCE(lag(pos) OVER (PARTITION BY doc_id, w
+                                               ORDER BY pos), -1) AS prev
+                FROM cw
+            ),
+            mcontrib AS (
+                SELECT doc_id, any_value(n) AS n,
+                       count(DISTINCT w) AS uniq,
+                       sum(CASE WHEN n >= 50 THEN greatest(
+                           least(pos, n - 50)
+                           - greatest(prev + 1, pos - 49, 0) + 1, 0)
+                           ELSE 0 END) AS wtotal
+                FROM cprev GROUP BY doc_id
+            ),
+            cfreq AS (
+                SELECT doc_id, sum(cnt * cnt) AS sq FROM (
+                    SELECT doc_id, w, count(*) AS cnt FROM cw GROUP BY doc_id, w
+                ) GROUP BY doc_id
+            ),
+            m AS (
+                SELECT b.doc_id,
+                       COALESCE(wa.wc, 0) AS wc,
+                       COALESCE(s.sc, 0) AS sc,
+                       COALESCE(p.pc, 0) AS pc,
+                       COALESCE(wa.syll, 0) AS syll,
+                       COALESCE(wa.n_complex, 0) AS n_complex,
+                       COALESCE(wa.sum_chars, 0) AS sum_chars,
+                       COALESCE(mc.n, 0) AS n,
+                       COALESCE(mc.uniq, 0) AS uniq,
+                       CASE WHEN COALESCE(mc.n, 0) >= 50 THEN mc.wtotal
+                            ELSE COALESCE(mc.uniq, 0) END AS m_num,
+                       CASE WHEN COALESCE(mc.n, 0) >= 50
+                                 THEN 50 * (mc.n - 49)
+                            ELSE greatest(COALESCE(mc.n, 0), 1) END AS m_den,
+                       COALESCE(cf.sq, 0) AS sq
+                FROM base b
+                LEFT JOIN wagg wa ON wa.doc_id = b.doc_id
+                LEFT JOIN sent s ON s.doc_id = b.doc_id
+                LEFT JOIN para p ON p.doc_id = b.doc_id
+                LEFT JOIN mcontrib mc ON mc.doc_id = b.doc_id
+                LEFT JOIN cfreq cf ON cf.doc_id = b.doc_id
+            )
+            SELECT doc_id, wc AS word_count, sc AS sentence_count,
+                   pc AS paragraph_count, syll AS syllables,
+                   n_complex AS complex_words,
+                   floor((CASE WHEN wc > 0 THEN wc / 200 ELSE 0.0 END)
+                         * 1000000 + 0.5) / 1000000.0 AS reading_time,
+                   floor((CASE WHEN sc > 0 THEN wc * 1.0 / greatest(sc, 1)
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS avg_words_per_sentence,
+                   floor((CASE WHEN wc > 0
+                               THEN sum_chars * 1.0 / greatest(wc, 1)
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS avg_chars_per_word,
+                   floor((CASE WHEN sc > 0 AND wc > 0
+                               THEN greatest(0.0, least(100.0,
+                                    206.835
+                                    - (1.015 * (wc / greatest(sc, 1)))
+                                    - (84.6 * (syll / greatest(wc, 1)))))
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS flesch,
+                   floor((CASE WHEN sc > 0 AND wc > 0
+                               THEN greatest(0.0,
+                                    (0.39 * (wc / greatest(sc, 1)))
+                                    + (11.8 * (syll / greatest(wc, 1)))
+                                    - 15.59)
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS fk_grade,
+                   floor((CASE WHEN n > 0 THEN uniq / greatest(n, 1)
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS ttr,
+                   floor((CASE WHEN n > 0 THEN m_num * 1.0 / greatest(m_den, 1)
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS mattr,
+                   floor((CASE WHEN n > 0
+                               THEN 1.0 - sq / greatest(n * n, 1)
+                               ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
+                       AS vocab_richness
+            FROM m
         """,
         # --- global rank (documents.py:global_length_rank) ---
         "global_length_rank": """

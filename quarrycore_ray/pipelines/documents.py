@@ -1710,3 +1710,146 @@ def extraction_confidence_docs(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+# stop-word set verbatim from the reference content analyzer
+# (/root/reference/src/quarrycore/metadata/content_analyzer.py:139-218)
+ANALYZER_STOPWORDS = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the to "
+    "was were will with this but they have had what said each which she do how "
+    "their if up out many then them these so some her would make like into him "
+    "time two more go no way could my than first been call who oil sit now "
+    "find down day did get come made may part".split()
+)
+
+
+def reading_metrics_docs(sf_dir: str, mattr_window: int = 100) -> "rd.Dataset":
+    """Reference content-analyzer reading + lexical metrics
+    (/root/reference/src/quarrycore/metadata/content_analyzer.py:438-533,
+    683-743), one stateless map_batches (per-doc O(tokens) kernels):
+
+      word/sentence/paragraph counts, reading time (200 WPM), average
+      words-per-sentence and characters-per-word, syllable estimate
+      (vowel groups, silent trailing 'e', min 1/word), Flesch reading
+      ease (clamped 0..100) and Flesch-Kincaid grade, complex-word
+      count (>= 3 syllables), stopword-filtered type-token ratio,
+      MATTR (window 100), and vocabulary richness (1 - Simpson
+      concentration).
+
+    MATTR and richness are reformulated to mathematically-equal exact
+    integer forms so the floats are reduction-order-free: MATTR =
+    (sum over windows of distinct counts) / (100 * n_windows), with the
+    per-token contribution counted via previous-occurrence positions in
+    O(n); richness = 1 - sum(freq^2)/total^2. Tokens are \\b\\w+\\b over
+    lowercased text (ASCII corpus; reference uses the same regex),
+    filtered to length > 1; 'content words' further drop the
+    reference's 68-word stoplist."""
+    import re as _re
+
+    word_re = _re.compile(r"\b\w+\b")
+    vowel_re = _re.compile(r"[aeiouy]+")
+    sent_re = _re.compile(r"[.!?]+")
+
+    from ..exactmath import floor_round_np
+
+    def _syl(w: str) -> int:
+        n = len(vowel_re.findall(w))
+        if w.endswith("e"):
+            n -= 1
+        return n if n > 0 else 1
+
+    def _one(text: str) -> tuple:
+        words_all = word_re.findall(text.lower())
+        words = [w for w in words_all if len(w) > 1]
+        wc = len(words)
+        sc = sum(1 for s in sent_re.split(text) if s.strip())
+        pc_ = sum(1 for p in text.split("\n\n") if p.strip())
+        syll = sum(_syl(w) for w in words_all)
+        n_complex = sum(1 for w in words if _syl(w) >= 3)
+        sum_chars = sum(len(w) for w in words)
+        content = [w for w in words if w not in ANALYZER_STOPWORDS]
+        n = len(content)
+        uniq = len(set(content))
+        # exact MATTR numerator: token j is distinct-in-window i iff
+        # i > prev_occurrence(j) and j-(W-1) <= i <= j; count valid i
+        W = mattr_window
+        if n >= W:
+            prev: dict = {}
+            total = 0
+            for j, w in enumerate(content):
+                p = prev.get(w, -1)
+                lo = max(p + 1, j - (W - 1), 0)
+                hi = min(j, n - W)
+                if hi >= lo:
+                    total += hi - lo + 1
+                prev[w] = j
+            mattr_num, mattr_den = total, W * (n - W + 1)
+        else:
+            mattr_num, mattr_den = uniq, max(n, 1)
+        freq: dict = {}
+        for w in content:
+            freq[w] = freq.get(w, 0) + 1
+        sq = sum(v * v for v in freq.values())
+        return (wc, sc, pc_, syll, n_complex, sum_chars, n, uniq,
+                mattr_num, mattr_den, sq)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        rows = np.array([_one(t) for t in texts], dtype=np.float64)
+        (wc, sc, pc_, syll, n_complex, sum_chars, n, uniq,
+         m_num, m_den, sq) = rows.T
+        chars = np.asarray(pc.cast(pc.utf8_length(batch["text"]), pa.int64()))
+        ok = (sc > 0) & (wc > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wps = np.where(sc > 0, wc / np.maximum(sc, 1), 0.0)
+            cpw = np.where(wc > 0, sum_chars / np.maximum(wc, 1), 0.0)
+            rt = np.where(wc > 0, wc / 200, 0.0)
+            flesch = np.where(
+                ok,
+                np.maximum(
+                    0.0,
+                    np.minimum(
+                        100.0,
+                        206.835
+                        - (1.015 * (wc / np.maximum(sc, 1)))
+                        - (84.6 * (syll / np.maximum(wc, 1))),
+                    ),
+                ),
+                0.0,
+            )
+            fk = np.where(
+                ok,
+                np.maximum(
+                    0.0,
+                    (0.39 * (wc / np.maximum(sc, 1)))
+                    + (11.8 * (syll / np.maximum(wc, 1)))
+                    - 15.59,
+                ),
+                0.0,
+            )
+            ttr = np.where(n > 0, uniq / np.maximum(n, 1), 0.0)
+            mattr = np.where(n > 0, m_num / np.maximum(m_den, 1), 0.0)
+            rich = np.where(
+                n > 0, 1.0 - sq / np.maximum(n * n, 1), 0.0
+            )
+        ints = {
+            "word_count": wc, "sentence_count": sc, "paragraph_count": pc_,
+            "syllables": syll, "complex_words": n_complex,
+        }
+        out = {"doc_id": batch["doc_id"]}
+        out.update(
+            {k: pa.array(v.astype(np.int64), pa.int64()) for k, v in ints.items()}
+        )
+        for k, v in (
+            ("reading_time", rt), ("avg_words_per_sentence", wps),
+            ("avg_chars_per_word", cpw), ("flesch", flesch),
+            ("fk_grade", fk), ("ttr", ttr), ("mattr", mattr),
+            ("vocab_richness", rich),
+        ):
+            out[k] = pa.array(floor_round_np(v), pa.float64())
+        _ = chars  # character_count available upstream; not emitted
+        return pa.table(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow"
+    )

@@ -573,3 +573,50 @@ class TestExtractionConfidence:
         sf = _write_docs(tmp_path, {0: ""})
         out = extraction_confidence_docs(sf).to_pandas().iloc[0]
         assert abs(out.confidence - 0.215) < 1e-6
+
+
+class TestReadingMetrics:
+    def test_mattr_matches_naive_reference_algorithm(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import (
+            ANALYZER_STOPWORDS,
+            reading_metrics_docs,
+        )
+
+        rng = np.random.default_rng(13)
+        pool = ["table", "scan", "merge", "window", "quarry", "stream",
+                "batch", "spark", "shuffle", "vector"]
+        words = [pool[i] for i in rng.integers(0, len(pool), size=250)]
+        text = " ".join(words)
+        sf = _write_docs(tmp_path, {0: text})
+        out = reading_metrics_docs(sf, mattr_window=100).to_pandas().iloc[0]
+
+        # naive reference MATTR (content_analyzer.py:715-726): mean of
+        # per-window type-token ratios
+        import re
+
+        toks = [w for w in re.findall(r"\b\w+\b", text.lower()) if len(w) > 1]
+        content = [w for w in toks if w not in ANALYZER_STOPWORDS]
+        ttrs = [
+            len(set(content[i : i + 100])) / 100
+            for i in range(len(content) - 99)
+        ]
+        naive = sum(ttrs) / len(ttrs)
+        assert abs(out.mattr - naive) < 1e-9
+        assert out.word_count == 250
+        assert abs(out.ttr - len(set(content)) / len(content)) < 1e-6
+
+    def test_syllables_and_flesch(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import reading_metrics_docs
+
+        # "hello world." -> hello: he-llo 2 vowel groups; world: 1 -> 3
+        sf = _write_docs(tmp_path, {0: "hello world."})
+        out = reading_metrics_docs(sf).to_pandas().iloc[0]
+        assert out.syllables == 3
+        assert out.sentence_count == 1 and out.word_count == 2
+        exp = 206.835 - 1.015 * 2 - 84.6 * (3 / 2)
+        assert abs(out.flesch - max(0, min(100, exp))) < 1e-6
+        # silent trailing e: "table" -> t-a-ble: groups a,e -> 2-1 = 1
+        sf2 = _write_docs(tmp_path, {0: "table"})
+        # need fresh dir; reuse tmp_path is fine (overwrites parquet)
+        out2 = reading_metrics_docs(sf2).to_pandas().iloc[0]
+        assert out2.syllables == 1
