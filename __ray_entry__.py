@@ -327,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reading_metrics_docs": lambda sf: docs.reading_metrics_docs(
             sf, mattr_window=50
         ),
+        # reference quality-indicator booleans + completeness
+        "quality_indicators_docs": docs.quality_indicators_docs,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -1684,6 +1686,78 @@ def oracle_sql() -> dict[str, str]:
                                THEN 1.0 - sq / greatest(n * n, 1)
                                ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0
                        AS vocab_richness
+            FROM m
+        """,
+        # --- quality indicators (documents.py:quality_indicators_docs) ---
+        "quality_indicators_docs": r"""
+            WITH b AS (
+                SELECT doc_id, text, lower(text) AS lt,
+                       len(regexp_extract_all(text, '[.!?]+')) + 1 AS n_seg,
+                       len(regexp_extract_all(text, '\S+')) AS wc,
+                       len(regexp_extract_all(text, '\b\w*\w\w\w\w+\b'))
+                       + len(regexp_extract_all(text, '\b\w*[0-9]+\w*\b'))
+                       + len(regexp_extract_all(text, '[a-z][A-Z]')) AS errors,
+                       len(regexp_extract_all(text, '[^\s.!?]+')) AS sent_words
+                FROM documents
+            ),
+            seg AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s != '' AND regexp_matches(s, '^[A-Z]')
+                                THEN 1 ELSE 0 END) AS proper,
+                       sum(CASE WHEN s != '' THEN 1 ELSE 0 END) AS n_nonempty
+                FROM (SELECT doc_id,
+                             trim(unnest(regexp_extract_all(text, '[^.!?]+')),
+                                  ' ' || chr(10) || chr(9) || chr(13)) AS s
+                      FROM b)
+                GROUP BY doc_id
+            ),
+            para AS (
+                SELECT doc_id,
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                                     != '' THEN 1 ELSE 0 END) AS n_para
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10) || chr(10))) AS s
+                      FROM b)
+                GROUP BY doc_id
+            ),
+            m AS (
+                SELECT b.doc_id, b.n_seg, b.wc, b.errors, b.sent_words, b.lt,
+                       b.text,
+                       COALESCE(s.proper, 0) AS proper,
+                       COALESCE(s.n_nonempty, 0) AS n_nonempty,
+                       COALESCE(p.n_para, 0) AS n_para
+                FROM b
+                LEFT JOIN seg s ON s.doc_id = b.doc_id
+                LEFT JOIN para p ON p.doc_id = b.doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN 5 * proper > 4 * n_seg THEN 1 ELSE 0 END
+                        AS BIGINT) AS proper_capitalization,
+                   CAST(CASE WHEN contains(text, '.') THEN 1 ELSE 0 END
+                        AS BIGINT) AS proper_punctuation,
+                   CAST(CASE WHEN wc > 0 AND 20 * errors < wc THEN 1 ELSE 0 END
+                        AS BIGINT) AS spelling_ok,
+                   CAST(CASE WHEN n_nonempty > 0
+                               AND 10 * n_nonempty <= sent_words
+                               AND sent_words <= 25 * n_nonempty
+                             THEN 1 ELSE 0 END AS BIGINT) AS coherent,
+                   least(CASE WHEN wc >= 300 THEN 3 WHEN wc >= 100 THEN 2
+                              WHEN wc >= 50 THEN 1 ELSE 0 END
+                         + CASE WHEN n_seg >= 5 THEN 2 WHEN n_seg >= 3 THEN 1
+                                ELSE 0 END
+                         + CASE WHEN n_para >= 3 THEN 2 WHEN n_para >= 2 THEN 1
+                                ELSE 0 END
+                         + CASE WHEN contains(lt, 'because')
+                                  OR contains(lt, 'therefore')
+                                  OR contains(lt, 'however')
+                                  OR contains(lt, 'although')
+                                THEN 2 ELSE 0 END
+                         + CASE WHEN contains(lt, 'study')
+                                  OR contains(lt, 'research')
+                                  OR contains(lt, 'analysis')
+                                  OR contains(lt, 'data')
+                                  OR contains(lt, 'results')
+                                THEN 1 ELSE 0 END, 10) / 10.0 AS completeness
             FROM m
         """,
         # --- global rank (documents.py:global_length_rank) ---

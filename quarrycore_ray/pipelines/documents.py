@@ -1853,3 +1853,136 @@ def reading_metrics_docs(sf_dir: str, mattr_window: int = 100) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+def quality_indicators_docs(sf_dir: str) -> "rd.Dataset":
+    """Reference content-analyzer quality indicators
+    (/root/reference/src/quarrycore/metadata/content_analyzer.py:744-838),
+    one vectorized map_batches:
+
+      proper_capitalization  >80% of [.!?]+-split segments start with a
+                             capital (ratio test done as 5*proper > 4*n —
+                             exact integers, mathematically equal)
+      proper_punctuation     the reference path reduces to "text
+                             contains '.'" (757-768)
+      spelling_ok            long-word/digit-word/camelCase pattern count
+                             under 5% of words (20*errors < words)
+      coherent               mean words per non-empty sentence in [10,25]
+                             (10*n <= sum <= 25*n)
+      completeness           bucketed length/structure/paragraph/depth/
+                             info score, computed in integer tenths then
+                             divided once (803-838)
+
+    Flags are int64 0/1; completeness is float (exact tenths)."""
+    import polars as pl
+
+    def _score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        lower = pc.utf8_lower(text)
+        n_seg = (
+            np.asarray(
+                pc.cast(
+                    pc.count_substring_regex(text, pattern=r"[.!?]+"), pa.int64()
+                )
+            )
+            + 1
+        )
+        df = pl.from_arrow(pa.table({"t": text}))
+        seg = df.select(
+            pl.col("t")
+            .str.extract_all(r"[^.!?]+")
+            .list.eval(pl.element().str.strip_chars(_WS))
+            .alias("s")
+        )
+        proper = (
+            seg.select(
+                pl.col("s")
+                .list.eval(
+                    (pl.element().ne("") & pl.element().str.contains(r"^[A-Z]"))
+                    .cast(pl.Int64)
+                )
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_nonempty = (
+            seg.select(
+                pl.col("s")
+                .list.eval(pl.element().ne("").cast(pl.Int64))
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        cap_ok = (5 * proper > 4 * n_seg).astype(np.int64)
+
+        punct_ok = np.asarray(
+            pc.cast(pc.match_substring(text, pattern="."), pa.int64())
+        )
+
+        wc = np.asarray(
+            pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        )
+        errors = np.zeros(batch.num_rows, dtype=np.int64)
+        for p in (r"\b\w*\w\w\w\w+\b", r"\b\w*[0-9]+\w*\b", r"[a-z][A-Z]"):
+            errors += np.asarray(
+                pc.cast(pc.count_substring_regex(text, pattern=p), pa.int64())
+            )
+        spelling_ok = ((wc > 0) & (20 * errors < wc)).astype(np.int64)
+
+        sent_words = np.asarray(
+            pc.cast(
+                pc.count_substring_regex(text, pattern=r"[^\s.!?]+"), pa.int64()
+            )
+        )
+        coherent = (
+            (n_nonempty > 0)
+            & (10 * n_nonempty <= sent_words)
+            & (sent_words <= 25 * n_nonempty)
+        ).astype(np.int64)
+
+        n_para = (
+            df.select(
+                pl.col("t")
+                .str.split("\n\n")
+                .list.eval(
+                    pl.element().str.strip_chars(_WS).ne("").cast(pl.Int64)
+                )
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        depth = np.zeros(batch.num_rows, dtype=bool)
+        for w in ("because", "therefore", "however", "although"):
+            depth |= np.asarray(pc.match_substring(lower, pattern=w))
+        info = np.zeros(batch.num_rows, dtype=bool)
+        for w in ("study", "research", "analysis", "data", "results"):
+            info |= np.asarray(pc.match_substring(lower, pattern=w))
+        tenths = (
+            np.select([wc >= 300, wc >= 100, wc >= 50], [3, 2, 1], default=0)
+            + np.select([n_seg >= 5, n_seg >= 3], [2, 1], default=0)
+            + np.select([n_para >= 3, n_para >= 2], [2, 1], default=0)
+            + np.where(depth, 2, 0)
+            + np.where(info, 1, 0)
+        )
+        completeness = np.minimum(tenths, 10) / 10.0
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "proper_capitalization": pa.array(cap_ok, pa.int64()),
+                "proper_punctuation": pa.array(punct_ok, pa.int64()),
+                "spelling_ok": pa.array(spelling_ok, pa.int64()),
+                "coherent": pa.array(coherent, pa.int64()),
+                "completeness": pa.array(completeness, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow"
+    )

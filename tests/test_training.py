@@ -620,3 +620,43 @@ class TestReadingMetrics:
         # need fresh dir; reuse tmp_path is fine (overwrites parquet)
         out2 = reading_metrics_docs(sf2).to_pandas().iloc[0]
         assert out2.syllables == 1
+
+
+class TestQualityIndicators:
+    def test_flags_on_planted_texts(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import quality_indicators_docs
+
+        # no trailing '.' — a trailing dot adds an empty segment to the
+        # reference's capitalization denominator (re.split keeps it)
+        good = (
+            "This sentence has exactly eleven well formed words in it today. "
+            "Another sentence follows with a similar healthy word count too. "
+            "Therefore the research analysis shows good data structure here"
+        )
+        shouty = "no caps here. neither here. l33t w0rds c0unt as err0rs."
+        short_words = "a be cat dog run fun. We go up now"
+        sf = _write_docs(tmp_path, {0: good, 1: shouty, 2: short_words})
+        out = quality_indicators_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "proper_capitalization"] == 1  # 3/3 capitalized
+        assert out.loc[0, "proper_punctuation"] == 1
+        assert out.loc[0, "coherent"] == 1  # ~10 words per sentence
+        assert out.loc[0, "completeness"] > 0.2  # depth + info words present
+        # faithful reference quirk: words of 5+ chars count as potential
+        # typos (content_analyzer.py:773), so normal prose fails the 5% bar
+        assert out.loc[0, "spelling_ok"] == 0
+        assert out.loc[1, "proper_capitalization"] == 0
+        assert out.loc[1, "spelling_ok"] == 0  # digit-words over 5%
+        # only sub-5-char clean words: zero pattern hits -> passes
+        assert out.loc[2, "spelling_ok"] == 1
+
+    def test_completeness_buckets(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import quality_indicators_docs
+
+        # 300+ words, 5+ sentences, 3 paragraphs, depth + info words:
+        # tenths = 3 + 2 + 2 + 2 + 1 = 10 -> capped 1.0
+        para = ("Because research data results matter. " * 30).strip()
+        full = para + "\n\n" + para + "\n\n" + para
+        sf = _write_docs(tmp_path, {0: full, 1: "tiny"})
+        out = quality_indicators_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "completeness"] == 1.0
+        assert out.loc[1, "completeness"] == 0.0
