@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": similarity.quantize_embeddings,
         # SemDeDup-shaped cluster-scoped semantic prune
         "semdedup_prune": similarity.semdedup_prune,
+        # distributed power iteration (rows-only: iterative numeric op)
+        "embedding_top_component": similarity.embedding_top_component,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "format_instruction": dset.format_instruction,

@@ -689,3 +689,59 @@ def semdedup_prune(sf_dir: str, threshold: float = 0.35) -> "rd.Dataset":
         )
 
     return partitioned_group_map(_embeddings(sf_dir), "label", _part, arrow=True)
+
+
+def embedding_top_component(
+    sf_dir: str, n_iter: int = 8
+) -> pd.DataFrame:
+    """Top principal direction of the (uncentered) embedding second-moment
+    matrix via distributed power iteration — the iterative numerical
+    class beyond BSP label propagation: v <- normalize(sum_i x_i (x_i . v)).
+
+    Each iteration is one map_batches pass emitting a per-batch partial
+    sum vector quantized to 1e-9 integer units; partials are summed
+    exactly (order-independent) and renormalized on the driver (O(dim)
+    work), so the result is bit-deterministic across block orderings
+    and CPU counts — the property the exactmath oracles rely on,
+    applied to an iterative algorithm. Deterministic init: v0 = e_0.
+    No SQL oracle (iterative, not relational); pytest checks against a
+    serial numpy replica and the dominant-eigenvector property.
+
+    Output: (dim, component) rows, the unit vector with component[0]
+    sign-normalized to >= 0."""
+    ds = _embeddings(sf_dir).materialize()
+    dim = len(ds.take(1)[0]["embedding"])
+    v = np.zeros(dim, dtype=np.float64)
+    v[0] = 1.0
+
+    for _ in range(n_iter):
+        v_ref = ray.put(v)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            vv = ray.get(v_ref)
+            _, emb = _to_matrix(batch)
+            contrib = emb.T @ (emb @ vv)
+            q = np.floor(contrib * 1e9 + 0.5).astype(np.int64)
+            return pa.table({"j": pa.array(np.arange(len(q), dtype=np.int64)),
+                             "u": pa.array(q, pa.int64())})
+
+        parts = (
+            ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("j")
+            .sum("u")
+            .to_pandas()
+            .sort_values("j")
+        )
+        s = parts["sum(u)"].to_numpy().astype(np.float64) / 1e9
+        norm = float(np.linalg.norm(s))
+        if norm == 0:
+            break
+        v = s / norm
+        # sign convention: first nonzero coordinate positive
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+
+    return pd.DataFrame(
+        {"dim": np.arange(dim, dtype=np.int64), "component": v}
+    )

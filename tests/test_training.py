@@ -660,3 +660,39 @@ class TestQualityIndicators:
         out = quality_indicators_docs(sf).to_pandas().set_index("doc_id")
         assert out.loc[0, "completeness"] == 1.0
         assert out.loc[1, "completeness"] == 0.0
+
+
+class TestPowerIteration:
+    def test_matches_serial_replica_and_dominates(self, tmp_path):
+        from quarrycore_ray.functions.similarity import embedding_top_component
+
+        rng = np.random.default_rng(17)
+        # strong planted direction + noise
+        d = 8
+        planted = np.zeros(d)
+        planted[2] = 1.0
+        vecs = (
+            planted[None, :] * rng.uniform(2, 3, size=(120, 1))
+            + rng.standard_normal((120, d)) * 0.05
+        ).astype(np.float32)
+        sf = _write_embeddings(tmp_path, vecs.tolist(), [0] * 120)
+        out = embedding_top_component(sf, n_iter=8)
+        v = out.component.to_numpy()
+
+        # serial replica of the quantized algorithm
+        emb = vecs.astype(np.float64)
+        ref = np.zeros(d)
+        ref[0] = 1.0
+        for _ in range(8):
+            contrib = emb.T @ (emb @ ref)
+            s = np.floor(contrib * 1e9 + 0.5).astype(np.int64) / 1e9
+            n = np.linalg.norm(s)
+            ref = s / n
+            nz = np.nonzero(np.abs(ref) > 1e-12)[0]
+            if len(nz) and ref[nz[0]] < 0:
+                ref = -ref
+        # single batch in the engine == serial replica quantization
+        assert np.allclose(v, ref, atol=1e-9)
+        # converged to the planted direction
+        assert abs(v[2]) > 0.99
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
