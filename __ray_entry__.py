@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rejection_sample": dset.rejection_sample,
         # weighted reservoir sampling (A-Res shape, deterministic priorities)
         "weighted_sample_docs": dset.weighted_sample_docs,
+        # reference dataset analytics report (analytics.py:27-101)
+        "dataset_analytics_report": dset.dataset_analytics_report,
         "vocab_size_approx": vocab_size_approx,
         # corpus curation (C4/CCNet/Gopher lineage)
         "segment_dedup_docs": cur.segment_dedup_docs,
@@ -879,6 +881,76 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY cos DESC, n_id) AS rk
                 FROM s
             ) WHERE rk <= 5
+        """,
+
+        # --- dataset analytics report (dataset.py:dataset_analytics_report) ---
+        "dataset_analytics_report": f"""
+            WITH t AS (
+                SELECT doc_id, canonical, string_split(canonical, ' ') AS words
+                FROM (SELECT doc_id, {_CANON} AS canonical FROM documents)
+            ), s AS (
+                SELECT doc_id, len(words) AS n_tokens,
+                    least(length(canonical) / 400.0, 1.0) AS ls,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        5.0 * len(list_filter(words, w -> w IN {_STOPLIST_SQL})) / len(words),
+                        1.0) END AS lgs,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        2.0 * len(list_distinct(words)) / len(words), 1.0) END AS ch
+                FROM t
+            ), d AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000
+                                  + 0.5) AS BIGINT) AS q_u
+                FROM s
+            ),
+            tstats AS (
+                SELECT count(*) AS n, sum(n_tokens) AS s1,
+                       sum(n_tokens * n_tokens) AS s2,
+                       min(n_tokens) AS mn, max(n_tokens) AS mx
+                FROM d
+            ),
+            qstats AS (
+                SELECT sum(q_u) AS s1, sum(q_u * q_u) AS s2,
+                       min(q_u) AS mn, max(q_u) AS mx
+                FROM d
+            ),
+            trank AS (
+                SELECT n_tokens AS x,
+                       row_number() OVER (ORDER BY n_tokens) - 1 AS r
+                FROM d
+            ),
+            vocab AS (
+                SELECT count(DISTINCT w) AS v FROM (
+                    SELECT unnest(words) AS w FROM t
+                )
+            )
+            SELECT
+                (SELECT n FROM tstats) AS total_records,
+                (SELECT v FROM vocab) AS vocabulary_size,
+                floor(((SELECT s1 FROM tstats) * 1.0 / (SELECT n FROM tstats))
+                      * 1000000 + 0.5) / 1000000.0 AS tok_mean,
+                floor(sqrt(greatest(
+                      (SELECT s2 FROM tstats) * 1.0 / (SELECT n FROM tstats)
+                      - ((SELECT s1 FROM tstats) * 1.0 / (SELECT n FROM tstats))
+                        * ((SELECT s1 FROM tstats) * 1.0 / (SELECT n FROM tstats)),
+                      0.0)) * 1000000 + 0.5) / 1000000.0 AS tok_std,
+                (SELECT mn FROM tstats) AS tok_min,
+                (SELECT mx FROM tstats) AS tok_max,
+                floor(((SELECT x FROM trank WHERE r = CAST(floor((((SELECT n FROM tstats) - 1) * 0.25)) AS BIGINT)) + ((((SELECT n FROM tstats) - 1) * 0.25) - floor((((SELECT n FROM tstats) - 1) * 0.25))) * ((SELECT x FROM trank WHERE r = least(CAST(floor((((SELECT n FROM tstats) - 1) * 0.25)) AS BIGINT) + 1, (SELECT n FROM tstats) - 1)) - (SELECT x FROM trank WHERE r = CAST(floor((((SELECT n FROM tstats) - 1) * 0.25)) AS BIGINT)))) * 1000000 + 0.5) / 1000000.0 AS tok_p25,
+                floor(((SELECT x FROM trank WHERE r = CAST(floor((((SELECT n FROM tstats) - 1) * 0.5)) AS BIGINT)) + ((((SELECT n FROM tstats) - 1) * 0.5) - floor((((SELECT n FROM tstats) - 1) * 0.5))) * ((SELECT x FROM trank WHERE r = least(CAST(floor((((SELECT n FROM tstats) - 1) * 0.5)) AS BIGINT) + 1, (SELECT n FROM tstats) - 1)) - (SELECT x FROM trank WHERE r = CAST(floor((((SELECT n FROM tstats) - 1) * 0.5)) AS BIGINT)))) * 1000000 + 0.5) / 1000000.0 AS tok_p50,
+                floor(((SELECT x FROM trank WHERE r = CAST(floor((((SELECT n FROM tstats) - 1) * 0.75)) AS BIGINT)) + ((((SELECT n FROM tstats) - 1) * 0.75) - floor((((SELECT n FROM tstats) - 1) * 0.75))) * ((SELECT x FROM trank WHERE r = least(CAST(floor((((SELECT n FROM tstats) - 1) * 0.75)) AS BIGINT) + 1, (SELECT n FROM tstats) - 1)) - (SELECT x FROM trank WHERE r = CAST(floor((((SELECT n FROM tstats) - 1) * 0.75)) AS BIGINT)))) * 1000000 + 0.5) / 1000000.0 AS tok_p75,
+                floor((((SELECT s1 FROM qstats) * 1.0 / (SELECT n FROM tstats))
+                       / 1000000.0) * 1000000 + 0.5) / 1000000.0 AS quality_mean,
+                floor((sqrt(greatest(
+                      (SELECT s2 FROM qstats) * 1.0 / (SELECT n FROM tstats)
+                      - ((SELECT s1 FROM qstats) * 1.0 / (SELECT n FROM tstats))
+                        * ((SELECT s1 FROM qstats) * 1.0 / (SELECT n FROM tstats)),
+                      0.0)) / 1000000.0) * 1000000 + 0.5) / 1000000.0
+                    AS quality_std,
+                floor(((SELECT mn FROM qstats) / 1000000.0) * 1000000 + 0.5)
+                    / 1000000.0 AS quality_min,
+                floor(((SELECT mx FROM qstats) / 1000000.0) * 1000000 + 0.5)
+                    / 1000000.0 AS quality_max
         """,
         # --- vector aggregate (functions/similarity.py:label_centroids) ---
         "label_centroids": """

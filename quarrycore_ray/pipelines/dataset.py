@@ -376,3 +376,105 @@ def export_dataset(sf_dir: str, out_dir: str, fmt: str = "parquet") -> str:
     else:
         raise ValueError(f"unknown export format: {fmt}")
     return path
+
+
+def dataset_analytics_report(sf_dir: str) -> pd.DataFrame:
+    """Reference dataset analytics report
+    (/root/reference/src/quarrycore/dataset/analytics.py:27-101) as one
+    single-row table: record count, vocabulary size, token-count
+    distribution (mean/std/min/max + interpolated p25/p50/p75, the
+    numpy-percentile definition), and quality-score distribution.
+
+    Distribution stats come from bounded value HISTOGRAMS (one groupby
+    per metric over distinct values, the length_quantiles pattern) —
+    moments are exact integer sums over the histogram, percentiles are
+    an O(distinct-values) driver walk, and nothing sorts or collects
+    the corpus. Std dev uses the exact-moment form
+    sqrt(S2/n - (S1/n)^2) (documented deviation from numpy's two-pass;
+    mathematically equal). Vocabulary size is the exact distinct-token
+    count via the combiner aggregate."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    from ..exactmath import floor_round_np
+    from ..functions.textstats import quality_scores
+    from .training import _term_counts, _token_aggregate
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        qb = quality_scores(batch)
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch["canonical"], " ")),
+            pa.int64(),
+        )
+        q_u = np.floor(
+            np.asarray(qb["quality"], dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"n_tokens": n_tok, "q_u": pa.array(q_u, pa.int64())}
+        )
+
+    scored = _canon(sf_dir).map_batches(_stats, batch_format="pyarrow").materialize()
+
+    def _hist(col: str) -> pd.DataFrame:
+        return (
+            scored.groupby(col)
+            .aggregate(Count(alias_name="c"))
+            .to_pandas()
+            .sort_values(col)
+            .reset_index(drop=True)
+        )
+
+    def _dist(h: pd.DataFrame, col: str) -> dict:
+        v = h[col].to_numpy(dtype=np.int64)
+        c = h["c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        s1 = int((v * c).sum())
+        s2 = int((v * v * c).sum())
+        mean = s1 * 1.0 / n
+        var = s2 * 1.0 / n - mean * mean
+        std = float(np.sqrt(max(var, 0.0)))
+        cum = np.cumsum(c)
+
+        def value_at(k: int) -> int:
+            return int(v[np.searchsorted(cum, k + 1)])
+
+        def pctl(q: float) -> float:
+            idx = (n - 1) * q
+            lo = int(np.floor(idx))
+            frac = idx - lo
+            x_lo = value_at(lo)
+            if frac == 0.0:
+                return float(x_lo)
+            return x_lo + frac * (value_at(lo + 1) - x_lo)
+
+        return {
+            "n": n, "mean": mean, "std": std,
+            "min": int(v[0]), "max": int(v[-1]),
+            "p25": pctl(0.25), "p50": pctl(0.5), "p75": pctl(0.75),
+        }
+
+    tok = _dist(_hist("n_tokens"), "n_tokens")
+    qual = _dist(_hist("q_u"), "q_u")
+    vocab_size = _token_aggregate(
+        _term_counts(_canon(sf_dir)), "df"
+    ).count()
+
+    r6 = lambda x: float(floor_round_np(np.array([x]))[0])
+    return pd.DataFrame(
+        {
+            "total_records": pd.array([tok["n"]], dtype="int64"),
+            "vocabulary_size": pd.array([int(vocab_size)], dtype="int64"),
+            "tok_mean": [r6(tok["mean"])],
+            "tok_std": [r6(tok["std"])],
+            "tok_min": pd.array([tok["min"]], dtype="int64"),
+            "tok_max": pd.array([tok["max"]], dtype="int64"),
+            "tok_p25": [r6(tok["p25"])],
+            "tok_p50": [r6(tok["p50"])],
+            "tok_p75": [r6(tok["p75"])],
+            "quality_mean": [r6(qual["mean"] / 1e6)],
+            "quality_std": [r6(qual["std"] / 1e6)],
+            "quality_min": [r6(qual["min"] / 1e6)],
+            "quality_max": [r6(qual["max"] / 1e6)],
+        }
+    )

@@ -696,3 +696,24 @@ class TestPowerIteration:
         # converged to the planted direction
         assert abs(v[2]) > 0.99
         assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+class TestAnalyticsReport:
+    def test_matches_numpy_on_planted_corpus(self, tmp_path):
+        from quarrycore_ray.pipelines.dataset import dataset_analytics_report
+
+        texts = {i: " ".join(["w%d" % (j % 7) for j in range(i + 1)])
+                 for i in range(9)}  # token counts 1..9
+        sf = _write_docs(tmp_path, texts)
+        out = dataset_analytics_report(sf).iloc[0]
+        counts = np.arange(1, 10)
+        assert out.total_records == 9
+        assert out.vocabulary_size == 7
+        assert abs(out.tok_mean - counts.mean()) < 1e-6
+        assert abs(out.tok_std - counts.std()) < 1e-6
+        assert out.tok_min == 1 and out.tok_max == 9
+        # numpy-percentile linear interpolation definition
+        assert abs(out.tok_p25 - np.percentile(counts, 25)) < 1e-6
+        assert abs(out.tok_p50 - np.percentile(counts, 50)) < 1e-6
+        assert abs(out.tok_p75 - np.percentile(counts, 75)) < 1e-6
+        assert 0 <= out.quality_min <= out.quality_mean <= out.quality_max <= 1
