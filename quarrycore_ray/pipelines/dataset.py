@@ -478,3 +478,95 @@ def dataset_analytics_report(sf_dir: str) -> pd.DataFrame:
             "quality_max": [r6(qual["max"] / 1e6)],
         }
     )
+
+
+def construct_dataset(
+    sf_dir: str,
+    out_dir: str,
+    sample_k: int = 200,
+    export_formats: tuple = ("parquet", "jsonl"),
+) -> dict:
+    """End-to-end dataset construction job mirroring the reference's
+    `DatasetConstructor.create_dataset`
+    (/root/reference/src/quarrycore/dataset/constructor.py:65-126):
+    curriculum sample -> token-window chunking -> instruction formatting
+    -> export(s) -> analytics report, with stage-boundary checkpointing
+    (`state/checkpoint.CheckpointManager`) so a rerun resumes past
+    completed stages — the batch analog of the reference's linear
+    in-memory flow.
+
+    Returns a manifest dict: per-stage row counts, export paths,
+    stages run vs skipped, and the analytics report row."""
+    import json as _json
+    import os as _os
+
+    import ray
+    import ray.data as rd
+
+    from ..state.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(out_dir)
+
+    def _sampled() -> "rd.Dataset":
+        ids = set(
+            curriculum_sample(sf_dir, k=sample_k)["doc_id"].tolist()
+        )
+        ids_ref = ray.put(frozenset(ids))
+
+        def _keep(batch: pa.Table) -> pa.Table:
+            keep_ids = ray.get(ids_ref)
+            mask = [i in keep_ids for i in batch["doc_id"].to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        return _canon(sf_dir).map_batches(_keep, batch_format="pyarrow")
+
+    sampled = ckpt.stage("sampled", _sampled)
+    chunked = ckpt.stage(
+        "chunked",
+        lambda: sampled.map_batches(
+            TokenChunker, concurrency=2, batch_format="pyarrow"
+        ),
+    )
+
+    def _formatted() -> "rd.Dataset":
+        def _fmt(batch: pa.Table) -> pa.Table:
+            texts = batch["chunk_text"]
+            formatted = pc.binary_join_element_wise(
+                pa.array(["### Instruction:\nSummarize the following document."
+                          "\n### Response:\n"] * batch.num_rows),
+                pc.cast(texts, pa.string()),
+                "",
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "chunk_idx": batch["chunk_idx"],
+                    "text": formatted,
+                }
+            )
+
+        return chunked.map_batches(_fmt, batch_format="pyarrow")
+
+    formatted = ckpt.stage("formatted", _formatted)
+
+    exports = {}
+    for fmt in export_formats:
+        dest = _os.path.join(out_dir, f"export_{fmt}")
+        if not _os.path.exists(dest):
+            if fmt == "parquet":
+                formatted.write_parquet(dest)
+            elif fmt == "jsonl":
+                formatted.write_json(dest)
+        exports[fmt] = dest
+
+    manifest = {
+        "n_sampled": sampled.count(),
+        "n_chunks": chunked.count(),
+        "n_records": formatted.count(),
+        "exports": exports,
+        "stages_run": ckpt.stages_run,
+        "stages_skipped": ckpt.stages_skipped,
+    }
+    with open(_os.path.join(out_dir, "job.json"), "w") as f:
+        _json.dump(manifest, f, indent=2)
+    return manifest

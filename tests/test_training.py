@@ -717,3 +717,44 @@ class TestAnalyticsReport:
         assert abs(out.tok_p50 - np.percentile(counts, 50)) < 1e-6
         assert abs(out.tok_p75 - np.percentile(counts, 75)) < 1e-6
         assert 0 <= out.quality_min <= out.quality_mean <= out.quality_max <= 1
+
+
+class TestConstructDataset:
+    def test_end_to_end_and_resume(self, tmp_path):
+        import os
+
+        from quarrycore_ray.pipelines.dataset import construct_dataset
+
+        texts = {i: " ".join(["tok%d" % j for j in range(i * 5 + 3)])
+                 for i in range(12)}
+        sf = _write_docs(tmp_path, texts)
+        # write n_chars column expected by curriculum_sample
+        import pyarrow.parquet as _pq
+
+        tb = _pq.read_table(str(tmp_path / "documents.parquet"))
+        tb = tb.append_column(
+            "n_chars",
+            pa.array([len(t) for t in tb["text"].to_pylist()], pa.int64()),
+        )
+        _pq.write_table(tb, str(tmp_path / "documents.parquet"))
+
+        out_dir = str(tmp_path / "job")
+        m1 = construct_dataset(sf, out_dir, sample_k=6)
+        assert m1["n_sampled"] == 6
+        assert m1["n_chunks"] >= 6  # at least one chunk per sampled doc
+        assert m1["n_records"] == m1["n_chunks"]
+        assert os.path.exists(os.path.join(out_dir, "export_parquet"))
+        assert os.path.exists(os.path.join(out_dir, "export_jsonl"))
+        assert m1["stages_skipped"] == []
+
+        # formatted export is readable and carries the template
+        import ray.data as rd
+
+        rec = rd.read_parquet(m1["exports"]["parquet"]).take(1)[0]
+        assert rec["text"].startswith("### Instruction:")
+
+        # rerun: every stage resumes from its manifest
+        m2 = construct_dataset(sf, out_dir, sample_k=6)
+        assert m2["stages_run"] == []
+        assert set(m2["stages_skipped"]) == {"sampled", "chunked", "formatted"}
+        assert m2["n_records"] == m1["n_records"]
