@@ -151,3 +151,30 @@ def add_fingerprint(batch: pa.Table, text_col: str = "canonical") -> pa.Table:
         for t in batch[text_col].to_pylist()
     ]
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+def mattr_fraction(tokens: list, window: int) -> tuple:
+    """Exact MATTR as an integer fraction (numerator, denominator):
+    sum over all `window`-sized sliding windows of the distinct-token
+    count, over window * n_windows — mathematically equal to the mean
+    of per-window type-token ratios (reference
+    `/root/reference/src/quarrycore/metadata/content_analyzer.py:715-726`)
+    but exact, so distributed emitters hash-match their SQL oracle.
+
+    O(n): token at position j is distinct within window start i iff
+    i > prev_occurrence(j) and j-(window-1) <= i <= j; each token
+    contributes the size of that start-range. Falls back to the plain
+    TTR fraction below `window` tokens (reference behavior)."""
+    n = len(tokens)
+    if n < window:
+        return len(set(tokens)), max(n, 1)
+    prev: dict = {}
+    total = 0
+    for j, w in enumerate(tokens):
+        p = prev.get(w, -1)
+        lo = max(p + 1, j - (window - 1), 0)
+        hi = min(j, n - window)
+        if hi >= lo:
+            total += hi - lo + 1
+        prev[w] = j
+    return total, window * (n - window + 1)

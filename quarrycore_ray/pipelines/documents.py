@@ -1770,22 +1770,9 @@ def reading_metrics_docs(sf_dir: str, mattr_window: int = 100) -> "rd.Dataset":
         content = [w for w in words if w not in ANALYZER_STOPWORDS]
         n = len(content)
         uniq = len(set(content))
-        # exact MATTR numerator: token j is distinct-in-window i iff
-        # i > prev_occurrence(j) and j-(W-1) <= i <= j; count valid i
-        W = mattr_window
-        if n >= W:
-            prev: dict = {}
-            total = 0
-            for j, w in enumerate(content):
-                p = prev.get(w, -1)
-                lo = max(p + 1, j - (W - 1), 0)
-                hi = min(j, n - W)
-                if hi >= lo:
-                    total += hi - lo + 1
-                prev[w] = j
-            mattr_num, mattr_den = total, W * (n - W + 1)
-        else:
-            mattr_num, mattr_den = uniq, max(n, 1)
+        from ..functions.textstats import mattr_fraction
+
+        mattr_num, mattr_den = mattr_fraction(content, mattr_window)
         freq: dict = {}
         for w in content:
             freq[w] = freq.get(w, 0) + 1

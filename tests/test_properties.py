@@ -239,3 +239,28 @@ class TestQuantileSketchProperties:
             target = q * n
             slack = max(4.0, 4.0 * n / cap)
             assert lo - slack <= target <= hi + slack
+
+
+class TestMattrProperties:
+    @given(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=60),
+        st.integers(min_value=1, max_value=12),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_on_matches_naive_window_scan(self, tokens, window):
+        from quarrycore_ray.functions.textstats import mattr_fraction
+
+        num, den = mattr_fraction(tokens, window)
+        n = len(tokens)
+        if n < window:
+            assert (num, den) == (len(set(tokens)), max(n, 1))
+        else:
+            naive = sum(
+                len(set(tokens[i : i + window]))
+                for i in range(n - window + 1)
+            )
+            assert num == naive
+            assert den == window * (n - window + 1)
+        # a fraction in (0, 1] for non-empty inputs
+        if n:
+            assert 0 < num <= den
