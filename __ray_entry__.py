@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": rel.events_asof_join,
         # bounded time-range join: view -> click conversion funnel
         "funnel_conversions": rel.funnel_conversions,
+        # weekly cohort retention (first-event cohorts x week offsets)
+        "cohort_retention": rel.cohort_retention,
         # exact quantiles via value histogram (§2.6 analytics)
         "length_quantiles": docs.length_quantiles,
         # group top-k (§2.7) and rollup aggregates (§2.6)
@@ -2071,6 +2073,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, q.source, quality
             FROM q JOIN med USING (source) WHERE quality > med
+        """,
+        # --- cohort retention (pipelines/relational.py:cohort_retention) ---
+        "cohort_retention": """
+            WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+                       GROUP BY user_id),
+            e AS (
+                SELECT ev.user_id,
+                       CAST(floor(epoch(f.first_ts) / 604800) AS BIGINT)
+                           AS cohort_week,
+                       CAST(floor(epoch(ev.ts) / 604800) AS BIGINT)
+                       - CAST(floor(epoch(f.first_ts) / 604800) AS BIGINT)
+                           AS week_offset
+                FROM events ev JOIN f USING (user_id)
+            )
+            SELECT cohort_week, week_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM e GROUP BY 1, 2
         """,
         # --- funnel (pipelines/relational.py:funnel_conversions) ---
         "funnel_conversions": """

@@ -1100,3 +1100,109 @@ def funnel_conversions(sf_dir: str, window_minutes: int = 30) -> "rd.Dataset":
     return partitioned_group_map(
         ds.map_batches(_tag, batch_format="pyarrow"), "user_id", _merge, arrow=True
     )
+
+
+def cohort_retention(sf_dir: str) -> "rd.Dataset":
+    """Weekly cohort retention: users grouped by their first-event week
+    (cohort), counted distinctly per week offset since that first event
+    — the classic product-analytics matrix, composed from the engine's
+    existing distributed shapes.
+
+    Plan: (1) per-user first-event timestamp (one groupby min over
+    per-batch minima); (2) cohort week attached back to every event
+    via `attach_lookup` (broadcast under 1M users, partitioned join
+    above); (3) exact COUNT(DISTINCT user) per (cohort_week,
+    week_offset) with the disjoint-partials pattern of
+    `event_type_distinct_users` — per-batch pair dedup, one hash
+    partitioning on user_id, exact Sum of disjoint partials. Weeks are
+    integer µs // 604800e6 since the epoch. Output
+    (cohort_week, week_offset, n_users)."""
+    import numpy as np
+
+    from ray.data.aggregate import Min, Sum
+    from ..stages.grouped import attach_lookup, partitioned_group_map
+
+    WEEK_US = 604_800_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    events = ds.map_batches(_us, batch_format="pyarrow").materialize()
+    first = (
+        events.groupby("user_id").aggregate(Min("ts_us", alias_name="first_us"))
+    )
+
+    with_first = attach_lookup(
+        events,
+        pa.schema([("user_id", pa.int64()), ("ts_us", pa.int64())]),
+        ["user_id"],
+        first,
+        "user_id",
+        "first_us",
+        pa.int64(),
+        ["first_us"],
+    )
+
+    def _weeks(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ts = np.asarray(batch["ts_us"], dtype=np.int64)
+        fu = np.asarray(batch["first_us"], dtype=np.int64)
+        cohort = fu // WEEK_US
+        offset = ts // WEEK_US - cohort
+        out = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "cohort_week": pa.array(cohort, pa.int64()),
+                "week_offset": pa.array(offset, pa.int64()),
+            }
+        )
+        return pl.from_arrow(out).unique().to_arrow().cast(out.schema)
+
+    def _count(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .unique()
+            .group_by(["cohort_week", "week_offset"])
+            .agg(pl.len().cast(pl.Int64).alias("n_partial"))
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("cohort_week", pa.int64()),
+                    ("week_offset", pa.int64()),
+                    ("n_partial", pa.int64()),
+                ]
+            )
+        )
+
+    partial = partitioned_group_map(
+        with_first.map_batches(_weeks, batch_format="pyarrow"),
+        "user_id",
+        _count,
+        arrow=True,
+    )
+    agg = (
+        partial.groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+    )
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch["cohort_week"],
+                "week_offset": batch["week_offset"],
+                "n_users": pc.cast(batch["n_users"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_cast, batch_format="pyarrow")

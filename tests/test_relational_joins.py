@@ -596,3 +596,45 @@ class TestFunnelConversions:
         assert out.loc[2, "n_clicks"] == 1 and out.loc[2, "n_converted"] == 0
         # same-instant view counts (v.ts <= c.ts)
         assert out.loc[3, "n_clicks"] == 1 and out.loc[3, "n_converted"] == 1
+
+
+class TestCohortRetention:
+    def test_cohorts_offsets_and_distinct_users(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import cohort_retention
+
+        wk = dt.timedelta(days=7)
+        w0 = dt.datetime(2024, 1, 1)  # all within one epoch-week bucket? use exact week starts
+        # align to epoch weeks: pick timestamps well inside weeks
+        _write(
+            tmp_path,
+            "events",
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                    # u1: first week w0, returns in w0 (twice!) and w0+2
+                    # u2: first week w0+1, returns w0+2
+                    # u3: only w0
+                    "ts": pa.array(
+                        [w0, w0 + dt.timedelta(days=1), w0 + 2 * wk,
+                         w0 + wk, w0 + 2 * wk,
+                         w0],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+        )
+        out = (
+            cohort_retention(str(tmp_path))
+            .to_pandas()
+            .set_index(["cohort_week", "week_offset"])
+            .sort_index()
+        )
+        c0 = int(out.index[0][0])
+        # cohort c0 (u1, u3): offset 0 has both; u1's two same-week events
+        # count once; offset 2 has u1 only
+        assert out.loc[(c0, 0), "n_users"] == 2
+        assert out.loc[(c0, 2), "n_users"] == 1
+        # cohort c0+1 (u2): offsets 0 and 1
+        assert out.loc[(c0 + 1, 0), "n_users"] == 1
+        assert out.loc[(c0 + 1, 1), "n_users"] == 1
+        assert len(out) == 4
