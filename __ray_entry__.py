@@ -99,7 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hist = convs.map_batches(_split(False), batch_format="pyarrow")
         new = convs.map_batches(_split(True), batch_format="pyarrow")
         tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-        idx = f"/tmp/qc_incr_index_{tag}"
+        # v2: version-suffixed so a stale cache from an older signature
+        # format can never be loaded after a format change
+        idx = f"/tmp/qc_incr_index_v2_{tag}"
         if not _os.path.exists(idx):
             write_signature_index(hist, idx)
         res = incremental_near_dup(new, idx)
