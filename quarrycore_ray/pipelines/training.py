@@ -170,70 +170,73 @@ def gopher_quality_docs(sf_dir: str) -> "rd.Dataset":
                      symbol_ratio<0.1 and bullet_frac<0.9 and
                      ellipsis_frac<0.3 and stop_hits>=2   (as int64)
     """
-
-    def _stats(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        text = batch["text"]
-        canon = normalize_whitespace_array(text)
-        nw = np.asarray(
-            pc.cast(pc.list_value_length(pc.split_pattern(canon, " ")), pa.int64())
-        )
-        n_chars = np.asarray(pc.cast(pc.utf8_length(canon), pa.int64()))
-        mean_wl = (n_chars - nw + 1) * 1.0 / nw
-        n_sym = np.asarray(
-            pc.cast(pc.count_substring(text, pattern="#"), pa.int64())
-        ) + np.asarray(pc.cast(pc.count_substring(text, pattern="..."), pa.int64()))
-        sym_ratio = n_sym * 1.0 / nw
-        n_lines = (
-            np.asarray(pc.cast(pc.count_substring(text, pattern="\n"), pa.int64())) + 1
-        )
-        bullets = np.asarray(
-            pc.cast(pc.count_substring_regex(text, pattern=r"(?m)^[\-\*] "), pa.int64())
-        )
-        ellipsis = np.asarray(
-            pc.cast(pc.count_substring_regex(text, pattern=r"(?m)\.\.\.$"), pa.int64())
-        )
-        bullet_frac = bullets * 1.0 / n_lines
-        ellipsis_frac = ellipsis * 1.0 / n_lines
-        words = pl.from_arrow(pa.table({"w": pc.split_pattern(canon, " ")}))
-        hits = (
-            words.select(
-                sum(
-                    pl.col("w").list.contains(s).cast(pl.Int64) for s in STOPLIST
-                ).alias("h")
-            )["h"]
-            .to_numpy()
-            .astype(np.int64)
-        )
-        keep = (
-            (nw >= 50)
-            & (nw <= 100000)
-            & (mean_wl >= 3)
-            & (mean_wl <= 10)
-            & (sym_ratio < 0.1)
-            & (bullet_frac < 0.9)
-            & (ellipsis_frac < 0.3)
-            & (hits >= 2)
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": pa.array(nw, pa.int64()),
-                "mean_word_len": pa.array(floor_round_np(mean_wl), pa.float64()),
-                "symbol_ratio": pa.array(floor_round_np(sym_ratio), pa.float64()),
-                "bullet_frac": pa.array(floor_round_np(bullet_frac), pa.float64()),
-                "ellipsis_frac": pa.array(
-                    floor_round_np(ellipsis_frac), pa.float64()
-                ),
-                "stop_hits": pa.array(hits, pa.int64()),
-                "keep": pa.array(keep.astype(np.int64), pa.int64()),
-            }
-        )
-
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _stats, batch_format="pyarrow"
+        gopher_stats_batch, batch_format="pyarrow"
     )
+
+
+def gopher_stats_batch(batch: pa.Table) -> pa.Table:
+    """Batch kernel for `gopher_quality_docs` (module-level so it can be
+    registered as a composable stage, registry.py)."""
+    import polars as pl
+
+    text = batch["text"]
+    canon = normalize_whitespace_array(text)
+    nw = np.asarray(
+        pc.cast(pc.list_value_length(pc.split_pattern(canon, " ")), pa.int64())
+    )
+    n_chars = np.asarray(pc.cast(pc.utf8_length(canon), pa.int64()))
+    mean_wl = (n_chars - nw + 1) * 1.0 / nw
+    n_sym = np.asarray(
+        pc.cast(pc.count_substring(text, pattern="#"), pa.int64())
+    ) + np.asarray(pc.cast(pc.count_substring(text, pattern="..."), pa.int64()))
+    sym_ratio = n_sym * 1.0 / nw
+    n_lines = (
+        np.asarray(pc.cast(pc.count_substring(text, pattern="\n"), pa.int64())) + 1
+    )
+    bullets = np.asarray(
+        pc.cast(pc.count_substring_regex(text, pattern=r"(?m)^[\-\*] "), pa.int64())
+    )
+    ellipsis = np.asarray(
+        pc.cast(pc.count_substring_regex(text, pattern=r"(?m)\.\.\.$"), pa.int64())
+    )
+    bullet_frac = bullets * 1.0 / n_lines
+    ellipsis_frac = ellipsis * 1.0 / n_lines
+    words = pl.from_arrow(pa.table({"w": pc.split_pattern(canon, " ")}))
+    hits = (
+        words.select(
+            sum(
+                pl.col("w").list.contains(s).cast(pl.Int64) for s in STOPLIST
+            ).alias("h")
+        )["h"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    keep = (
+        (nw >= 50)
+        & (nw <= 100000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (sym_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (hits >= 2)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(nw, pa.int64()),
+            "mean_word_len": pa.array(floor_round_np(mean_wl), pa.float64()),
+            "symbol_ratio": pa.array(floor_round_np(sym_ratio), pa.float64()),
+            "bullet_frac": pa.array(floor_round_np(bullet_frac), pa.float64()),
+            "ellipsis_frac": pa.array(
+                floor_round_np(ellipsis_frac), pa.float64()
+            ),
+            "stop_hits": pa.array(hits, pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        }
+    )
+
 
 
 def pack_sequences(

@@ -185,3 +185,27 @@ def _embed_factory(dim: int = 64, text_col: str = "canonical_text"):
         return embed(ds, dim, text_col)
 
     return _stage
+
+
+@register_stage("gopher_quality")
+def _gopher_factory():
+    from .pipelines.training import gopher_stats_batch
+
+    def _stage(ds):
+        return ds.map_batches(gopher_stats_batch, batch_format="pyarrow")
+
+    return _stage
+
+
+@register_stage("filter_gopher_keep")
+def _gopher_filter_factory():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stage(ds):
+        def _f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["keep"], pa.scalar(1)))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    return _stage

@@ -758,3 +758,28 @@ class TestConstructDataset:
         assert m2["stages_run"] == []
         assert set(m2["stages_skipped"]) == {"sampled", "chunked", "formatted"}
         assert m2["n_records"] == m1["n_records"]
+
+
+class TestRegistryGopher:
+    def test_spec_pipeline_composes_gopher_filter(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from quarrycore_ray.registry import available_stages, build_pipeline
+
+        assert "gopher_quality" in available_stages()
+        good = "the quick brown fox jumps over that lazy dog again " * 6
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array([good, "too short"], pa.string()),
+                }
+            )
+        )
+        pipe = build_pipeline(
+            [{"stage": "gopher_quality"}, {"stage": "filter_gopher_keep"}]
+        )
+        out = pipe(ds).to_pandas()
+        assert list(out.doc_id) == [0]
