@@ -159,6 +159,8 @@ def run_bench() -> dict:
 
     timed("tfidf_top_terms", trn.tfidf_top_terms)
     timed("unigram_logprob_docs", trn.unigram_logprob_docs)
+    timed("reading_metrics_docs", docs.reading_metrics_docs)
+    timed("cohort_retention", rel.cohort_retention)
 
     ray.shutdown()
     return {
