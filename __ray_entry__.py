@@ -251,6 +251,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_totals_full": rel.customer_order_totals_full,
         "lineitem_pricing_summary": rel.lineitem_pricing_summary,
         "supplier_nation_counts": rel.supplier_nation_counts,
+        # TPC-H Q14 shape over the part table (two-fact attach join)
+        "promo_revenue_share": rel.promo_revenue_share,
+        # two-hop dimension chain through nation -> region
+        "region_supplier_counts": rel.region_supplier_counts,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
@@ -777,6 +781,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, count(*) AS n_suppliers FROM supplier "
             "JOIN nation ON n_nationkey = s_nationkey GROUP BY n_name"
         ),
+        "promo_revenue_share": """
+            WITH j AS (
+                SELECT CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 1000000 + 0.5) AS BIGINT) AS disc_u,
+                       CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+            ),
+            s AS (SELECT sum(disc_u * is_promo) AS p, sum(disc_u) AS t FROM j)
+            SELECT floor((p / 1000000.0) * 100 + 0.5) / 100.0 AS promo_revenue,
+                   floor((t / 1000000.0) * 100 + 0.5) / 100.0 AS total_revenue,
+                   floor((100.0::DOUBLE * p / t) * 1000000 + 0.5) / 1000000.0
+                       AS promo_share
+            FROM s
+        """,
+        "region_supplier_counts": """
+            SELECT r_name, count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name
+        """,
         "media_decode_stats": """
             -- expected decode output for the deterministic fake-image
             -- payloads (pipelines/documents.py:media_decode_stats):

@@ -1206,3 +1206,112 @@ def cohort_retention(sf_dir: str) -> "rd.Dataset":
         )
 
     return agg.map_batches(_cast, batch_format="pyarrow")
+
+
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14-shaped promotion-revenue share: the percentage of
+    discounted lineitem revenue on parts of type 'PROMO'. Output one row
+    (promo_revenue, total_revenue, promo_share).
+
+    Shape: lineitem revenue is quantized to exact micro-units per row;
+    the part side collapses to a partkey -> is_promo lookup attached via
+    `attach_lookup` (broadcast under 1M parts, tagged-union partitioned
+    join above — the two-fact-table join path); per-batch partial sums
+    reduce to two integers, so the share is one exact division."""
+    import numpy as np
+
+    from ..exactmath import floor_round_np
+    from ..stages.grouped import attach_lookup
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "is_promo": pc.cast(
+                    pc.equal(batch["p_type"], pa.scalar("PROMO")), pa.int64()
+                ),
+            }
+        )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        _flag, batch_format="pyarrow"
+    )
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        return pa.table(
+            {"l_partkey": batch["l_partkey"], "disc_u": _micros(disc)}
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_rev, batch_format="pyarrow")
+
+    joined = attach_lookup(
+        line,
+        pa.schema([("l_partkey", pa.int64()), ("disc_u", pa.int64())]),
+        ["l_partkey"],
+        part,
+        "p_partkey",
+        "is_promo",
+        pa.int64(),
+        ["is_promo"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["disc_u"], dtype=np.int64)
+        p = np.asarray(batch["is_promo"], dtype=np.int64)
+        return pa.table(
+            {
+                "promo_u": pa.array([int((d * p).sum())], pa.int64()),
+                "total_u": pa.array([int(d.sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = joined.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("promo_u", alias_name="p"), Sum("total_u", alias_name="t")
+    )
+    p_u, t_u = int(agg["p"]), int(agg["t"])
+    return pd.DataFrame(
+        {
+            "promo_revenue": [
+                float(floor_round_np(np.array([p_u / 1e6]), 2)[0])
+            ],
+            "total_revenue": [
+                float(floor_round_np(np.array([t_u / 1e6]), 2)[0])
+            ],
+            "promo_share": [
+                float(floor_round_np(np.array([100.0 * p_u / t_u]))[0])
+            ],
+        }
+    )
+
+
+def region_supplier_counts(sf_dir: str) -> "rd.Dataset":
+    """Supplier counts per region through the two-hop dimension chain
+    supplier -> nation -> region: both dimension tables are tiny by
+    construction (25 / 5 rows), so they broadcast once via ray.put and
+    resolve inside a single map_batches — zero shuffles before the
+    final 5-group aggregate. Output (r_name, n_suppliers)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lut_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = [lut[k] for k in batch["s_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(_attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )

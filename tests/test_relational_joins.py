@@ -638,3 +638,70 @@ class TestCohortRetention:
         assert out.loc[(c0 + 1, 0), "n_users"] == 1
         assert out.loc[(c0 + 1, 1), "n_users"] == 1
         assert len(out) == 4
+
+
+class TestPromoAndRegion:
+    def test_promo_share_hand_computed(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import promo_revenue_share
+
+        _write(
+            tmp_path,
+            "part",
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_type": pa.array(["PROMO", "STANDARD"], pa.string()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "lineitem",
+            pa.table(
+                {
+                    "l_partkey": pa.array([1, 2], pa.int64()),
+                    "l_extendedprice": pa.array([100.0, 300.0], pa.float64()),
+                    "l_discount": pa.array([0.0, 0.0], pa.float64()),
+                }
+            ),
+        )
+        out = promo_revenue_share(str(tmp_path)).iloc[0]
+        assert out.promo_revenue == 100.0
+        assert out.total_revenue == 400.0
+        assert abs(out.promo_share - 25.0) < 1e-6
+
+    def test_region_chain_counts(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import region_supplier_counts
+
+        _write(
+            tmp_path,
+            "region",
+            pa.table(
+                {
+                    "r_regionkey": pa.array([0, 1], pa.int64()),
+                    "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "nation",
+            pa.table(
+                {
+                    "n_nationkey": pa.array([10, 11, 12], pa.int64()),
+                    "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "supplier",
+            pa.table({"s_nationkey": pa.array([10, 11, 11, 12], pa.int64())}),
+        )
+        out = (
+            region_supplier_counts(str(tmp_path))
+            .to_pandas()
+            .set_index("r_name")
+        )
+        assert out.loc["ASIA", "n_suppliers"] == 3
+        assert out.loc["EUROPE", "n_suppliers"] == 1
