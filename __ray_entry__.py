@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # reference quality-indicator booleans + completeness
         "quality_indicators_docs": docs.quality_indicators_docs,
+        # reference composite quality/readability/engagement rollups
+        "content_composite_scores": docs.content_composite_scores,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -1862,6 +1864,201 @@ def oracle_sql() -> dict[str, str]:
                                   OR contains(lt, 'results')
                                 THEN 1 ELSE 0 END, 10) / 10.0 AS completeness
             FROM m
+        """,
+        # --- composite scores (documents.py:content_composite_scores) ---
+        "content_composite_scores": f"""
+            WITH base AS (
+                SELECT doc_id, text, lower(text) AS lt,
+                       regexp_extract_all(lower(text), '\\b\\w+\\b') AS toks
+                FROM documents
+            ),
+            wa AS (SELECT doc_id, unnest(toks) AS w FROM base),
+            sylw AS (
+                SELECT doc_id, w, length(w) AS wl,
+                       CASE WHEN len(regexp_extract_all(w, '[aeiouy]+'))
+                                 - CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END <= 0
+                            THEN 1
+                            ELSE len(regexp_extract_all(w, '[aeiouy]+'))
+                                 - CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END
+                       END AS syl
+                FROM wa
+            ),
+            wagg AS (
+                SELECT doc_id, sum(syl) AS syll,
+                       sum(CASE WHEN wl > 1 THEN 1 ELSE 0 END) AS wc
+                FROM sylw GROUP BY doc_id
+            ),
+            sent AS (
+                SELECT doc_id,
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                                     != '' THEN 1 ELSE 0 END) AS sc
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(text, '[.!?]+')) AS s
+                      FROM base)
+                GROUP BY doc_id
+            ),
+            cbase AS (
+                SELECT doc_id,
+                       list_filter(toks, x -> length(x) > 1
+                                   AND x NOT IN {analyzer_stops}) AS cwl
+                FROM base
+            ),
+            cw AS (
+                SELECT doc_id, unnest(cwl) AS w,
+                       generate_subscripts(cwl, 1) - 1 AS pos, len(cwl) AS n
+                FROM cbase WHERE len(cwl) > 0
+            ),
+            cprev AS (
+                SELECT doc_id, w, pos, n,
+                       COALESCE(lag(pos) OVER (PARTITION BY doc_id, w
+                                               ORDER BY pos), -1) AS prev
+                FROM cw
+            ),
+            mcontrib AS (
+                SELECT doc_id, any_value(n) AS n, count(DISTINCT w) AS uniq,
+                       sum(CASE WHEN n >= 100 THEN greatest(
+                           least(pos, n - 100)
+                           - greatest(prev + 1, pos - 99, 0) + 1, 0)
+                           ELSE 0 END) AS wtotal
+                FROM cprev GROUP BY doc_id
+            ),
+            cfreq AS (
+                SELECT doc_id, sum(cnt * cnt) AS sq FROM (
+                    SELECT doc_id, w, count(*) AS cnt FROM cw GROUP BY doc_id, w
+                ) GROUP BY doc_id
+            ),
+            flags_seg AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s != '' AND regexp_matches(s, '^[A-Z]')
+                                THEN 1 ELSE 0 END) AS proper,
+                       sum(CASE WHEN s != '' THEN 1 ELSE 0 END) AS n_nonempty
+                FROM (SELECT doc_id,
+                             trim(unnest(regexp_extract_all(text, '[^.!?]+')),
+                                  ' ' || chr(10) || chr(9) || chr(13)) AS s
+                      FROM base)
+                GROUP BY doc_id
+            ),
+            para AS (
+                SELECT doc_id,
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                                     != '' THEN 1 ELSE 0 END) AS n_para
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10) || chr(10))) AS s
+                      FROM base)
+                GROUP BY doc_id
+            ),
+            m AS (
+                SELECT b.doc_id, b.text, b.lt,
+                       COALESCE(wa.wc, 0) AS wc,
+                       COALESCE(wa.syll, 0) AS syll,
+                       COALESCE(s.sc, 0) AS sc,
+                       COALESCE(mc.n, 0) AS n,
+                       COALESCE(mc.uniq, 0) AS uniq,
+                       COALESCE(mc.wtotal, 0) AS wtotal,
+                       COALESCE(cf.sq, 0) AS sq,
+                       len(regexp_extract_all(b.text, '[.!?]+')) + 1 AS n_seg,
+                       COALESCE(fs.proper, 0) AS proper,
+                       COALESCE(fs.n_nonempty, 0) AS n_nonempty,
+                       COALESCE(p.n_para, 0) AS n_para,
+                       len(regexp_extract_all(b.text, '\\S+')) AS wc_ws,
+                       len(regexp_extract_all(b.text, '\\b\\w*\\w\\w\\w\\w+\\b'))
+                       + len(regexp_extract_all(b.text, '\\b\\w*[0-9]+\\w*\\b'))
+                       + len(regexp_extract_all(b.text, '[a-z][A-Z]')) AS errors,
+                       len(regexp_extract_all(b.text, '[^\\s.!?]+')) AS sent_words
+                FROM base b
+                LEFT JOIN wagg wa ON wa.doc_id = b.doc_id
+                LEFT JOIN sent s ON s.doc_id = b.doc_id
+                LEFT JOIN mcontrib mc ON mc.doc_id = b.doc_id
+                LEFT JOIN cfreq cf ON cf.doc_id = b.doc_id
+                LEFT JOIN flags_seg fs ON fs.doc_id = b.doc_id
+                LEFT JOIN para p ON p.doc_id = b.doc_id
+            ),
+            calc AS (
+                SELECT doc_id,
+                       wc,
+                       CASE WHEN sc > 0 AND wc > 0
+                            THEN greatest(0.0, least(100.0,
+                                 206.835
+                                 - (1.015 * (wc / greatest(sc, 1)))
+                                 - (84.6 * (syll / greatest(wc, 1)))))
+                            ELSE 0.0 END AS flesch,
+                       (sc > 0 AND wc > 0) AS ok,
+                       CASE WHEN n > 0 THEN
+                           (uniq * 1.0 / n
+                            + (CASE WHEN n >= 100 THEN wtotal ELSE uniq END)
+                              * 1.0
+                              / (CASE WHEN n >= 100 THEN 100 * (n - 99)
+                                      ELSE greatest(n, 1) END)) / 2
+                       ELSE 0.0 END AS diversity,
+                       CASE WHEN n > 0 THEN 1.0 - sq / (n * n)
+                            ELSE 0.0 END AS richness,
+                       CASE WHEN 5 * proper > 4 * n_seg THEN 1 ELSE 0 END
+                       + CASE WHEN contains(text, '.') THEN 1 ELSE 0 END
+                       + CASE WHEN wc_ws > 0 AND 20 * errors < wc_ws
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN n_nonempty > 0
+                                AND 10 * n_nonempty <= sent_words
+                                AND sent_words <= 25 * n_nonempty
+                              THEN 1 ELSE 0 END AS k,
+                       least(CASE WHEN wc_ws >= 300 THEN 3
+                                  WHEN wc_ws >= 100 THEN 2
+                                  WHEN wc_ws >= 50 THEN 1 ELSE 0 END
+                             + CASE WHEN n_seg >= 5 THEN 2
+                                    WHEN n_seg >= 3 THEN 1 ELSE 0 END
+                             + CASE WHEN n_para >= 3 THEN 2
+                                    WHEN n_para >= 2 THEN 1 ELSE 0 END
+                             + CASE WHEN contains(lt, 'because')
+                                      OR contains(lt, 'therefore')
+                                      OR contains(lt, 'however')
+                                      OR contains(lt, 'although')
+                                    THEN 2 ELSE 0 END
+                             + CASE WHEN contains(lt, 'study')
+                                      OR contains(lt, 'research')
+                                      OR contains(lt, 'analysis')
+                                      OR contains(lt, 'data')
+                                      OR contains(lt, 'results')
+                                    THEN 1 ELSE 0 END, 10) / 10.0
+                           AS completeness
+                FROM m
+            ),
+            fin AS (
+                SELECT doc_id, wc,
+                       (ok AND flesch != 0.0) AS ft, flesch, diversity,
+                       richness, k, completeness,
+                       CASE WHEN NOT (ok AND flesch != 0.0) THEN 0.5
+                            WHEN flesch >= 40 AND flesch <= 60 THEN 1.0
+                            WHEN flesch >= 30 AND flesch <= 70 THEN 0.8
+                            WHEN flesch >= 20 AND flesch <= 80 THEN 0.6
+                            WHEN flesch >= 10 AND flesch <= 90 THEN 0.4
+                            ELSE 0.2 END AS readability,
+                       CASE WHEN wc > 0 THEN wc / 200 ELSE 0.0 END AS rt
+                FROM calc
+            )
+            SELECT doc_id,
+                   floor(least(1.0,
+                       CASE WHEN wc >= 100 THEN 0.1 ELSE 0.0 END
+                       + CASE WHEN ft AND flesch >= 30 AND flesch <= 70
+                              THEN 0.2
+                              WHEN ft AND flesch >= 20 AND flesch <= 80
+                              THEN 0.1 ELSE 0.0 END
+                       + CASE WHEN diversity > 0.3 THEN 0.15
+                              WHEN diversity > 0.2 THEN 0.1 ELSE 0.0 END
+                       + CASE WHEN richness > 0.7 THEN 0.1
+                              WHEN richness > 0.5 THEN 0.05 ELSE 0.0 END
+                       + (k / 7 * 0.25 + 0.0 + completeness * 0.1)
+                   ) * 1000000 + 0.5) / 1000000.0 AS quality_score,
+                   floor(readability * 1000000 + 0.5) / 1000000.0
+                       AS readability_score,
+                   floor(least(1.0,
+                       CASE WHEN wc >= 300 AND wc <= 1500 THEN 0.3
+                            WHEN wc >= 150 AND wc <= 2500 THEN 0.2
+                            WHEN wc >= 100 THEN 0.1 ELSE 0.0 END
+                       + CASE WHEN rt >= 2 AND rt <= 8 THEN 0.2
+                              WHEN rt >= 1 AND rt <= 12 THEN 0.1
+                              ELSE 0.0 END
+                       + readability * 0.2
+                   ) * 1000000 + 0.5) / 1000000.0 AS engagement_score
+            FROM fin
         """,
         # --- global rank (documents.py:global_length_rank) ---
         "global_length_rank": """

@@ -178,3 +178,15 @@ def mattr_fraction(tokens: list, window: int) -> tuple:
             total += hi - lo + 1
         prev[w] = j
     return total, window * (n - window + 1)
+
+
+def syllables_word(w: str) -> int:
+    """Reference syllable heuristic for one lowercase word
+    (`/root/reference/src/quarrycore/metadata/content_analyzer.py:683-697`):
+    vowel-group count, minus a silent trailing 'e', floored at 1."""
+    import re
+
+    n = len(re.findall(r"[aeiouy]+", w))
+    if w.endswith("e"):
+        n -= 1
+    return n if n > 0 else 1

@@ -1752,11 +1752,7 @@ def reading_metrics_docs(sf_dir: str, mattr_window: int = 100) -> "rd.Dataset":
 
     from ..exactmath import floor_round_np
 
-    def _syl(w: str) -> int:
-        n = len(vowel_re.findall(w))
-        if w.endswith("e"):
-            n -= 1
-        return n if n > 0 else 1
+    from ..functions.textstats import syllables_word as _syl
 
     def _one(text: str) -> tuple:
         words_all = word_re.findall(text.lower())
@@ -1967,6 +1963,230 @@ def quality_indicators_docs(sf_dir: str) -> "rd.Dataset":
                 "spelling_ok": pa.array(spelling_ok, pa.int64()),
                 "coherent": pa.array(coherent, pa.int64()),
                 "completeness": pa.array(completeness, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _score, batch_format="pyarrow"
+    )
+
+
+def content_composite_scores(sf_dir: str) -> "rd.Dataset":
+    """Reference composite content scores — the content analyzer's
+    final quality / readability / engagement rollups
+    (/root/reference/src/quarrycore/metadata/content_analyzer.py:852-953)
+    over text-only input (all HTML-derived flags are False and
+    meta_completeness 0, the reference's own no-HTML defaults):
+
+      quality_score      word-count + Flesch-band + diversity +
+                         richness bonuses, text-flag structure share
+                         (k/7*0.25) and completeness*0.1, capped 1.0
+      readability_score  bucketed Flesch (0.5 when Flesch is 0/undefined)
+      engagement_score   length band + reading-time band +
+                         readability*0.2, capped 1.0
+
+    Sub-metrics reuse the exact ported definitions (reading_metrics /
+    quality_indicators); comparisons run on UNROUNDED values with
+    integer-exact ratio tests where the reference divides. One
+    stateless map_batches. Output (doc_id, quality_score,
+    readability_score, engagement_score), 6 dp."""
+    import re as _re
+
+    from ..exactmath import floor_round_np
+    from ..functions.textstats import mattr_fraction, syllables_word
+
+    word_re = _re.compile(r"\b\w+\b")
+    sent_re = _re.compile(r"[.!?]+")
+    ws_re = _re.compile(r"\S+")
+    seg_ws = " \n\t\r"
+
+    def _one(text: str) -> tuple:
+        words_all = word_re.findall(text.lower())
+        words = [w for w in words_all if len(w) > 1]
+        wc = len(words)
+        segs = sent_re.split(text)
+        sc = sum(1 for s in segs if s.strip(seg_ws))
+        syll = sum(syllables_word(w) for w in words_all)
+        ok = sc > 0 and wc > 0
+        flesch = (
+            max(0.0, min(100.0, 206.835 - (1.015 * (wc / sc)) - (84.6 * (syll / wc))))
+            if ok
+            else 0.0
+        )
+        content = [w for w in words if w not in ANALYZER_STOPWORDS]
+        n = len(content)
+        uniq = len(set(content))
+        ttr = uniq / n if n else 0.0
+        m_num, m_den = mattr_fraction(content, 100)
+        mattr = m_num / m_den if n else 0.0
+        diversity = (ttr + mattr) / 2
+        freq: dict = {}
+        for w in content:
+            freq[w] = freq.get(w, 0) + 1
+        sq = sum(v * v for v in freq.values())
+        richness = 1.0 - sq / (n * n) if n else 0.0
+        return (wc, sc, syll, ok, flesch, diversity, richness)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        text_col = batch["text"]
+        texts = text_col.to_pylist()
+        rows = [_one(t) for t in texts]
+        wc = np.array([r[0] for r in rows], dtype=np.int64)
+        ok = np.array([r[3] for r in rows], dtype=bool)
+        flesch = np.array([r[4] for r in rows], dtype=np.float64)
+        diversity = np.array([r[5] for r in rows], dtype=np.float64)
+        richness = np.array([r[6] for r in rows], dtype=np.float64)
+
+        # text-flag indicators, identical to quality_indicators_docs
+        n_seg = (
+            np.asarray(
+                pc.cast(
+                    pc.count_substring_regex(text_col, pattern=r"[.!?]+"),
+                    pa.int64(),
+                )
+            )
+            + 1
+        )
+        df = pl.from_arrow(pa.table({"t": text_col}))
+        seg = df.select(
+            pl.col("t")
+            .str.extract_all(r"[^.!?]+")
+            .list.eval(pl.element().str.strip_chars(_WS))
+            .alias("s")
+        )
+        proper = (
+            seg.select(
+                pl.col("s")
+                .list.eval(
+                    (pl.element().ne("") & pl.element().str.contains(r"^[A-Z]"))
+                    .cast(pl.Int64)
+                )
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n_nonempty = (
+            seg.select(
+                pl.col("s")
+                .list.eval(pl.element().ne("").cast(pl.Int64))
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        cap = 5 * proper > 4 * n_seg
+        punct = np.asarray(pc.match_substring(text_col, pattern="."))
+        wc_ws = np.asarray(
+            pc.cast(pc.count_substring_regex(text_col, pattern=r"\S+"), pa.int64())
+        )
+        errors = np.zeros(batch.num_rows, dtype=np.int64)
+        for p in (r"\b\w*\w\w\w\w+\b", r"\b\w*[0-9]+\w*\b", r"[a-z][A-Z]"):
+            errors += np.asarray(
+                pc.cast(pc.count_substring_regex(text_col, pattern=p), pa.int64())
+            )
+        typos_ok = (wc_ws > 0) & (20 * errors < wc_ws)
+        sent_words = np.asarray(
+            pc.cast(
+                pc.count_substring_regex(text_col, pattern=r"[^\s.!?]+"),
+                pa.int64(),
+            )
+        )
+        coherent = (
+            (n_nonempty > 0)
+            & (10 * n_nonempty <= sent_words)
+            & (sent_words <= 25 * n_nonempty)
+        )
+        n_para = (
+            df.select(
+                pl.col("t")
+                .str.split("\n\n")
+                .list.eval(
+                    pl.element().str.strip_chars(_WS).ne("").cast(pl.Int64)
+                )
+                .list.sum()
+                .alias("n")
+            )["n"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        lower = pc.utf8_lower(text_col)
+        depth = np.zeros(batch.num_rows, dtype=bool)
+        for w in ("because", "therefore", "however", "although"):
+            depth |= np.asarray(pc.match_substring(lower, pattern=w))
+        info = np.zeros(batch.num_rows, dtype=bool)
+        for w in ("study", "research", "analysis", "data", "results"):
+            info |= np.asarray(pc.match_substring(lower, pattern=w))
+        tenths = (
+            np.select([wc_ws >= 300, wc_ws >= 100, wc_ws >= 50], [3, 2, 1], default=0)
+            + np.select([n_seg >= 5, n_seg >= 3], [2, 1], default=0)
+            + np.select([n_para >= 3, n_para >= 2], [2, 1], default=0)
+            + np.where(depth, 2, 0)
+            + np.where(info, 1, 0)
+        )
+        completeness = np.minimum(tenths, 10) / 10.0
+
+        # quality composite (content_analyzer.py:852-899)
+        flesch_truthy = ok & (flesch != 0.0)
+        q = np.where(wc >= 100, 0.1, 0.0)
+        q = q + np.where(
+            flesch_truthy & (flesch >= 30) & (flesch <= 70),
+            0.2,
+            np.where(flesch_truthy & (flesch >= 20) & (flesch <= 80), 0.1, 0.0),
+        )
+        q = q + np.where(diversity > 0.3, 0.15, np.where(diversity > 0.2, 0.1, 0.0))
+        q = q + np.where(richness > 0.7, 0.1, np.where(richness > 0.5, 0.05, 0.0))
+        k = (
+            cap.astype(np.int64)
+            + punct.astype(np.int64)
+            + typos_ok.astype(np.int64)
+            + coherent.astype(np.int64)
+        )
+        struct = k / 7 * 0.25
+        q = q + ((struct + 0.0) + completeness * 0.1)
+        quality = np.minimum(1.0, q)
+
+        # readability buckets (902-920)
+        readability = np.select(
+            [
+                ~flesch_truthy,
+                (flesch >= 40) & (flesch <= 60),
+                (flesch >= 30) & (flesch <= 70),
+                (flesch >= 20) & (flesch <= 80),
+                (flesch >= 10) & (flesch <= 90),
+            ],
+            [0.5, 1.0, 0.8, 0.6, 0.4],
+            default=0.2,
+        )
+
+        # engagement (922-953): length band + reading-time band +
+        # readability*0.2 (HTML flags all False for text input)
+        rt = np.where(wc > 0, wc / 200, 0.0)
+        e = np.select(
+            [(wc >= 300) & (wc <= 1500), (wc >= 150) & (wc <= 2500), wc >= 100],
+            [0.3, 0.2, 0.1],
+            default=0.0,
+        )
+        e = e + np.select(
+            [(rt >= 2) & (rt <= 8), (rt >= 1) & (rt <= 12)], [0.2, 0.1], default=0.0
+        )
+        e = e + readability * 0.2
+        engagement = np.minimum(1.0, e)
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "quality_score": pa.array(floor_round_np(quality), pa.float64()),
+                "readability_score": pa.array(
+                    floor_round_np(readability), pa.float64()
+                ),
+                "engagement_score": pa.array(
+                    floor_round_np(engagement), pa.float64()
+                ),
             }
         )
 

@@ -783,3 +783,26 @@ class TestRegistryGopher:
         )
         out = pipe(ds).to_pandas()
         assert list(out.doc_id) == [0]
+
+
+class TestCompositeScores:
+    def test_bands_and_caps(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import content_composite_scores
+
+        # rich multi-paragraph prose with depth/info words: high quality
+        para = (
+            "Because the research data shows steady analysis results, the "
+            "study therefore matters greatly for everyone involved today. "
+        ) * 12
+        rich = para.strip() + "\n\n" + para.strip()
+        sf = _write_docs(tmp_path, {0: rich, 1: "x", 2: ""})
+        out = content_composite_scores(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "quality_score"] > 0.35
+        assert out.loc[0, "engagement_score"] > 0.4
+        # readability defaults to 0.5 when Flesch undefined (no words)
+        assert out.loc[2, "readability_score"] == 0.5
+        # all scores clamp to [0, 1]
+        for c in out.columns:
+            assert out[c].between(0, 1).all()
+        # degenerate one-char doc scores below the rich doc
+        assert out.loc[1, "quality_score"] < out.loc[0, "quality_score"]
