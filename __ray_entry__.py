@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_indicators_docs": docs.quality_indicators_docs,
         # reference composite quality/readability/engagement rollups
         "content_composite_scores": docs.content_composite_scores,
+        # reference TextProcessor.clean_text (boilerplate cascade)
+        "clean_text_docs": docs.clean_text_docs,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -2060,6 +2062,11 @@ def oracle_sql() -> dict[str, str]:
                    ) * 1000000 + 0.5) / 1000000.0 AS engagement_score
             FROM fin
         """,
+        # --- TextProcessor.clean_text (documents.py:clean_text_docs;
+        #     SQL chain generated from the same pattern list) ---
+        "clean_text_docs": __import__(
+            "quarrycore_ray.pipelines.documents", fromlist=["x"]
+        ).clean_text_oracle_sql(),
         # --- global rank (documents.py:global_length_rank) ---
         "global_length_rank": """
             SELECT doc_id, n_chars,

@@ -2193,3 +2193,88 @@ def content_composite_scores(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+# boilerplate-removal cascade verbatim from the reference TextProcessor
+# (/root/reference/src/quarrycore/extractor/content_processors.py:50-67)
+BOILERPLATE_PATTERNS = (
+    r"\b(home|about|contact|menu|navigation|nav|sidebar)\b.*?(?:\n|$)",
+    r"\b(login|register|sign up|sign in|logout)\b.*?(?:\n|$)",
+    r"\b(previous|next|back|forward|continue)\b.*?(?:\n|$)",
+    r"\b(advertisement|sponsored|ads?|promotion)\b.*?(?:\n|$)",
+    r"\b(click here|read more|learn more|view all)\b.*?(?:\n|$)",
+    r"\b(copyright|©|\(c\)|privacy|terms|conditions|policy)\b.*?(?:\n|$)",
+    r"\b(all rights reserved|disclaimer|legal)\b.*?(?:\n|$)",
+    r"\b(share|tweet|like|follow|subscribe)\b.*?(?:\n|$)",
+    r"\b(facebook|twitter|instagram|linkedin|youtube)\b.*?(?:\n|$)",
+    r"\b(loading|please wait|error|404|not found)\b.*?(?:\n|$)",
+    r"\b(javascript|cookies?|enable|disable)\b.*?(?:\n|$)",
+)
+
+
+def clean_text_docs(sf_dir: str) -> "rd.Dataset":
+    """Reference TextProcessor.clean_text
+    (/root/reference/src/quarrycore/extractor/content_processors.py:79-144)
+    as a stateless map_batches: the 11-pattern boilerplate-line removal
+    cascade (case-insensitive, line-anchored), structure-preserving
+    whitespace normalization (per-line strip + collapse, paragraph
+    breaks kept), excess-blank-line squeeze, final strip. Output
+    (doc_id, cleaned).
+
+    The per-line split/strip/rejoin of the reference is expressed as an
+    equivalent regex chain (collapse non-newline whitespace runs, strip
+    line edges) so the DuckDB oracle can mirror it operator-for-operator
+    with the same RE2 semantics."""
+    import re as _re
+
+    pats = [
+        _re.compile(p, _re.IGNORECASE | _re.MULTILINE)
+        for p in BOILERPLATE_PATTERNS
+    ]
+    inline_ws = _re.compile(r"[^\S\n]+")
+    edge_ws = _re.compile(r"(?m)^ +| +$")
+    para = _re.compile(r"\n\s*\n")
+    blanks = _re.compile(r"\n{3,}")
+
+    def _clean_one(text: str) -> str:
+        if not text:
+            return ""
+        for p in pats:
+            text = p.sub("", text)
+        text = inline_ws.sub(" ", text)
+        text = edge_ws.sub("", text)
+        text = para.sub("\n\n", text)
+        text = blanks.sub("\n\n", text)
+        return text.strip()
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cleaned": pa.array(
+                    [_clean_one(t) for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _clean, batch_format="pyarrow"
+    )
+
+
+def clean_text_oracle_sql(table: str = "documents") -> str:
+    """The DuckDB twin of `clean_text_docs`, built from the same
+    pattern list — one regexp_replace per cascade step."""
+    expr = "text"
+    for p in BOILERPLATE_PATTERNS:
+        expr = f"regexp_replace({expr}, '{p}', '', 'gim')"
+    expr = f"regexp_replace({expr}, '[^\\S\\n]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?m)^ +| +$', '', 'g')"
+    expr = f"regexp_replace({expr}, '\\n\\s*\\n', chr(10) || chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return (
+        f"SELECT doc_id, CASE WHEN text = '' THEN '' ELSE "
+        f"trim({expr}, ' ' || chr(10) || chr(9) || chr(13)) END AS cleaned "
+        f"FROM {table}"
+    )

@@ -806,3 +806,58 @@ class TestCompositeScores:
             assert out[c].between(0, 1).all()
         # degenerate one-char doc scores below the rich doc
         assert out.loc[1, "quality_score"] < out.loc[0, "quality_score"]
+
+
+class TestCleanText:
+    def test_duckdb_parity_on_boilerplate_heavy_docs(self, tmp_path):
+        """The sf corpora never trigger the 11 boilerplate patterns, so
+        this fixture plants texts that exercise every cascade step and
+        compares the engine against the generated DuckDB oracle —
+        pinning Python-re vs RE2 semantics where it matters."""
+        import duckdb
+
+        from quarrycore_ray.pipelines.documents import (
+            clean_text_docs,
+            clean_text_oracle_sql,
+        )
+
+        texts = {
+            0: "Real content stays here.\nClick here to subscribe now!\n"
+               "More real text follows.",
+            1: "HOME | ABOUT | CONTACT\nThe actual article body.\n"
+               "Copyright 2024 All rights reserved.",
+            2: "Line   with    runs\n\n\n\nand   many blanks\t\t here",
+            3: "   leading and trailing   \n  spaced line  ",
+            4: "Share on Facebook\nFollow us on Twitter\nloading...\n"
+               "Please wait while javascript loads\nKept sentence.",
+            5: "",
+            6: "normal text with like in the middle\nnext page link",
+        }
+        sf = _write_docs(tmp_path, texts)
+        eng = (
+            clean_text_docs(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        ora = (
+            con.execute(clean_text_oracle_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i in range(len(texts)):
+            assert eng.loc[i, "cleaned"] == ora.loc[i, "cleaned"], (
+                i, repr(eng.loc[i, "cleaned"]), repr(ora.loc[i, "cleaned"])
+            )
+        # boilerplate really was removed
+        assert "subscribe" not in eng.loc[0, "cleaned"].lower()
+        assert "Real content stays here." in eng.loc[0, "cleaned"]
+        assert "copyright" not in eng.loc[1, "cleaned"].lower()
+        assert eng.loc[2, "cleaned"] == "Line with runs\n\nand many blanks here"
+        assert eng.loc[5, "cleaned"] == ""
