@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_composite_scores": docs.content_composite_scores,
         # reference TextProcessor.clean_text (boilerplate cascade)
         "clean_text_docs": docs.clean_text_docs,
+        # reference TextProcessor markdown structure classifier
+        "markdown_structure_docs": docs.markdown_structure_docs,
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "gopher_quality_docs": trn.gopher_quality_docs,
@@ -2067,6 +2069,62 @@ def oracle_sql() -> dict[str, str]:
         "clean_text_docs": __import__(
             "quarrycore_ray.pipelines.documents", fromlist=["x"]
         ).clean_text_oracle_sql(),
+        # --- markdown structure (documents.py:markdown_structure_docs) ---
+        "markdown_structure_docs": r"""
+            WITH lines AS (
+                SELECT doc_id,
+                       trim(unnest(string_split(text, chr(10))),
+                            ' ' || chr(10) || chr(9) || chr(13)) AS s,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS i
+                FROM documents
+            ),
+            cls AS (
+                SELECT doc_id, s, i,
+                       CASE
+                           WHEN s = '' THEN 'empty'
+                           WHEN regexp_matches(s, '^#{1,6}\s+(.+)$')
+                               THEN 'header'
+                           WHEN regexp_matches(s, '^[-•*]\s+(.+)$')
+                             OR regexp_matches(s, '^\d+\.\s+(.+)$')
+                               THEN 'list'
+                           WHEN regexp_matches(s, '^>\s+(.+)$') THEN 'quote'
+                           WHEN length(s) > 20 THEN 'para'
+                           ELSE 'other' END AS kind
+                FROM lines
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum(CASE WHEN kind = 'header' THEN 1 ELSE 0 END)
+                           AS n_headers,
+                       sum(CASE WHEN kind = 'list' THEN 1 ELSE 0 END)
+                           AS n_lists,
+                       sum(CASE WHEN kind = 'quote' THEN 1 ELSE 0 END)
+                           AS n_quotes,
+                       sum(CASE WHEN kind = 'para' THEN 1 ELSE 0 END)
+                           AS n_paragraphs,
+                       COALESCE(min(CASE WHEN kind = 'header' THEN i END), -1)
+                           AS hi,
+                       COALESCE(min(CASE WHEN kind = 'list' THEN i END), -1)
+                           AS li
+                FROM cls GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.n_headers, a.n_lists, a.n_quotes,
+                   a.n_paragraphs,
+                   COALESCE((SELECT regexp_extract(c.s, '^#{1,6}\s+(.+)$', 1)
+                             FROM cls c
+                             WHERE c.doc_id = a.doc_id AND c.i = a.hi), '')
+                       AS first_header,
+                   COALESCE((SELECT CASE
+                                 WHEN regexp_matches(c.s, '^[-•*]\s+(.+)$')
+                                 THEN regexp_extract(c.s, '^[-•*]\s+(.+)$', 1)
+                                 ELSE regexp_extract(c.s, '^\d+\.\s+(.+)$', 1)
+                             END
+                             FROM cls c
+                             WHERE c.doc_id = a.doc_id AND c.i = a.li), '')
+                       AS first_list_item
+            FROM agg a
+        """,
         # --- global rank (documents.py:global_length_rank) ---
         "global_length_rank": """
             SELECT doc_id, n_chars,

@@ -2278,3 +2278,64 @@ def clean_text_oracle_sql(table: str = "documents") -> str:
         f"trim({expr}, ' ' || chr(10) || chr(9) || chr(13)) END AS cleaned "
         f"FROM {table}"
     )
+
+
+def markdown_structure_docs(sf_dir: str) -> "rd.Dataset":
+    """Reference TextProcessor.extract_structured_content
+    (/root/reference/src/quarrycore/extractor/content_processors.py:146-186):
+    classify each stripped non-empty line as header (#{1,6} ), list item
+    ('-•* ' or 'N. '), quote ('> '), or paragraph (len > 20), in that
+    precedence order. Emitted as counts plus first-of-kind columns so
+    the DuckDB oracle compares scalars, not nested lists. Output
+    (doc_id, n_headers, n_lists, n_quotes, n_paragraphs, first_header,
+    first_list_item)."""
+    import re as _re
+
+    hdr = _re.compile(r"^#{1,6}\s+(.+)$")
+    li = _re.compile(r"^[-•*]\s+(.+)$")
+    nli = _re.compile(r"^\d+\.\s+(.+)$")
+    qt = _re.compile(r"^>\s+(.+)$")
+
+    def _one(text: str) -> tuple:
+        nh = nl = nq = np_ = 0
+        fh = fl = ""
+        for line in text.split("\n"):
+            line = line.strip()
+            if not line:
+                continue
+            m = hdr.match(line)
+            if m:
+                nh += 1
+                if not fh:
+                    fh = m.group(1)
+                continue
+            m = li.match(line) or nli.match(line)
+            if m:
+                nl += 1
+                if not fl:
+                    fl = m.group(1)
+                continue
+            if qt.match(line):
+                nq += 1
+                continue
+            if len(line) > 20:
+                np_ += 1
+        return nh, nl, nq, np_, fh, fl
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        rows = [_one(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_headers": pa.array([r[0] for r in rows], pa.int64()),
+                "n_lists": pa.array([r[1] for r in rows], pa.int64()),
+                "n_quotes": pa.array([r[2] for r in rows], pa.int64()),
+                "n_paragraphs": pa.array([r[3] for r in rows], pa.int64()),
+                "first_header": pa.array([r[4] for r in rows], pa.string()),
+                "first_list_item": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _extract, batch_format="pyarrow"
+    )

@@ -861,3 +861,63 @@ class TestCleanText:
         assert "copyright" not in eng.loc[1, "cleaned"].lower()
         assert eng.loc[2, "cleaned"] == "Line with runs\n\nand many blanks here"
         assert eng.loc[5, "cleaned"] == ""
+
+
+class TestMarkdownStructure:
+    def test_classification_precedence_and_firsts(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import markdown_structure_docs
+
+        text = (
+            "# Title Header\n"
+            "## Sub header\n"
+            "- first bullet\n"
+            "* second bullet\n"
+            "3. numbered item\n"
+            "> quoted wisdom\n"
+            "short\n"
+            "This paragraph line is definitely long enough to count.\n"
+            "\n"
+        )
+        sf = _write_docs(tmp_path, {0: text, 1: "tiny"})
+        out = markdown_structure_docs(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_headers"] == 2
+        assert out.loc[0, "n_lists"] == 3
+        assert out.loc[0, "n_quotes"] == 1
+        assert out.loc[0, "n_paragraphs"] == 1
+        assert out.loc[0, "first_header"] == "Title Header"
+        assert out.loc[0, "first_list_item"] == "first bullet"
+        assert out.loc[1, "n_paragraphs"] == 0  # 'tiny' under 20 chars
+
+    def test_duckdb_parity_on_markdown(self, tmp_path):
+        import duckdb
+
+        import importlib.util
+
+        from quarrycore_ray.pipelines.documents import markdown_structure_docs
+
+        texts = {
+            0: "# H\n- a\n2. b\n> q\n" + "x" * 25,
+            1: "no structure at all but quite a long single line here",
+            2: "",
+        }
+        sf = _write_docs(tmp_path, texts)
+        eng = (
+            markdown_structure_docs(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        spec = importlib.util.spec_from_file_location(
+            "_entry", "/root/repo/__ray_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sql = mod.oracle_sql()["markdown_structure_docs"]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        ora = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        for col in eng.columns:
+            assert list(eng[col]) == list(ora[col]), col
