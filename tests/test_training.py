@@ -921,3 +921,22 @@ class TestMarkdownStructure:
         ora = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
         for col in eng.columns:
             assert list(eng[col]) == list(ora[col]), col
+
+
+class TestEntryContract:
+    def test_oracles_subset_of_queries_and_all_callable(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_entry_contract", "/root/repo/__ray_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        q = mod.queries()
+        o = mod.oracle_sql()
+        # every oracle belongs to a query; rows-only set stays small
+        assert set(o) <= set(q)
+        assert all(callable(f) for f in q.values())
+        assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+        rows_only = sorted(set(q) - set(o))
+        assert len(rows_only) <= 8, rows_only
