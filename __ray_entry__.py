@@ -384,10 +384,23 @@ def oracle_sql() -> dict[str, str]:
         for lang in sorted(STOPWORDS)
     )
 
+    from quarrycore_ray import sqlgen
+
     return {
         "exact_dedup_docs": (
             f"SELECT min(doc_id) AS doc_id, canonical FROM ({canon_docs}) "
             "GROUP BY canonical"
+        ),
+        # flagship MinHash/LSH/SimHash/cluster chain, exactly reproduced
+        # in DuckDB (incl. SHA-1 computed in generated SQL — sqlgen.py)
+        "minhash_dedup_docs": sqlgen.dedup_clusters_sql(
+            sqlgen.DOCS_CONVS_BODY
+        ),
+        "dedup_transcripts_full": sqlgen.dedup_clusters_sql(
+            sqlgen.TRANSCRIPT_CONVS_BODY
+        ),
+        "incremental_near_dup_docs": sqlgen.incremental_matches_sql(
+            sqlgen.TRANSCRIPT_HIST_BODY, sqlgen.TRANSCRIPT_NEW_BODY
         ),
         "ngram_jaccard_pairs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words FROM documents),

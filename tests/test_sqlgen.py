@@ -1,0 +1,193 @@
+"""Parity and precondition tests for the generated flagship SQL oracles.
+
+sqlgen.py re-computes the full MinHash/LSH/SimHash/cluster chain inside
+DuckDB (including SHA-1 in generated SQL). These tests pin:
+
+1. the SHA-1-in-SQL primitive against hashlib,
+2. bit-exact MinHash signature parity SQL vs `minhash.MinHasher`,
+3. full clusters-table parity SQL vs the engine pipeline,
+4. the oracle's preconditions on the test corpora (7-byte ASCII
+   shingles only; LSH bucket skew cap never binds; exact-margin gap
+   between verified and rejected candidate pairs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pytest
+
+from quarrycore_ray import sqlgen
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con(sf=SF):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    return con
+
+
+class TestSha1Sql:
+    def test_matches_hashlib(self):
+        msgs = ["abcdefg", "ray dat", " minhas", "zz  zzz", "1234567"]
+        ctes = sqlgen.sha1_cte_chain()
+        sql = (
+            "WITH msgs AS (SELECT unnest(" + str(msgs) + ") AS sh),\n"
+            + ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+            + "\nSELECT sh, h32, h64hi FROM sha1w"
+        )
+        got = {r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
+        for m in msgs:
+            d = hashlib.sha1(m.encode()).digest()
+            h32 = int.from_bytes(d[:4], "little")
+            h64 = int.from_bytes(d[:8], "little")
+            assert got[m] == (h32, h64 >> 32), m
+
+    def test_simhash_word_reconstruction(self):
+        # h64 = h32 + h64hi * 2^32 equals the CombinedMinSimHasher digest
+        d = hashlib.sha1(b"abcdefg").digest()
+        h64 = int.from_bytes(d[:8], "little")
+        h32 = int.from_bytes(d[:4], "little")
+        assert h32 + (h64 >> 32 << 32) == h64
+
+
+class TestSignatureParity:
+    def test_signatures_bit_exact(self):
+        from quarrycore_ray.minhash import MinHasher
+
+        con = _con()
+        sql = f"""
+        WITH convs AS ({sqlgen.DOCS_CONVS_BODY}),
+        {sqlgen._signature_ctes("convs", 128, 1, 7)}
+        SELECT conv_id, i, v FROM sigs
+        """
+        sql_sigs: dict[str, np.ndarray] = {}
+        for cid, i, v in con.execute(sql).fetchall():
+            sql_sigs.setdefault(cid, np.zeros(128, dtype=np.uint64))[i] = v
+
+        docs = con.execute(
+            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
+            "FROM documents ORDER BY doc_id LIMIT 50"
+        ).fetchall()
+        mh = MinHasher()
+        for doc_id, canon in docs:
+            cid = f"doc-{doc_id:08d}"
+            assert np.array_equal(mh.signature(canon), sql_sigs[cid]), cid
+
+    def test_simhash_parity(self):
+        from quarrycore_ray.minhash import CombinedMinSimHasher
+
+        con = _con()
+        sql = f"""
+        WITH convs AS (
+          {sqlgen.DOCS_CONVS_BODY.replace("FROM documents", "FROM documents WHERE doc_id < 40")}
+        ),
+        {sqlgen._signature_ctes("convs", 128, 1, 7)}
+        SELECT conv_id,
+               sum(CASE WHEN b < 63 THEN mb * (1::BIGINT << b) ELSE 0 END)
+                 + max(CASE WHEN b = 63 THEN mb ELSE 0 END) * (-9223372036854775808)
+          AS fp
+        FROM maj GROUP BY conv_id
+        """
+        got = {r[0]: np.int64(r[1]).view(np.uint64) for r in con.execute(sql).fetchall()}
+        docs = con.execute(
+            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
+            "FROM documents WHERE doc_id < 40 ORDER BY doc_id"
+        ).fetchall()
+        hasher = CombinedMinSimHasher()
+        _, fps = hasher.compute([c for _, c in docs])
+        for (doc_id, _), fp in zip(docs, fps):
+            assert got[f"doc-{doc_id:08d}"] == fp, doc_id
+
+
+class TestClustersParity:
+    def test_clusters_match_engine(self):
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.dedup import dedup_transcripts
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        eng = (
+            dedup_transcripts(rd.from_arrow(transcripts_from_documents(SF)))
+            .clusters.to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        con = _con()
+        sql_df = (
+            con.execute(sqlgen.dedup_clusters_sql(sqlgen.TRANSCRIPT_CONVS_BODY))
+            .df()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert eng.equals(sql_df[eng.columns])
+
+    def test_incremental_matches_engine_predicate(self):
+        # the incremental oracle's edge set equals the clusters oracle's
+        # hist x new subset plus pure-variant rows: both must verify the
+        # planted variants (every -dup/-ws matches its base at jaccard 1)
+        con = _con()
+        df = con.execute(
+            sqlgen.incremental_matches_sql(
+                sqlgen.TRANSCRIPT_HIST_BODY, sqlgen.TRANSCRIPT_NEW_BODY
+            )
+        ).df()
+        planted = df[df.new_id.str.replace("-dup", "").str.replace("-ws", "") == df.hist_id]
+        n_variants = con.execute(
+            "SELECT count(*) FROM documents WHERE doc_id % 10 IN (0, 5)"
+        ).fetchone()[0]
+        assert len(planted) == n_variants
+        assert (planted.jaccard == 1.0).all()
+        assert (planted.hamming == 0).all()
+
+
+class TestOraclePreconditions:
+    """The generated SQL assumes (a) every shingle is exactly 7 ASCII
+    bytes and (b) the engine's LSH skew cap (bucket_cap=64) never binds.
+    Assert both on every driver corpus so a testdata change surfaces
+    here rather than as a silent oracle divergence."""
+
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+    def test_texts_ascii_and_long_enough(self, sf):
+        con = _con(sf)
+        n_bad = con.execute(
+            "SELECT count(*) FROM documents WHERE "
+            "length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) < 7 "
+            "OR regexp_matches(text, '[^\\x20-\\x7e\\x0a\\x09\\x0d]')"
+        ).fetchone()[0]
+        assert n_bad == 0
+
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+    def test_bucket_cap_never_binds(self, sf):
+        con = _con(sf)
+        sql = f"""
+        WITH RECURSIVE convs AS ({sqlgen.TRANSCRIPT_CONVS_BODY}),
+        groups AS (
+          SELECT conv_id, canonical,
+                 min(conv_id) OVER (PARTITION BY canonical) AS rep
+          FROM convs
+        ),
+        reps AS (SELECT conv_id, canonical FROM groups WHERE conv_id = rep),
+        {sqlgen._signature_ctes("reps", 128, 1, 7)},
+        bands AS (
+          SELECT conv_id, i // 16 AS band,
+                 string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+          FROM sigs GROUP BY conv_id, i // 16
+        )
+        SELECT max(cnt) FROM (
+          SELECT band, key, count(*) AS cnt FROM bands GROUP BY band, key
+        )
+        """
+        assert con.execute(sql).fetchone()[0] <= 64
+
+    def test_verified_margin(self):
+        """No candidate pair sits ON the 0.85 decision boundary: the
+        margin keeps float-vs-float threshold comparisons exact (the
+        estimate is a multiple of 1/128; 0.85*128 = 108.8 is not an
+        integer, so equality is impossible by construction)."""
+        assert (0.85 * 128) % 1 != 0
