@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_docs_by_quality": docs.filter_docs_by_quality,
         "langid_docs": docs.langid_docs,
         "fingerprint_docs": docs.fingerprint_docs,
+        # content-domain classifier (DomainType producer; feeds the
+        # per-domain dedup thresholds)
+        "domain_classify_docs": docs.domain_classify_docs,
         # structured extraction (§2.3)
         "extract_structured": docs.extract_structured,
         "fuzzy_match_docs": docs.fuzzy_match_docs,
@@ -360,6 +363,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _domain_classify_sql() -> str:
+    """DuckDB replica of functions/domains.classify_domains: per-domain
+    keyword-containment counts, the reference confidence formula
+    (m/K) * least(1, words/1000) with op-for-op float math, greatest()
+    + ordered CASE for the fixed medical>legal>ecommerce>technical
+    tie-break, 'general' when every confidence is zero."""
+    from quarrycore_ray.functions.domains import DOMAIN_KEYWORDS, KEYWORD_DOMAINS
+
+    def ksum(kws) -> str:
+        return " + ".join(
+            f"(CASE WHEN contains(lt, '{k}') THEN 1 ELSE 0 END)" for k in kws
+        )
+
+    m_cols = ", ".join(
+        f"({ksum(DOMAIN_KEYWORDS[d])}) AS m_{d}" for d in KEYWORD_DOMAINS
+    )
+    c_cols = ", ".join(
+        f"(m_{d} / {float(len(DOMAIN_KEYWORDS[d]))}) * scale AS c_{d}"
+        for d in KEYWORD_DOMAINS
+    )
+    c_list = ", ".join(f"c_{d}" for d in KEYWORD_DOMAINS)
+    dom_case = " ".join(
+        f"WHEN c_{d} = gmax THEN '{d}'" for d in KEYWORD_DOMAINS
+    )
+    m_case = " ".join(
+        f"WHEN c_{d} = gmax THEN m_{d}" for d in KEYWORD_DOMAINS
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lower(text) AS lt,
+                 len(string_split({_CANON}, ' ')) AS w
+          FROM documents
+        ),
+        cnt AS (
+          SELECT doc_id, {m_cols}, least(1.0, w / 1000.0) AS scale FROM base
+        ),
+        conf AS (SELECT *, {c_cols} FROM cnt),
+        g AS (SELECT *, greatest({c_list}) AS gmax FROM conf)
+        SELECT doc_id,
+          CASE WHEN gmax <= 0 THEN 'general' {dom_case} END AS domain,
+          (CASE WHEN gmax <= 0 THEN 0 {m_case} END)::BIGINT
+            AS domain_keyword_matches
+        FROM g
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     canon_docs = f"SELECT doc_id, {_CANON} AS canonical FROM documents"
 
@@ -402,6 +451,10 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dup_docs": sqlgen.incremental_matches_sql(
             sqlgen.TRANSCRIPT_HIST_BODY, sqlgen.TRANSCRIPT_NEW_BODY
         ),
+        # DomainType classifier: reference keyword-confidence formula
+        # (domain_extractors.py:40-52) mirrored op-for-op; greatest()
+        # + the CASE order reproduce the engine's fixed tie-break
+        "domain_classify_docs": _domain_classify_sql(),
         "ngram_jaccard_pairs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words FROM documents),
             w AS (SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS i FROM c),
@@ -1496,7 +1549,7 @@ def oracle_sql() -> dict[str, str]:
             sent AS (
                 SELECT doc_id,
                        trim(unnest(string_split(text, '.')),
-                            ' ' || chr(10) || chr(9) || chr(13)) AS s
+                            ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12)) AS s
                 FROM b
             ),
             sp AS (
@@ -1536,7 +1589,7 @@ def oracle_sql() -> dict[str, str]:
             sent AS (
                 SELECT doc_id,
                        sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9)
-                                        || chr(13)) != ''
+                                        || chr(13) || chr(11) || chr(12)) != ''
                                 THEN 1 ELSE 0 END) AS n_sent
                 FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s
                       FROM b)
@@ -1596,14 +1649,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             sent AS (
                 SELECT doc_id,
-                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13)) != ''
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12)) != ''
                                 THEN 1 ELSE 0 END) AS n_sent
                 FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s FROM b)
                 GROUP BY doc_id
             ),
             para AS (
                 SELECT doc_id,
-                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13)) != ''
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12)) != ''
                                 THEN 1 ELSE 0 END) AS n_para
                 FROM (SELECT doc_id,
                              unnest(string_split(text, chr(10) || chr(10))) AS s
@@ -1612,7 +1665,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             valid AS (
                 SELECT doc_id,
-                       sum(CASE WHEN length(trim(s, ' ' || chr(10) || chr(9) || chr(13))) > 10
+                       sum(CASE WHEN length(trim(s, ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12))) > 10
                                 THEN 1 ELSE 0 END) AS n_valid
                 FROM (SELECT doc_id,
                              unnest(regexp_extract_all(text, '[^.!?]+')) AS s
@@ -1701,7 +1754,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             sent AS (
                 SELECT doc_id,
-                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12))
                                      != '' THEN 1 ELSE 0 END) AS sc
                 FROM (SELECT doc_id,
                              unnest(string_split_regex(text, '[.!?]+')) AS s
@@ -1710,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             para AS (
                 SELECT doc_id,
-                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12))
                                      != '' THEN 1 ELSE 0 END) AS pc
                 FROM (SELECT doc_id,
                              unnest(string_split(text, chr(10) || chr(10))) AS s
@@ -1829,13 +1882,13 @@ def oracle_sql() -> dict[str, str]:
                        sum(CASE WHEN s != '' THEN 1 ELSE 0 END) AS n_nonempty
                 FROM (SELECT doc_id,
                              trim(unnest(regexp_extract_all(text, '[^.!?]+')),
-                                  ' ' || chr(10) || chr(9) || chr(13)) AS s
+                                  ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12)) AS s
                       FROM b)
                 GROUP BY doc_id
             ),
             para AS (
                 SELECT doc_id,
-                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12))
                                      != '' THEN 1 ELSE 0 END) AS n_para
                 FROM (SELECT doc_id,
                              unnest(string_split(text, chr(10) || chr(10))) AS s
@@ -1907,7 +1960,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             sent AS (
                 SELECT doc_id,
-                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12))
                                      != '' THEN 1 ELSE 0 END) AS sc
                 FROM (SELECT doc_id,
                              unnest(string_split_regex(text, '[.!?]+')) AS s
@@ -1951,13 +2004,13 @@ def oracle_sql() -> dict[str, str]:
                        sum(CASE WHEN s != '' THEN 1 ELSE 0 END) AS n_nonempty
                 FROM (SELECT doc_id,
                              trim(unnest(regexp_extract_all(text, '[^.!?]+')),
-                                  ' ' || chr(10) || chr(9) || chr(13)) AS s
+                                  ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12)) AS s
                       FROM base)
                 GROUP BY doc_id
             ),
             para AS (
                 SELECT doc_id,
-                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13))
+                       sum(CASE WHEN trim(s, ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12))
                                      != '' THEN 1 ELSE 0 END) AS n_para
                 FROM (SELECT doc_id,
                              unnest(string_split(text, chr(10) || chr(10))) AS s
@@ -2087,7 +2140,7 @@ def oracle_sql() -> dict[str, str]:
             WITH lines AS (
                 SELECT doc_id,
                        trim(unnest(string_split(text, chr(10))),
-                            ' ' || chr(10) || chr(9) || chr(13)) AS s,
+                            ' ' || chr(10) || chr(9) || chr(13) || chr(11) || chr(12)) AS s,
                        generate_subscripts(string_split(text, chr(10)), 1)
                            AS i
                 FROM documents

@@ -198,7 +198,7 @@ def run_scaling() -> dict:
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "cpus_lo": lo,
         "cpus_hi": hi,
@@ -212,6 +212,62 @@ def run_scaling() -> dict:
             r_lo.get("host_first_touch_gbps"),
             r_hi.get("host_first_touch_gbps"),
         ],
+    }
+    if not os.environ.get("GRAFT_SCALING_NO_SIG"):
+        out["sig_stage"] = run_sig_stage_scaling(lo, hi)
+    return out
+
+
+def run_sig_stage_scaling(lo: int, hi: int) -> dict:
+    """Stage-isolated scaling pair for the driver artifact: times ONLY
+    the compute-dominated signature stage (no all-to-all shuffle in the
+    timed region) at the same CPU pair, fresh process per leg
+    (scripts/sig_scale_probe.py). This is the decomposition BASELINE.md
+    documents: on a single box the shuffle legs flatten against the
+    shared DRAM bus while compute stages keep scaling — per-node memory
+    on a real N -> 4N cluster multiplies the bus away, so the compute
+    ratio is the portable signal. Embedded in the --scaling JSON so the
+    per-round BENCH artifact carries the evidence."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    probe = os.path.join(here, "scripts", "sig_scale_probe.py")
+    corpus = os.path.join(CORPUS_DIR, f"n{BENCH_CONVS}_s42", "transcripts")
+    inp = f"/tmp/sig_probe_input_n{BENCH_CONVS}"
+    if not os.path.exists(os.path.join(inp, "_PREPPED")):
+        # corpus prep (idempotent; synth.write_corpus keys the dir)
+        subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); " % here
+             + "from quarrycore_ray.synth import write_corpus; "
+             + "write_corpus(%r, %d, seed=42, boilerplate_group=%d)"
+             % (CORPUS_DIR, BENCH_CONVS, BENCH_CONVS // 50)],
+            check=True,
+        )
+        subprocess.run(
+            [sys.executable, probe, "prep", corpus, inp],
+            check=True,
+            capture_output=True,
+        )
+        with open(os.path.join(inp, "_PREPPED"), "w") as f:
+            f.write("ok")
+
+    def leg(ncpu: int) -> dict:
+        r = subprocess.run(
+            [sys.executable, probe, "run", str(ncpu), inp],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    s_lo, s_hi = leg(lo), leg(hi)
+    eff = (s_lo["sec"] / s_hi["sec"]) / (hi / lo)
+    return {
+        "stage": "minhash_simhash_signatures",
+        "rows": s_lo["rows"],
+        f"sec_{lo}": s_lo["sec"],
+        f"sec_{hi}": s_hi["sec"],
+        "efficiency": round(eff, 3),
+        "host_first_touch_gbps": host_first_touch_gbps(),
     }
 
 

@@ -646,7 +646,13 @@ def semdedup_prune(sf_dir: str, threshold: float = 0.35) -> "rd.Dataset":
 
     Output (vec_id, label, kept_id): the pruned vector, its cluster,
     and the smallest earlier neighbor that keeps it out — an all-integer
-    result, so oracle comparison is exact.
+    result, so oracle comparison is exact PROVIDED no pair sits within
+    float rounding of the threshold (engine computes normalize+GEMM in
+    float64, the DuckDB oracle list_cosine_similarity; the two can
+    differ by ~1 ulp). The driver fixtures keep a wide margin — min
+    |cos - 0.35| is ~4.8e-4 at sf0.01 — asserted by
+    tests/test_ops.py::TestSemDedupMargin so a testdata change surfaces
+    as a test failure, not a silent oracle flake.
     """
     from ..stages.grouped import partitioned_group_map
 
@@ -698,12 +704,14 @@ def embedding_top_component(
     matrix via distributed power iteration — the iterative numerical
     class beyond BSP label propagation: v <- normalize(sum_i x_i (x_i . v)).
 
-    Each iteration is one map_batches pass emitting a per-batch partial
-    sum vector quantized to 1e-9 integer units; partials are summed
-    exactly (order-independent) and renormalized on the driver (O(dim)
-    work), so the result is bit-deterministic across block orderings
-    and CPU counts — the property the exactmath oracles rely on,
-    applied to an iterative algorithm. Deterministic init: v0 = e_0.
+    Each iteration is one map_batches pass: every row's contribution
+    vector x_i (x_i . v) is quantized to 1e-9 integer units BEFORE any
+    summation, and all sums over quantized rows are exact int64 adds
+    (order-independent). Quantizing per row — not per batch — makes the
+    result bit-deterministic across block layouts, batch sizes AND CPU
+    counts (a per-batch quantize would still depend on which rows share
+    a batch); renormalization is O(dim) driver work. Deterministic
+    init: v0 = e_0.
     No SQL oracle (iterative, not relational); pytest checks against a
     serial numpy replica and the dominant-eigenvector property.
 
@@ -720,10 +728,14 @@ def embedding_top_component(
         def _partial(batch: pa.Table) -> pa.Table:
             vv = ray.get(v_ref)
             _, emb = _to_matrix(batch)
-            contrib = emb.T @ (emb @ vv)
-            q = np.floor(contrib * 1e9 + 0.5).astype(np.int64)
-            return pa.table({"j": pa.array(np.arange(len(q), dtype=np.int64)),
-                             "u": pa.array(q, pa.int64())})
+            # per-ROW quantization before the sum: each row's x_i(x_i.v)
+            # depends only on that row and v, so the int64 partial is
+            # independent of batch boundaries and block layout
+            w = emb @ vv
+            q = np.floor(emb * w[:, None] * 1e9 + 0.5).astype(np.int64)
+            qsum = q.sum(axis=0)
+            return pa.table({"j": pa.array(np.arange(len(qsum), dtype=np.int64)),
+                             "u": pa.array(qsum, pa.int64())})
 
         parts = (
             ds.map_batches(_partial, batch_format="pyarrow")

@@ -5,13 +5,24 @@ The reference carries multimodal content as `List[Dict]` fields on
 Here media are first-class columns: an opaque `binary` payload plus
 typed metadata, processed by actor-pool `map_batches` stages.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this environment,
-so the decode kernel is stubbed: `decode_stub=True` (default) parses a
-deterministic fake header; `decode_stub=False` raises
-NotImplementedError at the decode call site. Everything around the stub
-— schema, batch sizing for large binary rows, actor signature, output
-layout — is real and tested, so swapping in a real codec is a one-
-function change.
+Image decode is REAL for the two public container formats implementable
+from the spec without third-party codecs:
+
+- PNG (RFC 2083 / W3C spec): chunk walk, zlib inflate (stdlib), and
+  full scanline unfiltering (None/Sub/Up/Average/Paeth) for 8-bit
+  gray / RGB / RGBA, non-interlaced (`decode_png`; minimal writer
+  `encode_png` for fixtures).
+- BMP (Windows DIB): BITMAPFILEHEADER + BITMAPINFOHEADER, 8-bit
+  gray-palette and 24-bit uncompressed, bottom-up padded rows
+  (`decode_bmp`).
+
+PIL/ffmpeg/torchaudio are NOT in this environment, so other formats
+(JPEG, audio, video frames) remain stubbed: `decode_stub=True`
+(default) also accepts the deterministic IMG1 fake raster;
+`decode_stub=False` decodes PNG/BMP and raises NotImplementedError for
+anything else. Everything around the kernels — schema, batch sizing for
+large binary rows, actor signature, output layout — is identical for
+real and stub payloads.
 
 Fake payload format (for tests/synth): b"IMG1" + uint16 width +
 uint16 height + raw bytes.
@@ -43,11 +54,162 @@ def make_fake_image(width: int, height: int, seed: int) -> bytes:
     return b"IMG1" + struct.pack("<HH", width, height) + raw
 
 
+# --- real PNG / BMP codecs (pure python + stdlib zlib) -----------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type we support (8-bit, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w) or (h, w, c) uint8 array.
+
+    From-spec implementation (W3C PNG / RFC 2083): IHDR/IDAT/IEND chunk
+    walk, one zlib stream across IDAT chunks, per-scanline unfilter.
+    Supports bit depth 8, color types gray/RGB/RGBA, no interlace —
+    the subset a from-scratch engine can guarantee without libpng.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"unsupported PNG depth/color ({depth}/{color_type})"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG data")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: prefix sum per channel lane
+            recon = line.reshape(-1, ch).cumsum(axis=0) & 0xFF
+            recon = recon.reshape(-1)
+        else:  # Average (3) / Paeth (4): left-dependency, per-byte loop
+            recon = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    recon[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                    recon[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon.astype(np.int32)
+    img = out.reshape(height, width, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0 everywhere) for fixtures/tests.
+    Accepts (h, w) gray or (h, w, 3|4) uint8 arrays."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, ch = 0, 1
+        flat = img[:, :, None]
+    else:
+        ch = img.shape[2]
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        flat = img
+    h, w = img.shape[:2]
+    scan = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP (Windows DIB) -> (h, w) gray or (h, w, 3) uint8 array.
+
+    BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24-bit BGR or
+    8-bit paletted gray, bottom-up rows padded to 4 bytes — the classic
+    public layout.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h, planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    rows = []
+    for y in range(h):
+        off = data_off + y * row_bytes
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * bpp // 8, offset=off)
+        rows.append(row)
+    img = np.stack(rows[::-1] if bottom_up else rows)
+    if bpp == 24:
+        img = img.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return np.ascontiguousarray(img)
+    return img.reshape(h, w)
+
+
 class DecodeImageStage:
     """Actor-pool decode: payload binary -> (width, height, mean_intensity).
 
-    With a real codec this would be `PIL.Image.open(BytesIO(payload))`;
-    the stub parses the IMG1 fake header. Keep `batch_size` small for
+    Magic-sniffed codecs: PNG and BMP decode for real (`decode_png` /
+    `decode_bmp`, pure python + stdlib zlib); the IMG1 deterministic
+    fake raster is accepted while `decode_stub=True` (the synth-corpus
+    path). Other formats (JPEG, ...) need libraries this environment
+    lacks and raise NotImplementedError. Keep `batch_size` small for
     large binary rows (a batch x concurrency must fit worker heap).
     """
 
@@ -55,15 +217,25 @@ class DecodeImageStage:
         self.decode_stub = decode_stub
 
     def _decode(self, payload: bytes) -> tuple[int, int, float]:
-        if not self.decode_stub:
-            raise NotImplementedError(
-                "real image codec not available in this environment"
-            )
-        if payload[:4] != b"IMG1":
-            raise ValueError("bad magic")
-        w, h = struct.unpack("<HH", payload[4:8])
-        pixels = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
-        return w, h, float(pixels.mean()) if len(pixels) else 0.0
+        if payload[:8] == _PNG_MAGIC:
+            img = decode_png(payload)
+            h, w = img.shape[:2]
+            return w, h, float(img.mean()) if img.size else 0.0
+        if payload[:2] == b"BM":
+            img = decode_bmp(payload)
+            h, w = img.shape[:2]
+            return w, h, float(img.mean()) if img.size else 0.0
+        if payload[:4] == b"IMG1":
+            if not self.decode_stub:
+                raise NotImplementedError(
+                    "IMG1 is the test stub container; pass decode_stub=True"
+                )
+            w, h = struct.unpack("<HH", payload[4:8])
+            pixels = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
+            return w, h, float(pixels.mean()) if len(pixels) else 0.0
+        raise NotImplementedError(
+            "no codec for this payload format in this environment"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws: list[int] = []
@@ -80,30 +252,44 @@ class DecodeImageStage:
 
 
 class ResizeStage:
-    """Resize plumbing: recompute payload at target size (stub: nearest-
-    neighbor subsample of the fake raster). Output replaces payload and
-    dimension columns."""
+    """Resize: nearest-neighbor downsample of the decoded raster
+    (PNG/BMP via the real codecs, IMG1 via the stub container), output
+    re-encoded as PNG (gray; color inputs are luma-averaged first).
+    Output replaces the payload column."""
 
     def __init__(self, target: int = 32, decode_stub: bool = True):
         self.target = target
         self.decode_stub = decode_stub
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.decode_stub:
-            raise NotImplementedError("real resize kernel not available")
-        out: list[bytes] = []
-        for p in batch["payload"].to_pylist():
+    def _raster(self, p: bytes) -> np.ndarray:
+        if p[:8] == _PNG_MAGIC:
+            img = decode_png(p)
+        elif p[:2] == b"BM":
+            img = decode_bmp(p)
+        elif p[:4] == b"IMG1":
+            if not self.decode_stub:
+                raise NotImplementedError(
+                    "IMG1 is the test stub container; pass decode_stub=True"
+                )
             w, h = struct.unpack("<HH", p[4:8])
             raw = np.frombuffer(p[8 : 8 + w * h], dtype=np.uint8)
             if len(raw) < w * h:
                 raw = np.pad(raw, (0, w * h - len(raw)))
-            img = raw.reshape(h, w)
+            return raw.reshape(h, w)
+        else:
+            raise NotImplementedError("no codec for this payload format")
+        if img.ndim == 3:  # luma-average color planes to gray
+            img = img.mean(axis=2).astype(np.uint8)
+        return img
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for p in batch["payload"].to_pylist():
+            img = self._raster(p)
+            h, w = img.shape
             yi = np.linspace(0, h - 1, self.target).astype(int)
             xi = np.linspace(0, w - 1, self.target).astype(int)
-            small = img[np.ix_(yi, xi)]
-            out.append(
-                b"IMG1" + struct.pack("<HH", self.target, self.target) + small.tobytes()
-            )
+            out.append(encode_png(img[np.ix_(yi, xi)]))
         idx = batch.schema.get_field_index("payload")
         return batch.set_column(idx, "payload", pa.array(out, pa.binary()))
 

@@ -499,6 +499,7 @@ def construct_dataset(
     stages run vs skipped, and the analytics report row."""
     import json as _json
     import os as _os
+    import shutil as _shutil
 
     import ray
     import ray.data as rd
@@ -553,10 +554,16 @@ def construct_dataset(
     for fmt in export_formats:
         dest = _os.path.join(out_dir, f"export_{fmt}")
         if not _os.path.exists(dest):
+            # write-to-tmp + atomic rename: a crash mid-export must not
+            # leave a partial dir a resume would skip as complete (same
+            # protocol as CheckpointManager.stage)
+            tmp = dest + ".tmp"
+            _shutil.rmtree(tmp, ignore_errors=True)
             if fmt == "parquet":
-                formatted.write_parquet(dest)
+                formatted.write_parquet(tmp)
             elif fmt == "jsonl":
-                formatted.write_json(dest)
+                formatted.write_json(tmp)
+            _os.rename(tmp, dest)
         exports[fmt] = dest
 
     manifest = {

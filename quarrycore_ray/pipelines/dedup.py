@@ -124,13 +124,24 @@ def dedup_conversations(
     def _add_thr(batch: pa.Table) -> pa.Table:
         # per-row verification threshold from the optional content-domain
         # tag (reference per-content-type thresholds,
-        # deduplicator/deduplicator.py:84-91 -> config.threshold_for)
+        # deduplicator/deduplicator.py:84-91 -> config.threshold_for);
+        # vectorized: one if_else kernel per configured domain
+        import pyarrow.compute as pc
+
         if "domain" in batch.column_names:
-            thr = [cfg.threshold_for(d) for d in batch["domain"].to_pylist()]
+            thr = pa.array(
+                [cfg.threshold] * batch.num_rows, pa.float64()
+            )
+            for dom, t in cfg.domain_minhash_thresholds:
+                thr = pc.if_else(
+                    pc.equal(batch["domain"], pa.scalar(dom)),
+                    pa.scalar(t, pa.float64()),
+                    thr,
+                )
             batch = batch.drop_columns(["domain"])
         else:
-            thr = [cfg.threshold] * batch.num_rows
-        return batch.append_column("thr", pa.array(thr, pa.float64()))
+            thr = pa.array([cfg.threshold] * batch.num_rows, pa.float64())
+        return batch.append_column("thr", thr)
 
     sig_ds = sig_ds.map_batches(_add_thr, batch_format="pyarrow")
 
@@ -180,36 +191,31 @@ def dedup_conversations(
             zip(edges["a_id"].to_pylist(), edges["b_id"].to_pylist())
         )
     )
-    near_ref = ray.put(near_assign)
+    # ship the assignment as an Arrow table: zero-copy for workers, and
+    # the per-batch explode below joins against it vectorized
+    near_ref = ray.put(
+        pa.table(
+            {
+                "conv_id": pa.array(list(near_assign.keys()), pa.string()),
+                "near_label": pa.array(list(near_assign.values()), pa.string()),
+            }
+        )
+    )
 
     # Final assignment per conversation: exact members inherit their
     # representative's near-dup cluster. dup_kind semantics follow the
     # reference's DuplicationResult.duplicate_type: exact | near | unique.
-    # A rep appears in `assign` iff it had >= 1 verified near edge.
+    # A rep appears in `near_assign` iff it had >= 1 verified near edge.
     def assign_clusters(batch: pa.Table) -> pa.Table:
-        assign = ray.get(near_ref)
-        reps_col = batch["conv_id"].to_pylist()
-        members_col = batch["exact_members"].to_pylist()
-        out_conv: list[str] = []
-        out_cluster: list[str] = []
-        out_kind: list[str] = []
-        for rep, members in zip(reps_col, members_col):
-            cluster = assign.get(rep, rep)
-            rep_kind = "near" if rep in assign else "unique"
-            for m in members:
-                out_conv.append(m)
-                out_cluster.append(cluster)
-                out_kind.append(rep_kind if m == rep else "exact")
-        return pa.table(
-            {
-                "conv_id": pa.array(out_conv, pa.string()),
-                "cluster_id": pa.array(out_cluster, pa.string()),
-                "is_representative": pa.array(
-                    [c == v for v, c in zip(out_conv, out_cluster)], pa.bool_()
-                ),
-                "dup_kind": pa.array(out_kind, pa.string()),
-            }
+        import polars as pl
+
+        assign = pl.from_arrow(ray.get(near_ref))
+        joined = (
+            pl.from_arrow(batch.select(["conv_id", "exact_members"]))
+            .join(assign, on="conv_id", how="left")
+            .to_arrow()
         )
+        return explode_members_with_label(joined)
 
     clusters = reps.map_batches(assign_clusters, batch_format="pyarrow").materialize()
     metrics["total_conversations"] = clusters.count()
@@ -242,31 +248,42 @@ def explode_members_with_label(batch: pa.Table) -> pa.Table:
     """reps rows with a joined `near_label` column -> per-conversation
     cluster rows. A rep had >= 1 verified near edge iff near_label is
     non-null; its exact members inherit the cluster. Shared by the
-    label-propagation paths of `dedup_conversations` and the job runner.
+    driver-union-find and label-propagation paths of
+    `dedup_conversations` and the job runner. One vectorized polars
+    explode — no per-member Python (row order matches the old loop:
+    reps in batch order, members in list order).
     """
-    out_conv: list[str] = []
-    out_cluster: list[str] = []
-    out_kind: list[str] = []
-    for rep, members, lab in zip(
-        batch["conv_id"].to_pylist(),
-        batch["exact_members"].to_pylist(),
-        batch["near_label"].to_pylist(),
-    ):
-        cluster = lab if lab is not None else rep
-        rep_kind = "near" if lab is not None else "unique"
-        for m in members:
-            out_conv.append(m)
-            out_cluster.append(cluster)
-            out_kind.append(rep_kind if m == rep else "exact")
-    return pa.table(
-        {
-            "conv_id": pa.array(out_conv, pa.string()),
-            "cluster_id": pa.array(out_cluster, pa.string()),
-            "is_representative": pa.array(
-                [c == v for v, c in zip(out_conv, out_cluster)], pa.bool_()
-            ),
-            "dup_kind": pa.array(out_kind, pa.string()),
-        }
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["conv_id", "exact_members", "near_label"]))
+    out = (
+        df.rename({"conv_id": "_rep"})
+        .with_columns(
+            pl.coalesce([pl.col("near_label"), pl.col("_rep")]).alias("cluster_id"),
+            pl.col("near_label").is_not_null().alias("_has_edge"),
+        )
+        .explode("exact_members")
+        .rename({"exact_members": "conv_id"})
+        .with_columns(
+            (pl.col("conv_id") == pl.col("cluster_id")).alias("is_representative"),
+            pl.when(pl.col("conv_id") != pl.col("_rep"))
+            .then(pl.lit("exact"))
+            .when(pl.col("_has_edge"))
+            .then(pl.lit("near"))
+            .otherwise(pl.lit("unique"))
+            .alias("dup_kind"),
+        )
+        .select(["conv_id", "cluster_id", "is_representative", "dup_kind"])
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("cluster_id", pa.string()),
+                ("is_representative", pa.bool_()),
+                ("dup_kind", pa.string()),
+            ]
+        )
     )
 
 

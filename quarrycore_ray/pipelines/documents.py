@@ -660,6 +660,25 @@ def langid_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def domain_classify_docs(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, domain, domain_keyword_matches) — the DomainType
+    producer (functions/domains.py; reference protocols.py:68-78 +
+    extractor/domain_extractors.py keyword scoring). Feeds the
+    per-domain dedup thresholds (config.domain_minhash_thresholds)."""
+    from ..functions.domains import DomainClassifyStage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            DomainClassifyStage,
+            fn_constructor_kwargs={"with_matches": True},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .drop_columns(["text"])
+    )
+
+
 def fingerprint_docs(sf_dir: str) -> "rd.Dataset":
     """(doc_id, fingerprint) rolling-hash content fingerprints."""
     return (
@@ -1352,7 +1371,9 @@ SPAM_KEYWORDS = (
     "free", "win", "winner", "cash", "prize", "limited time",
     "offer", "subscribe", "buy now", "click here", "urgent",
 )
-_WS = " \n\t\r"
+# full ASCII whitespace of str.strip() incl. vertical-tab/form-feed
+# (reference scorers use str.strip(); SQL oracles trim the same set)
+_WS = " \n\t\r\x0b\x0c"
 
 
 def heuristic_quality_docs(sf_dir: str) -> "rd.Dataset":
@@ -1778,7 +1799,9 @@ def reading_metrics_docs(sf_dir: str, mattr_window: int = 100) -> "rd.Dataset":
 
     def _score(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        rows = np.array([_one(t) for t in texts], dtype=np.float64)
+        # reshape keeps the 11-way unpack valid on zero-row batches
+        # (np.array([]) is shape (0,), not (0, 11))
+        rows = np.array([_one(t) for t in texts], dtype=np.float64).reshape(-1, 11)
         (wc, sc, pc_, syll, n_complex, sum_chars, n, uniq,
          m_num, m_den, sq) = rows.T
         chars = np.asarray(pc.cast(pc.utf8_length(batch["text"]), pa.int64()))

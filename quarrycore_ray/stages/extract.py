@@ -4,12 +4,23 @@ Reference semantics: `ExtractorManager.extract` runs a quality-gated
 cascade of extractors per document
 (`/root/reference/src/quarrycore/extractor/manager.py:119-236`:
 trafilatura -> readability -> soup, first result whose quality score
-clears the bar wins; rejects get a reason). Those third-party
-extractors aren't available here, so the cascade runs over our own
-strategies — strict HTML text extraction, then the lenient regex
-fallback (`quarrycore_ray.text.canonicalize_html`, itself the port of
-the reference's regex path canonical.py:127-153) — with the same
-gate-and-fallthrough control flow and a reject reason column.
+clears the bar wins; rejects get a reason). Those third-party libraries
+aren't available here, so the cascade runs over our own strategies with
+the same gate-and-fallthrough control flow and a reject-reason column:
+
+1. ``readability`` — a from-scratch implementation of the published
+   boilerplate-removal recipe shared by Arc90 Readability / JusText /
+   Boilerpipe (Kohlschütter et al., WSDM 2010): drop
+   unlikely-candidate containers (nav/header/footer/aside/form and
+   class/id markers like sidebar/comment/advert), segment the remaining
+   markup into text blocks at block-level tags, and keep blocks by
+   length + link-density. This is what strips menus/ads/related-links
+   that pure regex tag-stripping keeps (the round-2 gap: boilerplate
+   text poisoning dedup and quality scores downstream).
+2. ``strict_body`` — body-scoped regex extraction.
+3. ``lenient`` — whole-document regex fallback
+   (`quarrycore_ray.text.canonicalize_html`, the port of the
+   reference's regex path canonical.py:127-153; always succeeds).
 """
 
 from __future__ import annotations
@@ -25,6 +36,125 @@ from ..text import canonicalize_html, normalize_whitespace
 _BODY_RE = re.compile(r"<body\b[^>]*>(.*?)</body>", re.DOTALL | re.IGNORECASE)
 _TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title>", re.DOTALL | re.IGNORECASE)
 
+# --- readability-grade block extraction --------------------------------------
+
+#: containers whose whole subtree is boilerplate by construction
+_UNLIKELY_TAGS = frozenset(
+    {"nav", "header", "footer", "aside", "form", "menu", "select",
+     "script", "style", "noscript", "template", "iframe", "svg"}
+)
+#: Arc90's unlikelyCandidates class/id markers (public regex; trimmed to
+#: the stable core — same spirit as readability.js `REGEXPS.unlikelyCandidates`)
+_UNLIKELY_ATTR_RE = re.compile(
+    r"combx|comment|community|disqus|extra|foot|header|menu|nav|remark|rss|"
+    r"share|shoutbox|sidebar|sponsor|ad-break|advert|agegate|pagination|"
+    r"pager|popup|related|social|banner|breadcrumb|cookie|subscribe|promo",
+    re.IGNORECASE,
+)
+#: tags that end/start a text block (block-level elements)
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "td", "th", "li", "dd", "dt", "h1", "h2", "h3", "h4",
+     "h5", "h6", "article", "section", "blockquote", "pre", "table",
+     "tr", "ul", "ol", "dl", "figure", "figcaption", "main", "body",
+     "br", "hr"}
+)
+_TOKEN_RE = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.DOTALL)
+_TAG_PARSE_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_ATTR_RE = re.compile(
+    r"(?:class|id)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)", re.IGNORECASE
+)
+
+#: keep a block if it has at least this much normalized text ...
+MIN_BLOCK_CHARS = 25
+#: ... and at most this fraction of its characters inside links
+MAX_LINK_DENSITY = 1.0 / 3.0
+
+
+def _extract_readability(html: str) -> str | None:
+    """Strategy 1: block segmentation + length/link-density classifier.
+
+    One linear scan over the tag stream: a depth counter tracks
+    unlikely-candidate subtrees (dropped wholesale), block-level tags
+    delimit candidate text blocks, and per-block character counts split
+    into link and non-link text. A block survives if its normalized
+    text has >= MIN_BLOCK_CHARS chars and link density <=
+    MAX_LINK_DENSITY (the published Boilerpipe/JusText decision rule).
+    Returns None when nothing survives — the cascade gate then falls
+    through to the regex strategies, mirroring the reference cascade's
+    quality-gated fallthrough (manager.py:119-236).
+    """
+    blocks: list[str] = []
+    cur: list[str] = []
+    cur_link: int = 0
+    link_depth = 0
+    # drop mode: the outermost dropped element's tag name + same-name
+    # nesting count (exit when the MATCHING close arrives, so nested
+    # <div>s inside a class-marked <div class="sidebar"> cannot leak)
+    drop_tag: str | None = None
+    drop_nest = 0
+
+    def flush() -> None:
+        nonlocal cur, cur_link
+        if cur:
+            text = normalize_whitespace(canonicalize_html("".join(cur)))
+            if len(text) >= MIN_BLOCK_CHARS:
+                total = sum(len(t) for t in cur)
+                density = cur_link / total if total else 1.0
+                if density <= MAX_LINK_DENSITY:
+                    blocks.append(text)
+        cur = []
+        cur_link = 0
+
+    for m in _TOKEN_RE.finditer(html):
+        tok = m.group(0)
+        if tok.startswith("<!--"):
+            continue
+        if tok.startswith("<"):
+            tm = _TAG_PARSE_RE.match(tok)
+            if not tm:
+                continue
+            name = tm.group(1).lower()
+            closing = tok.startswith("</")
+            self_closing = tok.rstrip(">").rstrip().endswith("/")
+            if drop_tag is not None:
+                if name == drop_tag:
+                    if closing:
+                        drop_nest -= 1
+                        if drop_nest == 0:
+                            drop_tag = None
+                    elif not self_closing:
+                        drop_nest += 1
+                continue
+            unlikely = not closing and (
+                name in _UNLIKELY_TAGS
+                or (
+                    name != "body"
+                    and any(
+                        _UNLIKELY_ATTR_RE.search(a)
+                        for a in _ATTR_RE.findall(tok)
+                    )
+                )
+            )
+            if unlikely:
+                flush()
+                if not self_closing:
+                    drop_tag, drop_nest = name, 1
+                continue
+            if name == "a":
+                link_depth = max(0, link_depth + (-1 if closing else 1))
+            if name in _BLOCK_TAGS:
+                flush()
+        else:
+            if drop_tag is not None:
+                continue
+            cur.append(tok)
+            if link_depth > 0:
+                cur_link += len(tok)
+    flush()
+    if not blocks:
+        return None
+    return normalize_whitespace(" ".join(blocks))
+
 
 def _extract_strict(html: str) -> str | None:
     """Strategy 1: body-scoped extraction; None when no <body>."""
@@ -39,7 +169,11 @@ def _extract_lenient(html: str) -> str | None:
     return canonicalize_html(html)
 
 
-CASCADE = (("strict_body", _extract_strict), ("lenient", _extract_lenient))
+CASCADE = (
+    ("readability", _extract_readability),
+    ("strict_body", _extract_strict),
+    ("lenient", _extract_lenient),
+)
 
 _STRATEGIES = dict(CASCADE)
 DEFAULT_ORDER = tuple(name for name, _ in CASCADE)

@@ -402,50 +402,91 @@ def _dedup_pairs_partition(tb: pa.Table) -> pa.Table:
     )
 
 
-def attach_signatures_broadcast(
-    pairs: "ray.data.Dataset", sigs: "ray.data.Dataset"
-) -> "ray.data.Dataset":
-    """Small-side variant: `ray.put` the whole signature table once and
-    attach per batch — no shuffle. Used when the distinct-text table
-    fits comfortably in the object store (the guide's broadcast-join
-    pattern); `attach_signatures` is the at-scale partitioned join.
-    Callers must globally dedup pairs first (`_dedup_pairs_partition`
-    via candidate_pairs) — the per-batch unique below only tidies
-    within-block duplicates.
-    """
-    lut: dict[str, tuple[bytes, int, float]] = {}
-    for b in sigs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for cid, sg, fp, th in zip(
-            b["conv_id"].to_pylist(), b["minhash_sig"].to_pylist(),
-            b["simhash"].to_pylist(), b["thr"].to_pylist(),
-        ):
-            lut[cid] = (sg, fp, th)
+def _concat_sig_blocks(blocks) -> pa.Table:
+    """Task body: assemble the broadcast signature table from Dataset
+    block refs INSIDE a Ray task, so the driver never holds the payload
+    (it only forwards refs). Output is one combined Arrow table in the
+    object store, read zero-copy by every attach actor."""
     import ray as _ray
 
-    ref = _ray.put(lut)
+    tables = _ray.get(list(blocks))
+    tb = pa.concat_tables(
+        [t.select(["conv_id", "minhash_sig", "simhash", "thr"]) for t in tables]
+    )
+    return tb.combine_chunks()
 
-    def _attach(batch: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
+
+class _BroadcastAttach:
+    """Actor-pool attach stage: the shared signature table stays one
+    zero-copy Arrow object; each actor builds a conv_id -> row-index
+    dict ONCE in __init__ (ints only — the ~1 KiB signature payloads
+    never leave the Arrow buffers) and gathers rows per batch with
+    vectorized `Table.take`."""
+
+    def __init__(self, sig_ref):
+        import ray as _ray
+
+        self.tbl = _ray.get(sig_ref)
+        self.idx = {
+            cid: i for i, cid in enumerate(self.tbl["conv_id"].to_pylist())
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
 
         df = pl.from_arrow(batch)
-        df = df.sort(["a_id", "b_id"]).unique(["a_id", "b_id"], keep="first", maintain_order=True)
-        a = df["a_id"].to_list()
-        bcol = df["b_id"].to_list()
+        df = df.sort(["a_id", "b_id"]).unique(
+            ["a_id", "b_id"], keep="first", maintain_order=True
+        )
         out = df.to_arrow().cast(_EMPTY_PAIRS.schema)
-        out = out.append_column("a_sig", pa.array([m[x][0] for x in a], pa.binary()))
-        out = out.append_column("b_sig", pa.array([m[x][0] for x in bcol], pa.binary()))
-        out = out.append_column("a_fp", pa.array([m[x][1] for x in a], pa.int64()))
-        out = out.append_column("b_fp", pa.array([m[x][1] for x in bcol], pa.int64()))
-        out = out.append_column("a_thr", pa.array([m[x][2] for x in a], pa.float64()))
-        return out.append_column("b_thr", pa.array([m[x][2] for x in bcol], pa.float64()))
+        idx = self.idx
+        ai = pa.array([idx[x] for x in df["a_id"].to_list()], pa.int64())
+        bi = pa.array([idx[x] for x in df["b_id"].to_list()], pa.int64())
+        rows_a = self.tbl.take(ai)
+        rows_b = self.tbl.take(bi)
+        out = out.append_column("a_sig", rows_a["minhash_sig"])
+        out = out.append_column("b_sig", rows_b["minhash_sig"])
+        out = out.append_column("a_fp", rows_a["simhash"])
+        out = out.append_column("b_fp", rows_b["simhash"])
+        out = out.append_column("a_thr", rows_a["thr"])
+        return out.append_column("b_thr", rows_b["thr"])
 
-    return pairs.map_batches(_attach, batch_format="pyarrow")
+
+def attach_signatures_broadcast(
+    pairs: "ray.data.Dataset", sigs: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Small-side variant: broadcast the signature table once and attach
+    per batch — no shuffle. Used when the distinct-text table fits
+    comfortably in the object store (the guide's broadcast-join
+    pattern); `attach_signatures` is the at-scale partitioned join.
+
+    The broadcast object is the Arrow table itself, assembled inside a
+    Ray task from the Dataset's block refs — the driver's footprint is
+    O(#blocks) refs, flat across the broadcast<->join switch point
+    (previously a driver-side dict of per-row Python tuples, ~1.3 GB
+    of driver heap at the size cutover). Callers must globally dedup
+    pairs first (`_dedup_pairs_partition` via candidate_pairs) — the
+    per-batch unique below only tidies within-block duplicates.
+    """
+    import ray as _ray
+
+    build = _ray.remote(num_cpus=1)(_concat_sig_blocks)
+    sig_ref = build.remote(sigs.to_arrow_refs())
+
+    return pairs.map_batches(
+        _BroadcastAttach,
+        fn_constructor_kwargs={"sig_ref": sig_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
 
 
-# above this many distinct texts the signature table stops being a
-# "small side" and verification payloads move via partitioned joins
-BROADCAST_SIG_LIMIT = 1_000_000
+# above this signature-table footprint the sig table stops being a
+# "small side" and verification payloads move via partitioned joins.
+# Byte-based: what actually matters is whether one copy fits in a
+# worker heap + the object store, not the row count (signature rows
+# are ~1.1 KiB: 1024 B sig + id + fp + thr).
+BROADCAST_SIG_BYTES = 1_500_000_000
 
 
 def candidate_pairs(
@@ -459,7 +500,7 @@ def candidate_pairs(
 
     `attach_strategy`: "broadcast" (small sig table, no extra shuffle),
     "join" (partitioned hash join, any scale), or "auto" (broadcast
-    below BROADCAST_SIG_LIMIT rows).
+    below BROADCAST_SIG_BYTES of signature payload).
     """
     from .grouped import partitioned_group_map
 
@@ -486,9 +527,8 @@ def candidate_pairs(
         lineage_stage="lsh_pairs" if lineage else None, arrow=True,
     )
     if attach_strategy == "auto":
-        attach_strategy = (
-            "broadcast" if with_sigs.count() <= BROADCAST_SIG_LIMIT else "join"
-        )
+        size = with_sigs.size_bytes() or 0
+        attach_strategy = "broadcast" if size <= BROADCAST_SIG_BYTES else "join"
     if attach_strategy == "broadcast":
         # global pair dedup keyed on a_id: the same pair is emitted once
         # per matching band across different partitions; the join path

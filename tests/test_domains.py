@@ -133,3 +133,85 @@ class TestDomainPipeline:
         assert assign["conv-c"] == "conv-c"
         uniq = res.unique_conversations.to_pandas()
         assert "domain" in uniq.columns
+
+
+class TestDomainInference:
+    """functions/domains.py produces the `domain` column the thresholds
+    consume — URL indicators first (reference cascade_extractor.py:
+    636-661), then keyword confidence (domain_extractors.py:40-52)."""
+
+    def test_url_layer_precedence_and_order(self):
+        from quarrycore_ray.functions.domains import classify_domains
+
+        texts = pa.array(["patient diagnosis treatment"] * 4 + ["plain"])
+        urls = pa.array(
+            [
+                "https://pubmed.gov/x",      # .gov is legal, pubmed academic:
+                "https://arxiv.org/abs/1",   # academic checked FIRST
+                "https://github.com/a/b",
+                "https://example.com/page",  # no indicator -> keyword layer
+                None,                        # null URL -> keyword layer
+            ]
+        )
+        domain, _ = classify_domains(texts, urls)
+        got = domain.to_pylist()
+        assert got[0] == "academic"  # pubmed wins over .gov (check order)
+        assert got[1] == "academic"
+        assert got[2] == "technical"
+        assert got[3] == "medical"   # keyword fallback
+        assert got[4] == "general"   # null URL + no keywords
+
+    def test_keyword_confidence_and_tiebreak(self):
+        from quarrycore_ray.functions.domains import classify_domains
+
+        # "court" (legal) and "price" (ecommerce): one hit each; legal's
+        # larger keyword set gives the LOWER confidence -> ecommerce wins
+        domain, matches = classify_domains(
+            pa.array(["the court set a price", "nothing relevant here"])
+        )
+        assert domain.to_pylist() == ["ecommerce", "general"]
+        assert matches.to_pylist()[1] == 0
+
+    def test_inferred_domains_change_verify_outcome_end_to_end(self):
+        """The full chain: DomainClassifyStage -> dedup_conversations ->
+        per-domain thresholds. The same borderline pair (est 100/128 =
+        0.78, hamming 8) merges when its texts classify as ecommerce
+        (thr 0.75) and does NOT when they classify as medical (0.85) —
+        inferred from CONTENT, no synthetic tags anywhere."""
+        from quarrycore_ray.functions.domains import DomainClassifyStage
+        from quarrycore_ray.stages.lsh import candidate_pairs
+        from quarrycore_ray.stages.minhash_stage import sig_to_bytes as _stb
+
+        def outcome(word: str) -> int:
+            text = f"this text is about {word} and more {word} details"
+            classified = DomainClassifyStage()(
+                pa.table(
+                    {
+                        "conv_id": pa.array(["conv-a", "conv-b"], pa.string()),
+                        "text": pa.array([text, text + " x"], pa.string()),
+                    }
+                )
+            )
+            doms = classified["domain"].to_pylist()
+            # splice the classified domain into the borderline signature
+            # fixture and run the REAL candidate+verify path
+            tb = _sig_table(0.0, 0.0).drop_columns(["thr"])
+            tb = tb.append_column("domain", pa.array(doms, pa.string()))
+            cfg = DedupConfig()
+            import pyarrow.compute as _pc
+
+            from quarrycore_ray.pipelines.dedup import dedup_conversations as _dc
+
+            # reuse the pipeline's _add_thr mapping via dedup's config
+            thr = [cfg.threshold_for(d) for d in doms]
+            tb = tb.append_column("thr", pa.array(thr, pa.float64())).drop_columns(
+                ["domain"]
+            )
+            pairs = candidate_pairs(rd.from_arrow(tb), cfg)
+            return pairs.map_batches(
+                PairVerifier, fn_constructor_kwargs={"config": cfg},
+                batch_format="pyarrow", concurrency=1,
+            ).count()
+
+        assert outcome("checkout cart discount price") == 1  # ecommerce 0.75
+        assert outcome("patient diagnosis treatment") == 0   # medical 0.85

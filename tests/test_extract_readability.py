@@ -1,0 +1,117 @@
+"""Fixture suite for the readability-grade extraction strategy.
+
+The round-2 gap (VERDICT.md "What's missing" #1): the regex cascade
+keeps nav/boilerplate text that poisons dedup and quality scoring. The
+`readability` strategy (stages/extract.py:_extract_readability —
+unlikely-candidate containers + block segmentation + length/link-density
+classification, the published Arc90/JusText/Boilerpipe recipe) must
+strip it while the lenient regex path demonstrably keeps it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from quarrycore_ray.stages.extract import (
+    HtmlExtractStage,
+    _extract_lenient,
+    _extract_readability,
+)
+
+REAL_PAGE = """
+<html><head><title>Ray Data Guide</title><style>.x{color:red}</style>
+<script>var t = "tracking snippet";</script></head>
+<body>
+<header><div class="logo">SiteName</div>
+  <nav><ul><li><a href="/">Home</a></li><li><a href="/docs">Docs</a></li>
+  <li><a href="/blog">Blog</a></li><li><a href="/about">About us</a></li></ul></nav>
+</header>
+<div class="breadcrumb"><a href="/">Home</a> &gt; <a href="/docs">Docs</a> &gt; Guide</div>
+<main>
+  <h1>Streaming execution in Ray Data</h1>
+  <p>Ray Data executes pipelines as a stream of blocks with backpressure,
+  which keeps memory bounded even when the input is far larger than the
+  cluster's aggregate RAM.</p>
+  <!-- editorial comment that must never surface -->
+  <p>Each operator pulls blocks from its upstream operator and pushes
+  results downstream; the scheduler interleaves work so that no single
+  stage starves the others. See the <a href="/docs/exec">executor docs</a>
+  for configuration knobs and tuning advice for large clusters.</p>
+  <div class="ad-break">Subscribe to our newsletter for weekly updates!
+  Click here to win a prize now!</div>
+</main>
+<aside class="sidebar"><div><h3>Related articles</h3>
+  <ul><li><a href="/a">Ten Ray tips</a></li><li><a href="/b">Arrow internals</a></li></ul>
+  <div>Sponsored: buy cloud credits at a discount today only</div></div></aside>
+<footer><p>Copyright 2026 SiteName Inc. All rights reserved. Privacy.
+Terms of service and cookie policy.</p></footer>
+</body></html>
+"""
+
+BOILERPLATE = ["Home", "Related articles", "Sponsored", "Copyright",
+               "Subscribe", "SiteName", "tracking snippet"]
+CONTENT = ["backpressure", "starves the others", "executor docs",
+           "Streaming execution"]
+
+
+class TestReadabilityStripsBoilerplate:
+    def test_realistic_page(self):
+        text = _extract_readability(REAL_PAGE)
+        for frag in BOILERPLATE:
+            assert frag not in text, frag
+        for frag in CONTENT:
+            assert frag in text, frag
+
+    def test_regex_path_keeps_what_readability_strips(self):
+        """The documented motivation: the lenient regex strategy keeps
+        nav/footer text — readability is what removes it."""
+        lenient = _extract_lenient(REAL_PAGE)
+        assert "Copyright 2026" in lenient
+        assert "Related articles" in lenient
+        assert "Subscribe to our newsletter" in lenient
+
+    def test_link_density_drops_link_farms(self):
+        html = "<body><main><p>%s</p><div>%s</div></main></body>" % (
+            "Real paragraph content explaining a concept in enough words "
+            "to pass the length gate.",
+            " ".join(
+                f'<a href="/l{i}">Interesting link number {i}</a>'
+                for i in range(12)
+            ),
+        )
+        text = _extract_readability(html)
+        assert "Real paragraph" in text
+        assert "Interesting link" not in text
+
+    def test_nested_divs_inside_marked_container_do_not_leak(self):
+        html = (
+            "<body><div class=\"sidebar\"><div>inner widget text that is "
+            "plenty long enough to pass the block gate</div>trailing "
+            "boilerplate text that is also long enough to pass</div>"
+            "<p>Genuine article body text that is long enough to pass the "
+            "length gate.</p></body>"
+        )
+        text = _extract_readability(html)
+        assert "Genuine article" in text
+        assert "inner widget" not in text
+        assert "trailing boilerplate" not in text
+
+    def test_short_fragments_dropped(self):
+        html = "<body><p>ok</p><p>Body content long enough to clear the minimum block gate.</p></body>"
+        text = _extract_readability(html)
+        assert "Body content" in text
+        assert not text.startswith("ok")
+
+    def test_all_boilerplate_returns_none(self):
+        assert _extract_readability("<body><nav>Home About Contact</nav></body>") is None
+
+
+class TestCascadeIntegration:
+    def test_stage_prefers_readability_and_strips(self):
+        out = HtmlExtractStage()(
+            pa.table({"doc_id": pa.array([1]), "html": pa.array([REAL_PAGE])})
+        )
+        assert out["extractor"].to_pylist() == ["readability"]
+        text = out["text"].to_pylist()[0]
+        assert "Copyright" not in text and "backpressure" in text
+        assert out["title"].to_pylist() == ["Ray Data Guide"]

@@ -117,11 +117,27 @@ class TestHtmlExtract:
             ]
         )
         out = extract_html(docs).to_pandas().set_index("doc_id")
-        assert out.loc[1, "extractor"] == "strict_body"
+        assert out.loc[1, "extractor"] == "readability"
         assert out.loc[1, "title"] == "T1"
         assert "Body content" in out.loc[1, "text"]
-        assert out.loc[2, "extractor"] == "lenient"
+        assert out.loc[2, "extractor"] == "readability"
         assert out.loc[3, "extractor"] == "" and out.loc[3, "reject_reason"] == "below_min_length"
+
+    def test_strategy2_reached_when_readability_empty(self):
+        # all-link page: readability drops every block -> strict_body
+        from quarrycore_ray.stages.extract import HtmlExtractStage
+
+        import pyarrow as pa
+
+        html = (
+            "<html><body><p>"
+            + " ".join(f'<a href="/x{i}">link text number {i}</a>' for i in range(9))
+            + "</p></body></html>"
+        )
+        out = HtmlExtractStage()(
+            pa.table({"doc_id": pa.array([1]), "html": pa.array([html])})
+        )
+        assert out["extractor"].to_pylist() == ["strict_body"]
 
     def test_domain_cascade_override(self):
         # per-domain extractor ordering (reference ExtractionSettings.
@@ -144,7 +160,7 @@ class TestHtmlExtract:
         )
         stage = HtmlExtractStage(domain_overrides={"technical": ("lenient",)})
         out = stage(batch)
-        assert out["extractor"].to_pylist() == ["lenient", "strict_body"]
+        assert out["extractor"].to_pylist() == ["lenient", "readability"]
 
     def test_unknown_strategy_rejected(self):
         import pytest as _pytest

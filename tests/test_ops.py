@@ -271,3 +271,158 @@ class TestBenchContract:
             assert key in rec, f"missing key {key}"
         assert rec["unit"] == "sec" and rec["value"] > 0
         assert rec["num_cpus"] == 4 and rec["n_turns"] > 0
+
+
+class TestSemDedupMargin:
+    """semdedup_prune's oracle agreement relies on every candidate
+    cosine keeping a wide margin from the 0.35 threshold (engine GEMM
+    vs DuckDB list_cosine_similarity can differ by ~1 ulp). Assert the
+    margin on the driver corpora so a testdata change fails loudly."""
+
+    @pytest.mark.parametrize(
+        "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_threshold_margin(self, sf):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(f"{sf}/embeddings.parquet",
+                           columns=["vec_id", "label", "embedding"])
+        by = collections.defaultdict(list)
+        for vid, lab, e in zip(tb["vec_id"].to_pylist(),
+                               tb["label"].to_pylist(),
+                               tb["embedding"].to_pylist()):
+            by[lab].append((vid, np.asarray(e, dtype=np.float64)))
+        worst = 1.0
+        for rows in by.values():
+            rows.sort()
+            m = np.stack([r[1] for r in rows])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cos = m @ m.T
+            iu = np.tril_indices(len(rows), k=-1)
+            if len(iu[0]):
+                worst = min(worst, float(np.abs(cos[iu] - 0.35).min()))
+        assert worst > 1e-6, worst
+
+
+class TestRealImageCodecs:
+    """decode_png / decode_bmp are real from-spec codecs (multimodal.py):
+    pin them against hand-built files covering every PNG filter type and
+    the BMP 24-bit/8-bit layouts."""
+
+    def _png_with_filters(self, img, filters):
+        """Build a PNG whose y-th scanline uses filters[y], applying the
+        spec's filter functions in reverse (test-side reference)."""
+        import struct as _s
+        import zlib as _z
+
+        h, w = img.shape[:2]
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        flat = img.reshape(h, w * ch).astype(np.int32)
+        out = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            f = filters[y]
+            row = flat[y]
+            enc = np.zeros(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                enc[x] = (row[x] - pred) & 0xFF
+            out += bytes([f]) + bytes(enc.astype(np.uint8))
+            prev = row
+        from quarrycore_ray.multimodal import _PNG_MAGIC
+
+        def chunk(t, d):
+            return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+        color = {1: 0, 3: 2, 4: 6}[ch]
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _z.compress(bytes(out))) + chunk(b"IEND", b""))
+
+    def test_png_all_filters_gray_and_rgb(self):
+        from quarrycore_ray.multimodal import decode_png
+
+        rng = np.random.default_rng(5)
+        gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+        png = self._png_with_filters(gray, [0, 1, 2, 3, 4])
+        assert np.array_equal(decode_png(png), gray)
+        rgb = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        png = self._png_with_filters(rgb, [4, 3, 2, 1, 0])
+        assert np.array_equal(decode_png(png), rgb)
+
+    def test_png_roundtrip_writer(self):
+        from quarrycore_ray.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(6)
+        for shape in [(9, 11), (6, 5, 3), (4, 4, 4)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(img)), img)
+
+    def test_bmp_24bit(self):
+        import struct as _s
+
+        from quarrycore_ray.multimodal import decode_bmp
+
+        rng = np.random.default_rng(7)
+        h, w = 3, 5
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        row_bytes = (w * 3 + 3) & ~3
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = img[y][:, ::-1].tobytes()  # RGB -> BGR
+            body += row + b"\x00" * (row_bytes - len(row))
+        off = 14 + 40
+        hdr = (b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off)
+               + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0))
+        assert np.array_equal(decode_bmp(hdr + bytes(body)), img)
+
+    def test_decode_stage_handles_real_png(self):
+        from quarrycore_ray.multimodal import DecodeImageStage, encode_png
+
+        img = np.full((10, 20), 7, dtype=np.uint8)
+        t = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "payload": pa.array([encode_png(img)], pa.binary()),
+            }
+        )
+        out = DecodeImageStage(decode_stub=False)(t)
+        assert out["width"].to_pylist() == [20]
+        assert out["height"].to_pylist() == [10]
+        assert out["mean_intensity"].to_pylist() == [7.0]
+
+    def test_resize_real_png_end_to_end(self):
+        from quarrycore_ray.multimodal import (
+            DecodeImageStage,
+            ResizeStage,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (40, 30, 3), dtype=np.uint8)
+        t = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "payload": pa.array([encode_png(img)], pa.binary()),
+            }
+        )
+        resized = ResizeStage(target=8, decode_stub=False)(t)
+        out = DecodeImageStage(decode_stub=False)(resized)
+        assert out["width"].to_pylist() == [8]
+        assert out["height"].to_pylist() == [8]

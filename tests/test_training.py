@@ -679,20 +679,22 @@ class TestPowerIteration:
         out = embedding_top_component(sf, n_iter=8)
         v = out.component.to_numpy()
 
-        # serial replica of the quantized algorithm
+        # serial replica of the per-row-quantized algorithm
         emb = vecs.astype(np.float64)
         ref = np.zeros(d)
         ref[0] = 1.0
         for _ in range(8):
-            contrib = emb.T @ (emb @ ref)
-            s = np.floor(contrib * 1e9 + 0.5).astype(np.int64) / 1e9
+            w = emb @ ref
+            q = np.floor(emb * w[:, None] * 1e9 + 0.5).astype(np.int64)
+            s = q.sum(axis=0) / 1e9
             n = np.linalg.norm(s)
             ref = s / n
             nz = np.nonzero(np.abs(ref) > 1e-12)[0]
             if len(nz) and ref[nz[0]] < 0:
                 ref = -ref
-        # single batch in the engine == serial replica quantization
-        assert np.allclose(v, ref, atol=1e-9)
+        # per-row quantization => engine result == serial replica for
+        # ANY block layout, not just the single-batch case
+        assert np.allclose(v, ref, atol=1e-12)
         # converged to the planted direction
         assert abs(v[2]) > 0.99
         assert abs(np.linalg.norm(v) - 1.0) < 1e-9
