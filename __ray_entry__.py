@@ -210,14 +210,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return duplicate_turns(rd.from_arrow(transcripts_from_documents(sf_dir)))
 
     return {
+        # ------------------------------------------------------------------
+        # Entries 1-50 = the driver's CORRECTNESS check window: every
+        # SURVEY.md §2 core operator and every round-3 addition sits here
+        # (VERDICT.md round-2 "Next round" #2); long-tail analytics and
+        # beyond-reference operators are parked behind position 50 (the
+        # in-repo gate scripts/check_correctness.py still runs them all).
+        # ------------------------------------------------------------------
         # dedup core (SURVEY.md §2.1)
         "exact_dedup_docs": docs.exact_dedup_docs,
         "minhash_dedup_docs": docs.minhash_dedup_docs,
+        "dedup_transcripts_full": dedup_transcripts_full,
+        "incremental_near_dup_docs": incremental_near_dup_docs,
         "simhash_dup_pairs": docs.simhash_dup_pairs,
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
         "substring_containment": docs.substring_containment,
-        "dedup_transcripts_full": dedup_transcripts_full,
-        "incremental_near_dup_docs": incremental_near_dup_docs,
+        "fuzzy_match_docs": docs.fuzzy_match_docs,
+        # turn-level exact dedup across conversations
+        "duplicate_turns": duplicate_turns_q,
+        "segment_dedup_docs": cur.segment_dedup_docs,
+        # content-domain classifier (round-3: DomainType producer; feeds
+        # the per-domain dedup thresholds)
+        "domain_classify_docs": docs.domain_classify_docs,
+        # semantic dedup / similarity search (§2.1 D12)
+        "knn_cosine": similarity.knn_cosine,
+        "ann_lsh_knn": similarity.ann_lsh_knn,
+        "ann_ivf_knn": similarity.ann_ivf_knn,
+        "embedding_dup_pairs": similarity.embedding_dup_pairs,
+        "semdedup_prune": similarity.semdedup_prune,
+        # int8 scalar quantization stats (shuffle-compression pass)
+        "quantize_embeddings": similarity.quantize_embeddings,
+        # transcript payload analytics (north-rule input shape)
+        "transcript_turn_stats": transcript_turn_stats,
+        "tool_usage_stats": tool_usage_stats,
+        # conversation formatter (reference formatter.py:60-77)
+        "format_conversation": dset.format_conversation,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -225,29 +252,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_docs_by_quality": docs.filter_docs_by_quality,
         "langid_docs": docs.langid_docs,
         "fingerprint_docs": docs.fingerprint_docs,
-        # content-domain classifier (DomainType producer; feeds the
-        # per-domain dedup thresholds)
-        "domain_classify_docs": docs.domain_classify_docs,
-        # structured extraction (§2.3)
         "extract_structured": docs.extract_structured,
-        "fuzzy_match_docs": docs.fuzzy_match_docs,
-        # full-text search (§2.2 FTS analog)
         "search_docs": docs.search_docs,
-        # multimodal binary-column decode (actor pool, stub codec)
+        # reference TextProcessor.clean_text (boilerplate cascade)
+        "clean_text_docs": docs.clean_text_docs,
+        # reference TextProcessor markdown structure classifier
+        "markdown_structure_docs": docs.markdown_structure_docs,
+        # corpus curation (C4/CCNet/Gopher lineage)
+        "pii_redact_docs": cur.pii_redact_docs,
+        "repetition_stats_docs": cur.repetition_stats_docs,
+        "decontaminate_docs": cur.decontaminate_docs,
+        "gopher_quality_docs": trn.gopher_quality_docs,
+        # multimodal binary-column decode (real PNG/BMP + stub codecs)
         "media_decode_stats": docs.media_decode_stats,
-        # conversation formatter (reference formatter.py:60-77)
-        "format_conversation": dset.format_conversation,
         # aggregations / sampling / sorts (§2.6, §2.7)
         "source_distribution": docs.source_distribution,
         "lang_distribution": docs.lang_distribution,
         "top_docs_by_len": docs.top_docs_by_len,
         "balanced_sample_by_source": docs.balanced_sample_by_source,
-        "vocab_stats": docs.vocab_stats,
-        # relational / windows (§2.5-2.7, §2.10)
+        # joins (§2.5): multi-way + top-k combiner, anti-join
+        "top_revenue_orders": rel.top_revenue_orders,
+        "customers_without_recent_orders": rel.customers_without_recent_orders,
+        # dataset construction (§3.3: sample -> chunk -> format -> export)
+        "chunk_documents": dset.chunk_documents,
+        "filter_docs_by_length": dset.filter_docs_by_length,
+        "train_val_test_split": dset.train_val_test_split,
+        # training-data construction (pipelines/training.py)
+        "tfidf_top_terms": trn.tfidf_top_terms,
+        "pack_sequences": trn.pack_sequences,
+        "unigram_logprob_docs": trn.unigram_logprob_docs,
+        # relational / windows (§2.10 streaming shapes)
         "events_hourly": rel.events_hourly,
-        "events_props_extract": rel.events_props_extract,
         "events_user_sessions": rel.events_user_sessions,
         "temporal_split": rel.temporal_split,
+        # ------------------------------------------------------------------
+        # position 51+: long-tail analytics / beyond-reference operators
+        # ------------------------------------------------------------------
+        "vocab_stats": docs.vocab_stats,
+        "weighted_sample_docs": dset.weighted_sample_docs,
+        "curriculum_sample": dset.curriculum_sample,
+        "rejection_sample": dset.rejection_sample,
+        "format_instruction": dset.format_instruction,
+        "events_props_extract": rel.events_props_extract,
         "orders_by_status": rel.orders_by_status,
         "customer_order_totals": rel.customer_order_totals,
         # left-outer join + aggregate (zeros for order-less customers)
@@ -258,36 +304,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": rel.promo_revenue_share,
         # two-hop dimension chain through nation -> region
         "region_supplier_counts": rel.region_supplier_counts,
-        # similarity search
-        "knn_cosine": similarity.knn_cosine,
-        "ann_lsh_knn": similarity.ann_lsh_knn,
-        "ann_ivf_knn": similarity.ann_ivf_knn,
-        "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "label_centroids": similarity.label_centroids,
         "label_scatter": similarity.label_scatter,
-        # int8 scalar quantization stats (shuffle-compression pass)
-        "quantize_embeddings": similarity.quantize_embeddings,
-        # SemDeDup-shaped cluster-scoped semantic prune
-        "semdedup_prune": similarity.semdedup_prune,
         # distributed power iteration (rows-only: iterative numeric op)
         "embedding_top_component": similarity.embedding_top_component,
-        # dataset construction (§3.3: sample -> chunk -> format -> export)
-        "chunk_documents": dset.chunk_documents,
-        "format_instruction": dset.format_instruction,
-        "filter_docs_by_length": dset.filter_docs_by_length,
-        "train_val_test_split": dset.train_val_test_split,
-        "curriculum_sample": dset.curriculum_sample,
-        "rejection_sample": dset.rejection_sample,
-        # weighted reservoir sampling (A-Res shape, deterministic priorities)
-        "weighted_sample_docs": dset.weighted_sample_docs,
         # reference dataset analytics report (analytics.py:27-101)
         "dataset_analytics_report": dset.dataset_analytics_report,
         "vocab_size_approx": vocab_size_approx,
-        # corpus curation (C4/CCNet/Gopher lineage)
-        "segment_dedup_docs": cur.segment_dedup_docs,
-        "pii_redact_docs": cur.pii_redact_docs,
-        "repetition_stats_docs": cur.repetition_stats_docs,
-        "decontaminate_docs": cur.decontaminate_docs,
         # as-of join (custom operator: Ray Data lacks a primitive)
         "events_asof_join": rel.events_asof_join,
         # bounded time-range join: view -> click conversion funnel
@@ -301,10 +324,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": rel.orders_rollup,
         # sliding-window aggregate (§2.10)
         "events_sliding_window": rel.events_sliding_window,
-        # anti-join (tagged-union, no broadcast)
-        "customers_without_recent_orders": rel.customers_without_recent_orders,
-        # multi-way join + pre-aggregation + top-k combiner (TPC-H Q3 shape)
-        "top_revenue_orders": rel.top_revenue_orders,
         # lag window (§2.10)
         "events_interarrival": rel.events_interarrival,
         # exact distinct-count per group (partial pair-dedup, disjoint partials)
@@ -316,12 +335,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": docs.top_terms,
         # CUBE aggregate (all grouping sets of status x priority)
         "orders_cube": rel.orders_cube,
-        # turn-level transcript analytics (north-rule payload)
-        "transcript_turn_stats": transcript_turn_stats,
-        # turn-level exact dedup across conversations
-        "duplicate_turns": duplicate_turns_q,
-        # agent tool-call analytics (tool column of the transcript schema)
-        "tool_usage_stats": tool_usage_stats,
         # hopping window (overlapping 2h/1h windows via bounded expansion)
         "events_hopping_window": rel.events_hopping_window,
         # robust per-group outlier filter (median + MAD, all-integer exact)
@@ -346,15 +359,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_indicators_docs": docs.quality_indicators_docs,
         # reference composite quality/readability/engagement rollups
         "content_composite_scores": docs.content_composite_scores,
-        # reference TextProcessor.clean_text (boilerplate cascade)
-        "clean_text_docs": docs.clean_text_docs,
-        # reference TextProcessor markdown structure classifier
-        "markdown_structure_docs": docs.markdown_structure_docs,
-        # training-data construction (pipelines/training.py)
-        "tfidf_top_terms": trn.tfidf_top_terms,
-        "gopher_quality_docs": trn.gopher_quality_docs,
-        "pack_sequences": trn.pack_sequences,
-        "unigram_logprob_docs": trn.unigram_logprob_docs,
         "source_mixing_weights": trn.source_mixing_weights,
         "oov_rate_docs": trn.oov_rate_docs,
         "source_overlap": trn.source_overlap,
