@@ -349,6 +349,69 @@ class FrameSampleStage:
         )
 
 
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """int16 PCM samples -> WAV bytes (stdlib `wave`; fixture helper)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+class DecodeAudioStage:
+    """Actor-pool audio decode: WAV payloads decode FOR REAL via the
+    stdlib `wave` module (RIFF/WAVE is a public container; PCM 8/16-bit);
+    other audio formats (mp3/ogg/flac) need codec libraries this
+    environment lacks and raise NotImplementedError. Output columns:
+    sample_rate, n_channels, n_samples, duration_s, rms — the audio
+    analog of DecodeImageStage's feature row.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        rates: list[int] = []
+        chans: list[int] = []
+        counts: list[int] = []
+        durs: list[float] = []
+        rms: list[float] = []
+        for p in batch["payload"].to_pylist():
+            if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                raise NotImplementedError(
+                    "no codec for this audio format in this environment"
+                )
+            with wave.open(io.BytesIO(p), "rb") as w:
+                sr = w.getframerate()
+                nc = w.getnchannels()
+                nf = w.getnframes()
+                width = w.getsampwidth()
+                raw = w.readframes(nf)
+            if width == 2:
+                x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+            elif width == 1:  # 8-bit WAV is unsigned, midpoint 128
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            else:
+                raise NotImplementedError(f"unsupported WAV sample width {width}")
+            rates.append(sr)
+            chans.append(nc)
+            counts.append(nf)
+            durs.append(nf / sr if sr else 0.0)
+            rms.append(float(np.sqrt((x * x).mean())) if x.size else 0.0)
+        batch = batch.append_column("sample_rate", pa.array(rates, pa.int32()))
+        batch = batch.append_column("n_channels", pa.array(chans, pa.int32()))
+        batch = batch.append_column("n_samples", pa.array(counts, pa.int64()))
+        batch = batch.append_column("duration_s", pa.array(durs, pa.float64()))
+        return batch.append_column("rms", pa.array(rms, pa.float64()))
+
+
 def make_fake_video(n_frames: int, width: int, height: int, seed: int) -> bytes:
     rng = np.random.default_rng(seed)
     raw = rng.integers(0, 256, n_frames * width * height, dtype=np.uint8).tobytes()

@@ -426,3 +426,39 @@ class TestRealImageCodecs:
         out = DecodeImageStage(decode_stub=False)(resized)
         assert out["width"].to_pylist() == [8]
         assert out["height"].to_pylist() == [8]
+
+
+class TestAudioDecode:
+    def test_wav_roundtrip_features(self):
+        from quarrycore_ray.multimodal import DecodeAudioStage, encode_wav
+
+        t = np.arange(16000, dtype=np.float64) / 16000.0
+        sine = (np.sin(2 * np.pi * 440 * t) * 10000).astype(np.int16)
+        payload = encode_wav(sine, sample_rate=16000)
+        out = DecodeAudioStage()(
+            pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([payload], pa.binary()),
+                }
+            )
+        )
+        assert out["sample_rate"].to_pylist() == [16000]
+        assert out["n_channels"].to_pylist() == [1]
+        assert out["n_samples"].to_pylist() == [16000]
+        assert abs(out["duration_s"].to_pylist()[0] - 1.0) < 1e-9
+        # RMS of a full-cycle sine = amplitude / sqrt(2)
+        assert abs(out["rms"].to_pylist()[0] - 10000 / np.sqrt(2)) < 25
+
+    def test_non_wav_raises(self):
+        from quarrycore_ray.multimodal import DecodeAudioStage
+
+        with pytest.raises(NotImplementedError):
+            DecodeAudioStage()(
+                pa.table(
+                    {
+                        "media_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([b"ID3\x03fakemp3"], pa.binary()),
+                    }
+                )
+            )

@@ -105,3 +105,72 @@ class TestDedupJob:
         res = dedup_transcripts(rd.read_parquet(corpus))
         direct = res.clusters.to_pandas().set_index("conv_id")["cluster_id"].to_dict()
         assert job_clusters == direct
+
+
+class TestRetention:
+    """Warm -> cold retention + hot-store backups (state/retention.py;
+    reference RetentionConfig/BackupConfig, config.py:106-148)."""
+
+    def _mk_partition(self, root, name, written_at):
+        import json as _json
+
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as f:
+            f.write(b"x" * 16)
+        with open(os.path.join(d, "_manifest.json"), "w") as f:
+            _json.dump({"written_at": written_at}, f)
+        return d
+
+    def test_archives_only_old_partitions(self, tmp_path):
+        from quarrycore_ray.state.retention import (
+            archive_partitions,
+            load_archive_manifest,
+        )
+
+        warm = str(tmp_path / "warm")
+        cold = str(tmp_path / "cold")
+        os.makedirs(warm)
+        now = 1_000_000_000.0
+        self._mk_partition(warm, "p_old", now - 40 * 86400)
+        self._mk_partition(warm, "p_new", now - 1 * 86400)
+        got = archive_partitions(warm, cold, archive_after_days=30, now=now)
+        assert got == ["p_old"]
+        assert sorted(os.listdir(warm)) == ["p_new"]
+        assert os.path.exists(os.path.join(cold, "p_old", "part-0.parquet"))
+        mf = load_archive_manifest(cold)
+        assert [m["partition"] for m in mf] == ["p_old"]
+
+    def test_reconciles_after_crash_between_copy_and_remove(self, tmp_path):
+        import shutil as _shutil
+
+        from quarrycore_ray.state.retention import archive_partitions
+
+        warm = str(tmp_path / "warm")
+        cold = str(tmp_path / "cold")
+        os.makedirs(warm)
+        now = 1_000_000_000.0
+        self._mk_partition(warm, "p_old", now - 40 * 86400)
+        # simulate the crash window: cold copy exists, warm not removed
+        _shutil.copytree(os.path.join(warm, "p_old"), os.path.join(cold, "p_old"))
+        got = archive_partitions(warm, cold, archive_after_days=30, now=now)
+        assert got == ["p_old"]
+        assert not os.path.exists(os.path.join(warm, "p_old"))
+        # idempotent on rerun
+        assert archive_partitions(warm, cold, 30, now=now) == []
+
+    def test_backup_snapshots_and_prunes(self, tmp_path):
+        from quarrycore_ray.state.retention import backup_store
+
+        store = tmp_path / "hot.db"
+        store.write_bytes(b"state-v1")
+        bdir = str(tmp_path / "backups")
+        snaps = [
+            backup_store(str(store), bdir, keep=2, now=1_000_000_000 + i)
+            for i in range(4)
+        ]
+        kept = sorted(p for p in os.listdir(bdir) if p.endswith(".bak"))
+        assert len(kept) == 2
+        assert os.path.basename(snaps[-1]) in kept
+        with open(os.path.join(bdir, kept[-1]), "rb") as f:
+            assert f.read() == b"state-v1"
