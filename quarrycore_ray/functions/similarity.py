@@ -38,9 +38,13 @@ def _embeddings(sf_dir: str) -> "rd.Dataset":
 
 
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) via the zero-copy flattened-values path —
+    list<float> columns expose one contiguous child buffer, so the only
+    copy is the float32 -> float64 cast (no per-row Python lists)."""
     ids = np.asarray(batch["vec_id"], dtype=np.int64)
-    emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-    return ids, emb
+    emb_col = batch["embedding"].combine_chunks()
+    flat = np.asarray(emb_col.values, dtype=np.float64)
+    return ids, flat.reshape(len(ids), -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -505,7 +509,10 @@ def label_scatter(sf_dir: str) -> "rd.Dataset":
     def _dist(batch: pa.Table) -> pa.Table:
         lut = ray.get(cent_ref)
         labels = np.asarray(batch["label"], dtype=np.int64)
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb_col = batch["embedding"].combine_chunks()
+        emb = np.asarray(emb_col.values, dtype=np.float64).reshape(
+            batch.num_rows, -1
+        )
         cmat = np.stack([lut[int(lb)] for lb in labels])
         diff = emb - cmat
         term_u = np.floor(diff * diff * 1e6 + 0.5).astype(np.int64)
@@ -554,7 +561,10 @@ def label_centroids(sf_dir: str) -> "rd.Dataset":
 
     def _partials(batch: pa.Table) -> pa.Table:
         labels = np.asarray(batch["label"], dtype=np.int64)
-        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb_col = batch["embedding"].combine_chunks()
+        emb = np.asarray(emb_col.values, dtype=np.float64).reshape(
+            batch.num_rows, -1
+        )
         emb_u = np.floor(emb * 1e6 + 0.5).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
         n_lab, dim = len(uniq), emb_u.shape[1]
