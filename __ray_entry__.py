@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-domain classifier (round-3: DomainType producer; feeds
         # the per-domain dedup thresholds)
         "domain_classify_docs": docs.domain_classify_docs,
+        # flagship dedup with INFERRED per-domain thresholds end-to-end
+        "dedup_docs_domain_thresholds": docs.dedup_docs_domain_thresholds,
         # semantic dedup / similarity search (§2.1 D12)
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
@@ -367,6 +369,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _domain_thr_body() -> str:
+    """(conv_id, thr) SQL body for the per-domain flagship oracle:
+    classify each document's CANONICAL text exactly like
+    functions/domains.classify_domains (the engine classifies
+    canonical_text in dedup_docs_domain_thresholds), then map the domain
+    through config.domain_minhash_thresholds (threshold_for)."""
+    from quarrycore_ray.config import DedupConfig
+    from quarrycore_ray.functions.domains import DOMAIN_KEYWORDS, KEYWORD_DOMAINS
+
+    cfg = DedupConfig()
+    thr_map = dict(cfg.domain_minhash_thresholds)
+
+    def ksum(kws) -> str:
+        return " + ".join(
+            f"(CASE WHEN contains(lt, '{k}') THEN 1 ELSE 0 END)" for k in kws
+        )
+
+    m_cols = ", ".join(
+        f"({ksum(DOMAIN_KEYWORDS[d])}) AS m_{d}" for d in KEYWORD_DOMAINS
+    )
+    c_cols = ", ".join(
+        f"(m_{d} / {float(len(DOMAIN_KEYWORDS[d]))}) * scale AS c_{d}"
+        for d in KEYWORD_DOMAINS
+    )
+    c_list = ", ".join(f"c_{d}" for d in KEYWORD_DOMAINS)
+    thr_case = " ".join(
+        f"WHEN c_{d} = gmax THEN {thr_map.get(d, cfg.threshold)}"
+        for d in KEYWORD_DOMAINS
+    )
+    return f"""
+        SELECT conv_id,
+               CASE WHEN gmax <= 0 THEN {thr_map.get("general", cfg.threshold)}
+                    {thr_case} END AS thr
+        FROM (
+          SELECT conv_id, greatest({c_list}) AS gmax, {c_list}
+          FROM (
+            SELECT conv_id, {c_cols}
+            FROM (
+              SELECT conv_id, {m_cols}, least(1.0, w / 1000.0) AS scale
+              FROM (
+                SELECT 'doc-' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id,
+                       lower({_CANON}) AS lt,
+                       len(string_split({_CANON}, ' ')) AS w
+                FROM documents
+              ) raw
+            ) cnts
+          ) confs
+        ) g
+    """
+
+
 def _domain_classify_sql() -> str:
     """DuckDB replica of functions/domains.classify_domains: per-domain
     keyword-containment counts, the reference confidence formula
@@ -459,6 +512,11 @@ def oracle_sql() -> dict[str, str]:
         # (domain_extractors.py:40-52) mirrored op-for-op; greatest()
         # + the CASE order reproduce the engine's fixed tie-break
         "domain_classify_docs": _domain_classify_sql(),
+        # flagship + per-domain thresholds: the generated SQL verifies
+        # each pair at greatest(thr_a, thr_b) from the classified domain
+        "dedup_docs_domain_thresholds": sqlgen.dedup_clusters_sql(
+            sqlgen.DOCS_CONVS_BODY, thr_body=_domain_thr_body()
+        ),
         "ngram_jaccard_pairs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words FROM documents),
             w AS (SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS i FROM c),

@@ -109,6 +109,32 @@ def minhash_dedup_docs(sf_dir: str) -> "rd.Dataset":
     return res.clusters
 
 
+def dedup_docs_domain_thresholds(sf_dir: str) -> "rd.Dataset":
+    """Flagship dedup with PER-DOMAIN verification thresholds, end to
+    end from raw content: documents -> DomainClassifyStage (inferred
+    DomainType, functions/domains.py) -> dedup_conversations, where the
+    pair verifier applies greatest(thr_a, thr_b) from
+    config.domain_minhash_thresholds (reference per-content-type rule,
+    deduplicator/deduplicator.py:84-91). Exact DuckDB oracle: the
+    generated flagship SQL with a per-representative thr CTE
+    (sqlgen.dedup_clusters_sql(thr_body=...)).
+
+    On the driver corpus no candidate pair's estimate falls between the
+    domain thresholds, so this query proves engine==oracle under the
+    per-domain rule; THRESHOLD DISCRIMINATION (a borderline pair
+    merging under ecommerce 0.75 but not medical 0.85) is pinned by
+    tests/test_domains.py::TestDomainInference."""
+    from ..functions.domains import DomainClassifyStage
+
+    convs = _docs_as_conversations(sf_dir).map_batches(
+        DomainClassifyStage,
+        fn_constructor_kwargs={"text_col": "canonical_text"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return dedup_conversations(convs).clusters
+
+
 def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs by SimHash Hamming <= 3 via 16-bit-band LSH.
 

@@ -243,13 +243,35 @@ maj AS MATERIALIZED (
 
 
 def _pair_verify_ctes(
-    pairs_cte: str, threshold: float, strict_hamming: int, num_perm: int
+    pairs_cte: str,
+    threshold: float,
+    strict_hamming: int,
+    num_perm: int,
+    thr_cte: str | None = None,
 ) -> str:
     """CTEs from ``{pairs_cte}(a_id, b_id)`` to ``edges(a_id, b_id,
     jaccard, hamming)`` via the shared duplicate predicate
     (stages/verify.py: jaccard_estimate >= threshold OR hamming <=
     strict_hamming). jaccard = equal-slot fraction of the signatures —
-    exact, since counts and /{num_perm}.0 are exactly representable."""
+    exact, since counts and /{num_perm}.0 are exactly representable.
+
+    With ``thr_cte`` (a CTE name providing (conv_id, thr)) the
+    per-domain rule applies instead of the global threshold: a pair
+    verifies at the STRICTER of its two sides' thresholds
+    (greatest(thr_a, thr_b) — stages/verify.py:79-86, reference
+    deduplicator.py:84-91)."""
+    if thr_cte:
+        pred = (
+            f"e.eq / {num_perm}.0 >= greatest(ta.thr, tb.thr) "
+            f"OR h.h <= {strict_hamming}"
+        )
+        thr_joins = (
+            f"JOIN {thr_cte} ta ON ta.conv_id = e.a_id "
+            f"JOIN {thr_cte} tb ON tb.conv_id = e.b_id"
+        )
+    else:
+        pred = f"e.eq / {num_perm}.0 >= {threshold} OR h.h <= {strict_hamming}"
+        thr_joins = ""
     return f"""
 est AS (
   SELECT p.a_id, p.b_id, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS eq
@@ -268,7 +290,8 @@ ham AS (
 edges AS MATERIALIZED (
   SELECT e.a_id, e.b_id, e.eq / {num_perm}.0 AS jaccard, h.h AS hamming
   FROM est e JOIN ham h ON e.a_id = h.a_id AND e.b_id = h.b_id
-  WHERE e.eq / {num_perm}.0 >= {threshold} OR h.h <= {strict_hamming}
+  {thr_joins}
+  WHERE {pred}
 )"""
 
 
@@ -281,6 +304,7 @@ def dedup_clusters_sql(
     num_perm: int = 128,
     seed: int = 1,
     shingle_size: int = 7,
+    thr_body: str | None = None,
 ) -> str:
     """Full flagship-dedup oracle: ``convs_body`` is the SQL body of a
     CTE producing (conv_id, canonical); the returned statement computes
@@ -299,7 +323,13 @@ def dedup_clusters_sql(
          min-reachability == stages/cluster.driver_union_find) ->
       member explosion with the reference's duplicate_type semantics
       (exact | near | unique, pipelines/dedup.assign_clusters).
+
+    ``thr_body`` (optional): SQL body of a CTE producing (conv_id, thr)
+    per REPRESENTATIVE — per-domain verification thresholds (the
+    reference's per-content-type rule); pairs then verify at
+    greatest(thr_a, thr_b) instead of the global `threshold`.
     """
+    thr_sql = f"rep_thr AS MATERIALIZED ({thr_body}),\n" if thr_body else ""
     return f"""
 WITH RECURSIVE convs AS ({convs_body}),
 groups AS MATERIALIZED (
@@ -307,7 +337,7 @@ groups AS MATERIALIZED (
   FROM convs
 ),
 reps AS (SELECT conv_id, canonical FROM groups WHERE conv_id = rep),
-{_signature_ctes("reps", num_perm, seed, shingle_size)},
+{thr_sql}{_signature_ctes("reps", num_perm, seed, shingle_size)},
 bands AS (
   SELECT conv_id, i // {rows_per_band} AS band,
          string_agg(v::VARCHAR, ',' ORDER BY i) AS key
@@ -318,7 +348,8 @@ pairs AS MATERIALIZED (
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.key = y.key AND x.conv_id < y.conv_id
 ),
-{_pair_verify_ctes("pairs", threshold, strict_hamming, num_perm)},
+{_pair_verify_ctes("pairs", threshold, strict_hamming, num_perm,
+                   thr_cte="rep_thr" if thr_body else None)},
 bi AS MATERIALIZED (
   SELECT a_id AS s, b_id AS d FROM edges
   UNION ALL SELECT b_id, a_id FROM edges
