@@ -17,6 +17,7 @@ import hashlib
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from quarrycore_ray import sqlgen
@@ -191,3 +192,93 @@ class TestOraclePreconditions:
         estimate is a multiple of 1/128; 0.85*128 = 108.8 is not an
         integer, so equality is impossible by construction)."""
         assert (0.85 * 128) % 1 != 0
+
+
+class TestRandomCorpusParity:
+    """Parity on RANDOM corpora (not just the fixed driver testdata):
+    plant near-duplicates across the whole similarity range — including
+    the LSH-marginal 0.7-0.95 zone where band-membership, estimate-vs-
+    threshold and Hamming-rescue decisions genuinely vary — and require
+    bit-identical clusters from the engine and the generated SQL."""
+
+    @pytest.mark.parametrize("seed", [101, 202])
+    def test_engine_matches_sql_on_random_corpus(self, seed, tmp_path):
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.dedup import dedup_conversations
+
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i:03d}" for i in range(400)]
+        rows = []
+        texts = []
+        for i in range(80):
+            n = int(rng.integers(30, 120))
+            words = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+            texts.append(words)
+            rows.append((i, " ".join(words)))
+        # exact copies, whitespace variants, and edits at varying depth
+        nxt = 80
+        for base in range(0, 60, 3):
+            words = list(texts[base])
+            kind = base % 9
+            if kind == 0:
+                rows.append((nxt, " ".join(words)))          # exact
+            elif kind == 3:
+                rows.append((nxt, "  ".join(words) + "\n"))  # whitespace
+            else:
+                n_edit = max(1, len(words) * (base % 5) // 20)  # 0-25% edits
+                for _ in range(n_edit):
+                    p = int(rng.integers(0, len(words)))
+                    words[p] = vocab[int(rng.integers(0, len(vocab)))]
+                rows.append((nxt, " ".join(words)))
+            nxt += 1
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq_path = str(tmp_path / "documents.parquet")
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, pq_path)
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq_path}')"
+        )
+        sql_df = (
+            con.execute(sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY))
+            .df()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+
+        def _convs(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from quarrycore_ray.text import normalize_whitespace_array
+
+            ids = [f"doc-{i:08d}" for i in b["doc_id"].to_pylist()]
+            return pa.table(
+                {
+                    "conv_id": pa.array(ids, pa.string()),
+                    "canonical_text": normalize_whitespace_array(b["text"]),
+                    "n_turns": pa.array(
+                        np.ones(b.num_rows, dtype=np.int32)
+                    ),
+                }
+            )
+
+        eng = (
+            dedup_conversations(
+                rd.read_parquet(pq_path).map_batches(_convs, batch_format="pyarrow")
+            )
+            .clusters.to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert eng.equals(sql_df[eng.columns]), (
+            eng.compare(sql_df[eng.columns]).head()
+        )
