@@ -17,7 +17,7 @@ import ray.data as rd
 
 from quarrycore_ray.config import DedupConfig
 from quarrycore_ray.oracle import SequentialLSHOracle, pair_recall
-from quarrycore_ray.pipelines.dedup import dedup_transcripts
+from quarrycore_ray.pipelines.dedup import dedup_conversations, dedup_transcripts
 from quarrycore_ray.stages.canonical import TURN_SEP, assemble_conversations
 from quarrycore_ray.synth import generate_transcripts
 from quarrycore_ray.text import normalize_whitespace, sha256_hex
@@ -313,3 +313,31 @@ class TestLabelPropSwitch:
             res_lp.unique_conversations.count()
             == res_driver.unique_conversations.count()
         )
+
+
+class TestUnicodeAndEmptyTurns:
+    def test_emoji_conversation_exact_dup_of_reordered_twin(self):
+        """Unicode/emoji text with empty turns: the reordered twin must
+        come out an exact duplicate (empty turns are skipped in
+        assembly; unicode flows through untouched)."""
+        turns = [
+            "héllo wörld 🌍 this is a test conversation",
+            "",  # empty turn must not leave a stray separator
+            "日本語のテキストと emoji 🚀 mixed content here",
+            "final turn with ümlauts and ßharp s",
+        ]
+        t1 = _mk_transcripts({"conv-a": turns, "conv-b": turns})
+        res = dedup_conversations(
+            assemble_conversations(rd.from_arrow(t1))
+        )
+        cl = res.clusters.to_pandas().set_index("conv_id")
+        assert cl.loc["conv-b", "cluster_id"] == "conv-a"
+        assert cl.loc["conv-b", "dup_kind"] == "exact"
+
+    def test_single_row_dataset(self):
+        t = _mk_transcripts({"conv-solo": ["just one short turn"]})
+        res = dedup_conversations(assemble_conversations(rd.from_arrow(t)))
+        cl = res.clusters.to_pandas()
+        assert len(cl) == 1
+        assert cl["dup_kind"].iloc[0] == "unique"
+        assert bool(cl["is_representative"].iloc[0])
