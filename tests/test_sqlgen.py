@@ -282,3 +282,31 @@ class TestRandomCorpusParity:
         assert eng.equals(sql_df[eng.columns]), (
             eng.compare(sql_df[eng.columns]).head()
         )
+
+
+class TestIncrementalPreconditions:
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+    def test_cross_bucket_hist_side_under_cap(self, sf):
+        """The incremental oracle ignores the engine's historical-side
+        bucket cap (64); assert no tagged band bucket's hist side ever
+        reaches it on the driver corpora."""
+        con = _con(sf)
+        sql = f"""
+        WITH hist AS ({sqlgen.TRANSCRIPT_HIST_BODY}),
+        newb AS ({sqlgen.TRANSCRIPT_NEW_BODY}),
+        tagged AS (
+          SELECT 'h|' || conv_id AS conv_id, canonical FROM hist
+          UNION ALL SELECT 'n|' || conv_id, canonical FROM newb
+        ),
+        {sqlgen._signature_ctes("tagged", 128, 1, 7)},
+        bands AS (
+          SELECT conv_id, i // 16 AS band,
+                 string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+          FROM sigs GROUP BY conv_id, i // 16
+        )
+        SELECT max(cnt) FROM (
+          SELECT band, key, count(*) AS cnt FROM bands
+          WHERE conv_id LIKE 'h|%' GROUP BY band, key
+        )
+        """
+        assert con.execute(sql).fetchone()[0] <= 64
