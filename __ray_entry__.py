@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_classify_docs": docs.domain_classify_docs,
         # flagship dedup with INFERRED per-domain thresholds end-to-end
         "dedup_docs_domain_thresholds": docs.dedup_docs_domain_thresholds,
+        # extraction cascade over deterministic boilerplate-laden pages
+        "extract_html_docs": docs.extract_html_docs,
         # semantic dedup / similarity search (§2.1 D12)
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
@@ -517,6 +519,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs_domain_thresholds": sqlgen.dedup_clusters_sql(
             sqlgen.DOCS_CONVS_BODY, thr_body=_domain_thr_body()
         ),
+        # extraction cascade: readability must strip the planted page
+        # boilerplate, recovering exactly the normalized document text
+        "extract_html_docs": f"""
+            SELECT doc_id, {_CANON} AS text, 'doc ' || doc_id AS title,
+                   'readability' AS extractor, '' AS reject_reason
+            FROM documents
+        """,
         "ngram_jaccard_pairs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words FROM documents),
             w AS (SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS i FROM c),

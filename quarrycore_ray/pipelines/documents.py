@@ -109,6 +109,50 @@ def minhash_dedup_docs(sf_dir: str) -> "rd.Dataset":
     return res.clusters
 
 
+def extract_html_docs(sf_dir: str) -> "rd.Dataset":
+    """Extraction-cascade driver query: wrap each document in a
+    deterministic page template with REAL boilerplate (nav, breadcrumbs,
+    ad block, footer) and run the full cascade (stages/extract.py).
+    The readability strategy must win and strip every planted
+    boilerplate fragment, leaving exactly the document's normalized
+    text — which makes the result SQL-expressible: the oracle asserts
+    extractor/title/reject_reason AND the recovered text against the
+    canonical column (documents contain no [&<>], so entity decoding is
+    the identity; pinned by the sqlgen precondition tests)."""
+    from ..stages.extract import extract_html
+
+    def _page(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        pages = [
+            (
+                f"<html><head><title>doc {i}</title>"
+                "<style>.x{color:red}</style></head><body>"
+                "<header><nav><a href='/'>Home</a> <a href='/a'>About</a>"
+                " <a href='/c'>Contact</a></nav></header>"
+                "<div class='breadcrumb'><a href='/'>Home</a> &gt; Docs</div>"
+                f"<main><p>{t}</p></main>"
+                "<div class='ad-break'>Subscribe to our newsletter now!</div>"
+                "<footer><p>Copyright 2026 Example Inc. All rights "
+                "reserved.</p></footer></body></html>"
+            )
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "html": pa.array(pages, pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _page, batch_format="pyarrow"
+    )
+    return extract_html(docs).select_columns(
+        ["doc_id", "text", "title", "extractor", "reject_reason"]
+    )
+
+
 def dedup_docs_domain_thresholds(sf_dir: str) -> "rd.Dataset":
     """Flagship dedup with PER-DOMAIN verification thresholds, end to
     end from raw content: documents -> DomainClassifyStage (inferred
