@@ -759,25 +759,26 @@ def fingerprint_docs(sf_dir: str) -> "rd.Dataset":
 
 
 def media_decode_stats(sf_dir: str) -> "rd.Dataset":
-    """Multimodal binary-column plumbing, exact-checked: each document
-    row becomes a deterministic fake image payload (bytes
-    (doc_id + i) % 256 over a doc_id-derived raster), the REAL
-    actor-pool decode stage (multimodal.DecodeImageStage) parses it, and
-    the DuckDB oracle recomputes width/height/mean arithmetically.
-    Output: (doc_id, width, height, mean_intensity).
+    """Multimodal binary-column plumbing, exact-checked THROUGH THE REAL
+    CODEC: each document row becomes a genuine PNG (gray raster of
+    bytes (doc_id + i) % 256 over a doc_id-derived size, written by
+    multimodal.encode_png), the actor-pool decode stage runs the
+    from-spec PNG decoder (decode_stub=False — no stub anywhere on this
+    path), and the DuckDB oracle recomputes width/height/mean
+    arithmetically. Output: (doc_id, width, height, mean_intensity).
     """
-    import struct
-
     from ..exactmath import floor_round
-    from ..multimodal import DecodeImageStage
+    from ..multimodal import DecodeImageStage, encode_png
 
     def _payloads(batch: pa.Table) -> pa.Table:
         out: list[bytes] = []
         for d in batch["doc_id"].to_pylist():
             w = 8 + d % 5
             h = 8 + d % 3
-            raw = bytes((d + i) % 256 for i in range(w * h))
-            out.append(b"IMG1" + struct.pack("<HH", w, h) + raw)
+            raster = (
+                (np.arange(w * h, dtype=np.int64) + d) % 256
+            ).astype(np.uint8).reshape(h, w)
+            out.append(encode_png(raster))
         return pa.table(
             {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
         )
@@ -797,6 +798,7 @@ def media_decode_stats(sf_dir: str) -> "rd.Dataset":
         .map_batches(_payloads, batch_format="pyarrow")
         .map_batches(
             DecodeImageStage,
+            fn_constructor_kwargs={"decode_stub": False},
             batch_format="pyarrow",
             batch_size=64,  # binary rows are wide; small batches
             concurrency=(1, 4),
