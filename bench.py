@@ -185,6 +185,10 @@ def run_bench() -> dict:
     timed("unigram_logprob_docs", trn.unigram_logprob_docs)
     timed("reading_metrics_docs", docs.reading_metrics_docs)
     timed("cohort_retention", rel.cohort_retention)
+    # round-3 operators
+    timed("domain_classify_docs", docs.domain_classify_docs)
+    timed("dedup_docs_domain_thresholds", docs.dedup_docs_domain_thresholds)
+    timed("extract_html_docs", docs.extract_html_docs)
 
     ray.shutdown()
     return {
