@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_domain_thresholds": docs.dedup_docs_domain_thresholds,
         # extraction cascade over deterministic boilerplate-laden pages
         "extract_html_docs": docs.extract_html_docs,
+        # WAV decode through the real stdlib-wave codec
+        "audio_decode_stats": docs.audio_decode_stats,
         # semantic dedup / similarity search (§2.1 D12)
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
@@ -963,6 +965,32 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum((doc_id + i) % 256) * 1.0 / (w * h)) * 1000000 + 0.5)
                        / 1000000.0 AS mean_intensity
             FROM px GROUP BY doc_id, w, h
+        """,
+        "audio_decode_stats": """
+            -- expected decode output for the deterministic ramp WAVs
+            -- (pipelines/documents.py:audio_decode_stats): int16 samples
+            -- (doc_id + i) % 256 - 128, n = 64 + doc_id % 32, 8 kHz.
+            -- Sum of squares is integer-exact; sqrt and divides are
+            -- correctly-rounded IEEE ops, identical to numpy's.
+            WITH dims AS (
+                SELECT doc_id, 64 + doc_id % 32 AS n FROM documents
+            ),
+            sm AS (
+                SELECT doc_id, n,
+                       unnest(generate_series(CAST(0 AS BIGINT), n - 1)) AS i
+                FROM dims
+            ),
+            agg AS (
+                SELECT doc_id, n,
+                       sum(((doc_id + i) % 256 - 128)
+                           * ((doc_id + i) % 256 - 128)) AS ss
+                FROM sm GROUP BY doc_id, n
+            )
+            SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   floor((n / 8000.0) * 1000000 + 0.5) / 1000000.0 AS duration_s,
+                   floor(sqrt(ss * 1.0 / n) * 1000000 + 0.5) / 1000000.0 AS rms
+            FROM agg
         """,
         "search_docs": f"""
             -- keyword search: score = distinct query terms present in the

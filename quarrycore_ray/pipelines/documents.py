@@ -153,6 +153,54 @@ def extract_html_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def audio_decode_stats(sf_dir: str) -> "rd.Dataset":
+    """WAV decode through the REAL stdlib-wave codec, exact-checked:
+    each document becomes a deterministic int16 ramp WAV
+    (samples ((doc_id + i) % 256) - 128, n = 64 + doc_id % 32,
+    sample_rate 8000), DecodeAudioStage decodes it, and the oracle
+    recomputes n_samples/duration/rms arithmetically — the sum of
+    squares is integer-exact on both sides and sqrt/divide are
+    correctly-rounded IEEE ops, so the float compare is exact.
+    Output: (doc_id, sample_rate, n_samples, duration_s, rms)."""
+    from ..exactmath import floor_round
+    from ..multimodal import DecodeAudioStage, encode_wav
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for d in batch["doc_id"].to_pylist():
+            n = 64 + d % 32
+            samples = ((np.arange(n, dtype=np.int64) + d) % 256 - 128).astype(
+                np.int16
+            )
+            out.append(encode_wav(samples, sample_rate=8000))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
+        )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sample_rate": pc.cast(batch["sample_rate"], pa.int64()),
+                "n_samples": batch["n_samples"],
+                "duration_s": floor_round(batch["duration_s"], 6),
+                "rms": floor_round(batch["rms"], 6),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_payloads, batch_format="pyarrow")
+        .map_batches(
+            DecodeAudioStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+        .map_batches(_round, batch_format="pyarrow")
+    )
+
+
 def dedup_docs_domain_thresholds(sf_dir: str) -> "rd.Dataset":
     """Flagship dedup with PER-DOMAIN verification thresholds, end to
     end from raw content: documents -> DomainClassifyStage (inferred
