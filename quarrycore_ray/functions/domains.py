@@ -103,9 +103,9 @@ def _match_counts(lower_texts: pa.Array, keywords) -> np.ndarray:
     return counts
 
 
-def keyword_confidences(texts: pa.Array) -> dict[str, np.ndarray]:
-    """Per-domain reference confidence scores for a batch of texts:
-    (matches / n_keywords) * min(1, n_words / 1000)
+def _count_scale(texts: pa.Array) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """(per-domain keyword-match counts, length scale) for a batch —
+    the two inputs of the reference confidence formula
     (domain_extractors.py:40-52; n_words via single-space split of the
     whitespace-normalized text, matching the SQL oracle)."""
     lower = pc.utf8_lower(texts)
@@ -122,9 +122,17 @@ def keyword_confidences(texts: pa.Array) -> dict[str, np.ndarray]:
         dtype=np.float64,
     )
     scale = np.minimum(1.0, n_words / 1000.0)
+    counts = {d: _match_counts(lower, kws) for d, kws in DOMAIN_KEYWORDS.items()}
+    return counts, scale
+
+
+def keyword_confidences(texts: pa.Array) -> dict[str, np.ndarray]:
+    """Per-domain reference confidence scores for a batch of texts:
+    (matches / n_keywords) * min(1, n_words / 1000)."""
+    counts, scale = _count_scale(texts)
     return {
-        d: (_match_counts(lower, kws) / float(len(kws))) * scale
-        for d, kws in DOMAIN_KEYWORDS.items()
+        d: (counts[d] / float(len(DOMAIN_KEYWORDS[d]))) * scale
+        for d in DOMAIN_KEYWORDS
     }
 
 
@@ -137,12 +145,14 @@ def classify_domains(
     otherwise (and for non-matching hosts) the keyword layer decides.
     """
     n = len(texts)
-    conf = keyword_confidences(texts)
+    match_counts, scale = _count_scale(texts)
+    conf = {
+        d: (match_counts[d] / float(len(DOMAIN_KEYWORDS[d]))) * scale
+        for d in DOMAIN_KEYWORDS
+    }
     best = np.full(n, "general", dtype=object)
     best_conf = np.zeros(n, dtype=np.float64)
     matched = np.zeros(n, dtype=np.int64)
-    lower = pc.utf8_lower(texts)
-    match_counts = {d: _match_counts(lower, kws) for d, kws in DOMAIN_KEYWORDS.items()}
     # fixed preference order: strictly-greater replaces, so earlier
     # domains win ties (reference factory order)
     for d in KEYWORD_DOMAINS:
