@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_docs": docs.extract_html_docs,
         # WAV decode through the real stdlib-wave codec
         "audio_decode_stats": docs.audio_decode_stats,
+        # video frame sampling (row explosion) + per-frame decode
+        "video_frame_stats": docs.video_frame_stats,
         # semantic dedup / similarity search (§2.1 D12)
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
@@ -965,6 +967,31 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum((doc_id + i) % 256) * 1.0 / (w * h)) * 1000000 + 0.5)
                        / 1000000.0 AS mean_intensity
             FROM px GROUP BY doc_id, w, h
+        """,
+        "video_frame_stats": """
+            -- expected frame-sample output (pipelines/documents.py:
+            -- video_frame_stats): frames 0, 2, ... of n = 3 + d%4;
+            -- pixel (f, i) = (d + 7f + i) % 256 over (8+d%4) x (6+d%3)
+            WITH dims AS (
+                SELECT doc_id, 8 + doc_id % 4 AS w, 6 + doc_id % 3 AS h,
+                       3 + doc_id % 4 AS nf
+                FROM documents
+            ),
+            frames AS (
+                SELECT doc_id, w, h,
+                       unnest(generate_series(CAST(0 AS BIGINT), nf - 1, 2)) AS f
+                FROM dims
+            ),
+            px AS (
+                SELECT doc_id, f, w, h,
+                       unnest(generate_series(CAST(0 AS BIGINT), w * h - 1)) AS i
+                FROM frames
+            )
+            SELECT doc_id, f AS frame_idx,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   floor((sum((doc_id + 7 * f + i) % 256) * 1.0 / (w * h))
+                         * 1000000 + 0.5) / 1000000.0 AS mean_intensity
+            FROM px GROUP BY doc_id, f, w, h
         """,
         "audio_decode_stats": """
             -- expected decode output for the deterministic ramp WAVs

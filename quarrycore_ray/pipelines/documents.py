@@ -201,6 +201,72 @@ def audio_decode_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def video_frame_stats(sf_dir: str) -> "rd.Dataset":
+    """Video frame-sampling plumbing, exact-checked: each document
+    becomes a deterministic fake video (VID1 stub container — real
+    video codecs aren't in this environment; the CONTAINER is the
+    declared stub, the row-explosion plumbing and the per-frame decode
+    are real), FrameSampleStage emits every 2nd frame as an image
+    payload, DecodeImageStage computes per-frame stats, and the oracle
+    recomputes them arithmetically. Frame pixel (f, i) of doc d =
+    (d + f * 7 + i) % 256 over a (8 + d%4) x (6 + d%3) raster,
+    n_frames = 3 + d % 4. Output: (doc_id, frame_idx, width, height,
+    mean_intensity)."""
+    import struct as _struct
+
+    from ..exactmath import floor_round
+    from ..multimodal import DecodeImageStage, FrameSampleStage
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for d in batch["doc_id"].to_pylist():
+            w, h = 8 + d % 4, 6 + d % 3
+            nf = 3 + d % 4
+            frames = b"".join(
+                bytes(
+                    (d + f * 7 + i) % 256 for i in range(w * h)
+                )
+                for f in range(nf)
+            )
+            out.append(b"VID1" + _struct.pack("<HHH", nf, w, h) + frames)
+        return pa.table(
+            {
+                "media_id": pc.cast(batch["doc_id"], pa.int64()),
+                "payload": pa.array(out, pa.binary()),
+            }
+        )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "width": pc.cast(batch["width"], pa.int64()),
+                "height": pc.cast(batch["height"], pa.int64()),
+                "mean_intensity": floor_round(batch["mean_intensity"], 6),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_payloads, batch_format="pyarrow")
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"every": 2},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            DecodeImageStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+        .map_batches(_round, batch_format="pyarrow")
+    )
+
+
 def dedup_docs_domain_thresholds(sf_dir: str) -> "rd.Dataset":
     """Flagship dedup with PER-DOMAIN verification thresholds, end to
     end from raw content: documents -> DomainClassifyStage (inferred
