@@ -236,10 +236,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_domain_thresholds": docs.dedup_docs_domain_thresholds,
         # extraction cascade over deterministic boilerplate-laden pages
         "extract_html_docs": docs.extract_html_docs,
-        # WAV decode through the real stdlib-wave codec
-        "audio_decode_stats": docs.audio_decode_stats,
-        # video frame sampling (row explosion) + per-frame decode
-        "video_frame_stats": docs.video_frame_stats,
         # semantic dedup / similarity search (§2.1 D12)
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
@@ -277,7 +273,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distribution": docs.source_distribution,
         "lang_distribution": docs.lang_distribution,
         "top_docs_by_len": docs.top_docs_by_len,
-        "balanced_sample_by_source": docs.balanced_sample_by_source,
         # joins (§2.5): multi-way + top-k combiner, anti-join
         "top_revenue_orders": rel.top_revenue_orders,
         "customers_without_recent_orders": rel.customers_without_recent_orders,
@@ -295,7 +290,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_split": rel.temporal_split,
         # ------------------------------------------------------------------
         # position 51+: long-tail analytics / beyond-reference operators
+        # (multimodal audio/video variants of the in-window
+        # media_decode_stats; balanced sampling variant of the
+        # in-window samplers)
         # ------------------------------------------------------------------
+        "audio_decode_stats": docs.audio_decode_stats,
+        "video_frame_stats": docs.video_frame_stats,
+        "balanced_sample_by_source": docs.balanced_sample_by_source,
         "vocab_stats": docs.vocab_stats,
         "weighted_sample_docs": dset.weighted_sample_docs,
         "curriculum_sample": dset.curriculum_sample,
