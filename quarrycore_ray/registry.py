@@ -209,3 +209,49 @@ def _gopher_filter_factory():
         return ds.map_batches(_f, batch_format="pyarrow")
 
     return _stage
+
+
+@register_stage("classify_domain")
+def _domain_factory(text_col: str = "text", url_col: str | None = None):
+    from .functions.domains import DomainClassifyStage
+
+    def _stage(ds):
+        return ds.map_batches(
+            DomainClassifyStage,
+            fn_constructor_kwargs={"text_col": text_col, "url_col": url_col},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+
+    return _stage
+
+
+@register_stage("decode_image")
+def _decode_image_factory(decode_stub: bool = True, batch_size: int = 64):
+    from .multimodal import DecodeImageStage
+
+    def _stage(ds):
+        return ds.map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs={"decode_stub": decode_stub},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, 4),
+        )
+
+    return _stage
+
+
+@register_stage("decode_audio")
+def _decode_audio_factory(batch_size: int = 64):
+    from .multimodal import DecodeAudioStage
+
+    def _stage(ds):
+        return ds.map_batches(
+            DecodeAudioStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, 4),
+        )
+
+    return _stage
