@@ -45,15 +45,26 @@ class RetentionConfig:
 
 
 def _partition_age_s(path: str, now: float) -> float:
-    """Age of a partition dir: manifest `written_at` when present
-    (pipelines stamp it), else the directory mtime."""
-    mf = os.path.join(path, "_manifest.json")
-    if os.path.exists(mf):
+    """Age of a partition dir from its manifest `written_at` when
+    present, else the directory mtime. Understands both manifest
+    dialects: retention's own `_manifest.json` (epoch float, written by
+    `stamp_partition`) and the checkpoint manager's `_MANIFEST.json`
+    (ISO local time, state/checkpoint.py) — so a job's stage
+    directories are retention-ready with no extra stamping."""
+    for name in ("_manifest.json", "_MANIFEST.json"):
+        mf = os.path.join(path, name)
+        if not os.path.exists(mf):
+            continue
         try:
             with open(mf) as f:
-                return now - float(json.load(f)["written_at"])
+                raw = json.load(f)["written_at"]
+            if isinstance(raw, (int, float)):
+                return now - float(raw)
+            return now - time.mktime(
+                time.strptime(str(raw), "%Y-%m-%dT%H:%M:%S")
+            )
         except Exception:
-            pass
+            continue
     return now - os.path.getmtime(path)
 
 

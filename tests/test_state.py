@@ -174,3 +174,22 @@ class TestRetention:
         assert os.path.basename(snaps[-1]) in kept
         with open(os.path.join(bdir, kept[-1]), "rb") as f:
             assert f.read() == b"state-v1"
+
+    def test_checkpoint_stage_dirs_are_retention_ready(self, tmp_path):
+        """A CheckpointManager stage directory (its _MANIFEST.json uses
+        ISO written_at) ages out through archive_partitions directly."""
+        import time as _time
+
+        from quarrycore_ray.state.checkpoint import CheckpointManager
+        from quarrycore_ray.state.retention import archive_partitions
+
+        root = str(tmp_path / "job")
+        ckpt = CheckpointManager(root)
+        ckpt.stage("edges", lambda: rd.range(5))
+        now = _time.time() + 40 * 86400
+        cold = str(tmp_path / "cold")
+        got = archive_partitions(root, cold, archive_after_days=30, now=now)
+        assert got == ["edges"]
+        assert os.path.exists(os.path.join(cold, "edges", "_MANIFEST.json"))
+        # the fresh warm side is empty; a rerun is a no-op
+        assert archive_partitions(root, cold, 30, now=now) == []
