@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_domain_thresholds": docs.dedup_docs_domain_thresholds,
         # extraction cascade over deterministic boilerplate-laden pages
         "extract_html_docs": docs.extract_html_docs,
+        # OG/Twitter/author/date metadata extraction over deterministic
+        # pages (both meta attribute orders exercised)
+        "extract_metadata_docs": docs.extract_metadata_docs,
         # semantic dedup / similarity search (§2.1 D12)
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
@@ -247,8 +250,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcript payload analytics (north-rule input shape)
         "transcript_turn_stats": transcript_turn_stats,
         "tool_usage_stats": tool_usage_stats,
-        # conversation formatter (reference formatter.py:60-77)
-        "format_conversation": dset.format_conversation,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -297,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         "balanced_sample_by_source": docs.balanced_sample_by_source,
+        # conversation formatter (reference formatter.py:60-77;
+        # format_instruction's sibling — chunk/split reps stay in-window)
+        "format_conversation": dset.format_conversation,
         "vocab_stats": docs.vocab_stats,
         "weighted_sample_docs": dset.weighted_sample_docs,
         "curriculum_sample": dset.curriculum_sample,
@@ -968,6 +972,20 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum((doc_id + i) % 256) * 1.0 / (w * h)) * 1000000 + 0.5)
                        / 1000000.0 AS mean_intensity
             FROM px GROUP BY doc_id, w, h
+        """,
+        "extract_metadata_docs": """
+            -- expected metadata fields for the deterministic pages
+            -- (pipelines/documents.py:extract_metadata_docs)
+            SELECT doc_id,
+                   'Doc ' || doc_id || ' from ' || source AS og_title,
+                   source || ' document ' || doc_id AS og_description,
+                   'https://img.example/' || doc_id || '.png' AS og_image,
+                   'summary' AS twitter_card,
+                   'author-' || (doc_id % 7) AS author,
+                   'Doc ' || doc_id AS title,
+                   '2026-01-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                       AS published_date
+            FROM documents
         """,
         "video_frame_stats": """
             -- expected frame-sample output (pipelines/documents.py:

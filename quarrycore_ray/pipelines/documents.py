@@ -153,6 +153,52 @@ def extract_html_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def extract_metadata_docs(sf_dir: str) -> "rd.Dataset":
+    """Metadata extraction (OG/Twitter/author/date,
+    functions/metadata.py; reference metadata_extractor.py:152-592)
+    exact-checked: deterministic pages carry meta tags derived from doc
+    columns — alternating attribute order (name-first vs content-first)
+    by doc parity so BOTH regex directions are exercised — and the
+    oracle recomputes every field arithmetically."""
+    from ..functions.metadata import metadata_stage
+
+    def _page(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        pages = []
+        for i, s in zip(ids, srcs):
+            day = 1 + i % 28
+            if i % 2 == 0:
+                metas = (
+                    f"<meta property='og:title' content='Doc {i} from {s}'>"
+                    f"<meta name='description' content='{s} document {i}'>"
+                    f"<meta property='og:image' content='https://img.example/{i}.png'>"
+                    f"<meta name='twitter:card' content='summary'>"
+                    f"<meta name='author' content='author-{i % 7}'>"
+                )
+            else:  # content-first attribute order
+                metas = (
+                    f"<meta content='Doc {i} from {s}' property='og:title'>"
+                    f"<meta content='{s} document {i}' name='description'>"
+                    f"<meta content='https://img.example/{i}.png' property='og:image'>"
+                    f"<meta content='summary' name='twitter:card'>"
+                    f"<meta content='author-{i % 7}' name='author'>"
+                )
+            pages.append(
+                f"<html><head><title>Doc {i}</title>{metas}</head>"
+                f"<body><span>published 2026-01-{day:02d}</span></body></html>"
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(pages, pa.string())}
+        )
+
+    return metadata_stage(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            _page, batch_format="pyarrow"
+        )
+    ).drop_columns(["html"])
+
+
 def audio_decode_stats(sf_dir: str) -> "rd.Dataset":
     """WAV decode through the REAL stdlib-wave codec, exact-checked:
     each document becomes a deterministic int16 ramp WAV
