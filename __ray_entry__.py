@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_classify_docs": docs.domain_classify_docs,
         # flagship dedup with INFERRED per-domain thresholds end-to-end
         "dedup_docs_domain_thresholds": docs.dedup_docs_domain_thresholds,
+        # flagship dedup with the skew cap BINDING (planted hot band)
+        "dedup_docs_hotband": docs.dedup_docs_hotband,
         # extraction cascade over deterministic boilerplate-laden pages
         "extract_html_docs": docs.extract_html_docs,
         # OG/Twitter/author/date metadata extraction over deterministic
@@ -272,7 +274,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_stats": docs.media_decode_stats,
         # aggregations / sampling / sorts (§2.6, §2.7)
         "source_distribution": docs.source_distribution,
-        "lang_distribution": docs.lang_distribution,
         "top_docs_by_len": docs.top_docs_by_len,
         # joins (§2.5): multi-way + top-k combiner, anti-join
         "top_revenue_orders": rel.top_revenue_orders,
@@ -298,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         "balanced_sample_by_source": docs.balanced_sample_by_source,
+        # distribution sibling of the in-window source_distribution
+        "lang_distribution": docs.lang_distribution,
         # conversation formatter (reference formatter.py:60-77;
         # format_instruction's sibling — chunk/split reps stay in-window)
         "format_conversation": dset.format_conversation,
@@ -378,6 +381,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": trn.pmi_bigrams,
         "filter_below_source_median": trn.filter_below_source_median,
     }
+
+
+def _hotband_body() -> str:
+    """convs body planting the hot-band family: documents plus
+    HOTBAND_VARIANTS suffix variants of document 0 (appending ' v{k}'
+    only adds shingles, so band slices collide and the engine's skew
+    cap binds; see pipelines/documents.dedup_docs_hotband)."""
+    from quarrycore_ray.pipelines.documents import HOTBAND_VARIANTS
+
+    return f"""
+  SELECT 'doc-' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id,
+         {_CANON} AS canonical
+  FROM documents
+  UNION ALL
+  SELECT 'hot-' || lpad(k::VARCHAR, 4, '0'),
+         (SELECT {_CANON} FROM documents WHERE doc_id = 0) || ' v' || k
+  FROM generate_series(0, {HOTBAND_VARIANTS - 1}) AS g(k)
+"""
 
 
 def _domain_thr_body() -> str:
@@ -528,6 +549,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs_domain_thresholds": sqlgen.dedup_clusters_sql(
             sqlgen.DOCS_CONVS_BODY, thr_body=_domain_thr_body()
         ),
+        # hot-band skew: the oracle computes the UNCAPPED full closure;
+        # the engine's capped+bridged pair generation must agree
+        "dedup_docs_hotband": sqlgen.dedup_clusters_sql(_hotband_body()),
         # extraction cascade: readability must strip the planted page
         # boilerplate, recovering exactly the normalized document text
         "extract_html_docs": f"""

@@ -313,6 +313,46 @@ def video_frame_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+HOTBAND_VARIANTS = 150
+
+
+def dedup_docs_hotband(sf_dir: str) -> "rd.Dataset":
+    """Flagship dedup with the SKEW CAP GENUINELY BINDING, exact-checked:
+    150 suffix variants of document 0 are planted (appending ' v{k}'
+    only ADDS shingles, so the variants keep most 16-slot band slices
+    identical and pile >64 members into hot LSH buckets — at sf0.01 the
+    cap drops >30k of the naive pairs, visible in lineage). The engine's
+    capped pair generation + bridge links must still produce the SAME
+    connected components as the oracle's uncapped full transitive
+    closure — the north-rule skew-splitting connectivity guarantee,
+    verified bit-for-bit by the driver gate (the SQL side knows nothing
+    about the cap). tests/test_dedup_pipeline.py asserts via lineage
+    that the cap actually binds on this input, so this query cannot
+    silently degrade into a no-skew case."""
+    import pyarrow.parquet as _pq
+
+    from ..text import normalize_whitespace
+
+    tb = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    base = normalize_whitespace(
+        tb.filter(pc.equal(tb["doc_id"], pa.scalar(0)))["text"].to_pylist()[0]
+    )
+    rows = [
+        (f"hot-{k:04d}", f"{base} v{k}") for k in range(HOTBAND_VARIANTS)
+    ]
+    vt = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "canonical_text": pa.array([r[1] for r in rows], pa.string()),
+            "n_turns": pa.array(np.ones(len(rows), dtype=np.int32)),
+        }
+    )
+    convs = _docs_as_conversations(sf_dir).union(rd.from_arrow(vt))
+    return dedup_conversations(convs).clusters
+
+
 def dedup_docs_domain_thresholds(sf_dir: str) -> "rd.Dataset":
     """Flagship dedup with PER-DOMAIN verification thresholds, end to
     end from raw content: documents -> DomainClassifyStage (inferred

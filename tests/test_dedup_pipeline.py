@@ -341,3 +341,47 @@ class TestUnicodeAndEmptyTurns:
         assert len(cl) == 1
         assert cl["dup_kind"].iloc[0] == "unique"
         assert bool(cl["is_representative"].iloc[0])
+
+
+class TestHotbandQueryCapBinds:
+    def test_skew_cap_actually_binds_on_hotband_input(self):
+        """dedup_docs_hotband's value is that the skew cap BINDS while
+        clusters still match the uncapped SQL closure; assert via
+        lineage that pairs are genuinely dropped (>0) on this input so
+        the query cannot silently degrade into a no-skew case."""
+        import pyarrow.parquet as pq_
+
+        from quarrycore_ray.pipelines.dedup import dedup_conversations as _dc
+        from quarrycore_ray.pipelines.documents import (
+            HOTBAND_VARIANTS,
+            _docs_as_conversations,
+        )
+        from quarrycore_ray.state.metrics import drain_metrics
+        from quarrycore_ray.text import normalize_whitespace as _nw
+
+        sf = "/root/testdata/sf0.001"
+        tb = pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        import pyarrow.compute as pc_
+
+        base = _nw(tb.filter(pc_.equal(tb["doc_id"], pa.scalar(0)))["text"].to_pylist()[0])
+        import numpy as np_
+
+        vt = pa.table(
+            {
+                "conv_id": pa.array([f"hot-{k:04d}" for k in range(HOTBAND_VARIANTS)]),
+                "canonical_text": pa.array([f"{base} v{k}" for k in range(HOTBAND_VARIANTS)]),
+                "n_turns": pa.array(np_.ones(HOTBAND_VARIANTS, dtype=np_.int32)),
+            }
+        )
+        drain_metrics()  # clear any prior rows
+        res = _dc(
+            _docs_as_conversations(sf).union(rd.from_arrow(vt)), lineage=True
+        )
+        res.clusters.materialize()
+        m = drain_metrics().to_pandas()
+        dropped = int(m[m.stage == "lsh_pairs"].dropped_pairs_skew_cap.sum())
+        assert dropped > 0, "skew cap no longer binds on the hotband input"
+        # the hot family must still land in ONE cluster (bridge links)
+        cl = res.clusters.to_pandas()
+        hot = cl[cl.conv_id.str.startswith("hot-")]
+        assert hot.cluster_id.nunique() == 1
