@@ -288,7 +288,11 @@ ham AS (
   GROUP BY p.a_id, p.b_id
 ),
 edges AS MATERIALIZED (
-  SELECT e.a_id, e.b_id, e.eq / {num_perm}.0 AS jaccard, h.h AS hamming
+  -- CAST: DuckDB sums return HUGEINT, which pandas renders as float64;
+  -- the engine's hamming column is int64 and the driver's value hash
+  -- is dtype-sensitive
+  SELECT e.a_id, e.b_id, e.eq / {num_perm}.0 AS jaccard,
+         CAST(h.h AS BIGINT) AS hamming
   FROM est e JOIN ham h ON e.a_id = h.a_id AND e.b_id = h.b_id
   {thr_joins}
   WHERE {pred}
