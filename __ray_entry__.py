@@ -1994,9 +1994,13 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN mcontrib mc ON mc.doc_id = b.doc_id
                 LEFT JOIN cfreq cf ON cf.doc_id = b.doc_id
             )
-            SELECT doc_id, wc AS word_count, sc AS sentence_count,
-                   pc AS paragraph_count, syll AS syllables,
-                   n_complex AS complex_words,
+            SELECT doc_id,
+                   -- BIGINT casts (HUGEINT sums -> float64 in pandas)
+                   CAST(wc AS BIGINT) AS word_count,
+                   CAST(sc AS BIGINT) AS sentence_count,
+                   CAST(pc AS BIGINT) AS paragraph_count,
+                   CAST(syll AS BIGINT) AS syllables,
+                   CAST(n_complex AS BIGINT) AS complex_words,
                    floor((CASE WHEN wc > 0 THEN wc / 200 ELSE 0.0 END)
                          * 1000000 + 0.5) / 1000000.0 AS reading_time,
                    floor((CASE WHEN sc > 0 THEN wc * 1.0 / greatest(sc, 1)
@@ -2344,8 +2348,13 @@ def oracle_sql() -> dict[str, str]:
                            AS li
                 FROM cls GROUP BY doc_id
             )
-            SELECT a.doc_id, a.n_headers, a.n_lists, a.n_quotes,
-                   a.n_paragraphs,
+            SELECT a.doc_id,
+                   -- BIGINT casts: DuckDB sums come back HUGEINT which
+                   -- pandas renders float64; engine columns are int64
+                   CAST(a.n_headers AS BIGINT) AS n_headers,
+                   CAST(a.n_lists AS BIGINT) AS n_lists,
+                   CAST(a.n_quotes AS BIGINT) AS n_quotes,
+                   CAST(a.n_paragraphs AS BIGINT) AS n_paragraphs,
                    COALESCE((SELECT regexp_extract(c.s, '^#{1,6}\s+(.+)$', 1)
                              FROM cls c
                              WHERE c.doc_id = a.doc_id AND c.i = a.hi), '')
