@@ -383,6 +383,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _ann_lsh_sql(n_queries: int = 5, k: int = 5) -> str:
+    """DuckDB replica of functions/similarity.ann_lsh_knn: the engine's
+    quantized hyperplanes are embedded as literals, bucket bits are
+    signs of exact integer dot products, cosines derive from integer
+    dots/norms with a single correctly-rounded multiply/sqrt/divide —
+    bit-identical to the engine by construction (no float summation
+    anywhere)."""
+    from quarrycore_ray.functions.similarity import lsh_planes_u
+
+    pu = lsh_planes_u(dim=64)
+    rows = ",".join(
+        f"({t},{p},{j},{int(pu[t, p, j])})"
+        for t in range(pu.shape[0])
+        for p in range(pu.shape[1])
+        for j in range(pu.shape[2])
+    )
+    return f"""
+        WITH comp AS MATERIALIZED (
+          SELECT vec_id, i - 1 AS j,
+                 CAST(floor(e * 1000000 + 0.5) AS BIGINT) AS xu
+          FROM (
+            SELECT vec_id,
+                   unnest(CAST(embedding AS DOUBLE[])) AS e,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+            FROM embeddings
+          )
+        ),
+        n2 AS MATERIALIZED (
+          SELECT vec_id, sum(xu * xu) AS n2 FROM comp GROUP BY vec_id
+        ),
+        planes AS (SELECT * FROM (VALUES {rows}) AS p(t, pl, j, w)),
+        proj AS (
+          SELECT c.vec_id, p.t, p.pl, sum(c.xu * p.w) AS d
+          FROM comp c JOIN planes p ON p.j = c.j
+          GROUP BY c.vec_id, p.t, p.pl
+        ),
+        keys AS MATERIALIZED (
+          SELECT vec_id,
+                 sum(CASE WHEN d > 0 THEN (1::BIGINT << pl) ELSE 0 END)
+                   | (t::BIGINT << 32) AS bucket
+          FROM proj GROUP BY vec_id, t
+        ),
+        cand AS (
+          SELECT DISTINCT kq.vec_id AS q_id, kx.vec_id AS n_id
+          FROM keys kq JOIN keys kx ON kq.bucket = kx.bucket
+          WHERE kq.vec_id < {n_queries} AND kx.vec_id != kq.vec_id
+        ),
+        dots AS (
+          SELECT c.q_id, c.n_id, sum(a.xu * b.xu) AS du
+          FROM cand c
+          JOIN comp a ON a.vec_id = c.q_id
+          JOIN comp b ON b.vec_id = c.n_id AND b.j = a.j
+          GROUP BY c.q_id, c.n_id
+        ),
+        cosv AS (
+          SELECT d.q_id, d.n_id,
+                 CAST(d.du AS DOUBLE)
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS c
+          FROM dots d
+          JOIN n2 na ON na.vec_id = d.q_id
+          JOIN n2 nb ON nb.vec_id = d.n_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id, c,
+                 row_number() OVER (
+                   PARTITION BY q_id ORDER BY c DESC, n_id
+                 ) AS rank
+          FROM cosv
+        )
+        SELECT q_id, n_id, rank,
+               floor(c * 1000000 + 0.5) / 1000000.0 AS cosine
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _hotband_body() -> str:
     """convs body planting the hot-band family: documents plus
     HOTBAND_VARIANTS suffix variants of document 0 (appending ' v{k}'
@@ -552,6 +627,9 @@ def oracle_sql() -> dict[str, str]:
         # hot-band skew: the oracle computes the UNCAPPED full closure;
         # the engine's capped+bridged pair generation must agree
         "dedup_docs_hotband": sqlgen.dedup_clusters_sql(_hotband_body()),
+        # hyperplane-LSH ANN in exact integer arithmetic: planes
+        # embedded as literals, buckets = integer dot signs
+        "ann_lsh_knn": _ann_lsh_sql(),
         # extraction cascade: readability must strip the planted page
         # boilerplate, recovering exactly the normalized document text
         "extract_html_docs": f"""

@@ -207,6 +207,29 @@ def embedding_dup_pairs(
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+#: micro-unit quantum for the hyperplane-LSH integer arithmetic
+_LSH_Q = 1_000_000
+
+
+def lsh_planes_u(
+    dim: int, n_planes: int = 8, n_tables: int = 8, seed: int = 13
+) -> np.ndarray:
+    """(n_tables, n_planes, dim) int64 hyperplanes: standard-normal
+    draws quantized to micro-units. Shared by the engine and the
+    generated DuckDB oracle (which embeds the same integers as
+    literals), so bucket membership is EXACT integer arithmetic on both
+    sides — no float summation-order dependence anywhere."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    return np.floor(planes * _LSH_Q + 0.5).astype(np.int64)
+
+
+def _quantize_u(emb: np.ndarray) -> np.ndarray:
+    """Micro-unit quantization of raw embedding components — the same
+    floor(x * 1e6 + 0.5) the SQL side computes from the parquet floats."""
+    return np.floor(emb * _LSH_Q + 0.5).astype(np.int64)
+
+
 def ann_lsh_knn(
     sf_dir: str,
     n_queries: int = 5,
@@ -215,31 +238,35 @@ def ann_lsh_knn(
     n_tables: int = 8,
     seed: int = 13,
 ) -> pd.DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucketing.
+    """Approximate top-k via random-hyperplane LSH bucketing
+    (Charikar 2002), in EXACT integer arithmetic: embeddings and planes
+    are quantized to 1e-6 micro-units, bucket bits are signs of integer
+    dot products, and cosines derive from integer dots and norms
+    (float ops limited to one correctly-rounded sqrt/divide pair) — so
+    the whole operator is bit-reproducible in the generated DuckDB
+    oracle (`__ray_entry__._ann_lsh_sql`), summation order be damned.
 
     Each of `n_tables` tables hashes a vector to an `n_planes`-bit
-    bucket by the sign pattern of projections onto fixed random
-    hyperplanes; queries scan only their bucket per table. The bucket
+    bucket; queries scan only their bucket per table. The bucket
     groupby is the shuffle; per-bucket scoring is a small matmul.
     """
     dim = len(_embeddings(sf_dir).take(1)[0]["embedding"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-    planes_ref = ray.put(planes)
+    planes_u = lsh_planes_u(dim, n_planes, n_tables, seed)
+    planes_ref = ray.put(planes_u)
 
     qdf = _embeddings(sf_dir).filter(expr=f"vec_id < {n_queries}").to_pandas()
     q_ids = qdf["vec_id"].to_numpy(dtype=np.int64)
-    q_mat = _normalize(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
-    q_ref = ray.put((q_ids, q_mat))
+    q_u = _quantize_u(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
+    q_ref = ray.put((q_ids, q_u))
 
     def _buckets(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids, emb = _to_matrix(batch)
-        emb_n = _normalize(emb)
+        emb_u = _quantize_u(emb)
         out_key: list[np.ndarray] = []
         n = len(ids)
         for t in range(n_tables):
-            proj = emb_n @ pl[t].T  # (n, n_planes)
+            proj = emb_u @ pl[t].T  # (n, n_planes) exact int64
             bits = (proj > 0).astype(np.int64)
             key = bits @ (1 << np.arange(n_planes, dtype=np.int64))
             out_key.append(key | (t << 32))
@@ -274,6 +301,7 @@ def ann_lsh_knn(
         ids = df["vec_id"].to_numpy()
         bounds = run_bounds(keys)
         emb_all: np.ndarray | None = None
+        n2_all: np.ndarray | None = None
         rows_q: list[np.ndarray] = []
         rows_n: list[np.ndarray] = []
         rows_c: list[np.ndarray] = []
@@ -282,14 +310,22 @@ def ann_lsh_knn(
             present = [q for q in bucket_ids if q in qset]
             if not present:
                 continue
-            if emb_all is None:  # decode embeddings lazily, once
-                emb_all = _normalize(
+            if emb_all is None:  # decode + quantize lazily, once
+                emb_all = _quantize_u(
                     np.asarray(df["embedding"].to_list(), dtype=np.float64)
                 )
+                n2_all = (emb_all * emb_all).sum(axis=1)  # exact int64
             emb = emb_all[s:e]
+            n2 = n2_all[s:e]
             for q in present:
-                qv = qmat[np.where(qids == q)[0][0]]
-                cos = emb @ qv
+                qrow = np.where(qids == q)[0][0]
+                qv = qmat[qrow]
+                qn2 = float((qv * qv).sum())
+                # cosine from exact integer dot/norms; the only float
+                # ops are one correctly-rounded multiply/sqrt/divide —
+                # identical in DuckDB
+                dots = (emb @ qv).astype(np.float64)
+                cos = dots / np.sqrt(n2.astype(np.float64) * qn2)
                 mask = bucket_ids != q
                 rows_q.append(np.full(int(mask.sum()), q, dtype=np.int64))
                 rows_n.append(bucket_ids[mask])
