@@ -41,15 +41,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from quarrycore_ray.pipelines import training as trn
 
     def vocab_size_approx(sf_dir: str):
-        """HLL approximate distinct-token count (rows-only: sketch
-        estimates are not SQL-reproducible; accuracy is asserted in
-        tests against the exact count)."""
+        """HLL approximate distinct-token count, exact-oracle-checked:
+        the md5 register hash + the integer-harmonic-sum estimator make
+        every register and the final estimate reproducible in DuckDB
+        (sketches.HyperLogLog docstring); accuracy vs the exact count
+        stays asserted in tests."""
         import pandas as pd
 
         from quarrycore_ray.functions.sketches import approx_vocab_size
         from quarrycore_ray.pipelines.documents import canonical_docs
+        from quarrycore_ray.simhash import md5_feature_hash64
 
-        est = approx_vocab_size(canonical_docs(sf_dir))
+        est = approx_vocab_size(canonical_docs(sf_dir), hash64=md5_feature_hash64)
         return pd.DataFrame({"vocab_size_approx": pd.array([int(est)], dtype="int64")})
 
     def dedup_transcripts_full(sf_dir: str):
@@ -383,6 +386,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _hll_vocab_sql(p: int = 12) -> str:
+    """DuckDB replica of the md5-hash HyperLogLog vocabulary estimate
+    (functions/sketches.py): per-token 64-bit md5 hash (hex-parsed
+    little-endian), register = max leading-zero rank per p-bit index,
+    integer harmonic sum scaled by 2^maxrank (HUGEINT — exactly the
+    engine's unbounded-int sum), then the standard bias/small-range
+    corrected estimate with op-for-op float math (DuckDB ln() and
+    CPython math.log share libm)."""
+    m = 1 << p
+    maxrank = 64 - p + 1
+    return f"""
+        WITH toks AS (
+          SELECT DISTINCT t FROM (
+            SELECT unnest(string_split({_CANON}, ' ')) AS t FROM documents
+          ) WHERE t != ''
+        ),
+        hv AS (
+          SELECT CAST(CAST(('0x' || substring(hx, 15, 2) || substring(hx, 13, 2)
+                            || substring(hx, 11, 2) || substring(hx, 9, 2))
+                           AS BIGINT) AS HUGEINT) * 4294967296
+                 + CAST(('0x' || substring(hx, 7, 2) || substring(hx, 5, 2)
+                         || substring(hx, 3, 2) || substring(hx, 1, 2))
+                        AS BIGINT) AS h
+          FROM (SELECT md5(t) AS hx FROM toks)
+        ),
+        reg AS (
+          SELECT CAST(h % {m} AS BIGINT) AS idx,
+                 max(CASE WHEN h // {m} = 0 THEN {maxrank}
+                     ELSE {maxrank} - length(format('{{:b}}',
+                              CAST(h // {m} AS BIGINT))) END) AS r
+          FROM hv GROUP BY idx
+        ),
+        s AS (
+          SELECT sum(CAST(1 AS BIGINT) << ({maxrank} - r))
+                 + ({m} - count(*)) * CAST(CAST(1 AS BIGINT) << {maxrank} AS HUGEINT)
+                   AS s_int,
+                 {m} - count(*) AS zeros
+          FROM reg
+        ),
+        est AS (
+          SELECT (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                   / (CAST(s_int AS DOUBLE) / {float(1 << maxrank)}) AS raw,
+                 zeros
+          FROM s
+        )
+        SELECT CAST(floor(
+                 CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                      THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+                      ELSE raw END) AS BIGINT) AS vocab_size_approx
+        FROM est
+    """
+
+
 def _ann_lsh_sql(n_queries: int = 5, k: int = 5) -> str:
     """DuckDB replica of functions/similarity.ann_lsh_knn: the engine's
     quantized hyperplanes are embedded as literals, bucket bits are
@@ -630,6 +686,8 @@ def oracle_sql() -> dict[str, str]:
         # hyperplane-LSH ANN in exact integer arithmetic: planes
         # embedded as literals, buckets = integer dot signs
         "ann_lsh_knn": _ann_lsh_sql(),
+        # md5-hash HLL sketch: registers + estimate reproduced exactly
+        "vocab_size_approx": _hll_vocab_sql(),
         # extraction cascade: readability must strip the planted page
         # boilerplate, recovering exactly the normalized document text
         "extract_html_docs": f"""

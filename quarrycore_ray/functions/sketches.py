@@ -20,19 +20,31 @@ import numpy as np
 
 
 class HyperLogLog:
-    def __init__(self, p: int = 12):
+    """p-bit HyperLogLog with a pluggable 64-bit hash.
+
+    Default hash = blake2b (the engine-internal choice). Pass
+    ``hash64=simhash.md5_feature_hash64`` to make register contents —
+    and therefore the estimate — reproducible in DuckDB SQL (md5 is the
+    one 64-bit-capable digest DuckDB 1.0 ships); the driver query
+    `vocab_size_approx` uses that variant so the sketch is
+    exact-oracle-checked, the same two-hash design as simhash.py.
+    """
+
+    def __init__(self, p: int = 12, hash64=None):
         self.p = p
         self.m = 1 << p
         self.registers = np.zeros(self.m, dtype=np.uint8)
-        if p == 12:
-            self.alpha = 0.7213 / (1 + 1.079 / self.m)
-        else:
-            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+        self.alpha = 0.7213 / (1 + 1.079 / self.m)
+        self._hash64 = hash64
 
     def add(self, value: str) -> None:
-        h = int.from_bytes(
-            hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(), "little"
-        )
+        if self._hash64 is not None:
+            h = self._hash64(value)
+        else:
+            h = int.from_bytes(
+                hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
         idx = h & (self.m - 1)
         w = h >> self.p
         rank = (64 - self.p) - w.bit_length() + 1
@@ -50,10 +62,21 @@ class HyperLogLog:
         return out
 
     def cardinality(self) -> float:
-        est = self.alpha * self.m * self.m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        # exact-integer harmonic sum: sum(2^-r) == S / 2^maxrank with
+        # S = sum(2^(maxrank - r)) computed in unbounded python ints —
+        # summation-order-free and bit-identical to the SQL oracle's
+        # HUGEINT sum (the max possible rank is 64 - p + 1)
+        import math
+
+        maxrank = 64 - self.p + 1
+        s_int = sum(1 << (maxrank - int(r)) for r in self.registers)
+        inv = s_int / float(1 << maxrank)
+        est = self.alpha * self.m * self.m / inv
         zeros = int((self.registers == 0).sum())
         if est <= 2.5 * self.m and zeros:
-            est = self.m * np.log(self.m / zeros)  # small-range correction
+            # math.log (libm) rather than np.log (SIMD variant) so the
+            # correction matches DuckDB's ln() on the same libm
+            est = self.m * math.log(self.m / zeros)  # small-range correction
         return float(est)
 
     def to_bytes(self) -> bytes:
@@ -210,20 +233,23 @@ def approx_quantiles(
     return {q: merged.quantile(q) for q in qs}
 
 
-def approx_vocab_size(ds, text_col: str = "canonical", p: int = 12) -> float:
+def approx_vocab_size(
+    ds, text_col: str = "canonical", p: int = 12, hash64=None
+) -> float:
     """Distributed approximate distinct-token count: one HLL per batch
     (pre-aggregation inside map_batches), merged on the driver — the
-    shuffle-free alternative to an exact token groupby."""
+    shuffle-free alternative to an exact token groupby. `hash64` picks
+    the register hash (see HyperLogLog; md5 variant = SQL-checkable)."""
     import pyarrow as pa
 
     def _sketch(batch: pa.Table) -> pa.Table:
-        hll = HyperLogLog(p)
+        hll = HyperLogLog(p, hash64=hash64)
         for t in batch[text_col].to_pylist():
             if t:
                 hll.add_many(t.split(" "))
         return pa.table({"sketch": pa.array([hll.to_bytes()], pa.binary())})
 
-    merged = HyperLogLog(p)
+    merged = HyperLogLog(p, hash64=hash64)
     for b in ds.map_batches(_sketch, batch_format="pyarrow").iter_batches(
         batch_size=1024, batch_format="pyarrow"
     ):
