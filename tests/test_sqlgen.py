@@ -310,3 +310,67 @@ class TestIncrementalPreconditions:
         )
         """
         assert con.execute(sql).fetchone()[0] <= 64
+
+
+class TestRandomHotbandParity:
+    def test_random_corpus_with_hot_family_matches_sql(self, tmp_path):
+        """Random corpus + an 80-member suffix family (the hot-band
+        shape): the engine's capped pair generation must still match
+        the SQL full closure bit-for-bit on non-fixture data."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.dedup import dedup_conversations
+        from quarrycore_ray.text import normalize_whitespace_array
+
+        rng = np.random.default_rng(307)
+        vocab = [f"w{i:03d}" for i in range(300)]
+        texts = [
+            " ".join(vocab[int(rng.integers(0, 300))] for _ in range(int(rng.integers(40, 90))))
+            for _ in range(60)
+        ]
+        rows = list(enumerate(texts))
+        hot_base = texts[0]
+        rows += [(100 + k, f"{hot_base} v{k}") for k in range(80)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq_path = str(tmp_path / "documents.parquet")
+        pq.write_table(tbl, pq_path)
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq_path}')"
+        )
+        sql_df = (
+            con.execute(sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY))
+            .df()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+
+        def _convs(b: pa.Table) -> pa.Table:
+            ids = [f"doc-{i:08d}" for i in b["doc_id"].to_pylist()]
+            return pa.table(
+                {
+                    "conv_id": pa.array(ids, pa.string()),
+                    "canonical_text": normalize_whitespace_array(b["text"]),
+                    "n_turns": pa.array(np.ones(b.num_rows, dtype=np.int32)),
+                }
+            )
+
+        eng = (
+            dedup_conversations(
+                rd.read_parquet(pq_path).map_batches(_convs, batch_format="pyarrow")
+            )
+            .clusters.to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert eng.equals(sql_df[eng.columns])
+        # the hot family collapsed into one cluster
+        hot = eng[eng.conv_id >= "doc-00000100"]
+        assert hot.cluster_id.nunique() == 1
