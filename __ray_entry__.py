@@ -107,9 +107,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = f"/tmp/qc_incr_index_v2_{tag}"
         if not _os.path.exists(idx):
             write_signature_index(hist, idx)
+        from quarrycore_ray.sources.io import typed_pandas as _tp2
+
         res = incremental_near_dup(new, idx)
         return (
-            res.matches.to_pandas()
+            _tp2(res.matches,
+                 {"hist_id": "object", "new_id": "object",
+                  "jaccard": "float64", "hamming": "int64"})
             .sort_values(["new_id", "hist_id"])
             .reset_index(drop=True)
         )
@@ -180,8 +184,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(_nonempty, batch_format="pyarrow")
             .materialize()
         )
-        turns = (
-            ds.groupby("tool").aggregate(_Count(alias_name="n_turns")).to_pandas()
+        from quarrycore_ray.sources.io import typed_pandas as _tp
+
+        turns = _tp(
+            ds.groupby("tool").aggregate(_Count(alias_name="n_turns")),
+            {"tool": "object", "n_turns": "int64"},
         )
 
         def _pairs(batch: _pa.Table) -> _pa.Table:
@@ -189,13 +196,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
             return pl.from_arrow(batch).unique().to_arrow().cast(batch.schema)
 
-        convs = (
+        convs = _tp(
             ds.map_batches(_pairs, batch_format="pyarrow")
             .groupby(["tool", "conv_id"])
             .aggregate(_Count(alias_name="_one"))
             .groupby("tool")
-            .aggregate(_Count(alias_name="n_convs"))
-            .to_pandas()
+            .aggregate(_Count(alias_name="n_convs")),
+            {"tool": "object", "n_convs": "int64"},
         )
         out = turns.merge(convs, on="tool")
         out["n_turns"] = out["n_turns"].astype("int64")
@@ -275,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_docs": trn.gopher_quality_docs,
         # multimodal binary-column decode (real PNG/BMP + stub codecs)
         "media_decode_stats": docs.media_decode_stats,
+        "jpeg_decode_stats": docs.jpeg_decode_stats,
         # aggregations / sampling / sorts (§2.6, §2.7)
         "source_distribution": docs.source_distribution,
         "top_docs_by_len": docs.top_docs_by_len,
@@ -1113,6 +1121,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = s_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name
+        """,
+        "jpeg_decode_stats": """
+            -- expected decode output for the constant grayscale JPEGs
+            -- (pipelines/documents.py:jpeg_decode_stats): the encoder
+            -- quantizes the DC of a constant EVEN value v = (2*d)%256
+            -- to exactly (v-128)/2 (Annex K Q[0]=16, tie-free), so the
+            -- from-spec decoder reconstructs exactly v
+            SELECT doc_id,
+                   CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+                   CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+                   CAST((2 * doc_id) % 256 AS DOUBLE) AS mean_intensity
+            FROM documents
         """,
         "media_decode_stats": """
             -- expected decode output for the deterministic fake-image

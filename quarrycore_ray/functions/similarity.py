@@ -59,12 +59,10 @@ def knn_cosine(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
     Output (q_id, n_id, rank, cosine) with cosine rounded to 6 dp and
     deterministic tie-break by neighbor id.
     """
-    qdf = (
-        _embeddings(sf_dir)
-        .filter(expr=f"vec_id < {n_queries}")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
+    qdf = _embeddings(sf_dir).filter(expr=f"vec_id < {n_queries}").to_pandas()
+    if qdf.empty:  # empty corpus: no queries, no neighbors
+        return _EMPTY_TOPK.copy()
+    qdf = qdf.sort_values("vec_id")
     q_ids = qdf["vec_id"].to_numpy(dtype=np.int64)
     q_mat = _normalize(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
     q_ref = ray.put((q_ids, q_mat))
@@ -150,6 +148,12 @@ def embedding_dup_pairs(
         )
 
     n_rows = _embeddings(sf_dir).count()
+    if n_rows == 0:  # no vectors, no pairs
+        return pd.DataFrame(
+            {"a_id": pd.Series([], dtype="int64"),
+             "b_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
     n_blocks = max(1, -(-n_rows // block_rows))
     blocks = (
         _embeddings(sf_dir)
@@ -250,7 +254,10 @@ def ann_lsh_knn(
     bucket; queries scan only their bucket per table. The bucket
     groupby is the shuffle; per-bucket scoring is a small matmul.
     """
-    dim = len(_embeddings(sf_dir).take(1)[0]["embedding"])
+    probe = _embeddings(sf_dir).take(1)
+    if not probe:  # empty corpus: no planes to fit, no queries
+        return _EMPTY_TOPK.copy()
+    dim = len(probe[0]["embedding"])
     planes_u = lsh_planes_u(dim, n_planes, n_tables, seed)
     planes_ref = ray.put(planes_u)
 
@@ -353,6 +360,17 @@ def ann_lsh_knn(
     return _finalize_topk(pdf, k)
 
 
+#: typed empty (q_id, n_id, rank, cosine) result for empty-corpus paths
+_EMPTY_TOPK = pd.DataFrame(
+    {
+        "q_id": pd.Series([], dtype="int64"),
+        "n_id": pd.Series([], dtype="int64"),
+        "rank": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+)
+
+
 def _finalize_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
     """Deterministic (q_id, n_id, rank, cosine) top-k from scored pairs."""
     out = (
@@ -415,6 +433,8 @@ def ann_ivf_knn(
     """
     ds = _embeddings(sf_dir)
     n_rows = ds.count()
+    if n_rows == 0:  # empty corpus: no index to train, no queries
+        return _EMPTY_TOPK.copy()
     # standard IVF sizing: cap cells at ~sqrt(n) so small corpora are not
     # over-partitioned (reference nlist=100 assumes a large index)
     nlist = max(1, min(nlist, int(np.sqrt(n_rows)) + 1))
@@ -534,6 +554,12 @@ def label_scatter(sf_dir: str) -> "rd.Dataset":
     from ..exactmath import floor_round_np
 
     cent = label_centroids(sf_dir).to_pandas()
+    if cent.empty:  # no vectors -> no clusters to measure
+        return pd.DataFrame(
+            {"label": pd.Series([], dtype="int64"),
+             "n_vecs": pd.Series([], dtype="int64"),
+             "mean_sq_dist": pd.Series([], dtype="float64")}
+        )
     dim = int(cent["dim"].max()) + 1
     mats: dict[int, np.ndarray] = {}
     for lab, g in cent.groupby("label"):
@@ -764,7 +790,11 @@ def embedding_top_component(
     Output: (dim, component) rows, the unit vector with component[0]
     sign-normalized to >= 0."""
     ds = _embeddings(sf_dir).materialize()
-    dim = len(ds.take(1)[0]["embedding"])
+    probe = ds.take(1)
+    if not probe:  # empty corpus: no direction to report
+        return pd.DataFrame({"dim": pd.array([], dtype="int64"),
+                             "component": pd.array([], dtype="float64")})
+    dim = len(probe[0]["embedding"])
     v = np.zeros(dim, dtype=np.float64)
     v[0] = 1.0
 

@@ -15,14 +15,17 @@ from the spec without third-party codecs:
 - BMP (Windows DIB): BITMAPFILEHEADER + BITMAPINFOHEADER, 8-bit
   gray-palette and 24-bit uncompressed, bottom-up padded rows
   (`decode_bmp`).
+- JPEG (ITU-T T.81 baseline + JFIF): marker parse, canonical Huffman,
+  dequantize + vectorized IDCT, chroma upsampling, YCbCr->RGB
+  (`jpeg.decode_jpeg`; encoder `jpeg.encode_jpeg` for fixtures).
 
-PIL/ffmpeg/torchaudio are NOT in this environment, so other formats
-(JPEG, audio, video frames) remain stubbed: `decode_stub=True`
-(default) also accepts the deterministic IMG1 fake raster;
-`decode_stub=False` decodes PNG/BMP and raises NotImplementedError for
-anything else. Everything around the kernels — schema, batch sizing for
-large binary rows, actor signature, output layout — is identical for
-real and stub payloads.
+PIL/ffmpeg/torchaudio are NOT in this environment, so remaining
+formats (mp3/ogg audio, video containers) stay stubbed:
+`decode_stub=True` (default) also accepts the deterministic IMG1 fake
+raster; `decode_stub=False` decodes PNG/BMP/JPEG (and WAV for audio)
+and raises NotImplementedError for anything else. Everything around
+the kernels — schema, batch sizing for large binary rows, actor
+signature, output layout — is identical for real and stub payloads.
 
 Fake payload format (for tests/synth): b"IMG1" + uint16 width +
 uint16 height + raw bytes.
@@ -205,12 +208,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 class DecodeImageStage:
     """Actor-pool decode: payload binary -> (width, height, mean_intensity).
 
-    Magic-sniffed codecs: PNG and BMP decode for real (`decode_png` /
-    `decode_bmp`, pure python + stdlib zlib); the IMG1 deterministic
-    fake raster is accepted while `decode_stub=True` (the synth-corpus
-    path). Other formats (JPEG, ...) need libraries this environment
-    lacks and raise NotImplementedError. Keep `batch_size` small for
-    large binary rows (a batch x concurrency must fit worker heap).
+    Magic-sniffed codecs: PNG, BMP and baseline JPEG decode for real
+    (`decode_png` / `decode_bmp` / `jpeg.decode_jpeg`, pure python +
+    stdlib zlib); the IMG1 deterministic fake raster is accepted while
+    `decode_stub=True` (the synth-corpus path). Other formats (GIF,
+    TIFF, ...) need libraries this environment lacks and raise
+    NotImplementedError. Keep `batch_size` small for large binary rows
+    (a batch x concurrency must fit worker heap).
     """
 
     def __init__(self, decode_stub: bool = True):
@@ -223,6 +227,12 @@ class DecodeImageStage:
             return w, h, float(img.mean()) if img.size else 0.0
         if payload[:2] == b"BM":
             img = decode_bmp(payload)
+            h, w = img.shape[:2]
+            return w, h, float(img.mean()) if img.size else 0.0
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
             h, w = img.shape[:2]
             return w, h, float(img.mean()) if img.size else 0.0
         if payload[:4] == b"IMG1":
@@ -253,9 +263,9 @@ class DecodeImageStage:
 
 class ResizeStage:
     """Resize: nearest-neighbor downsample of the decoded raster
-    (PNG/BMP via the real codecs, IMG1 via the stub container), output
-    re-encoded as PNG (gray; color inputs are luma-averaged first).
-    Output replaces the payload column."""
+    (PNG/BMP/JPEG via the real codecs, IMG1 via the stub container),
+    output re-encoded as PNG (gray; color inputs are luma-averaged
+    first). Output replaces the payload column."""
 
     def __init__(self, target: int = 32, decode_stub: bool = True):
         self.target = target
@@ -266,6 +276,10 @@ class ResizeStage:
             img = decode_png(p)
         elif p[:2] == b"BM":
             img = decode_bmp(p)
+        elif p[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(p)
         elif p[:4] == b"IMG1":
             if not self.decode_stub:
                 raise NotImplementedError(

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..sources.io import typed_pandas
 from ..text import normalize_whitespace_array
 
 CHUNK_TOKENS = 64  # reference: 2048 gpt2 tokens (dataset/chunker.py:15-54);
@@ -277,9 +278,12 @@ def weighted_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
         return out.take(order[:k])
 
     best = (
-        _docs(sf_dir, ["doc_id", "n_chars"])
-        .map_batches(_pri, batch_format="pyarrow")
-        .to_pandas()
+        typed_pandas(
+            _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+                _pri, batch_format="pyarrow"
+            ),
+            {"doc_id": "int64", "n_chars": "int64", "pri": "float64"},
+        )
         .sort_values(["pri", "doc_id"])
         .head(k)
         .reset_index(drop=True)
@@ -417,18 +421,18 @@ def dataset_analytics_report(sf_dir: str) -> pd.DataFrame:
     scored = _canon(sf_dir).map_batches(_stats, batch_format="pyarrow").materialize()
 
     def _hist(col: str) -> pd.DataFrame:
-        return (
-            scored.groupby(col)
-            .aggregate(Count(alias_name="c"))
-            .to_pandas()
-            .sort_values(col)
-            .reset_index(drop=True)
-        )
+        return typed_pandas(
+            scored.groupby(col).aggregate(Count(alias_name="c")),
+            {col: "int64", "c": "int64"},
+        ).sort_values(col).reset_index(drop=True)
 
     def _dist(h: pd.DataFrame, col: str) -> dict:
         v = h[col].to_numpy(dtype=np.int64)
         c = h["c"].to_numpy(dtype=np.int64)
         n = int(c.sum())
+        if n == 0:  # analytics over an empty corpus: all-zero report
+            return {"n": 0, "mean": 0.0, "std": 0.0, "min": 0, "max": 0,
+                    "p25": 0.0, "p50": 0.0, "p75": 0.0}
         s1 = int((v * c).sum())
         s2 = int((v * v * c).sum())
         mean = s1 * 1.0 / n

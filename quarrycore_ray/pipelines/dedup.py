@@ -103,11 +103,47 @@ def dedup_conversations(
     reps = exact_dedup(conversations, lineage=lineage).materialize()
     metrics["distinct_texts"] = reps.count()
 
+    if metrics["distinct_texts"] == 0:
+        # zero-row corpus (fully-filtered shard, already-done resume
+        # partition): return typed empties with the regular schemas so
+        # downstream consumers never see a schema-less dataset
+        metrics.update(
+            verified_edges=0, cluster_path="empty_short_circuit",
+            total_conversations=0, n_clusters=0,
+            wall_s=time.perf_counter() - t0,
+        )
+        empty_clusters = ray.data.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "cluster_id": pa.array([], pa.string()),
+                    "is_representative": pa.array([], pa.bool_()),
+                    "dup_kind": pa.array([], pa.string()),
+                }
+            )
+        )
+        empty_edges = pa.table(
+            {
+                "a_id": pa.array([], pa.string()),
+                "b_id": pa.array([], pa.string()),
+                "jaccard": pa.array([], pa.float64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        return DedupResult(
+            clusters=empty_clusters,
+            unique_conversations=ray.data.from_arrow(_REPS_SCHEMA.empty_table()),
+            edges=empty_edges,
+            substring=None,
+            metrics=metrics,
+        )
+
     # S3: signatures on unique texts only (actor pool, stateful caches).
     # Repartition first: the exact-dedup groupby emits few fat blocks,
     # which would starve the actor pool (1 task per block).
     mh_conc = cfg.resolved_minhash_concurrency()
-    has_domain = "domain" in reps.schema().names
+    reps_schema = reps.schema()  # None when the corpus is empty
+    has_domain = reps_schema is not None and "domain" in reps_schema.names
     sig_cols = ["conv_id", "canonical_text"] + (["domain"] if has_domain else [])
     sig_input = reps.select_columns(sig_cols).repartition(mh_conc * 4)
     with_sigs = sig_input.map_batches(

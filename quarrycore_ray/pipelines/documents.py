@@ -30,6 +30,7 @@ from ..functions.textstats import (
     add_token_counts,
     quality_scores,
 )
+from ..sources.io import typed_pandas
 from ..text import normalize_whitespace_array
 from .dedup import dedup_conversations
 
@@ -336,12 +337,15 @@ def dedup_docs_hotband(sf_dir: str) -> "rd.Dataset":
     tb = _pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    base = normalize_whitespace(
-        tb.filter(pc.equal(tb["doc_id"], pa.scalar(0)))["text"].to_pylist()[0]
+    seed_texts = tb.filter(pc.equal(tb["doc_id"], pa.scalar(0)))["text"].to_pylist()
+    rows = (
+        [
+            (f"hot-{k:04d}", f"{normalize_whitespace(seed_texts[0])} v{k}")
+            for k in range(HOTBAND_VARIANTS)
+        ]
+        if seed_texts  # empty corpus: nothing to plant a hot band on
+        else []
     )
-    rows = [
-        (f"hot-{k:04d}", f"{base} v{k}") for k in range(HOTBAND_VARIANTS)
-    ]
     vt = pa.table(
         {
             "conv_id": pa.array([r[0] for r in rows], pa.string()),
@@ -482,7 +486,11 @@ def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     )
     pairs = partitioned_group_map(exploded, "band_key", _pairs_part, arrow=True)
     pairs = partitioned_group_map(pairs, "a_id", _dedup, arrow=True)
-    return pairs.to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    return (
+        typed_pandas(pairs, {"a_id": "int64", "b_id": "int64", "hamming": "int64"})
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
 
 
 _SIMHASH_PAIR_SCHEMA = pa.schema(
@@ -647,8 +655,10 @@ def ngram_jaccard_pairs(
         return out.filter(pa.array(jac_raw >= threshold))
 
     return (
-        with_counts.map_batches(_jaccard, batch_format="pyarrow")
-        .to_pandas()
+        typed_pandas(
+            with_counts.map_batches(_jaccard, batch_format="pyarrow"),
+            {"a_id": "int64", "b_id": "int64", "jaccard": "float64"},
+        )
         .sort_values(["a_id", "b_id"])
         .reset_index(drop=True)
     )
@@ -776,7 +786,10 @@ def substring_containment(sf_dir: str, min_len: int = SUBSTRING_MIN_LEN) -> pd.D
         ]
         return batch.filter(pa.array(keep)).select(["a_id", "b_id"])
 
-    out = with_texts.map_batches(_verify, batch_format="pyarrow").to_pandas()
+    out = typed_pandas(
+        with_texts.map_batches(_verify, batch_format="pyarrow"),
+        {"a_id": "int64", "b_id": "int64"},
+    )
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
@@ -979,6 +992,64 @@ def media_decode_stats(sf_dir: str) -> "rd.Dataset":
                 (np.arange(w * h, dtype=np.int64) + d) % 256
             ).astype(np.uint8).reshape(h, w)
             out.append(encode_png(raster))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
+        )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pc.cast(batch["width"], pa.int64()),
+                "height": pc.cast(batch["height"], pa.int64()),
+                "mean_intensity": floor_round(batch["mean_intensity"], 6),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_payloads, batch_format="pyarrow")
+        .map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs={"decode_stub": False},
+            batch_format="pyarrow",
+            batch_size=64,  # binary rows are wide; small batches
+            concurrency=(1, 4),
+        )
+        .map_batches(_round, batch_format="pyarrow")
+    )
+
+
+def jpeg_decode_stats(sf_dir: str) -> "rd.Dataset":
+    """Baseline-JPEG decode exercised end-to-end through the REAL codec
+    (jpeg.py: ITU-T T.81 marker parse, canonical Huffman, dequantize,
+    IDCT) with an EXACT oracle despite JPEG being lossy: each document
+    becomes a constant grayscale JPEG of EVEN value v = (2*doc_id) % 256
+    over a (8*(1+d%3)) x (8*(1+d%2)) raster. For a constant block the
+    only nonzero coefficient is DC = 8*(v-128); with the Annex K
+    luminance table (Q[0]=16) the quantized DC is (v-128)/2 — an exact
+    integer for even v, so round-half-up has no tie and float noise
+    (~1e-14) cannot flip it — and the decoded constant is
+    2*((v-128)/2) + 128 = v. The oracle therefore predicts
+    mean_intensity = v arithmetically; any Huffman/DCT/scaling bug in
+    either codec direction breaks the equality. Odd values are excluded
+    on purpose: their quantized DC is a .5 tie whose direction under
+    FP noise is not reproducible in SQL (see tests/test_jpeg.py for the
+    lossy-path coverage).
+
+    Output: (doc_id, width, height, mean_intensity).
+    """
+    from ..exactmath import floor_round
+    from ..jpeg import encode_jpeg
+    from ..multimodal import DecodeImageStage
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for d in batch["doc_id"].to_pylist():
+            w = 8 * (1 + d % 3)
+            h = 8 * (1 + d % 2)
+            v = (2 * d) % 256
+            out.append(encode_jpeg(np.full((h, w), v, dtype=np.uint8)))
         return pa.table(
             {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
         )
@@ -1220,7 +1291,7 @@ def vocab_stats(sf_dir: str) -> pd.DataFrame:
         .materialize()
     )
     vocab_size = token_counts.count()
-    total_tokens = int(token_counts.sum("n"))
+    total_tokens = int(token_counts.sum("n")) if vocab_size else 0
     n_docs = _docs(sf_dir, ["doc_id"]).count()
     return pd.DataFrame(
         {
@@ -1315,7 +1386,10 @@ def top_terms(sf_dir: str, k: int = 20, method: str = "exact") -> pd.DataFrame:
         )
         return batch.take(order[:k])
 
-    best = counts.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    best = typed_pandas(
+        counts.map_batches(_topk, batch_format="pyarrow"),
+        {"token": "object", "n": "int64"},
+    )
     best = best.sort_values(["n", "token"], ascending=[False, True]).head(k)
     best["n"] = best["n"].astype("int64")
     return best[["token", "n"]].reset_index(drop=True)
@@ -1339,9 +1413,11 @@ def length_quantiles(sf_dir: str) -> pd.DataFrame:
         .groupby("n_chars")
         .aggregate(Count(alias_name="n"))
         .to_pandas()
-        .sort_values("n_chars")
-        .reset_index(drop=True)
     )
+    if hist.empty:  # quantiles of an empty corpus are an empty table
+        return pd.DataFrame({"q": pd.array([], dtype="float64"),
+                             "n_chars": pd.array([], dtype="int64")})
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
     n = int(hist["n"].sum())
     cum = hist["n"].cumsum()
     rows = []
@@ -1534,12 +1610,10 @@ def global_length_rank(sf_dir: str) -> "rd.Dataset":
     from ..stages.grouped import partitioned_group_map
 
     ds = _docs(sf_dir, ["doc_id", "n_chars"]).materialize()
-    hist = (
-        ds.groupby("n_chars")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-        .sort_values("n_chars")
-    )
+    hist = typed_pandas(
+        ds.groupby("n_chars").aggregate(Count(alias_name="n")),
+        {"n_chars": "int64", "n": "int64"},
+    ).sort_values("n_chars")
     offs = hist["n"].cumsum().shift(fill_value=0)
     offsets_ref = ray.put(dict(zip(hist["n_chars"].astype(int), offs.astype(int))))
 
@@ -1630,9 +1704,10 @@ def skyline_docs(sf_dir: str) -> pd.DataFrame:
     )
     # final pass over the union of local skylines (batch_size=None ->
     # the whole single block in one call)
-    sky = local.map_batches(
-        _local_skyline, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
+    sky = typed_pandas(
+        local.map_batches(_local_skyline, batch_format="pyarrow", batch_size=None),
+        {"doc_id": "int64", "n_chars": "int64", "q_u": "int64"},
+    )
     sky["quality"] = sky.pop("q_u") / 1e6
     return sky.sort_values("doc_id").reset_index(drop=True)
 

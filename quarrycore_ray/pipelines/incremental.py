@@ -187,7 +187,20 @@ def write_signature_index(
 
     cfg = config or DedupConfig()
     conc = cfg.resolved_minhash_concurrency()
-    has_domain = "domain" in conversations.schema().names
+    schema = conversations.schema()  # None when the corpus is empty
+    if schema is None:
+        rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "minhash_sig": pa.array([], pa.binary()),
+                    "simhash": pa.array([], pa.int64()),
+                    "thr": pa.array([], pa.float64()),
+                }
+            )
+        ).write_parquet(path)
+        return
+    has_domain = "domain" in schema.names
     cols = ["conv_id", "canonical_text"] + (["domain"] if has_domain else [])
     sigs = conversations.select_columns(cols).map_batches(
         MinHashSimHashStage,
@@ -249,6 +262,21 @@ def incremental_near_dup(
 
     cfg = config or DedupConfig()
     conc = cfg.resolved_minhash_concurrency()
+
+    if new_conversations.schema() is None:  # empty probe batch
+        empty_matches = rd.from_arrow(
+            pa.table(
+                {
+                    "hist_id": pa.array([], pa.string()),
+                    "new_id": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        )
+        return IncrementalNearDupResult(
+            new_only=new_conversations, matches=empty_matches
+        )
 
     new_sigs = (
         new_conversations.select_columns(["conv_id", "canonical_text"])

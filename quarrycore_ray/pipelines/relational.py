@@ -21,6 +21,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
+from ..sources.io import typed_pandas
+
 from ..exactmath import floor_round
 
 
@@ -163,7 +165,7 @@ def temporal_split(sf_dir: str) -> pd.DataFrame:
             Count(alias_name="n_events"),
             Min("ts", alias_name="min_ts"),
             Max("ts", alias_name="max_ts"),
-        )
+        ) or {"n_events": 0, "min_ts": pd.NaT, "max_ts": pd.NaT}
         rows.append({"split": name, **agg})
     return pd.DataFrame(rows, columns=["split", "n_events", "min_ts", "max_ts"])
 
@@ -218,7 +220,10 @@ def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
             Count(alias_name="n_orders"),
         )
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust = typed_pandas(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        {"c_custkey": "int64", "c_name": "object"},
+    )
     name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
 
     def _attach(batch: pa.Table) -> pa.Table:
@@ -233,10 +238,10 @@ def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
         return batch.drop_columns(["sum_u"]).append_column("total_spent", total)
 
     joined = totals.map_batches(_attach, batch_format="pyarrow")
-    top = (
-        joined.sort(["total_spent", "o_custkey"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+    top = typed_pandas(
+        joined.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k),
+        {"o_custkey": "int64", "c_name": "object",
+         "total_spent": "float64", "n_orders": "int64"},
     )
     top = top.rename(columns={"o_custkey": "c_custkey"})
     return top[["c_custkey", "c_name", "total_spent", "n_orders"]]
@@ -320,7 +325,10 @@ def events_props_extract(sf_dir: str) -> "rd.Dataset":
 def supplier_nation_counts(sf_dir: str) -> pd.DataFrame:
     """Suppliers per nation name — two-level broadcast join
     (supplier -> nation). Output: (n_name, n_suppliers)."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = typed_pandas(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        {"n_nationkey": "int32", "n_name": "object"},
+    )
     nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     def _attach(batch: pa.Table) -> pa.Table:
@@ -340,7 +348,11 @@ def supplier_nation_counts(sf_dir: str) -> pd.DataFrame:
         .groupby("n_name")
         .aggregate(Count(alias_name="n_suppliers"))
     )
-    return out.to_pandas().sort_values("n_name").reset_index(drop=True)
+    return (
+        typed_pandas(out, {"n_name": "object", "n_suppliers": "int64"})
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
 
 
 def events_asof_join(sf_dir: str) -> "rd.Dataset":
@@ -530,11 +542,12 @@ def orders_cube(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    fine = (
+    fine = typed_pandas(
         ds.map_batches(_prep, batch_format="pyarrow")
         .groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(Count(alias_name="n_orders"), Sum("price_u", alias_name="sum_u"))
-        .to_pandas()
+        .aggregate(Count(alias_name="n_orders"), Sum("price_u", alias_name="sum_u")),
+        {"o_orderstatus": "object", "o_orderpriority": "object",
+         "n_orders": "int64", "sum_u": "int64"},
     )
     by_status = (
         fine.groupby("o_orderstatus", as_index=False)[["n_orders", "sum_u"]]
@@ -665,7 +678,10 @@ def top_revenue_orders(
 
     cut = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = typed_pandas(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        {"c_custkey": "int64", "c_mktsegment": "object"},
+    )
     seg_keys = cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy()
     seg_ref = ray.put(np.sort(seg_keys))
 
@@ -773,7 +789,11 @@ def top_revenue_orders(
         )
         return batch.take(order[:k])
 
-    best = joined.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    best = typed_pandas(
+        joined.map_batches(_topk, batch_format="pyarrow"),
+        {"o_orderkey": "int64", "revenue": "float64",
+         "o_orderdate": "datetime64[us]"},
+    )
     best = best.sort_values(
         ["revenue", "o_orderkey"], ascending=[False, True]
     ).head(k)
@@ -889,11 +909,12 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    fine = (
+    fine = typed_pandas(
         ds.map_batches(_prep, batch_format="pyarrow")
         .groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(Count(alias_name="n_orders"), Sum("price_u", alias_name="sum_u"))
-        .to_pandas()
+        .aggregate(Count(alias_name="n_orders"), Sum("price_u", alias_name="sum_u")),
+        {"o_orderstatus": "object", "o_orderpriority": "object",
+         "n_orders": "int64", "sum_u": "int64"},
     )
     lv1 = (
         fine.groupby("o_orderstatus", as_index=False)[["n_orders", "sum_u"]]
@@ -1276,6 +1297,13 @@ def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
     agg = joined.map_batches(_partial, batch_format="pyarrow").aggregate(
         Sum("promo_u", alias_name="p"), Sum("total_u", alias_name="t")
     )
+    if not agg or agg.get("t") is None or pd.isna(agg["t"]) or not agg["t"]:
+        # empty lineitem slice: no revenue to report
+        return pd.DataFrame(
+            {"promo_revenue": pd.Series([], dtype="float64"),
+             "total_revenue": pd.Series([], dtype="float64"),
+             "promo_share": pd.Series([], dtype="float64")}
+        )
     p_u, t_u = int(agg["p"]), int(agg["t"])
     return pd.DataFrame(
         {
@@ -1298,8 +1326,14 @@ def region_supplier_counts(sf_dir: str) -> "rd.Dataset":
     construction (25 / 5 rows), so they broadcast once via ray.put and
     resolve inside a single map_batches — zero shuffles before the
     final 5-group aggregate. Output (r_name, n_suppliers)."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = typed_pandas(
+        _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]),
+        {"n_nationkey": "int32", "n_regionkey": "int32"},
+    )
+    region = typed_pandas(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+        {"r_regionkey": "int32", "r_name": "object"},
+    )
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     lut_ref = ray.put({k: r2name[v] for k, v in n2r.items()})

@@ -37,6 +37,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..exactmath import floor_round_np
+from ..sources.io import typed_pandas
 from ..stages.grouped import attach_lookup, partitioned_group_map
 from ..text import normalize_whitespace_array
 from .documents import _docs, canonical_docs
@@ -271,12 +272,10 @@ def pack_sequences(
     tok = (
         canonical_docs(sf_dir).map_batches(_prep, batch_format="pyarrow").materialize()
     )
-    totals = (
-        tok.groupby("bucket")
-        .aggregate(Sum("n_tokens", alias_name="tot"))
-        .to_pandas()
-        .sort_values("bucket")
-    )
+    totals = typed_pandas(
+        tok.groupby("bucket").aggregate(Sum("n_tokens", alias_name="tot")),
+        {"bucket": "int64", "tot": "int64"},
+    ).sort_values("bucket")
     offs = totals["tot"].cumsum().shift(fill_value=0)
     offsets_ref = ray.put(dict(zip(totals["bucket"].astype(int), offs.astype(int))))
 
@@ -314,7 +313,7 @@ def unigram_logprob_docs(sf_dir: str) -> "rd.Dataset":
     order-independent. Output (doc_id, n_tokens, avg_neg_logprob)."""
     tf = _term_counts(canonical_docs(sf_dir)).materialize()
     cnt = _token_aggregate(tf, "c", value="tf").materialize()
-    total = int(cnt.sum("c"))
+    total = int(cnt.sum("c")) if cnt.count() else 0
 
     with_cnt = attach_lookup(
         tf, TF_SCHEMA, ["token"], cnt, "token", "c", pa.int64(), ["c"]
@@ -366,13 +365,21 @@ def source_mixing_weights(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
     construction). Weights are normalized over micro-unit integers so
     the sum is order-independent."""
     agg = (
-        _docs(sf_dir, ["source"])
-        .groupby("source")
-        .aggregate(Count(alias_name="n_docs"))
-        .to_pandas()
+        typed_pandas(
+            _docs(sf_dir, ["source"]).groupby("source").aggregate(
+                Count(alias_name="n_docs")
+            ),
+            {"source": "object", "n_docs": "int64"},
+        )
         .sort_values("source")
         .reset_index(drop=True)
     )
+    if agg.empty:  # no sources -> no mixture to weight
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype="object"),
+             "n_docs": pd.Series([], dtype="int64"),
+             "weight": pd.Series([], dtype="float64")}
+        )
     n = int(agg["n_docs"].sum())
     w = (agg["n_docs"].to_numpy(dtype=np.float64) / float(n)) ** alpha
     w_u = np.floor(w * 1e9 + 0.5).astype(np.int64)
@@ -397,11 +404,11 @@ def oov_rate_docs(sf_dir: str, vocab_size: int = 20) -> "rd.Dataset":
     sums via one groupby over per-row flags. Output
     (doc_id, n_tokens, n_oov, oov_rate)."""
     tf = _term_counts(canonical_docs(sf_dir)).materialize()
-    vocab_rows = (
+    vocab_rows = typed_pandas(
         _token_aggregate(tf, "c", value="tf")
         .sort(["c", "token"], descending=[True, False])
-        .limit(vocab_size)
-        .to_pandas()
+        .limit(vocab_size),
+        {"token": "object", "c": "int64"},
     )
     vocab_ref = ray.put(frozenset(vocab_rows["token"]))
 
@@ -494,10 +501,9 @@ def source_overlap(sf_dir: str, seg_words: int = 10) -> "rd.Dataset":
         .drop_columns(["_n"])
         .materialize()
     )
-    sizes = (
-        distinct.groupby("source")
-        .aggregate(Count(alias_name="n_segs"))
-        .to_pandas()
+    sizes = typed_pandas(
+        distinct.groupby("source").aggregate(Count(alias_name="n_segs")),
+        {"source": "object", "n_segs": "int64"},
     )
     sizes_ref = ray.put(dict(zip(sizes["source"], sizes["n_segs"].astype(int))))
 
@@ -562,7 +568,7 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
     docs = canonical_docs(sf_dir).materialize()
     tf = _term_counts(docs)
     uni = _token_aggregate(tf, "c", value="tf").materialize()
-    total = int(uni.sum("c"))
+    total = int(uni.sum("c")) if uni.count() else 0
 
     def _bigrams(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(["canonical"]))
@@ -626,7 +632,10 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5) -> pd.DataFrame:
         )
         return df.head(k).to_arrow().cast(out.schema)
 
-    partials = with_counts.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    partials = typed_pandas(
+        with_counts.map_batches(_topk, batch_format="pyarrow"),
+        {"w1": "object", "w2": "object", "n_pair": "int64", "pmi": "float64"},
+    )
     return (
         partials.sort_values(
             ["pmi", "w1", "w2"], ascending=[False, True, True]
@@ -670,12 +679,10 @@ def filter_below_source_median(sf_dir: str) -> "rd.Dataset":
     )
 
     # per-(source, value) histogram -> exact median at floor((n-1)*0.5)
-    hist = (
-        scored.groupby(["source", "q_u"])
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-        .sort_values(["source", "q_u"])
-    )
+    hist = typed_pandas(
+        scored.groupby(["source", "q_u"]).aggregate(Count(alias_name="n")),
+        {"source": "object", "q_u": "int64", "n": "int64"},
+    ).sort_values(["source", "q_u"])
     medians: dict[str, int] = {}
     for src, g in hist.groupby("source", sort=False):
         n = int(g["n"].sum())

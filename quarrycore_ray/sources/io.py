@@ -85,6 +85,26 @@ def write_partitioned(
         ds.write_parquet(path)
 
 
+def typed_pandas(ds, dtypes: dict[str, str]):
+    """`ds.to_pandas()` that survives empty datasets.
+
+    An empty Ray dataset loses its schema — `to_pandas()` returns a
+    column-less frame — which crashes any downstream column access. At
+    100 TB empties are routine (a fully-filtered shard, an already-done
+    resume partition), so every driver-side conversion that goes on to
+    index columns routes through here: on an empty result it returns a
+    typed empty frame with exactly `dtypes` instead.
+    """
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in dtypes.items()}
+        )
+    return df
+
+
 def read_warm_store(path: str, columns: list[str] | None = None) -> "rd.Dataset":
     """Read a hive-partitioned warm store back (partition columns come
     back as regular columns; partition pruning happens via `columns=` /
