@@ -19,13 +19,21 @@ from the spec without third-party codecs:
   dequantize + vectorized IDCT, chroma upsampling, YCbCr->RGB
   (`jpeg.decode_jpeg`; encoder `jpeg.encode_jpeg` for fixtures).
 
+Video: YUV4MPEG2 (Y4M, the mjpegtools/ffmpeg raw interchange format —
+a public plain-text-header container) parses FOR REAL
+(`iter_y4m_frames`; writer `encode_y4m` for fixtures): stream header
+`YUV4MPEG2 W.. H.. C..\\n`, per-frame `FRAME..\\n` + planar YUV, with
+mono/420/422/444 plane sizing. Frame sampling extracts the luma plane
+as the grayscale raster.
+
 PIL/ffmpeg/torchaudio are NOT in this environment, so remaining
-formats (mp3/ogg audio, video containers) stay stubbed:
+formats (mp3/ogg audio, compressed video codecs) stay stubbed:
 `decode_stub=True` (default) also accepts the deterministic IMG1 fake
-raster; `decode_stub=False` decodes PNG/BMP/JPEG (and WAV for audio)
-and raises NotImplementedError for anything else. Everything around
-the kernels — schema, batch sizing for large binary rows, actor
-signature, output layout — is identical for real and stub payloads.
+raster; `decode_stub=False` decodes PNG/BMP/JPEG (WAV for audio, Y4M
+for video) and raises NotImplementedError for anything else.
+Everything around the kernels — schema, batch sizing for large binary
+rows, actor signature, output layout — is identical for real and stub
+payloads.
 
 Fake payload format (for tests/synth): b"IMG1" + uint16 width +
 uint16 height + raw bytes.
@@ -321,36 +329,134 @@ def media_features(
     )
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+#: chroma plane size as a fraction of the luma plane, per Y4M C tag.
+#: All C420 siting variants (jpeg/mpeg2/paldv) share the plane layout;
+#: siting only matters for chroma upsampling, which luma-only sampling
+#: never performs.
+_Y4M_CHROMA_FRACTION = {
+    "mono": 0.0,
+    "420": 0.25,
+    "420jpeg": 0.25,
+    "420mpeg2": 0.25,
+    "420paldv": 0.25,
+    "422": 0.5,
+    "444": 1.0,
+}
+
+
+def iter_y4m_frames(payload: bytes):
+    """Parse a YUV4MPEG2 stream, yielding (width, height, luma_bytes).
+
+    From-spec (mjpegtools yuv4mpeg(5)): a plain-text stream header
+    ``YUV4MPEG2 <tagged params>\\n`` (W<w> H<h> C<colorspace>, plus
+    F/I/A/X tags we skip), then per frame a ``FRAME<params>\\n`` line
+    followed by raw planar data — Y then Cb then Cr, plane sizes fixed
+    by the colorspace. Only the luma plane is materialized; chroma is
+    skipped by offset arithmetic (zero-copy until the caller slices).
+    """
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "strict")
+    parts = header.split(" ")
+    if parts[0] != _Y4M_MAGIC.decode():
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    colorspace = "420jpeg"  # spec default when C is absent
+    for tag in parts[1:]:
+        if not tag:
+            continue
+        if tag[0] == "W":
+            width = int(tag[1:])
+        elif tag[0] == "H":
+            height = int(tag[1:])
+        elif tag[0] == "C":
+            colorspace = tag[1:]
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace not in _Y4M_CHROMA_FRACTION:
+        raise NotImplementedError(f"unsupported Y4M colorspace C{colorspace}")
+    luma_bytes = width * height
+    frame_bytes = luma_bytes + 2 * int(
+        luma_bytes * _Y4M_CHROMA_FRACTION[colorspace]
+    )
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        data_start = fnl + 1
+        if data_start + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        yield width, height, payload[data_start : data_start + luma_bytes]
+        pos = data_start + frame_bytes
+
+
+def encode_y4m(frames: np.ndarray, chroma: int = 128) -> bytes:
+    """(n, h, w) uint8 luma frames -> Y4M bytes (fixture helper).
+
+    Emits C420jpeg with constant-``chroma`` planes when both dims are
+    even (the 4:2:0 validity condition), else Cmono — both layouts the
+    real parser must handle.
+    """
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    mono = (w % 2) or (h % 2)
+    cspace = "mono" if mono else "420jpeg"
+    head = f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C{cspace}\n".encode()
+    cplane = b"" if mono else bytes([chroma]) * ((w // 2) * (h // 2))
+    return head + b"".join(
+        b"FRAME\n" + frames[i].tobytes() + cplane + cplane for i in range(n)
+    )
+
+
 class FrameSampleStage:
     """Video frame sampling: one output row per k-th frame (row explosion).
 
-    Fake video payload: b"VID1" + uint16 n_frames + uint16 w + uint16 h
-    + n_frames rasters of w*h bytes. With a real codec this is the
-    ffmpeg/pyav keyframe-extraction stage; the plumbing — explode rows,
-    emit per-frame payloads as IMG1 images chainable into
-    DecodeImageStage — is real.
+    YUV4MPEG2 payloads decode FOR REAL (`iter_y4m_frames`): every k-th
+    frame's luma plane is emitted as a grayscale image payload
+    chainable into DecodeImageStage — the ffmpeg/pyav
+    keyframe-extraction stage shape with a from-spec container parser.
+    The VID1 fake container (b"VID1" + uint16 n_frames/w/h + rasters)
+    remains the declared stub for compressed codecs this environment
+    lacks, accepted only while `decode_stub=True`.
     """
 
     def __init__(self, every: int = 2, decode_stub: bool = True):
         self.every = every
         self.decode_stub = decode_stub
 
+    def _frames(self, p: bytes):
+        """Yield (frame_idx, width, height, raster_bytes) for every
+        k-th frame of one payload."""
+        if p[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+            for fi, (w, h, luma) in enumerate(iter_y4m_frames(p)):
+                if fi % self.every == 0:
+                    yield fi, w, h, luma
+            return
+        if p[:4] == b"VID1":
+            if not self.decode_stub:
+                raise NotImplementedError(
+                    "VID1 is the test stub container; pass decode_stub=True"
+                )
+            n_frames, w, h = struct.unpack("<HHH", p[4:10])
+            frame_bytes = w * h
+            for fi in range(0, n_frames, self.every):
+                start = 10 + fi * frame_bytes
+                yield fi, w, h, p[start : start + frame_bytes]
+            return
+        raise NotImplementedError(
+            "no codec for this video format in this environment"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.decode_stub:
-            raise NotImplementedError("real video codec not available")
         out_media: list[int] = []
         out_frame: list[int] = []
         out_payload: list[bytes] = []
         for mid, p in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            if p[:4] != b"VID1":
-                raise ValueError("bad magic")
-            n_frames, w, h = struct.unpack("<HHH", p[4:10])
-            frame_bytes = w * h
-            for fi in range(0, n_frames, self.every):
-                start = 10 + fi * frame_bytes
-                raster = p[start : start + frame_bytes]
+            for fi, w, h, raster in self._frames(p):
                 out_media.append(mid)
                 out_frame.append(fi)
                 out_payload.append(b"IMG1" + struct.pack("<HH", w, h) + raster)

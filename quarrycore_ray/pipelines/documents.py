@@ -249,33 +249,28 @@ def audio_decode_stats(sf_dir: str) -> "rd.Dataset":
 
 
 def video_frame_stats(sf_dir: str) -> "rd.Dataset":
-    """Video frame-sampling plumbing, exact-checked: each document
-    becomes a deterministic fake video (VID1 stub container — real
-    video codecs aren't in this environment; the CONTAINER is the
-    declared stub, the row-explosion plumbing and the per-frame decode
-    are real), FrameSampleStage emits every 2nd frame as an image
-    payload, DecodeImageStage computes per-frame stats, and the oracle
-    recomputes them arithmetically. Frame pixel (f, i) of doc d =
-    (d + f * 7 + i) % 256 over a (8 + d%4) x (6 + d%3) raster,
-    n_frames = 3 + d % 4. Output: (doc_id, frame_idx, width, height,
-    mean_intensity)."""
-    import struct as _struct
-
+    """Video frame-sampling through the REAL from-spec YUV4MPEG2
+    parser, exact-checked: each document becomes a deterministic Y4M
+    stream (`multimodal.encode_y4m` — C420jpeg when dims are even,
+    Cmono otherwise, so both plane layouts are exercised across the
+    corpus), FrameSampleStage parses the container and emits every 2nd
+    frame's luma plane as an image payload, DecodeImageStage computes
+    per-frame stats, and the oracle recomputes them arithmetically.
+    Luma pixel (f, i) of doc d = (d + f * 7 + i) % 256 over a
+    (8 + d%4) x (6 + d%3) raster, n_frames = 3 + d % 4.
+    Output: (doc_id, frame_idx, width, height, mean_intensity)."""
     from ..exactmath import floor_round
-    from ..multimodal import DecodeImageStage, FrameSampleStage
+    from ..multimodal import DecodeImageStage, FrameSampleStage, encode_y4m
 
     def _payloads(batch: pa.Table) -> pa.Table:
         out: list[bytes] = []
         for d in batch["doc_id"].to_pylist():
             w, h = 8 + d % 4, 6 + d % 3
             nf = 3 + d % 4
-            frames = b"".join(
-                bytes(
-                    (d + f * 7 + i) % 256 for i in range(w * h)
-                )
-                for f in range(nf)
-            )
-            out.append(b"VID1" + _struct.pack("<HHH", nf, w, h) + frames)
+            i = np.arange(w * h, dtype=np.int64)
+            f = np.arange(nf, dtype=np.int64)[:, None]
+            frames = ((d + f * 7 + i) % 256).astype(np.uint8).reshape(nf, h, w)
+            out.append(encode_y4m(frames))
         return pa.table(
             {
                 "media_id": pc.cast(batch["doc_id"], pa.int64()),

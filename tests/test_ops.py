@@ -181,6 +181,61 @@ class TestFrameSample:
             w, h = struct.unpack("<HH", p[4:8])
             assert len(p) == 8 + w * h
 
+    def test_y4m_roundtrip_real_parser(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from quarrycore_ray.multimodal import (
+            DecodeImageStage,
+            FrameSampleStage,
+            encode_y4m,
+            iter_y4m_frames,
+        )
+
+        rng = np.random.default_rng(5)
+        # even dims -> C420jpeg with chroma planes; odd dims -> Cmono
+        for h, w in [(6, 8), (7, 9)]:
+            frames = rng.integers(0, 256, (5, h, w), dtype=np.uint8)
+            payload = encode_y4m(frames)
+            got = list(iter_y4m_frames(payload))
+            assert [(gw, gh) for gw, gh, _ in got] == [(w, h)] * 5
+            for i, (_, _, luma) in enumerate(got):
+                assert luma == frames[i].tobytes()
+            batch = pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([payload], pa.binary()),
+                }
+            )
+            sampled = FrameSampleStage(every=2, decode_stub=False)(batch)
+            assert sampled["frame_idx"].to_pylist() == [0, 2, 4]
+            decoded = DecodeImageStage()(sampled)
+            assert decoded["width"].to_pylist() == [w] * 3
+            means = decoded["mean_intensity"].to_pylist()
+            for fi, m in zip([0, 2, 4], means):
+                assert m == float(frames[fi].astype(np.float64).mean())
+
+    def test_y4m_default_colorspace_and_errors(self):
+        import pytest
+
+        from quarrycore_ray.multimodal import FrameSampleStage, iter_y4m_frames
+
+        # C absent -> 420jpeg default plane sizing (spec default)
+        payload = (
+            b"YUV4MPEG2 W2 H2 F25:1\n"
+            + b"FRAME\n" + bytes(4) + bytes(1) + bytes(1)
+            + b"FRAME\n" + bytes(range(4)) + bytes(1) + bytes(1)
+        )
+        got = list(iter_y4m_frames(payload))
+        assert len(got) == 2 and got[1][2] == bytes(range(4))
+        with pytest.raises(NotImplementedError):
+            list(iter_y4m_frames(b"YUV4MPEG2 W2 H2 C411\nFRAME\n" + bytes(6)))
+        with pytest.raises(ValueError):
+            list(iter_y4m_frames(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes(3)))
+        # VID1 stub container is rejected when stub decode is off
+        with pytest.raises(NotImplementedError):
+            list(FrameSampleStage(decode_stub=False)._frames(b"VID1" + bytes(6)))
+
 
 class TestIvfAnn:
     def test_kmeans_deterministic_normalized(self):
