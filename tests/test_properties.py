@@ -264,3 +264,72 @@ class TestMattrProperties:
         # a fraction in (0, 1] for non-empty inputs
         if n:
             assert 0 < num <= den
+
+
+class TestCodecProperties:
+    """Dimension/content sweeps over the from-spec media codecs: the
+    hand-written cases pin known files; these sweep arbitrary shapes
+    (odd dims, 1-pixel edges, non-multiple-of-8 JPEG crops)."""
+
+    @given(
+        st.integers(min_value=1, max_value=21),
+        st.integers(min_value=1, max_value=21),
+        st.sampled_from([1, 3, 4]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip_lossless(self, h, w, ch, seed):
+        from quarrycore_ray.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w) if ch == 1 else (h, w, ch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    @given(
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_y4m_roundtrip_lossless(self, n, h, w, seed):
+        from quarrycore_ray.multimodal import encode_y4m, iter_y4m_frames
+
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        got = list(iter_y4m_frames(encode_y4m(frames)))
+        assert len(got) == n
+        assert all(gw == w and gh == h for gw, gh, _ in got)
+        assert all(luma == frames[i].tobytes() for i, (_, _, luma) in enumerate(got))
+
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.booleans(),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_jpeg_roundtrip_shape_and_range(self, h, w, color, seed):
+        from quarrycore_ray.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == shape
+        assert out.dtype == np.uint8
+
+    @given(
+        st.integers(min_value=0, max_value=127),
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_jpeg_even_constant_gray_lossless(self, half, h, w):
+        # T.81 Annex K Q[0]=16 with our floor(x/Q+0.5) tie rule makes any
+        # even constant raster reconstruct exactly (the jpeg_decode_stats
+        # oracle's premise, swept over arbitrary dims)
+        from quarrycore_ray.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.full((h, w), 2 * half, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
