@@ -309,6 +309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------------------------------------------------------------------
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
+        # fourth real image codec (gif.py); sits with the other codec
+        # queries outside the 50-query window — jpeg/media represent the
+        # family inside it
+        "gif_decode_stats": docs.gif_decode_stats,
         "balanced_sample_by_source": docs.balanced_sample_by_source,
         # distribution sibling of the in-window source_distribution
         "lang_distribution": docs.lang_distribution,
@@ -1191,6 +1195,32 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum((doc_id + 7 * f + i) % 256) * 1.0 / (w * h))
                          * 1000000 + 0.5) / 1000000.0 AS mean_intensity
             FROM px GROUP BY doc_id, f, w, h
+        """,
+        "gif_decode_stats": """
+            -- expected decode output for the deterministic gray-palette
+            -- GIFs (pipelines/documents.py:gif_decode_stats): pixel i of
+            -- doc d = (d + i) % 256 over (8 + d%5) x (6 + d%4). GIF is
+            -- lossless, so mean_intensity = sum / count exactly: both
+            -- sides divide the same exact integers (correctly-rounded
+            -- IEEE), then share the floor-round.
+            WITH dims AS (
+                SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h,
+                       unnest(generate_series(CAST(0 AS BIGINT), w * h - 1)) AS i
+                FROM dims
+            ),
+            agg AS (
+                SELECT doc_id, w, h, sum((doc_id + i) % 256) AS s
+                FROM px GROUP BY doc_id, w, h
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   floor((CAST(s AS DOUBLE) / (w * h)) * 1000000 + 0.5)
+                       / 1000000.0 AS mean_intensity
+            FROM agg
         """,
         "audio_decode_stats": """
             -- expected decode output for the deterministic ramp WAVs

@@ -18,6 +18,9 @@ from the spec without third-party codecs:
 - JPEG (ITU-T T.81 baseline + JFIF): marker parse, canonical Huffman,
   dequantize + vectorized IDCT, chroma upsampling, YCbCr->RGB
   (`jpeg.decode_jpeg`; encoder `jpeg.encode_jpeg` for fixtures).
+- GIF (GIF87a/89a spec): color tables, extension skipping, LZW with
+  variable code widths and CLEAR resets, interlace reordering
+  (`gif.decode_gif`; encoder `gif.encode_gif` for fixtures).
 
 Video: YUV4MPEG2 (Y4M, the mjpegtools/ffmpeg raw interchange format —
 a public plain-text-header container) parses FOR REAL
@@ -243,6 +246,12 @@ class DecodeImageStage:
             img = decode_jpeg(payload)
             h, w = img.shape[:2]
             return w, h, float(img.mean()) if img.size else 0.0
+        if payload[:4] == b"GIF8":
+            from .gif import decode_gif
+
+            img = decode_gif(payload)
+            h, w = img.shape[:2]
+            return w, h, float(img.mean()) if img.size else 0.0
         if payload[:4] == b"IMG1":
             if not self.decode_stub:
                 raise NotImplementedError(
@@ -288,6 +297,10 @@ class ResizeStage:
             from .jpeg import decode_jpeg
 
             img = decode_jpeg(p)
+        elif p[:4] == b"GIF8":
+            from .gif import decode_gif
+
+            img = decode_gif(p)
         elif p[:4] == b"IMG1":
             if not self.decode_stub:
                 raise NotImplementedError(

@@ -1073,6 +1073,57 @@ def jpeg_decode_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def gif_decode_stats(sf_dir: str) -> "rd.Dataset":
+    """GIF decode exercised end-to-end through the REAL codec (gif.py:
+    GIF89a color tables + variable-width LZW), exact-checked: each
+    document becomes a single-frame gray-palette GIF whose pixel i is
+    (doc_id + i) % 256 over a (8 + d%5) x (6 + d%4) raster. GIF is
+    LOSSLESS, so the decoded RGB raster's mean equals the integer pixel
+    sum over the pixel count: both sides compute the correctly-rounded
+    IEEE division of the same exact rational (numpy's float64 sum of
+    small integers is exact; DuckDB's HUGEINT sum likewise), making the
+    float compare exact after the shared floor-round. Any LZW
+    width-transition or palette bug breaks the equality.
+
+    Output: (doc_id, width, height, mean_intensity)."""
+    from ..exactmath import floor_round
+    from ..gif import encode_gif
+    from ..multimodal import DecodeImageStage
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for d in batch["doc_id"].to_pylist():
+            w, h = 8 + d % 5, 6 + d % 4
+            px = ((d + np.arange(w * h, dtype=np.int64)) % 256).astype(np.uint8)
+            out.append(encode_gif(px.reshape(h, w)))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
+        )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pc.cast(batch["width"], pa.int64()),
+                "height": pc.cast(batch["height"], pa.int64()),
+                "mean_intensity": floor_round(batch["mean_intensity"], 6),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_payloads, batch_format="pyarrow")
+        .map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs={"decode_stub": False},
+            batch_format="pyarrow",
+            batch_size=64,  # binary rows are wide; small batches
+            concurrency=(1, 4),
+        )
+        .map_batches(_round, batch_format="pyarrow")
+    )
+
+
 def fuzzy_match_docs(
     sf_dir: str,
     threshold: float = 0.3,
