@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # turn-level exact dedup across conversations
         "duplicate_turns": duplicate_turns_q,
         "segment_dedup_docs": cur.segment_dedup_docs,
+        # ExactSubstr duplicated-span detection (Lee et al. 2022)
+        "exact_substr_spans": cur.exact_substr_spans,
         # content-domain classifier (round-3: DomainType producer; feeds
         # the per-domain dedup thresholds)
         "domain_classify_docs": docs.domain_classify_docs,
@@ -1499,6 +1501,41 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY vec_id, label
         """,
         # --- corpus curation (pipelines/curation.py) ---
+        "exact_substr_spans": f"""
+            -- ExactSubstr (Lee et al. 2022): positions whose 40-gram
+            -- occurs >= 2 times corpus-wide, merged per doc into
+            -- maximal spans (gaps-and-islands; a gap > 40 breaks)
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(generate_series(CAST(0 AS BIGINT),
+                                              length(canonical) - 40)) AS pos,
+                       canonical
+                FROM c WHERE length(canonical) >= 40
+            ),
+            gr AS (
+                SELECT doc_id, pos,
+                       substring(canonical, CAST(pos + 1 AS INT), 40) AS gram
+                FROM g
+            ),
+            dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+            m AS (SELECT gr.doc_id, gr.pos FROM gr JOIN dup USING (gram)),
+            o AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                      ORDER BY pos) <= 40
+                            THEN 0 ELSE 1 END AS brk
+                FROM m
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM o
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 40 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island
+        """,
         "segment_dedup_docs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
                        FROM documents),

@@ -341,3 +341,138 @@ def repetition_stats_docs(sf_dir: str) -> "rd.Dataset":
         )
 
     return _canonical_docs(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+# --- ExactSubstr duplicated-span detection (Lee et al. 2022) -----------------
+
+EXACT_SUBSTR_CHARS = 40  # Lee et al. use 50 BPE tokens; character
+# analogue sized so the synthetic corpus's planted duplicates trip it
+
+
+def exact_substr_spans(
+    sf_dir: str, gram_chars: int = EXACT_SUBSTR_CHARS
+) -> "rd.Dataset":
+    """Maximal duplicated character spans across the WHOLE corpus:
+    every position whose `gram_chars`-gram occurs >= 2 times anywhere
+    (any document, including the same one), merged per document into
+    maximal overlapping-or-touching spans — the ExactSubstr dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499), §3.1, re-expressed Ray-Data-first.
+
+    Output: (doc_id, span_start, span_end) with span_end exclusive;
+    [span_start, span_end) is duplicated text a trainer would drop.
+
+    Scale shape: gram explosion is a per-batch polars explode (no
+    shuffle, n-L+1 rows per doc — the same work set as the paper's
+    suffix array). The duplicate decision hash-partitions on the gram
+    (all occurrences of a gram meet in one partition; one vectorized
+    count-over pass). Span merging hash-partitions survivor POSITIONS
+    (two ints) on doc_id — gaps-and-islands, vectorized. At 100 TB the
+    gram shuffle is the dominant exchange, exactly as the paper's
+    distributed suffix-array build is; a 128-bit gram digest (not the
+    text) would be the shuffle key at that scale — here the gram is
+    ~40 bytes, the same order as its digest, and keying on the text
+    keeps the oracle collision-free.
+    """
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(batch)
+            .with_columns(pl.col("canonical").str.len_chars().alias("n"))
+            .filter(pl.col("n") >= gram_chars)
+        )
+        if df.height == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                }
+            )
+        out = (
+            df.with_columns(
+                pl.int_ranges(0, pl.col("n") - gram_chars + 1).alias("pos")
+            )
+            .explode("pos")
+            .with_columns(
+                pl.col("canonical")
+                .str.slice(pl.col("pos"), gram_chars)
+                .alias("gram")
+            )
+            .select(
+                pl.col("doc_id").cast(pl.Int64),
+                pl.col("pos").cast(pl.Int64),
+                "gram",
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("pos", pa.int64()), ("gram", pa.string())]
+            )
+        )
+
+    def _keep_duplicated(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .filter(pl.len().over("gram") >= 2)
+            .select(["doc_id", "pos"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+        )
+
+    def _merge_spans(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["doc_id", "pos"])
+        if df.height == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "span_start": pa.array([], pa.int64()),
+                    "span_end": pa.array([], pa.int64()),
+                }
+            )
+        # gaps-and-islands: a new span starts when the gap between
+        # consecutive duplicated positions exceeds the gram length
+        # (overlapping OR touching grams merge)
+        out = (
+            df.with_columns(
+                (
+                    pl.col("pos").diff().over("doc_id").fill_null(gram_chars + 1)
+                    > gram_chars
+                )
+                .cast(pl.Int64)
+                .cum_sum()
+                .over("doc_id")
+                .alias("island")
+            )
+            .group_by(["doc_id", "island"])
+            .agg(
+                pl.col("pos").min().alias("span_start"),
+                (pl.col("pos").max() + gram_chars).alias("span_end"),
+            )
+            .select(["doc_id", "span_start", "span_end"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("span_start", pa.int64()),
+                    ("span_end", pa.int64()),
+                ]
+            )
+        )
+
+    grams = _canonical_docs(sf_dir).map_batches(_grams, batch_format="pyarrow")
+    dup_positions = partitioned_group_map(
+        grams, "gram", _keep_duplicated, arrow=True, lineage_stage="exact_substr_dup"
+    )
+    return partitioned_group_map(
+        dup_positions, "doc_id", _merge_spans, arrow=True,
+        lineage_stage="exact_substr_merge",
+    )

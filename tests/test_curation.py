@@ -329,3 +329,58 @@ class TestLabelCentroids:
         assert out.loc[(7, 1), "mean_val"] == 3.0
         assert out.loc[(8, 0), "mean_val"] == 10.0
         assert out.loc[(8, 1), "mean_val"] == 20.0
+
+
+class TestExactSubstrSpans:
+    def test_planted_spans(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import exact_substr_spans
+
+        shared = "x" * 25 + "y" * 25  # 50-char block shared by docs 0/1
+        uniq0 = "".join(chr(ord("a") + (7 * i) % 26) for i in range(60))
+        uniq1 = "".join(chr(ord("a") + (11 * i + 3) % 26) for i in range(60))
+        rep = "".join(chr(ord("a") + (5 * i + 1) % 26) for i in range(45))
+        sf = _write_docs(
+            tmp_path,
+            {
+                # docs 0/1 share a 50-char block at different offsets
+                0: uniq0 + shared,
+                1: shared + uniq1,
+                # doc 2 repeats a 45-char block internally (same-doc dup)
+                2: rep + "0123456789" + rep,
+                # doc 3: strictly increasing chars -> every 40-gram unique
+                3: "".join(chr(33 + i) for i in range(80)),
+            },
+        )
+        out = (
+            exact_substr_spans(sf, gram_chars=40)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        spans = {
+            d: [(r.span_start, r.span_end) for r in g.itertuples()]
+            for d, g in out.groupby("doc_id")
+        }
+        # docs 0/1: exactly the shared 50-char block, at its offset
+        assert spans[0] == [(60, 110)]
+        assert spans[1] == [(0, 50)]
+        # doc 2: both copies of the repeated block, merged per copy
+        # (gap of 10 + offset > 40 keeps them separate)
+        assert spans[2] == [(0, 45), (55, 100)]
+        assert 3 not in spans
+
+    def test_touching_spans_merge(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import exact_substr_spans
+
+        # two 40-char blocks, each duplicated in another doc, sitting
+        # adjacent in doc 0 -> gaps-and-islands merges them into one span
+        blk_a = "".join(chr(ord("a") + (3 * i) % 26) for i in range(40))
+        blk_b = "".join(chr(ord("a") + (9 * i + 2) % 26) for i in range(40))
+        pad = "".join(chr(ord("a") + (21 * i + 7) % 26) for i in range(50))
+        sf = _write_docs(
+            tmp_path,
+            {0: blk_a + blk_b, 1: blk_a + pad, 2: pad[:45] + blk_b},
+        )
+        out = exact_substr_spans(sf, gram_chars=40).to_pandas()
+        doc0 = out[out.doc_id == 0]
+        assert [(r.span_start, r.span_end) for r in doc0.itertuples()] == [(0, 80)]
