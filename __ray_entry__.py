@@ -239,8 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # turn-level exact dedup across conversations
         "duplicate_turns": duplicate_turns_q,
         "segment_dedup_docs": cur.segment_dedup_docs,
-        # ExactSubstr duplicated-span detection (Lee et al. 2022)
+        # ExactSubstr duplicated-span detection + removal (Lee et al. 2022)
         "exact_substr_spans": cur.exact_substr_spans,
+        "exact_substr_dedup_docs": cur.exact_substr_dedup_docs,
         # content-domain classifier (round-3: DomainType producer; feeds
         # the per-domain dedup thresholds)
         "domain_classify_docs": docs.domain_classify_docs,
@@ -1535,6 +1536,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 40 AS BIGINT) AS span_end
             FROM isl GROUP BY doc_id, island
+        """,
+        "exact_substr_dedup_docs": f"""
+            -- ExactSubstr removal: keep the corpus-wide first occurrence
+            -- (by doc_id, pos) of every duplicated 40-gram; cut later
+            -- occurrences' merged spans out and reassemble each doc from
+            -- the surviving ranges (engine: curation.exact_substr_dedup_docs)
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(generate_series(CAST(0 AS BIGINT),
+                                              length(canonical) - 40)) AS pos,
+                       canonical
+                FROM c WHERE length(canonical) >= 40
+            ),
+            gr AS (
+                SELECT doc_id, pos,
+                       substring(canonical, CAST(pos + 1 AS INT), 40) AS gram
+                FROM g
+            ),
+            w AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY gram) AS cnt
+                FROM gr
+            ),
+            rem AS (SELECT doc_id, pos FROM w WHERE cnt >= 2 AND rn > 1),
+            o AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                      ORDER BY pos) <= 40
+                            THEN 0 ELSE 1 END AS brk
+                FROM rem
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM o
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+                FROM isl GROUP BY doc_id, island
+            ),
+            seg1 AS (
+                SELECT doc_id,
+                       COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                                0) AS a,
+                       s AS b
+                FROM spans
+            ),
+            seg2 AS (
+                SELECT spans.doc_id, max(e) AS a, length(c.canonical) AS b
+                FROM spans JOIN c USING (doc_id)
+                GROUP BY spans.doc_id, length(c.canonical)
+            ),
+            segs AS (SELECT * FROM seg1 UNION ALL SELECT * FROM seg2),
+            cutdocs AS (
+                SELECT segs.doc_id,
+                       string_agg(substring(c.canonical, CAST(a + 1 AS INT),
+                                            CAST(b - a AS INT)),
+                                  '' ORDER BY a) AS kept_text
+                FROM segs JOIN c USING (doc_id) GROUP BY segs.doc_id
+            )
+            SELECT c.doc_id,
+                   COALESCE(cd.kept_text, c.canonical) AS kept_text,
+                   CAST(length(c.canonical)
+                        - length(COALESCE(cd.kept_text, c.canonical))
+                        AS BIGINT) AS n_removed_chars
+            FROM c LEFT JOIN cutdocs cd USING (doc_id)
         """,
         "segment_dedup_docs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words

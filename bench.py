@@ -189,6 +189,8 @@ def run_bench() -> dict:
     timed("domain_classify_docs", docs.domain_classify_docs)
     timed("dedup_docs_domain_thresholds", docs.dedup_docs_domain_thresholds)
     timed("extract_html_docs", docs.extract_html_docs)
+    timed("exact_substr_spans", cur.exact_substr_spans)
+    timed("gif_decode_stats", docs.gif_decode_stats)
 
     ray.shutdown()
     return {

@@ -375,6 +375,34 @@ def exact_substr_spans(
     keeps the oracle collision-free.
     """
 
+    def _keep_duplicated(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .filter(pl.len().over("gram") >= 2)
+            .select(["doc_id", "pos"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+        )
+
+    grams = _canonical_docs(sf_dir).map_batches(
+        _make_gram_explode(gram_chars), batch_format="pyarrow"
+    )
+    dup_positions = partitioned_group_map(
+        grams, "gram", _keep_duplicated, arrow=True, lineage_stage="exact_substr_dup"
+    )
+    return partitioned_group_map(
+        dup_positions, "doc_id", _make_span_merge(gram_chars), arrow=True,
+        lineage_stage="exact_substr_merge",
+    )
+
+
+def _make_gram_explode(gram_chars: int):
+    """Per-batch polars explode of canonical text into every overlapping
+    `gram_chars`-gram: (doc_id, pos, gram). No shuffle."""
+
     def _grams(batch: pa.Table) -> pa.Table:
         import polars as pl
 
@@ -413,17 +441,13 @@ def exact_substr_spans(
             )
         )
 
-    def _keep_duplicated(tb: pa.Table) -> pa.Table:
-        import polars as pl
+    return _grams
 
-        out = (
-            pl.from_arrow(tb)
-            .filter(pl.len().over("gram") >= 2)
-            .select(["doc_id", "pos"])
-        )
-        return out.to_arrow().cast(
-            pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
-        )
+
+def _make_span_merge(gram_chars: int):
+    """Partition fn: (doc_id, pos) rows -> maximal merged spans.
+    Gaps-and-islands: a new span starts when the gap between consecutive
+    positions exceeds the gram length (overlapping OR touching merge)."""
 
     def _merge_spans(tb: pa.Table) -> pa.Table:
         import polars as pl
@@ -437,9 +461,6 @@ def exact_substr_spans(
                     "span_end": pa.array([], pa.int64()),
                 }
             )
-        # gaps-and-islands: a new span starts when the gap between
-        # consecutive duplicated positions exceeds the gram length
-        # (overlapping OR touching grams merge)
         out = (
             df.with_columns(
                 (
@@ -468,11 +489,136 @@ def exact_substr_spans(
             )
         )
 
-    grams = _canonical_docs(sf_dir).map_batches(_grams, batch_format="pyarrow")
-    dup_positions = partitioned_group_map(
-        grams, "gram", _keep_duplicated, arrow=True, lineage_stage="exact_substr_dup"
+    return _merge_spans
+
+
+def exact_substr_dedup_docs(
+    sf_dir: str, gram_chars: int = EXACT_SUBSTR_CHARS
+) -> "rd.Dataset":
+    """ExactSubstr REMOVAL (Lee et al. 2022, arXiv:2107.06499 §3.1):
+    keep the corpus-wide FIRST occurrence (by (doc_id, pos)) of every
+    duplicated `gram_chars`-gram and cut all later occurrences out of
+    their documents, reassembling each document from the surviving
+    ranges. The character-level analogue of the paper's "remove all but
+    one occurrence of any repeated 50-token span".
+
+    Output: (doc_id, kept_text, n_removed_chars) for EVERY document —
+    unaffected docs pass through with n_removed_chars = 0.
+
+    Scale shape: same two hash-partitions as `exact_substr_spans` (gram,
+    then doc_id); the cut stage co-partitions removal spans WITH the
+    canonical text by unioning both under the doc_id key — a partitioned
+    hash join, never a driver-side collect. The only per-row python is
+    the final string slicing, bounded by spans-per-doc.
+    """
+
+    def _keep_losers(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["gram", "doc_id", "pos"])
+            .filter(
+                (pl.len().over("gram") >= 2)
+                & (pl.int_range(pl.len()).over("gram") > 0)
+            )
+            .select(["doc_id", "pos"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+        )
+
+    _UNION_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("span_start", pa.int64()),
+            ("span_end", pa.int64()),
+            ("canonical", pa.string()),
+        ]
+    )
+
+    def _tag_spans(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_start": batch["span_start"],
+                "span_end": batch["span_end"],
+                "canonical": pa.nulls(n, pa.string()),
+            },
+            schema=_UNION_SCHEMA,
+        )
+
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_start": pa.nulls(n, pa.int64()),
+                "span_end": pa.nulls(n, pa.int64()),
+                "canonical": batch["canonical"],
+            },
+            schema=_UNION_SCHEMA,
+        )
+
+    def _cut(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        docs = df.filter(pl.col("canonical").is_not_null())
+        spans = (
+            df.filter(pl.col("span_start").is_not_null())
+            .sort(["doc_id", "span_start"])
+        )
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for d, s, e in zip(
+            spans["doc_id"].to_list(),
+            spans["span_start"].to_list(),
+            spans["span_end"].to_list(),
+        ):
+            by_doc.setdefault(d, []).append((s, e))
+        ids: list[int] = []
+        kept: list[str] = []
+        removed: list[int] = []
+        for d, text in zip(docs["doc_id"].to_list(), docs["canonical"].to_list()):
+            cuts = by_doc.get(d)
+            if not cuts:
+                ids.append(d)
+                kept.append(text)
+                removed.append(0)
+                continue
+            parts: list[str] = []
+            prev = 0
+            for s, e in cuts:
+                parts.append(text[prev:s])
+                prev = e
+            parts.append(text[prev:])
+            out_text = "".join(parts)
+            ids.append(d)
+            kept.append(out_text)
+            removed.append(len(text) - len(out_text))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "kept_text": pa.array(kept, pa.string()),
+                "n_removed_chars": pa.array(removed, pa.int64()),
+            }
+        )
+
+    grams = _canonical_docs(sf_dir).map_batches(
+        _make_gram_explode(gram_chars), batch_format="pyarrow"
+    )
+    removal_positions = partitioned_group_map(
+        grams, "gram", _keep_losers, arrow=True,
+        lineage_stage="exact_substr_losers",
+    )
+    removal_spans = partitioned_group_map(
+        removal_positions, "doc_id", _make_span_merge(gram_chars), arrow=True,
+        lineage_stage="exact_substr_rm_merge",
+    )
+    tagged = removal_spans.map_batches(_tag_spans, batch_format="pyarrow").union(
+        _canonical_docs(sf_dir).map_batches(_tag_docs, batch_format="pyarrow")
     )
     return partitioned_group_map(
-        dup_positions, "doc_id", _merge_spans, arrow=True,
-        lineage_stage="exact_substr_merge",
+        tagged, "doc_id", _cut, arrow=True, lineage_stage="exact_substr_cut"
     )

@@ -384,3 +384,30 @@ class TestExactSubstrSpans:
         out = exact_substr_spans(sf, gram_chars=40).to_pandas()
         doc0 = out[out.doc_id == 0]
         assert [(r.span_start, r.span_end) for r in doc0.itertuples()] == [(0, 80)]
+
+    def test_removal_keeps_first_occurrence(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import exact_substr_dedup_docs
+
+        blk = "".join(chr(ord("a") + (3 * i) % 26) for i in range(50))
+        head0 = "".join(chr(33 + i) for i in range(20))
+        tail1 = "".join(chr(90 - i) for i in range(20))
+        sf = _write_docs(
+            tmp_path,
+            {
+                0: head0 + blk,          # first occurrence (doc order) -> kept
+                1: blk + tail1,          # later occurrence -> cut
+                2: "".join(chr(33 + i) for i in range(60)),  # untouched
+            },
+        )
+        out = (
+            exact_substr_dedup_docs(sf, gram_chars=40)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "kept_text"] == head0 + blk
+        assert out.loc[0, "n_removed_chars"] == 0
+        assert out.loc[1, "kept_text"] == tail1
+        assert out.loc[1, "n_removed_chars"] == 50
+        assert out.loc[2, "n_removed_chars"] == 0
+        assert len(out) == 3
