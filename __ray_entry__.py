@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # turn-level exact dedup across conversations
         "duplicate_turns": duplicate_turns_q,
         "segment_dedup_docs": cur.segment_dedup_docs,
+        "c4_line_filter_docs": cur.c4_line_filter_docs,
+        "dedup_lines_docs": cur.dedup_lines_docs,
         # ExactSubstr duplicated-span detection + removal (Lee et al. 2022)
         "exact_substr_spans": cur.exact_substr_spans,
         "exact_substr_dedup_docs": cur.exact_substr_dedup_docs,
@@ -292,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (§2.5): multi-way + top-k combiner, anti-join
         "top_revenue_orders": rel.top_revenue_orders,
         "customers_without_recent_orders": rel.customers_without_recent_orders,
+        "events_range_join": rel.events_range_join,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "filter_docs_by_length": dset.filter_docs_by_length,
@@ -1605,6 +1608,95 @@ def oracle_sql() -> dict[str, str]:
                         - length(COALESCE(cd.kept_text, c.canonical))
                         AS BIGINT) AS n_removed_chars
             FROM c LEFT JOIN cutdocs cd USING (doc_id)
+        """,
+        "c4_line_filter_docs": f"""
+            -- C4 line/page quality cascade (Raffel et al. 2020 §2.2)
+            -- over deterministically synthesized 8-word lines with the
+            -- same injections as pipelines/curation.c4_line_filter_docs
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w,
+                         generate_subscripts(words, 1) - 1 AS i FROM c),
+            lines0 AS (
+                SELECT doc_id, i // 8 AS j,
+                       string_agg(w, ' ' ORDER BY i) AS body
+                FROM w GROUP BY doc_id, i // 8
+            ),
+            lines1 AS (
+                SELECT doc_id, j,
+                       body
+                       || CASE WHEN j = 0 AND doc_id % 31 = 0
+                               THEN ' lorem ipsum' ELSE '' END
+                       || CASE WHEN j = 1 AND doc_id % 37 = 0
+                               THEN ' {{' ELSE '' END
+                       || CASE WHEN (doc_id + j) % 7 = 0
+                               THEN ' javascript' ELSE '' END
+                       || CASE WHEN (doc_id + j) % 3 = 0 THEN '.'
+                               WHEN (doc_id + j) % 3 = 1 THEN '!'
+                               ELSE '' END AS line
+                FROM lines0
+            ),
+            flags AS (
+                SELECT doc_id,
+                       count(*) AS n_total_lines,
+                       bool_or(contains(line, 'lorem ipsum')
+                               OR contains(line, '{{')) AS bad
+                FROM lines1 GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT doc_id, j, line FROM lines1
+                WHERE regexp_matches(line, '[.!?"]$')
+                  AND len(regexp_extract_all(line, '[^ ]+')) >= 5
+                  AND NOT contains(line, 'javascript')
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY j)
+                           AS filtered_text,
+                       count(*) AS n_kept_lines
+                FROM kept GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.filtered_text,
+                   CAST(a.n_kept_lines AS BIGINT) AS n_kept_lines,
+                   CAST(f.n_total_lines AS BIGINT) AS n_total_lines
+            FROM agg a JOIN flags f USING (doc_id)
+            WHERE NOT f.bad
+              AND len(regexp_extract_all(a.filtered_text, '[.!?]')) >= 3
+        """,
+        "dedup_lines_docs": f"""
+            -- RefinedWeb within-page line dedup (Penedo et al. 2023)
+            -- over the same synthesized lines; every third line is a
+            -- copy of line j-2 (injected duplication, mirrored by the
+            -- engine); keep-first per document, reassemble in order
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w,
+                         generate_subscripts(words, 1) - 1 AS i FROM c),
+            lines0 AS (
+                SELECT doc_id, i // 8 AS j,
+                       string_agg(w, ' ' ORDER BY i) AS body
+                FROM w GROUP BY doc_id, i // 8
+            ),
+            lines1 AS (
+                SELECT l.doc_id, l.j,
+                       CASE WHEN l.j % 3 = 2 THEN s.body ELSE l.body END
+                           AS line
+                FROM lines0 l LEFT JOIN lines0 s
+                  ON s.doc_id = l.doc_id AND s.j = l.j - 2
+            ),
+            ranked AS (
+                SELECT doc_id, j, line,
+                       row_number() OVER (
+                           PARTITION BY doc_id, line ORDER BY j) AS rn
+                FROM lines1
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY j)
+                       FILTER (WHERE rn = 1) AS deduped_text,
+                   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)
+                       AS n_kept_lines,
+                   CAST(count(*) AS BIGINT) AS n_total_lines
+            FROM ranked GROUP BY doc_id
         """,
         "segment_dedup_docs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
@@ -2951,5 +3043,16 @@ def oracle_sql() -> dict[str, str]:
             FROM c LEFT JOIN v
               ON v.user_id = c.user_id AND v.ts <= c.ts
             GROUP BY c.event_id, c.user_id, c.ts
+        """,
+        # --- range join (pipelines/relational.py:events_range_join) ---
+        "events_range_join": """
+            SELECT p.event_id AS purchase_id,
+                   e.event_id AS event_id,
+                   p.user_id
+            FROM events p JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 1 HOUR
+             AND e.ts < p.ts
+            WHERE p.event_type = 'purchase'
         """,
     }

@@ -622,3 +622,177 @@ def exact_substr_dedup_docs(
     return partitioned_group_map(
         tagged, "doc_id", _cut, arrow=True, lineage_stage="exact_substr_cut"
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-quality filter + RefinedWeb within-document line dedup
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 8  # words per synthesized line (the corpus has no newlines)
+
+
+def _lines_frame(batch: pa.Table):
+    """Per-batch polars frame of synthesized lines: (doc_id, j, body).
+
+    The synthetic corpus is a single-space word stream with no newlines
+    or punctuation, so — exactly like `pii_redact_docs` injects PII —
+    both the engine and the DuckDB oracle deterministically restructure
+    each canonical document into `LINE_WORDS`-word lines before the
+    operator under test runs. Line construction is a per-batch polars
+    explode/group_by (docs are whole rows, so no shuffle)."""
+    import polars as pl
+
+    return (
+        pl.from_arrow(batch)
+        .with_columns(pl.col("canonical").str.split(" ").alias("_w"))
+        .select(["doc_id", "_w"])
+        .explode("_w")
+        .with_columns(pl.int_range(pl.len()).over("doc_id").alias("_i"))
+        .group_by(
+            "doc_id", (pl.col("_i") // LINE_WORDS).alias("j"),
+            maintain_order=True,
+        )
+        .agg(pl.col("_w").str.join(" ").alias("body"))
+    )
+
+
+def c4_line_filter_docs(sf_dir: str) -> "rd.Dataset":
+    """C4's line- and page-level quality cascade (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2, public recipe), over deterministically
+    synthesized lines (see `_lines_frame`): with injected markers
+    mirrored bit-for-bit by the oracle —
+
+      line kept iff it ends in terminal punctuation ([.!?"]), has >= 5
+      words, and does not contain 'javascript';
+      page kept iff >= 1 line survives, the surviving text has >= 3
+      sentence terminators, and the page contains neither 'lorem ipsum'
+      nor '{'.
+
+    Injections (all deterministic in doc_id and line index j): terminal
+    '.'/'!' on lines with (doc_id+j)%3 in {0,1}; ' javascript' on
+    (doc_id+j)%7==0; ' lorem ipsum' on line 0 of doc_id%31==0; ' {' on
+    line 1 of doc_id%37==0.
+
+    Output: (doc_id, filtered_text, n_kept_lines, n_total_lines) for
+    kept pages. Scale shape: one stateless map_batches — line
+    synthesis, per-line predicates and page reassembly are all
+    confined to the batch (documents arrive whole), so the operator
+    never shuffles. Reference anchor: the quality-filter surface of
+    `/root/reference/src/quarrycore/quality/assessor.py` applies
+    per-document heuristics; this is the corpus-curation analogue."""
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lines = _lines_frame(batch).with_columns(
+            (
+                pl.col("body")
+                + pl.when((pl.col("j") == 0) & (pl.col("doc_id") % 31 == 0))
+                .then(pl.lit(" lorem ipsum")).otherwise(pl.lit(""))
+                + pl.when((pl.col("j") == 1) & (pl.col("doc_id") % 37 == 0))
+                .then(pl.lit(" {")).otherwise(pl.lit(""))
+                + pl.when((pl.col("doc_id") + pl.col("j")) % 7 == 0)
+                .then(pl.lit(" javascript")).otherwise(pl.lit(""))
+                + pl.when((pl.col("doc_id") + pl.col("j")) % 3 == 0)
+                .then(pl.lit("."))
+                .when((pl.col("doc_id") + pl.col("j")) % 3 == 1)
+                .then(pl.lit("!")).otherwise(pl.lit(""))
+            ).alias("line")
+        )
+        out = (
+            lines.with_columns(
+                keep=pl.col("line").str.contains(r'[.!?"]$')
+                & (pl.col("line").str.count_matches(r"[^ ]+") >= 5)
+                & ~pl.col("line").str.contains("javascript", literal=True),
+                bad=pl.col("line").str.contains("lorem ipsum", literal=True)
+                | pl.col("line").str.contains("{", literal=True),
+            )
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                pl.col("line").filter(pl.col("keep")).str.join("\n")
+                .alias("filtered_text"),
+                pl.col("keep").sum().alias("n_kept_lines"),
+                pl.len().alias("n_total_lines"),
+                pl.col("bad").any().alias("_bad"),
+            )
+            .filter(
+                ~pl.col("_bad")
+                & (pl.col("n_kept_lines") >= 1)
+                & (
+                    pl.col("filtered_text").str.count_matches(r"[.!?]")
+                    >= 3
+                )
+            )
+            .select(
+                "doc_id", "filtered_text", "n_kept_lines", "n_total_lines"
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("filtered_text", pa.string()),
+                    ("n_kept_lines", pa.int64()),
+                    ("n_total_lines", pa.int64()),
+                ]
+            )
+        )
+
+    return _canonical_docs(sf_dir).map_batches(
+        _filter, batch_format="pyarrow"
+    )
+
+
+def dedup_lines_docs(sf_dir: str) -> "rd.Dataset":
+    """RefinedWeb-style within-document line dedup (Penedo et al. 2023,
+    arXiv:2306.01116 — 'remove duplicated lines within a page', public
+    recipe): over the synthesized lines of `_lines_frame`, with every
+    third line (j % 3 == 2) deterministically replaced by a copy of
+    line j-2 (the injected duplication, mirrored by the oracle), keep
+    only the FIRST occurrence of each distinct line per document and
+    reassemble in order.
+
+    Output: (doc_id, deduped_text, n_kept_lines, n_total_lines) for
+    every document. Scale shape: one stateless map_batches — the
+    dedup is within-document, so each batch resolves its own rows;
+    no shuffle, no state."""
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lines = (
+            _lines_frame(batch)
+            .sort(["doc_id", "j"], maintain_order=True)
+            .with_columns(
+                pl.when(pl.col("j") % 3 == 2)
+                .then(pl.col("body").shift(2).over("doc_id"))
+                .otherwise(pl.col("body"))
+                .alias("line")
+            )
+        )
+        out = (
+            lines.with_columns(
+                keep=pl.col("line").is_first_distinct().over("doc_id")
+            )
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                pl.col("line").filter(pl.col("keep")).str.join("\n")
+                .alias("deduped_text"),
+                pl.col("keep").sum().alias("n_kept_lines"),
+                pl.len().alias("n_total_lines"),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("deduped_text", pa.string()),
+                    ("n_kept_lines", pa.int64()),
+                    ("n_total_lines", pa.int64()),
+                ]
+            )
+        )
+
+    return _canonical_docs(sf_dir).map_batches(
+        _dedup, batch_format="pyarrow"
+    )

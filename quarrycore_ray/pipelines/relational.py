@@ -1349,3 +1349,61 @@ def region_supplier_counts(sf_dir: str) -> "rd.Dataset":
         .groupby("r_name")
         .aggregate(Count(alias_name="n_suppliers"))
     )
+
+
+def events_range_join(sf_dir: str) -> "rd.Dataset":
+    """Range (interval) join: each 'purchase' event collects every
+    event by the same user in the preceding one-hour attribution
+    window [purchase.ts - 1h, purchase.ts). Output: (purchase_id,
+    event_id, user_id) — one row per qualifying pair.
+
+    Ray Data has no inequality-join primitive; the streaming-safe
+    composition mirrors `events_asof_join`: hash-partition the events
+    table ONCE on user_id (`partitioned_group_map`), then inside each
+    partition a single vectorized polars `join_where` (IEJoin) pairs
+    purchases with their window — every row crosses the shuffle
+    exactly once and the window bound keeps per-user output linear in
+    events-per-hour, so the plan holds at 10^9 users. Skew note: a
+    single pathological user lands in one partition; the window bound
+    (not the partitioning) is what caps that partition's output.
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def _pairs(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        pur = (
+            df.filter(pl.col("event_type") == "purchase")
+            .select(
+                pl.col("event_id").alias("purchase_id"),
+                pl.col("user_id"),
+                pl.col("ts").alias("p_ts"),
+            )
+            .with_columns(
+                (pl.col("p_ts") - pl.duration(hours=1)).alias("w_lo")
+            )
+        )
+        out = (
+            pur.join_where(
+                df.select("event_id", pl.col("user_id").alias("u2"), "ts"),
+                pl.col("user_id") == pl.col("u2"),
+                pl.col("ts") >= pl.col("w_lo"),
+                pl.col("ts") < pl.col("p_ts"),
+            )
+            .select("purchase_id", "event_id", "user_id")
+            .sort(["purchase_id", "event_id"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("purchase_id", pa.int64()),
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                ]
+            )
+        )
+
+    return partitioned_group_map(ds, "user_id", _pairs, arrow=True)

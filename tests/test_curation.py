@@ -411,3 +411,105 @@ class TestExactSubstrSpans:
         assert out.loc[1, "n_removed_chars"] == 50
         assert out.loc[2, "n_removed_chars"] == 0
         assert len(out) == 3
+
+
+class TestC4LineFilter:
+    def test_planted_cascade(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import c4_line_filter_docs
+
+        w = [f"w{i}" for i in range(40)]
+        line = lambda a, b: " ".join(w[a:b])  # noqa: E731
+        sf = _write_docs(
+            tmp_path,
+            {
+                # doc 1: 5 full lines; punct (1+j)%3 -> j=0 '!', j=1 '',
+                # j=2 '.', j=3 '!', j=4 '' -> kept j=0,2,3 (3 sentence
+                # terminators -> page kept)
+                1: " ".join(w[:40]),
+                # doc 0: 12 words; j=0 gets ' javascript' ((0+0)%7==0),
+                # j=1 has 4 words (<5) -> nothing kept -> page dropped
+                0: " ".join(w[:12]),
+                # doc 31: 'lorem ipsum' injected on line 0 -> dropped
+                31: " ".join(w[:24]),
+                # doc 37: '{' injected on line 1 -> dropped
+                37: " ".join(w[:24]),
+            },
+        )
+        out = {
+            r["doc_id"]: r
+            for r in c4_line_filter_docs(sf).take_all()
+        }
+        assert sorted(out) == [1]
+        r = out[1]
+        assert r["n_total_lines"] == 5
+        assert r["n_kept_lines"] == 3
+        assert r["filtered_text"] == (
+            line(0, 8) + "!\n" + line(16, 24) + ".\n" + line(24, 32) + "!"
+        )
+
+    def test_empty_corpus_and_short_doc(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import c4_line_filter_docs
+
+        # a single 3-word doc: one line, <5 words -> dropped
+        sf = _write_docs(tmp_path, {2: "a b c"})
+        assert c4_line_filter_docs(sf).count() == 0
+
+
+class TestDedupLines:
+    def test_injected_third_line_duplicate(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import dedup_lines_docs
+
+        w = [f"w{i}" for i in range(24)]
+        sf = _write_docs(tmp_path, {5: " ".join(w)})
+        (r,) = dedup_lines_docs(sf).take_all()
+        # line j=2 is replaced by a copy of line j=0 -> deduped away
+        assert r["n_total_lines"] == 3
+        assert r["n_kept_lines"] == 2
+        assert r["deduped_text"] == (
+            " ".join(w[:8]) + "\n" + " ".join(w[8:16])
+        )
+
+    def test_no_duplicates_when_short(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import dedup_lines_docs
+
+        # two lines only -> no j%3==2 line, nothing removed
+        sf = _write_docs(tmp_path, {7: " ".join(f"x{i}" for i in range(10))})
+        (r,) = dedup_lines_docs(sf).take_all()
+        assert r["n_total_lines"] == 2
+        assert r["n_kept_lines"] == 2
+
+
+class TestRangeJoin:
+    def test_attribution_window(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import events_range_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # (event_id, user_id, ts, event_type)
+            (1, 7, t0 - dt.timedelta(minutes=90), "view"),   # outside
+            (2, 7, t0 - dt.timedelta(minutes=60), "view"),   # boundary: ts == p.ts-1h -> included
+            (3, 7, t0 - dt.timedelta(minutes=5), "click"),   # inside
+            (4, 7, t0, "purchase"),                          # the purchase
+            (5, 7, t0, "view"),                              # ts == p.ts -> excluded
+            (6, 8, t0 - dt.timedelta(minutes=5), "view"),    # other user
+            (7, 7, t0 - dt.timedelta(minutes=30), "purchase"),  # purchase in window of 4
+        ]
+        tb = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "events.parquet"))
+        out = sorted(
+            (r["purchase_id"], r["event_id"])
+            for r in events_range_join(str(tmp_path)).take_all()
+        )
+        # purchase 4 window [11:00, 12:00): events 2, 3, 7
+        # purchase 7 window [10:30, 11:30): events 1 (on the closed
+        # lower bound), 2
+        assert out == [(4, 2), (4, 3), (4, 7), (7, 1), (7, 2)]
