@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_docs": cur.repetition_stats_docs,
         "decontaminate_docs": cur.decontaminate_docs,
         "gopher_quality_docs": trn.gopher_quality_docs,
+        # interpolated bigram-LM scoring (CCNet perplexity-filter analog)
+        "bigram_logprob_docs": trn.bigram_logprob_docs,
         # multimodal binary-column decode (real PNG/BMP + stub codecs)
         "media_decode_stats": docs.media_decode_stats,
         "jpeg_decode_stats": docs.jpeg_decode_stats,
@@ -2877,6 +2879,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                    floor((su / 1000000.0 / n_tokens) * 1000000 + 0.5) / 1000000.0
                        AS avg_neg_logprob
+            FROM d
+        """,
+        "bigram_logprob_docs": f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            w0 AS (SELECT doc_id, string_split(canonical, ' ') AS words
+                   FROM c),
+            w AS (SELECT doc_id, unnest(words) AS cur,
+                         generate_subscripts(words, 1) AS i FROM w0),
+            wl AS MATERIALIZED (
+                SELECT doc_id, cur, i,
+                       lag(cur) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM w
+            ),
+            cnt AS MATERIALIZED (
+                SELECT cur AS token, count(*) AS cu FROM w GROUP BY 1
+            ),
+            tot AS (SELECT sum(cu) AS t FROM cnt),
+            bg AS MATERIALIZED (
+                SELECT doc_id, prev, cur, count(*) AS bf FROM wl WHERE i > 1
+                GROUP BY 1, 2, 3
+            ),
+            cb AS MATERIALIZED (
+                SELECT prev, cur, sum(bf) AS cb FROM bg GROUP BY 1, 2
+            ),
+            termb AS (
+                SELECT bg.doc_id, bg.bf AS n,
+                       bg.bf * CAST(floor(
+                           -ln(0.7 * (cb.cb * 1.0 / cp.cu)
+                               + 0.3 * (cc.cu * 1.0 / tot.t))
+                           * 1000000 + 0.5) AS BIGINT) AS su
+                FROM bg
+                JOIN cb ON cb.prev = bg.prev AND cb.cur = bg.cur
+                JOIN cnt cp ON cp.token = bg.prev
+                JOIN cnt cc ON cc.token = bg.cur
+                CROSS JOIN tot
+            ),
+            term0 AS (
+                SELECT f.doc_id, 1 AS n,
+                       CAST(floor(-ln(cc.cu * 1.0 / tot.t) * 1000000 + 0.5)
+                            AS BIGINT) AS su
+                FROM (SELECT doc_id, cur FROM wl WHERE i = 1) f
+                JOIN cnt cc ON cc.token = f.cur
+                CROSS JOIN tot
+            ),
+            d AS (SELECT doc_id, sum(n) AS n_tokens, sum(su) AS su
+                  FROM (SELECT * FROM termb UNION ALL SELECT * FROM term0)
+                  GROUP BY doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   floor((su / 1000000.0 / n_tokens) * 1000000 + 0.5)
+                       / 1000000.0 AS avg_neg_logprob
             FROM d
         """,
         "source_mixing_weights": """

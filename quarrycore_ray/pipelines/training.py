@@ -355,6 +355,166 @@ def unigram_logprob_docs(sf_dir: str) -> "rd.Dataset":
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+BG_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("pair", pa.string()),
+        pa.field("prev", pa.string()),
+        pa.field("cur", pa.string()),
+        pa.field("tf", pa.int64()),
+    ]
+)
+
+FIRST_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.int64()), pa.field("token", pa.string())]
+)
+
+
+def _bigram_counts(ds: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, pair, prev, cur, tf) per-doc bigram occurrence counts —
+    one vectorized polars explode + within-doc shift per batch (complete
+    per doc: one input row is one whole document). `pair` is the join
+    key `prev + US + cur` (unit separator never appears in canonical
+    text, which is single-space normalized)."""
+
+    def _bg(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", "canonical"]))
+        e = (
+            df.with_columns(pl.col("canonical").str.split(" ").alias("cur"))
+            .drop("canonical")
+            .explode("cur")
+            .with_columns(pl.col("cur").shift(1).over("doc_id").alias("prev"))
+            .drop_nulls("prev")
+        )
+        out = (
+            e.group_by(["doc_id", "prev", "cur"])
+            .len()
+            .rename({"len": "tf"})
+            .with_columns(
+                (pl.col("prev") + "\x1f" + pl.col("cur")).alias("pair")
+            )
+            .select(["doc_id", "pair", "prev", "cur", "tf"])
+        )
+        return out.to_arrow().cast(BG_SCHEMA)
+
+    return ds.map_batches(_bg, batch_format="pyarrow")
+
+
+def _first_tokens(ds: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, token) — each document's first token (split of '' yields
+    [''], so every doc contributes exactly one row)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", "canonical"]))
+        out = df.with_columns(
+            pl.col("canonical").str.split(" ").list.first().alias("token")
+        ).select(["doc_id", "token"])
+        return out.to_arrow().cast(FIRST_SCHEMA)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def bigram_logprob_docs(
+    sf_dir: str, lam: float = 0.7, lam_c: float = 0.3
+) -> "rd.Dataset":
+    """Interpolated bigram language-model scoring — the CCNet-style
+    perplexity filter (Wenzek et al. 2020, arXiv:1911.00359 §3.2 uses a
+    KenLM n-gram LM; this is the from-scratch distributed analog):
+    per doc, the mean negative log probability under
+    p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                       + lam_c * c(w_i)/T,
+    with the first token scored by the unigram term alone.
+
+    Distribution: bigram triples are complete per doc (one row = one
+    document); the corpus bigram and unigram tables are token-keyed
+    combiner aggregates attached back via `attach_lookup` (broadcast
+    under 1M entries, partitioned join above). Per-term -ln p is floored
+    to integer micro-units before the per-doc sum (exactmath pattern),
+    so the reduction is exact, order-independent, and bit-identical to
+    the DuckDB oracle. `lam_c` is passed explicitly (not computed as
+    1-lam) so engine and oracle use the same float literals.
+    Output (doc_id, n_tokens, avg_neg_logprob)."""
+    docs = canonical_docs(sf_dir)
+    tf = _term_counts(docs).materialize()
+    cnt = _token_aggregate(tf, "c", value="tf").materialize()
+    total = int(cnt.sum("c")) if cnt.count() else 0
+
+    bg = _bigram_counts(docs).materialize()
+
+    def _as_tok(batch: pa.Table) -> pa.Table:
+        return pa.table({"token": batch["pair"], "tf": batch["tf"]})
+
+    cb_tbl = _token_aggregate(
+        bg.map_batches(_as_tok, batch_format="pyarrow"), "cb", value="tf"
+    )
+
+    with_cb = attach_lookup(
+        bg, BG_SCHEMA, ["pair"], cb_tbl, "token", "cb", pa.int64(), ["cb"]
+    )
+    s2 = pa.schema(list(BG_SCHEMA) + [pa.field("cb", pa.int64())])
+    with_cnt = attach_lookup(
+        with_cb, s2, ["prev", "cur"], cnt, "token", "c", pa.int64(),
+        ["cp", "cc"],
+    )
+
+    def _terms(batch: pa.Table) -> pa.Table:
+        bf = np.asarray(batch["tf"], dtype=np.int64)
+        cb = np.asarray(batch["cb"], dtype=np.float64)
+        cp = np.asarray(batch["cp"], dtype=np.float64)
+        cc = np.asarray(batch["cc"], dtype=np.float64)
+        p = lam * (cb / cp) + lam_c * (cc / float(total))
+        u = np.floor(-np.log(p) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n": pa.array(bf, pa.int64()),
+                "su": pa.array(bf * u, pa.int64()),
+            }
+        )
+
+    first = attach_lookup(
+        _first_tokens(docs), FIRST_SCHEMA, ["token"], cnt, "token", "c",
+        pa.int64(), ["cc"],
+    )
+
+    def _t0(batch: pa.Table) -> pa.Table:
+        cc = np.asarray(batch["cc"], dtype=np.float64)
+        u = np.floor(-np.log(cc / float(total)) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n": pa.array(np.ones(len(u), dtype=np.int64), pa.int64()),
+                "su": pa.array(u, pa.int64()),
+            }
+        )
+
+    parts = with_cnt.map_batches(_terms, batch_format="pyarrow").union(
+        first.map_batches(_t0, batch_format="pyarrow")
+    )
+    agg = parts.groupby("doc_id").aggregate(
+        Sum("n", alias_name="n_tokens"), Sum("su", alias_name="_su")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        su = np.asarray(batch["_su"], dtype=np.float64)
+        n = np.asarray(batch["n_tokens"], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+                "avg_neg_logprob": pa.array(
+                    floor_round_np(su / 1e6 / n), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def source_mixing_weights(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
     """Temperature-scaled source mixing weights (the multinomial
     alpha-sampling recipe used for multi-source pretraining mixes):

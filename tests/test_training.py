@@ -142,6 +142,44 @@ class TestUnigramLogprob:
         assert out.loc[0, "n_tokens"] == 3
 
 
+class TestBigramLogprob:
+    def test_matches_hand_computation(self, tmp_path):
+        from quarrycore_ray.pipelines.training import bigram_logprob_docs
+
+        # corpus: doc0 = 'a b a b', doc1 = 'b a'
+        # unigrams: a x3, b x3, T=6; bigrams: ab x2, ba x2
+        sf = _write_docs(tmp_path, {0: "a b a b", 1: "b a"})
+        out = bigram_logprob_docs(sf).to_pandas().set_index("doc_id")
+        T = 6.0
+        pa_, pb = 3 / T, 3 / T
+        # p(b|a) = .7*(2/3) + .3*(3/6); p(a|b) = .7*(2/3) + .3*(3/6)
+        u_ab = math.floor(-math.log(0.7 * (2 / 3) + 0.3 * pb) * 1e6 + 0.5)
+        u_ba = math.floor(-math.log(0.7 * (2 / 3) + 0.3 * pa_) * 1e6 + 0.5)
+        u_a0 = math.floor(-math.log(pa_) * 1e6 + 0.5)
+        u_b0 = math.floor(-math.log(pb) * 1e6 + 0.5)
+        # doc0: first 'a' unigram + b|a, a|b, b|a
+        su0 = u_a0 + 2 * u_ab + u_ba
+        exp0 = math.floor((su0 / 1e6 / 4) * 1e6 + 0.5) / 1e6
+        # doc1: first 'b' unigram + a|b
+        su1 = u_b0 + u_ba
+        exp1 = math.floor((su1 / 1e6 / 2) * 1e6 + 0.5) / 1e6
+        assert out.loc[0, "n_tokens"] == 4
+        assert out.loc[1, "n_tokens"] == 2
+        assert out.loc[0, "avg_neg_logprob"] == exp0
+        assert out.loc[1, "avg_neg_logprob"] == exp1
+
+    def test_single_token_doc_scores_unigram_only(self, tmp_path):
+        from quarrycore_ray.pipelines.training import bigram_logprob_docs
+
+        sf = _write_docs(tmp_path, {0: "x", 1: "x y"})
+        out = bigram_logprob_docs(sf).to_pandas().set_index("doc_id")
+        # doc0 has one token, no bigrams: exact unigram term p(x)=2/3
+        u = math.floor(-math.log(2 / 3) * 1e6 + 0.5)
+        exp = math.floor((u / 1e6) * 1e6 + 0.5) / 1e6
+        assert out.loc[0, "n_tokens"] == 1
+        assert out.loc[0, "avg_neg_logprob"] == exp
+
+
 class TestSourceMixing:
     def test_temperature_flattens(self, tmp_path):
         from quarrycore_ray.pipelines.training import source_mixing_weights
