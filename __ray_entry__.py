@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_docs": docs.fuzzy_match_docs,
         # turn-level exact dedup across conversations
         "duplicate_turns": duplicate_turns_q,
+        # soft dedup: keep duplicates, downweight by group multiplicity
+        "soft_dedup_weights": cur.soft_dedup_weights,
         "segment_dedup_docs": cur.segment_dedup_docs,
         "c4_line_filter_docs": cur.c4_line_filter_docs,
         "dedup_lines_docs": cur.dedup_lines_docs,
@@ -287,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_docs": trn.gopher_quality_docs,
         # interpolated bigram-LM scoring (CCNet perplexity-filter analog)
         "bigram_logprob_docs": trn.bigram_logprob_docs,
+        # DSIR hashed-bigram importance weights (target = smallest source)
+        "dsir_importance_weights": trn.dsir_importance_weights,
         # multimodal binary-column decode (real PNG/BMP + stub codecs)
         "media_decode_stats": docs.media_decode_stats,
         "jpeg_decode_stats": docs.jpeg_decode_stats,
@@ -2929,6 +2933,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                    floor((su / 1000000.0 / n_tokens) * 1000000 + 0.5)
                        / 1000000.0 AS avg_neg_logprob
+            FROM d
+        """,
+        "soft_dedup_weights": f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            g AS (SELECT doc_id,
+                         count(*) OVER (PARTITION BY canonical) AS group_size
+                  FROM c)
+            SELECT doc_id, CAST(group_size AS BIGINT) AS group_size,
+                   floor((1.0 / group_size) * 1000000 + 0.5) / 1000000.0
+                       AS weight
+            FROM g
+        """,
+        "dsir_importance_weights": f"""
+            WITH c AS (SELECT doc_id, source, {_CANON} AS canonical
+                       FROM documents),
+            w0 AS (SELECT doc_id, source, string_split(canonical, ' ')
+                              AS words FROM c),
+            w AS (SELECT doc_id, source, unnest(words) AS cur,
+                         generate_subscripts(words, 1) AS i FROM w0),
+            wl AS (SELECT doc_id, source, cur, i,
+                          lag(cur) OVER (PARTITION BY doc_id ORDER BY i)
+                              AS prev
+                   FROM w),
+            bgrow AS MATERIALIZED (
+                SELECT doc_id, source, prev || chr(31) || cur AS pair
+                FROM wl WHERE i > 1
+            ),
+            hv AS MATERIALIZED (
+                SELECT pair,
+                       (CAST(CAST(('0x' || substring(hx, 15, 2)
+                                   || substring(hx, 13, 2)
+                                   || substring(hx, 11, 2)
+                                   || substring(hx, 9, 2)) AS BIGINT)
+                             AS HUGEINT) * 4294967296
+                        + CAST(('0x' || substring(hx, 7, 2)
+                                || substring(hx, 5, 2)
+                                || substring(hx, 3, 2)
+                                || substring(hx, 1, 2)) AS BIGINT))
+                           % 8192 AS k
+                FROM (SELECT pair, md5(pair) AS hx
+                      FROM (SELECT DISTINCT pair FROM bgrow))
+            ),
+            feat AS MATERIALIZED (
+                SELECT b.doc_id, b.source, CAST(hv.k AS BIGINT) AS k,
+                       count(*) AS tf
+                FROM bgrow b JOIN hv USING (pair) GROUP BY 1, 2, 3
+            ),
+            tgt AS (SELECT min(source) AS s FROM documents),
+            qcnt AS (SELECT k, sum(tf) AS cq FROM feat GROUP BY k),
+            pcnt AS (SELECT k, sum(tf) AS cp FROM feat
+                     WHERE source = (SELECT s FROM tgt) GROUP BY k),
+            tot AS (SELECT (SELECT sum(tf) FROM feat) AS tq,
+                           (SELECT coalesce(sum(tf), 0) FROM feat
+                            WHERE source = (SELECT s FROM tgt)) AS tp),
+            term AS (
+                SELECT f.doc_id, f.tf,
+                       CAST(floor(
+                           (ln((coalesce(p.cp, 0) + 1) * 1.0
+                               / (tot.tp + 8192))
+                            - ln((q.cq + 1) * 1.0 / (tot.tq + 8192)))
+                           * 1000000 + 0.5) AS BIGINT) AS u
+                FROM feat f
+                JOIN qcnt q USING (k)
+                LEFT JOIN pcnt p USING (k)
+                CROSS JOIN tot
+            ),
+            d AS (SELECT doc_id, sum(tf) AS n_bigrams, sum(tf * u) AS su
+                  FROM term GROUP BY doc_id)
+            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   floor((su / 1000000.0 / n_bigrams) * 1000000 + 0.5)
+                       / 1000000.0 AS dsir_score
             FROM d
         """,
         "source_mixing_weights": """

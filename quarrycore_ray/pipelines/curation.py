@@ -24,8 +24,12 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+import numpy as np
+
+from ray.data.aggregate import Sum
+
 from ..exactmath import floor_round_np
-from ..stages.grouped import partitioned_group_map
+from ..stages.grouped import attach_lookup, partitioned_group_map
 from ..text import normalize_whitespace_array, sha256_hex_array
 
 SEG_WORDS = 10  # words per dedup segment (C4 uses 3 sentences; the
@@ -86,6 +90,73 @@ def _make_segment_explode(seg_words: int):
         return tb.append_column("seg_hash", sha256_hex_array(tb["seg"]))
 
     return _explode
+
+
+def soft_dedup_weights(sf_dir: str) -> "rd.Dataset":
+    """Soft deduplication: keep every document but downweight duplicates
+    — the reweighting alternative to hard removal (SoftDeDup, He et al.
+    2024, arXiv:2407.06654 reweights by n-gram commonness; this is the
+    exact-duplicate-group variant: weight = 1 / multiplicity of the
+    doc's canonical-text group, so each distinct text contributes unit
+    total mass to the training mix).
+
+    Scale: the only shuffle is a combiner aggregate keyed on the 64-char
+    content hash (per-batch partial counts first, so only
+    (hash, partial) rows move); counts are attached back via the
+    broadcast/partitioned-join switch. Text never crosses the wire.
+    Output (doc_id, group_size, weight)."""
+    docs = _canonical_docs(sf_dir)
+
+    def _h(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": sha256_hex_array(batch["canonical"]),
+            }
+        )
+
+    hashed = docs.map_batches(_h, batch_format="pyarrow").materialize()
+
+    _P_SCHEMA = pa.schema(
+        [pa.field("h", pa.string()), pa.field("_p", pa.int64())]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select(["h"]))
+            .group_by("h")
+            .len()
+            .rename({"len": "_p"})
+            .to_arrow()
+            .cast(_P_SCHEMA)
+        )
+
+    cnt = (
+        hashed.map_batches(_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("_p", alias_name="n"))
+    )
+
+    H_SCHEMA = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("h", pa.string())]
+    )
+    out = attach_lookup(
+        hashed, H_SCHEMA, ["h"], cnt, "h", "n", pa.int64(), ["group_size"]
+    )
+
+    def _w(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["group_size"], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "group_size": pc.cast(batch["group_size"], pa.int64()),
+                "weight": pa.array(floor_round_np(1.0 / n), pa.float64()),
+            }
+        )
+
+    return out.map_batches(_w, batch_format="pyarrow")
 
 
 def segment_dedup_docs(sf_dir: str, seg_words: int = SEG_WORDS) -> "rd.Dataset":

@@ -515,6 +515,181 @@ def bigram_logprob_docs(
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+FEAT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("source", pa.string()),
+        pa.field("k", pa.int64()),
+        pa.field("tf", pa.int64()),
+    ]
+)
+
+
+def dsir_importance_weights(
+    sf_dir: str, n_buckets: int = 8192
+) -> "rd.Dataset":
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    each raw document by the hashed-bigram importance log-ratio between
+    a target distribution and the raw corpus, the published recipe for
+    picking pretraining data that matches a target domain. The target
+    here is the lexicographically smallest `source` (deterministic);
+    features are bigrams hashed into `n_buckets` buckets (md5, the same
+    64-bit little-endian parse DuckDB reproduces); both bag-of-buckets
+    multinomials use add-one smoothing.
+
+    Scale: per-doc features are complete per batch (one row = one doc);
+    the bucket tables are <= n_buckets rows (combiner aggregates,
+    broadcast back); per-feature log-ratios are floored to integer
+    micro-units before the per-doc sum (exactmath pattern), so the
+    score is order-independent and bit-identical to the DuckDB oracle.
+    Docs with no bigrams (single-token) emit no row — same in the
+    oracle. Output (doc_id, n_bigrams, dsir_score) where dsir_score is
+    the mean per-bigram log p_target/p_raw."""
+    from ..simhash import md5_feature_hash64
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "canonical": normalize_whitespace_array(batch["text"]),
+            }
+        )
+
+    docs = ds.map_batches(_canon, batch_format="pyarrow")
+
+    def _feats(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", "source", "canonical"]))
+        e = (
+            df.with_columns(pl.col("canonical").str.split(" ").alias("cur"))
+            .drop("canonical")
+            .explode("cur")
+            .with_columns(pl.col("cur").shift(1).over("doc_id").alias("prev"))
+            .drop_nulls("prev")
+            .with_columns(
+                (pl.col("prev") + "\x1f" + pl.col("cur")).alias("pair")
+            )
+            .select(["doc_id", "source", "pair"])
+        )
+        if e.height == 0:
+            return FEAT_SCHEMA.empty_table()
+        pairs = e["pair"].to_numpy()
+        uniq, inv = np.unique(pairs, return_inverse=True)
+        ks = np.array(
+            [md5_feature_hash64(p) % n_buckets for p in uniq], dtype=np.int64
+        )
+        out = (
+            e.with_columns(pl.Series("k", ks[inv]))
+            .group_by(["doc_id", "source", "k"])
+            .len()
+            .rename({"len": "tf"})
+            .select(["doc_id", "source", "k", "tf"])
+        )
+        return out.to_arrow().cast(FEAT_SCHEMA)
+
+    feats = docs.map_batches(_feats, batch_format="pyarrow").materialize()
+
+    # deterministic target pick: smallest source name over the FULL
+    # documents table (tiny combiner groupby, driver-side min)
+    src_tbl = typed_pandas(
+        ds.groupby("source").aggregate(Count(alias_name="n")),
+        {"source": "object", "n": "int64"},
+    )
+    if src_tbl.empty or feats.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    pa.field("doc_id", pa.int64()),
+                    pa.field("n_bigrams", pa.int64()),
+                    pa.field("dsir_score", pa.float64()),
+                ]
+            ).empty_table()
+        )
+    target = min(src_tbl["source"])
+
+    _K_SCHEMA = pa.schema(
+        [pa.field("k", pa.int64()), pa.field("_p", pa.int64())]
+    )
+
+    def _bucket_agg(d: "rd.Dataset", alias: str) -> "rd.Dataset":
+        def _partial(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            return (
+                pl.from_arrow(batch.select(["k", "tf"]))
+                .group_by("k")
+                .agg(pl.col("tf").sum().alias("_p"))
+                .to_arrow()
+                .cast(_K_SCHEMA)
+            )
+
+        return (
+            d.map_batches(_partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("_p", alias_name=alias))
+        )
+
+    qcnt = _bucket_agg(feats, "cq")
+    tgt_feats = feats.filter(
+        expr=f"source == {target!r}"
+    )
+    pcnt = _bucket_agg(tgt_feats, "cp")
+    tq = int(feats.sum("tf"))
+    tp_raw = tgt_feats.sum("tf")
+    tp = int(tp_raw) if tp_raw is not None else 0
+
+    with_q = attach_lookup(
+        feats, FEAT_SCHEMA, ["k"], qcnt, "k", "cq", pa.int64(), ["cq"]
+    )
+    s2 = pa.schema(list(FEAT_SCHEMA) + [pa.field("cq", pa.int64())])
+    with_pq = attach_lookup(
+        with_q, s2, ["k"], pcnt, "k", "cp", pa.int64(), ["cp"]
+    )
+
+    def _terms(batch: pa.Table) -> pa.Table:
+        tf = np.asarray(batch["tf"], dtype=np.int64)
+        cq = np.asarray(batch["cq"], dtype=np.float64)
+        cp = np.asarray(pc.fill_null(batch["cp"], 0), dtype=np.float64)
+        lr = np.log((cp + 1.0) / float(tp + n_buckets)) - np.log(
+            (cq + 1.0) / float(tq + n_buckets)
+        )
+        u = np.floor(lr * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tf": pa.array(tf, pa.int64()),
+                "su": pa.array(tf * u, pa.int64()),
+            }
+        )
+
+    agg = (
+        with_pq.map_batches(_terms, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("tf", alias_name="n_bigrams"), Sum("su", alias_name="_su")
+        )
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        su = np.asarray(batch["_su"], dtype=np.float64)
+        n = np.asarray(batch["n_bigrams"], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pc.cast(batch["n_bigrams"], pa.int64()),
+                "dsir_score": pa.array(
+                    floor_round_np(su / 1e6 / n), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def source_mixing_weights(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
     """Temperature-scaled source mixing weights (the multinomial
     alpha-sampling recipe used for multi-source pretraining mixes):

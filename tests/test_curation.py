@@ -513,3 +513,31 @@ class TestRangeJoin:
         # purchase 7 window [10:30, 11:30): events 1 (on the closed
         # lower bound), 2
         assert out == [(4, 2), (4, 3), (4, 7), (7, 1), (7, 2)]
+
+
+class TestSoftDedupWeights:
+    def test_weight_is_inverse_multiplicity(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import soft_dedup_weights
+
+        # 'x y' appears 3 times (one with extra whitespace -> same
+        # canonical), 'z' once
+        sf = _write_docs(tmp_path, {0: "x y", 1: "x  y", 2: "x y", 3: "z"})
+        out = (
+            soft_dedup_weights(sf)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert list(out["group_size"]) == [3, 3, 3, 1]
+        import math
+
+        w3 = math.floor((1.0 / 3) * 1e6 + 0.5) / 1e6
+        assert list(out["weight"]) == [w3, w3, w3, 1.0]
+
+    def test_total_mass_per_group_is_one(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import soft_dedup_weights
+
+        sf = _write_docs(tmp_path, {i: "dup text" for i in range(5)})
+        out = soft_dedup_weights(sf).to_pandas()
+        assert len(out) == 5
+        assert abs(out["weight"].sum() - 1.0) < 1e-4

@@ -980,3 +980,69 @@ class TestEntryContract:
         assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
         rows_only = sorted(set(q) - set(o))
         assert len(rows_only) <= 8, rows_only
+
+
+class TestDsirImportanceWeights:
+    def test_matches_pure_python_model(self, tmp_path):
+        from quarrycore_ray.pipelines.training import dsir_importance_weights
+        from quarrycore_ray.simhash import md5_feature_hash64
+
+        B = 8192
+        texts = {
+            0: "alpha beta alpha beta gamma",
+            1: "alpha beta delta",
+            2: "zeta eta theta iota",
+            3: "zeta eta zeta eta",
+        }
+        # target = min(source) = 'a_tgt' (docs 0, 1)
+        sources = {0: "a_tgt", 1: "a_tgt", 2: "b_raw", 3: "b_raw"}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = (
+            dsir_importance_weights(sf)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+        # independent pure-python reimplementation
+        def feats(t):
+            w = t.split(" ")
+            ks = [
+                md5_feature_hash64(f"{a}\x1f{b}") % B
+                for a, b in zip(w, w[1:])
+            ]
+            return ks
+
+        from collections import Counter
+
+        q = Counter()
+        p = Counter()
+        for i, t in texts.items():
+            q.update(feats(t))
+            if sources[i] == "a_tgt":
+                p.update(feats(t))
+        tq, tp = sum(q.values()), sum(p.values())
+        for i, t in texts.items():
+            ks = feats(t)
+            su = 0
+            for k in ks:
+                lr = math.log((p[k] + 1) / (tp + B)) - math.log(
+                    (q[k] + 1) / (tq + B)
+                )
+                su += math.floor(lr * 1e6 + 0.5)
+            exp = math.floor((su / 1e6 / len(ks)) * 1e6 + 0.5) / 1e6
+            assert out.loc[i, "n_bigrams"] == len(ks), i
+            assert out.loc[i, "dsir_score"] == exp, i
+        # target-source docs should score higher than raw-only docs
+        assert min(out.loc[0, "dsir_score"], out.loc[1, "dsir_score"]) > max(
+            out.loc[2, "dsir_score"], out.loc[3, "dsir_score"]
+        )
+
+    def test_single_token_docs_emit_no_row(self, tmp_path):
+        from quarrycore_ray.pipelines.training import dsir_importance_weights
+
+        sf = _write_docs(
+            tmp_path, {0: "only", 1: "two words"}, {0: "s", 1: "s"}
+        )
+        out = dsir_importance_weights(sf).to_pandas()
+        assert list(out["doc_id"]) == [1]
