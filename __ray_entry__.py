@@ -289,6 +289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_docs": trn.gopher_quality_docs,
         # interpolated bigram-LM scoring (CCNet perplexity-filter analog)
         "bigram_logprob_docs": trn.bigram_logprob_docs,
+        # CCNet head/middle/tail perplexity bucketing
+        "ccnet_bucket_docs": trn.ccnet_bucket_docs,
+        # per-source token-length quantiles (corpus profiling)
+        "token_length_quantiles": trn.token_length_quantiles,
         # DSIR hashed-bigram importance weights (target = smallest source)
         "dsir_importance_weights": trn.dsir_importance_weights,
         # multimodal binary-column decode (real PNG/BMP + stub codecs)
@@ -678,6 +682,57 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from quarrycore_ray import sqlgen
+
+    _bigram_sql = f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            w0 AS (SELECT doc_id, string_split(canonical, ' ') AS words
+                   FROM c),
+            w AS (SELECT doc_id, unnest(words) AS cur,
+                         generate_subscripts(words, 1) AS i FROM w0),
+            wl AS MATERIALIZED (
+                SELECT doc_id, cur, i,
+                       lag(cur) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM w
+            ),
+            cnt AS MATERIALIZED (
+                SELECT cur AS token, count(*) AS cu FROM w GROUP BY 1
+            ),
+            tot AS (SELECT sum(cu) AS t FROM cnt),
+            bg AS MATERIALIZED (
+                SELECT doc_id, prev, cur, count(*) AS bf FROM wl WHERE i > 1
+                GROUP BY 1, 2, 3
+            ),
+            cb AS MATERIALIZED (
+                SELECT prev, cur, sum(bf) AS cb FROM bg GROUP BY 1, 2
+            ),
+            termb AS (
+                SELECT bg.doc_id, bg.bf AS n,
+                       bg.bf * CAST(floor(
+                           -ln(0.7 * (cb.cb * 1.0 / cp.cu)
+                               + 0.3 * (cc.cu * 1.0 / tot.t))
+                           * 1000000 + 0.5) AS BIGINT) AS su
+                FROM bg
+                JOIN cb ON cb.prev = bg.prev AND cb.cur = bg.cur
+                JOIN cnt cp ON cp.token = bg.prev
+                JOIN cnt cc ON cc.token = bg.cur
+                CROSS JOIN tot
+            ),
+            term0 AS (
+                SELECT f.doc_id, 1 AS n,
+                       CAST(floor(-ln(cc.cu * 1.0 / tot.t) * 1000000 + 0.5)
+                            AS BIGINT) AS su
+                FROM (SELECT doc_id, cur FROM wl WHERE i = 1) f
+                JOIN cnt cc ON cc.token = f.cur
+                CROSS JOIN tot
+            ),
+            d AS (SELECT doc_id, sum(n) AS n_tokens, sum(su) AS su
+                  FROM (SELECT * FROM termb UNION ALL SELECT * FROM term0)
+                  GROUP BY doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   floor((su / 1000000.0 / n_tokens) * 1000000 + 0.5)
+                       / 1000000.0 AS avg_neg_logprob
+            FROM d
+        """
 
     return {
         "exact_dedup_docs": (
@@ -2885,55 +2940,42 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_neg_logprob
             FROM d
         """,
-        "bigram_logprob_docs": f"""
-            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
-            w0 AS (SELECT doc_id, string_split(canonical, ' ') AS words
-                   FROM c),
-            w AS (SELECT doc_id, unnest(words) AS cur,
-                         generate_subscripts(words, 1) AS i FROM w0),
-            wl AS MATERIALIZED (
-                SELECT doc_id, cur, i,
-                       lag(cur) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-                FROM w
-            ),
-            cnt AS MATERIALIZED (
-                SELECT cur AS token, count(*) AS cu FROM w GROUP BY 1
-            ),
-            tot AS (SELECT sum(cu) AS t FROM cnt),
-            bg AS MATERIALIZED (
-                SELECT doc_id, prev, cur, count(*) AS bf FROM wl WHERE i > 1
-                GROUP BY 1, 2, 3
-            ),
-            cb AS MATERIALIZED (
-                SELECT prev, cur, sum(bf) AS cb FROM bg GROUP BY 1, 2
-            ),
-            termb AS (
-                SELECT bg.doc_id, bg.bf AS n,
-                       bg.bf * CAST(floor(
-                           -ln(0.7 * (cb.cb * 1.0 / cp.cu)
-                               + 0.3 * (cc.cu * 1.0 / tot.t))
-                           * 1000000 + 0.5) AS BIGINT) AS su
-                FROM bg
-                JOIN cb ON cb.prev = bg.prev AND cb.cur = bg.cur
-                JOIN cnt cp ON cp.token = bg.prev
-                JOIN cnt cc ON cc.token = bg.cur
-                CROSS JOIN tot
-            ),
-            term0 AS (
-                SELECT f.doc_id, 1 AS n,
-                       CAST(floor(-ln(cc.cu * 1.0 / tot.t) * 1000000 + 0.5)
-                            AS BIGINT) AS su
-                FROM (SELECT doc_id, cur FROM wl WHERE i = 1) f
-                JOIN cnt cc ON cc.token = f.cur
-                CROSS JOIN tot
-            ),
-            d AS (SELECT doc_id, sum(n) AS n_tokens, sum(su) AS su
-                  FROM (SELECT * FROM termb UNION ALL SELECT * FROM term0)
-                  GROUP BY doc_id)
-            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                   floor((su / 1000000.0 / n_tokens) * 1000000 + 0.5)
-                       / 1000000.0 AS avg_neg_logprob
-            FROM d
+        "bigram_logprob_docs": _bigram_sql,
+        "ccnet_bucket_docs": f"""
+            WITH d0 AS ({_bigram_sql}),
+            s AS (SELECT doc_id, n_tokens, avg_neg_logprob,
+                         CAST(floor(avg_neg_logprob * 1000000 + 0.5)
+                              AS BIGINT) AS su
+                  FROM d0),
+            rk AS (SELECT su, row_number() OVER (ORDER BY su) AS r,
+                          count(*) OVER () AS n FROM s),
+            cut AS (SELECT max(su) FILTER (WHERE r <= ceil(n / 3.0)) AS c1,
+                           max(su) FILTER (WHERE r <= ceil(2 * n / 3.0))
+                               AS c2
+                    FROM rk)
+            SELECT doc_id, n_tokens, avg_neg_logprob,
+                   CASE WHEN su <= cut.c1 THEN 'head'
+                        WHEN su <= cut.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s CROSS JOIN cut
+        """,
+        "token_length_quantiles": f"""
+            WITH c AS (SELECT doc_id, source,
+                              len(string_split({_CANON}, ' ')) AS nt
+                       FROM documents),
+            rk AS (SELECT source, nt,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY nt) AS r,
+                          count(*) OVER (PARTITION BY source) AS n
+                   FROM c)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(max(nt) FILTER (WHERE r <= ceil(n * 0.25))
+                        AS BIGINT) AS p25,
+                   CAST(max(nt) FILTER (WHERE r <= ceil(n * 0.5))
+                        AS BIGINT) AS p50,
+                   CAST(max(nt) FILTER (WHERE r <= ceil(n * 0.75))
+                        AS BIGINT) AS p75
+            FROM rk GROUP BY source ORDER BY source
         """,
         "soft_dedup_weights": f"""
             WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),

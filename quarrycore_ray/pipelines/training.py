@@ -515,6 +515,170 @@ def bigram_logprob_docs(
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+def _rank_cutoffs(
+    hist: pd.DataFrame, key: str, cnt: str, ranks: list[int]
+) -> list[int]:
+    """Value-at-rank cutoffs from a (value, count) histogram: for each
+    rank k (1-based) return the smallest value whose cumulative count
+    reaches k — i.e. the k-th smallest element of the expanded
+    multiset. O(distinct values) driver work."""
+    h = hist.sort_values(key).reset_index(drop=True)
+    cum = h[cnt].cumsum()
+    return [int(h.loc[(cum >= k).idxmax(), key]) for k in ranks]
+
+
+def ccnet_bucket_docs(sf_dir: str) -> "rd.Dataset":
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.3: split the corpus into three equal parts by
+    LM perplexity; 'head' is the best-scoring third). Scores come from
+    the interpolated bigram LM (`bigram_logprob_docs`); the two cutoffs
+    are the exact scores at ranks ceil(n/3) and ceil(2n/3) under
+    ascending (lower = better) order, and buckets are assigned by VALUE
+    (score <= cutoff), so ties share a bucket deterministically.
+
+    Scale: the only extra step beyond scoring is a histogram of the
+    1e-6-quantized scores (per-batch combiner partials, then a groupby
+    whose cardinality is the number of DISTINCT scores — bounded by the
+    score range / 1e-6, not the corpus size); the driver folds that
+    histogram into two integers and broadcasts them back inside the
+    closure. Bit-identical to the DuckDB oracle: both sides recover the
+    micro-unit integer with floor(avg * 1e6 + 0.5) from the same
+    floor-rounded float. Output (doc_id, n_tokens, avg_neg_logprob,
+    bucket)."""
+    scored = bigram_logprob_docs(sf_dir).materialize()
+
+    _H_SCHEMA = pa.schema(
+        [pa.field("su", pa.int64()), pa.field("_p", pa.int64())]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        su = np.floor(
+            np.asarray(batch["avg_neg_logprob"], dtype=np.float64) * 1e6
+            + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame({"su": su})
+            .group_by("su")
+            .len()
+            .rename({"len": "_p"})
+            .to_arrow()
+            .cast(_H_SCHEMA)
+        )
+
+    hist = typed_pandas(
+        scored.map_batches(_partial, batch_format="pyarrow")
+        .groupby("su")
+        .aggregate(Sum("_p", alias_name="n")),
+        {"su": "int64", "n": "int64"},
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("avg_neg_logprob", pa.float64()),
+            pa.field("bucket", pa.string()),
+        ]
+    )
+    if hist.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    ntot = int(hist["n"].sum())
+    # ceil(n/3) and ceil(2n/3), matching SQL ceil(n / 3.0)
+    c1, c2 = _rank_cutoffs(
+        hist, "su", "n", [(ntot + 2) // 3, (2 * ntot + 2) // 3]
+    )
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        su = np.floor(
+            np.asarray(batch["avg_neg_logprob"], dtype=np.float64) * 1e6
+            + 0.5
+        ).astype(np.int64)
+        b = np.where(su <= c1, "head", np.where(su <= c2, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "avg_neg_logprob": batch["avg_neg_logprob"],
+                "bucket": pa.array(b, pa.string()),
+            }
+        )
+
+    return scored.map_batches(_bucket, batch_format="pyarrow")
+
+
+def token_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-source token-length distribution: n_docs and the p25/p50/p75
+    whitespace-token counts (value at rank ceil(q*n) — discrete
+    quantiles, the corpus-profiling numbers a mixing recipe starts
+    from).
+
+    Scale: token counts are complete per row; the only shuffle is a
+    (source, n_tokens)-keyed combiner histogram whose cardinality is
+    n_sources x distinct lengths, independent of corpus size; the
+    driver folds each source's histogram into three integers. Output
+    (source, n_docs, p25, p50, p75) sorted by source."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    _H_SCHEMA = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("nt", pa.int64()),
+            pa.field("_p", pa.int64()),
+        ]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        canonical = normalize_whitespace_array(batch["text"])
+        # token count of the single-space split; '' splits to [''] -> 1
+        nt = pc.add(
+            pc.cast(
+                pc.count_substring(canonical, pattern=" "), pa.int64()
+            ),
+            1,
+        )
+        return (
+            pl.from_arrow(
+                pa.table({"source": batch["source"], "nt": nt})
+            )
+            .group_by(["source", "nt"])
+            .len()
+            .rename({"len": "_p"})
+            .to_arrow()
+            .cast(_H_SCHEMA)
+        )
+
+    hist = typed_pandas(
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["source", "nt"])
+        .aggregate(Sum("_p", alias_name="n")),
+        {"source": "object", "nt": "int64", "n": "int64"},
+    )
+    rows = []
+    for source, h in hist.groupby("source", sort=True):
+        n = int(h["n"].sum())
+        import math
+
+        ranks = [math.ceil(n * q) for q in (0.25, 0.5, 0.75)]
+        p25, p50, p75 = _rank_cutoffs(
+            h.reset_index(drop=True), "nt", "n", ranks
+        )
+        rows.append((source, n, p25, p50, p75))
+    return pd.DataFrame(
+        rows, columns=["source", "n_docs", "p25", "p50", "p75"]
+    ).astype(
+        {
+            "source": "object",
+            "n_docs": "int64",
+            "p25": "int64",
+            "p50": "int64",
+            "p75": "int64",
+        }
+    )
+
+
 FEAT_SCHEMA = pa.schema(
     [
         pa.field("doc_id", pa.int64()),

@@ -1046,3 +1046,95 @@ class TestDsirImportanceWeights:
         )
         out = dsir_importance_weights(sf).to_pandas()
         assert list(out["doc_id"]) == [1]
+
+
+class TestCcnetBuckets:
+    def test_thirds_by_score_order(self, tmp_path):
+        from quarrycore_ray.pipelines.training import ccnet_bucket_docs
+
+        # six docs with strictly distinct LM scores: repeated common
+        # tokens score low (head), rare-token docs score high (tail)
+        texts = {
+            0: "a a a a a a a a",
+            1: "a a a a a a a b",
+            2: "a a a a a b c d",
+            3: "a a a b c d e f",
+            4: "a b c d e f g h",
+            5: "q r s t u v w x",
+        }
+        sf = _write_docs(tmp_path, texts)
+        out = (
+            ccnet_bucket_docs(sf)
+            .to_pandas()
+            .sort_values("avg_neg_logprob")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 6
+        # scores strictly increasing -> exact thirds, in score order
+        assert out["avg_neg_logprob"].is_unique
+        assert list(out["bucket"]) == ["head"] * 2 + ["middle"] * 2 + [
+            "tail"
+        ] * 2
+
+    def test_ties_share_a_bucket(self, tmp_path):
+        from quarrycore_ray.pipelines.training import ccnet_bucket_docs
+
+        # identical docs -> identical scores -> the value-based cutoff
+        # puts every doc in 'head' (score <= c1), never a split tie
+        sf = _write_docs(tmp_path, {i: "x y x y" for i in range(5)})
+        out = ccnet_bucket_docs(sf).to_pandas()
+        assert set(out["bucket"]) == {"head"}
+
+    def test_empty_corpus(self, tmp_path):
+        from quarrycore_ray.pipelines.training import ccnet_bucket_docs
+
+        sf = _write_docs(tmp_path, {})
+        out = ccnet_bucket_docs(sf)
+        assert out.count() == 0
+        # Ray's to_pandas drops columns on zero-row datasets; the
+        # dataset-level schema is the honest check here
+        assert out.schema().names == [
+            "doc_id",
+            "n_tokens",
+            "avg_neg_logprob",
+            "bucket",
+        ]
+
+
+class TestTokenLengthQuantiles:
+    def test_rank_quantiles_per_source(self, tmp_path):
+        from quarrycore_ray.pipelines.training import token_length_quantiles
+
+        texts = {
+            0: "w",
+            1: "w w",
+            2: "w w w",
+            3: "w w w w",
+            4: "v v v v v",
+        }
+        sources = {0: "a", 1: "a", 2: "a", 3: "a", 4: "b"}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = token_length_quantiles(sf).set_index("source")
+        # source a: lengths 1..4 -> ranks ceil(.25*4)=1, ceil(.5*4)=2,
+        # ceil(.75*4)=3 -> values 1, 2, 3
+        assert out.loc["a", "n_docs"] == 4
+        assert (
+            out.loc["a", "p25"],
+            out.loc["a", "p50"],
+            out.loc["a", "p75"],
+        ) == (1, 2, 3)
+        # source b: single doc of 5 tokens -> all quantiles 5
+        assert out.loc["b", "n_docs"] == 1
+        assert (
+            out.loc["b", "p25"],
+            out.loc["b", "p50"],
+            out.loc["b", "p75"],
+        ) == (5, 5, 5)
+
+    def test_whitespace_is_normalized_before_counting(self, tmp_path):
+        from quarrycore_ray.pipelines.training import token_length_quantiles
+
+        # runs of whitespace collapse to one separator: 3 tokens, not 5
+        sf = _write_docs(tmp_path, {0: "a  b \t c"}, {0: "s"})
+        out = token_length_quantiles(sf).set_index("source")
+        assert out.loc["s", "p50"] == 3
