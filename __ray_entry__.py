@@ -277,15 +277,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": docs.langid_docs,
         "fingerprint_docs": docs.fingerprint_docs,
         "extract_structured": docs.extract_structured,
-        "search_docs": docs.search_docs,
         # reference TextProcessor.clean_text (boilerplate cascade)
         "clean_text_docs": docs.clean_text_docs,
-        # reference TextProcessor markdown structure classifier
-        "markdown_structure_docs": docs.markdown_structure_docs,
         # corpus curation (C4/CCNet/Gopher lineage)
         "pii_redact_docs": cur.pii_redact_docs,
         "repetition_stats_docs": cur.repetition_stats_docs,
         "decontaminate_docs": cur.decontaminate_docs,
+        # composed multi-stage curation with reject-stage lineage
+        "curation_pipeline_docs": cur.curation_pipeline_docs,
         "gopher_quality_docs": trn.gopher_quality_docs,
         # interpolated bigram-LM scoring (CCNet perplexity-filter analog)
         "bigram_logprob_docs": trn.bigram_logprob_docs,
@@ -295,12 +294,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_length_quantiles": trn.token_length_quantiles,
         # DSIR hashed-bigram importance weights (target = smallest source)
         "dsir_importance_weights": trn.dsir_importance_weights,
+        # DSIR selection step: per-source top-k by importance score
+        "dsir_select_topk": trn.dsir_select_topk,
+        # per-source token-budget selection (BSP prefix scan)
+        "token_budget_sample": trn.token_budget_sample,
+        # deterministic md5-order shuffle + shard assignment
+        "shard_docs_deterministic": trn.shard_docs_deterministic,
         # multimodal binary-column decode (real PNG/BMP + stub codecs)
         "media_decode_stats": docs.media_decode_stats,
         "jpeg_decode_stats": docs.jpeg_decode_stats,
-        # aggregations / sampling / sorts (§2.6, §2.7)
-        "source_distribution": docs.source_distribution,
-        "top_docs_by_len": docs.top_docs_by_len,
         # joins (§2.5): multi-way + top-k combiner, anti-join
         "top_revenue_orders": rel.top_revenue_orders,
         "customers_without_recent_orders": rel.customers_without_recent_orders,
@@ -329,6 +331,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queries outside the 50-query window — jpeg/media represent the
         # family inside it
         "gif_decode_stats": docs.gif_decode_stats,
+        # aggregations / sampling / sorts (§2.6, §2.7)
+        "source_distribution": docs.source_distribution,
+        "top_docs_by_len": docs.top_docs_by_len,
+        "search_docs": docs.search_docs,
+        # reference TextProcessor markdown structure classifier
+        "markdown_structure_docs": docs.markdown_structure_docs,
         "balanced_sample_by_source": docs.balanced_sample_by_source,
         # distribution sibling of the in-window source_distribution
         "lang_distribution": docs.lang_distribution,
@@ -732,6 +740,145 @@ def oracle_sql() -> dict[str, str]:
                    floor((su / 1000000.0 / n_tokens) * 1000000 + 0.5)
                        / 1000000.0 AS avg_neg_logprob
             FROM d
+        """
+
+    _dsir_sql = f"""
+            WITH c AS (SELECT doc_id, source, {_CANON} AS canonical
+                       FROM documents),
+            w0 AS (SELECT doc_id, source, string_split(canonical, ' ')
+                              AS words FROM c),
+            w AS (SELECT doc_id, source, unnest(words) AS cur,
+                         generate_subscripts(words, 1) AS i FROM w0),
+            wl AS (SELECT doc_id, source, cur, i,
+                          lag(cur) OVER (PARTITION BY doc_id ORDER BY i)
+                              AS prev
+                   FROM w),
+            bgrow AS MATERIALIZED (
+                SELECT doc_id, source, prev || chr(31) || cur AS pair
+                FROM wl WHERE i > 1
+            ),
+            hv AS MATERIALIZED (
+                SELECT pair,
+                       (CAST(CAST(('0x' || substring(hx, 15, 2)
+                                   || substring(hx, 13, 2)
+                                   || substring(hx, 11, 2)
+                                   || substring(hx, 9, 2)) AS BIGINT)
+                             AS HUGEINT) * 4294967296
+                        + CAST(('0x' || substring(hx, 7, 2)
+                                || substring(hx, 5, 2)
+                                || substring(hx, 3, 2)
+                                || substring(hx, 1, 2)) AS BIGINT))
+                           % 8192 AS k
+                FROM (SELECT pair, md5(pair) AS hx
+                      FROM (SELECT DISTINCT pair FROM bgrow))
+            ),
+            feat AS MATERIALIZED (
+                SELECT b.doc_id, b.source, CAST(hv.k AS BIGINT) AS k,
+                       count(*) AS tf
+                FROM bgrow b JOIN hv USING (pair) GROUP BY 1, 2, 3
+            ),
+            tgt AS (SELECT min(source) AS s FROM documents),
+            qcnt AS (SELECT k, sum(tf) AS cq FROM feat GROUP BY k),
+            pcnt AS (SELECT k, sum(tf) AS cp FROM feat
+                     WHERE source = (SELECT s FROM tgt) GROUP BY k),
+            tot AS (SELECT (SELECT sum(tf) FROM feat) AS tq,
+                           (SELECT coalesce(sum(tf), 0) FROM feat
+                            WHERE source = (SELECT s FROM tgt)) AS tp),
+            term AS (
+                SELECT f.doc_id, f.tf,
+                       CAST(floor(
+                           (ln((coalesce(p.cp, 0) + 1) * 1.0
+                               / (tot.tp + 8192))
+                            - ln((q.cq + 1) * 1.0 / (tot.tq + 8192)))
+                           * 1000000 + 0.5) AS BIGINT) AS u
+                FROM feat f
+                JOIN qcnt q USING (k)
+                LEFT JOIN pcnt p USING (k)
+                CROSS JOIN tot
+            ),
+            d AS (SELECT doc_id, sum(tf) AS n_bigrams, sum(tf * u) AS su
+                  FROM term GROUP BY doc_id)
+            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   floor((su / 1000000.0 / n_bigrams) * 1000000 + 0.5)
+                       / 1000000.0 AS dsir_score
+            FROM d
+        """
+
+    _V_gopher_quality_docs = f"""
+            WITH c AS (SELECT doc_id, text, {_CANON} AS canonical FROM documents),
+            b AS (
+                SELECT doc_id,
+                       len(string_split(canonical, ' ')) AS n_words,
+                       length(canonical) AS n_chars,
+                       string_split(canonical, ' ') AS words,
+                       len(regexp_extract_all(text, '#'))
+                           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+                       length(text) - length(replace(text, chr(10), '')) + 1
+                           AS n_lines,
+                       len(regexp_extract_all(text, '(?m)^[-*] ')) AS bullets,
+                       len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS ellipsis
+                FROM c
+            ),
+            m AS (
+                SELECT doc_id, n_words,
+                       (n_chars - n_words + 1) * 1.0 / n_words AS mwl,
+                       n_sym * 1.0 / n_words AS sym,
+                       bullets * 1.0 / n_lines AS bf,
+                       ellipsis * 1.0 / n_lines AS ef,
+                       len(list_filter({_STOPLIST_SQL.replace("(", "[", 1).replace(")", "]")},
+                                       t -> list_contains(words, t))) AS stop_hits
+                FROM b
+            )
+            SELECT doc_id, n_words,
+                   floor(mwl * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+                   floor(sym * 1000000 + 0.5) / 1000000.0 AS symbol_ratio,
+                   floor(bf * 1000000 + 0.5) / 1000000.0 AS bullet_frac,
+                   floor(ef * 1000000 + 0.5) / 1000000.0 AS ellipsis_frac,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                                  AND mwl >= 3 AND mwl <= 10
+                                  AND sym < 0.1 AND bf < 0.9 AND ef < 0.3
+                                  AND stop_hits >= 2
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM m
+        """
+
+    _V_ccnet_bucket_docs = f"""
+            WITH d0 AS ({_bigram_sql}),
+            s AS (SELECT doc_id, n_tokens, avg_neg_logprob,
+                         CAST(floor(avg_neg_logprob * 1000000 + 0.5)
+                              AS BIGINT) AS su
+                  FROM d0),
+            rk AS (SELECT su, row_number() OVER (ORDER BY su) AS r,
+                          count(*) OVER () AS n FROM s),
+            cut AS (SELECT max(su) FILTER (WHERE r <= ceil(n / 3.0)) AS c1,
+                           max(su) FILTER (WHERE r <= ceil(2 * n / 3.0))
+                               AS c2
+                    FROM rk)
+            SELECT doc_id, n_tokens, avg_neg_logprob,
+                   CASE WHEN su <= cut.c1 THEN 'head'
+                        WHEN su <= cut.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s CROSS JOIN cut
+        """
+
+    _V_decontaminate_docs = f"""
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w,
+                         generate_subscripts(words, 1) - 1 AS i FROM c),
+            segs AS (
+                SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS seg
+                FROM w GROUP BY doc_id, i // 10
+            ),
+            bench AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 50 = 0),
+            hits AS (
+                SELECT DISTINCT t.doc_id, t.seg
+                FROM segs t JOIN bench b USING (seg)
+                WHERE t.doc_id % 50 != 0
+            )
+            SELECT doc_id, count(*) AS n_contaminated_segs
+            FROM hits GROUP BY doc_id
         """
 
     return {
@@ -1785,23 +1932,38 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k JOIN totals t USING (doc_id)
             GROUP BY k.doc_id
         """,
-        "decontaminate_docs": f"""
-            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
-                       FROM documents),
-            w AS (SELECT doc_id, unnest(words) AS w,
-                         generate_subscripts(words, 1) - 1 AS i FROM c),
-            segs AS (
-                SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS seg
-                FROM w GROUP BY doc_id, i // 10
+        "decontaminate_docs": _V_decontaminate_docs,
+        "curation_pipeline_docs": f"""
+            WITH g AS MATERIALIZED ({_V_gopher_quality_docs}),
+            cc AS MATERIALIZED ({_V_ccnet_bucket_docs}),
+            dec AS MATERIALIZED ({_V_decontaminate_docs}),
+            base AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            staged AS MATERIALIZED (
+                SELECT b.doc_id, b.canonical,
+                       CASE WHEN b.doc_id % 50 = 0 THEN 'holdout'
+                            WHEN g.keep = 0 THEN 'gopher'
+                            WHEN cc.bucket = 'tail' THEN 'ccnet'
+                            WHEN dec.doc_id IS NOT NULL
+                                THEN 'decontaminate'
+                            ELSE NULL END AS rej
+                FROM base b
+                JOIN g USING (doc_id)
+                JOIN cc USING (doc_id)
+                LEFT JOIN dec USING (doc_id)
             ),
-            bench AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 50 = 0),
-            hits AS (
-                SELECT DISTINCT t.doc_id, t.seg
-                FROM segs t JOIN bench b USING (seg)
-                WHERE t.doc_id % 50 != 0
-            )
-            SELECT doc_id, count(*) AS n_contaminated_segs
-            FROM hits GROUP BY doc_id
+            surv AS (SELECT doc_id, canonical FROM staged
+                     WHERE rej IS NULL),
+            reps AS (SELECT min(doc_id) AS rep, canonical FROM surv
+                     GROUP BY canonical),
+            withrep AS (SELECT surv.doc_id, reps.rep FROM surv
+                        JOIN reps USING (canonical))
+            SELECT s.doc_id,
+                   CAST(CASE WHEN s.rej IS NULL AND r.rep = s.doc_id
+                             THEN 1 ELSE 0 END AS BIGINT) AS kept,
+                   CASE WHEN s.rej IS NOT NULL THEN s.rej
+                        WHEN r.rep != s.doc_id THEN 'exact_dup'
+                        ELSE 'kept' END AS reject_stage
+            FROM staged s LEFT JOIN withrep r USING (doc_id)
         """,
         "pii_redact_docs": f"""
             WITH inj AS (
@@ -2869,44 +3031,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
         """,
-        "gopher_quality_docs": f"""
-            WITH c AS (SELECT doc_id, text, {_CANON} AS canonical FROM documents),
-            b AS (
-                SELECT doc_id,
-                       len(string_split(canonical, ' ')) AS n_words,
-                       length(canonical) AS n_chars,
-                       string_split(canonical, ' ') AS words,
-                       len(regexp_extract_all(text, '#'))
-                           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
-                       length(text) - length(replace(text, chr(10), '')) + 1
-                           AS n_lines,
-                       len(regexp_extract_all(text, '(?m)^[-*] ')) AS bullets,
-                       len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS ellipsis
-                FROM c
-            ),
-            m AS (
-                SELECT doc_id, n_words,
-                       (n_chars - n_words + 1) * 1.0 / n_words AS mwl,
-                       n_sym * 1.0 / n_words AS sym,
-                       bullets * 1.0 / n_lines AS bf,
-                       ellipsis * 1.0 / n_lines AS ef,
-                       len(list_filter({_STOPLIST_SQL.replace("(", "[", 1).replace(")", "]")},
-                                       t -> list_contains(words, t))) AS stop_hits
-                FROM b
-            )
-            SELECT doc_id, n_words,
-                   floor(mwl * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
-                   floor(sym * 1000000 + 0.5) / 1000000.0 AS symbol_ratio,
-                   floor(bf * 1000000 + 0.5) / 1000000.0 AS bullet_frac,
-                   floor(ef * 1000000 + 0.5) / 1000000.0 AS ellipsis_frac,
-                   CAST(stop_hits AS BIGINT) AS stop_hits,
-                   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
-                                  AND mwl >= 3 AND mwl <= 10
-                                  AND sym < 0.1 AND bf < 0.9 AND ef < 0.3
-                                  AND stop_hits >= 2
-                             THEN 1 ELSE 0 END AS BIGINT) AS keep
-            FROM m
-        """,
+        "gopher_quality_docs": _V_gopher_quality_docs,
         "pack_sequences": f"""
             WITH n AS (SELECT doc_id, len(string_split({_CANON}, ' ')) AS n_tokens
                        FROM documents),
@@ -2941,24 +3066,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "bigram_logprob_docs": _bigram_sql,
-        "ccnet_bucket_docs": f"""
-            WITH d0 AS ({_bigram_sql}),
-            s AS (SELECT doc_id, n_tokens, avg_neg_logprob,
-                         CAST(floor(avg_neg_logprob * 1000000 + 0.5)
-                              AS BIGINT) AS su
-                  FROM d0),
-            rk AS (SELECT su, row_number() OVER (ORDER BY su) AS r,
-                          count(*) OVER () AS n FROM s),
-            cut AS (SELECT max(su) FILTER (WHERE r <= ceil(n / 3.0)) AS c1,
-                           max(su) FILTER (WHERE r <= ceil(2 * n / 3.0))
-                               AS c2
-                    FROM rk)
-            SELECT doc_id, n_tokens, avg_neg_logprob,
-                   CASE WHEN su <= cut.c1 THEN 'head'
-                        WHEN su <= cut.c2 THEN 'middle'
-                        ELSE 'tail' END AS bucket
-            FROM s CROSS JOIN cut
-        """,
+        "ccnet_bucket_docs": _V_ccnet_bucket_docs,
         "token_length_quantiles": f"""
             WITH c AS (SELECT doc_id, source,
                               len(string_split({_CANON}, ' ')) AS nt
@@ -2987,66 +3095,46 @@ def oracle_sql() -> dict[str, str]:
                        AS weight
             FROM g
         """,
-        "dsir_importance_weights": f"""
-            WITH c AS (SELECT doc_id, source, {_CANON} AS canonical
+        "dsir_importance_weights": _dsir_sql,
+        "dsir_select_topk": f"""
+            WITH d0 AS ({_dsir_sql}),
+            j AS (SELECT d0.doc_id, d0.n_bigrams, d0.dsir_score,
+                         documents.source
+                  FROM d0 JOIN documents USING (doc_id)),
+            rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY dsir_score DESC, doc_id) AS rank
+                   FROM j)
+            SELECT source, doc_id, n_bigrams, dsir_score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 5
+        """,
+        "token_budget_sample": f"""
+            WITH c AS (SELECT doc_id, source,
+                              CAST(len(string_split({_CANON}, ' '))
+                                   AS BIGINT) AS n_tokens
                        FROM documents),
-            w0 AS (SELECT doc_id, source, string_split(canonical, ' ')
-                              AS words FROM c),
-            w AS (SELECT doc_id, source, unnest(words) AS cur,
-                         generate_subscripts(words, 1) AS i FROM w0),
-            wl AS (SELECT doc_id, source, cur, i,
-                          lag(cur) OVER (PARTITION BY doc_id ORDER BY i)
-                              AS prev
-                   FROM w),
-            bgrow AS MATERIALIZED (
-                SELECT doc_id, source, prev || chr(31) || cur AS pair
-                FROM wl WHERE i > 1
-            ),
-            hv AS MATERIALIZED (
-                SELECT pair,
-                       (CAST(CAST(('0x' || substring(hx, 15, 2)
-                                   || substring(hx, 13, 2)
-                                   || substring(hx, 11, 2)
-                                   || substring(hx, 9, 2)) AS BIGINT)
-                             AS HUGEINT) * 4294967296
-                        + CAST(('0x' || substring(hx, 7, 2)
-                                || substring(hx, 5, 2)
-                                || substring(hx, 3, 2)
-                                || substring(hx, 1, 2)) AS BIGINT))
-                           % 8192 AS k
-                FROM (SELECT pair, md5(pair) AS hx
-                      FROM (SELECT DISTINCT pair FROM bgrow))
-            ),
-            feat AS MATERIALIZED (
-                SELECT b.doc_id, b.source, CAST(hv.k AS BIGINT) AS k,
-                       count(*) AS tf
-                FROM bgrow b JOIN hv USING (pair) GROUP BY 1, 2, 3
-            ),
-            tgt AS (SELECT min(source) AS s FROM documents),
-            qcnt AS (SELECT k, sum(tf) AS cq FROM feat GROUP BY k),
-            pcnt AS (SELECT k, sum(tf) AS cp FROM feat
-                     WHERE source = (SELECT s FROM tgt) GROUP BY k),
-            tot AS (SELECT (SELECT sum(tf) FROM feat) AS tq,
-                           (SELECT coalesce(sum(tf), 0) FROM feat
-                            WHERE source = (SELECT s FROM tgt)) AS tp),
-            term AS (
-                SELECT f.doc_id, f.tf,
-                       CAST(floor(
-                           (ln((coalesce(p.cp, 0) + 1) * 1.0
-                               / (tot.tp + 8192))
-                            - ln((q.cq + 1) * 1.0 / (tot.tq + 8192)))
-                           * 1000000 + 0.5) AS BIGINT) AS u
-                FROM feat f
-                JOIN qcnt q USING (k)
-                LEFT JOIN pcnt p USING (k)
-                CROSS JOIN tot
-            ),
-            d AS (SELECT doc_id, sum(tf) AS n_bigrams, sum(tf * u) AS su
-                  FROM term GROUP BY doc_id)
-            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-                   floor((su / 1000000.0 / n_bigrams) * 1000000 + 0.5)
-                       / 1000000.0 AS dsir_score
-            FROM d
+            s AS (SELECT doc_id, source, n_tokens,
+                         SUM(n_tokens) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM c)
+            SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT)
+                       AS cum_tokens
+            FROM s WHERE cum <= 1500
+        """,
+        "shard_docs_deterministic": """
+            WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+                       FROM documents),
+            k AS (SELECT doc_id, hx,
+                         CAST(('0x' || substring(hx, 1, 8)) AS BIGINT)
+                             % 8 AS shard
+                  FROM h)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY hx, doc_id)
+                       AS BIGINT) AS pos
+            FROM k
         """,
         "source_mixing_weights": """
             WITH s AS (SELECT source, count(*) AS n_docs FROM documents

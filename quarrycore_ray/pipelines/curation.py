@@ -867,3 +867,148 @@ def dedup_lines_docs(sf_dir: str) -> "rd.Dataset":
     return _canonical_docs(sf_dir).map_batches(
         _dedup, batch_format="pyarrow"
     )
+
+
+# --- composed curation pipeline with reject-stage lineage ---------------------
+
+_STAGED_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("canonical", pa.string()),
+    ]
+)
+
+
+def curation_pipeline_docs(
+    sf_dir: str, holdout_mod: int = 50
+) -> "rd.Dataset":
+    """The composed corpus-curation pipeline with per-document reject
+    lineage — the multi-stage orchestration the reference runs one
+    document at a time (`pipeline.py` stage chain; multi-level dedup
+    orchestration deduplicator/deduplicator.py:202-251) re-expressed as
+    one Ray Data flow. Signals are computed corpus-wide (score, then
+    filter — the CCNet/Gopher publication order), and each doc is
+    attributed to the FIRST stage that rejects it:
+
+      holdout        benchmark slice (doc_id % holdout_mod == 0)
+      gopher         fails the Gopher quality rules
+      ccnet          'tail' perplexity bucket
+      decontaminate  shares a 10-word segment with the holdout slice
+      exact_dup      survivor whose canonical text equals an earlier
+                     (min-doc_id) survivor's
+      kept           the surviving representative set
+
+    Scale: three doc_id-keyed `attach_lookup` passes stitch the stage
+    signals onto the corpus (broadcast under 1M docs, hash-partitioned
+    join above); the dedup step shuffles on the SHA-256 digest of
+    canonical text (compact key, never the text itself) and keeps the
+    min doc_id per group. Output (doc_id, kept, reject_stage) — one row
+    per input document, so lineage is total, not just the keep list."""
+    from .training import ccnet_bucket_docs, gopher_quality_docs
+
+    canon = _canonical_docs(sf_dir)
+
+    g = gopher_quality_docs(sf_dir).select_columns(["doc_id", "keep"])
+    cc = ccnet_bucket_docs(sf_dir).select_columns(["doc_id", "bucket"])
+    dec = decontaminate_docs(sf_dir, holdout_mod=holdout_mod)
+
+    t = attach_lookup(
+        canon, _STAGED_SCHEMA, ["doc_id"], g, "doc_id", "keep",
+        pa.int64(), ["keep"],
+    )
+    s2 = pa.schema(list(_STAGED_SCHEMA) + [pa.field("keep", pa.int64())])
+    t = attach_lookup(
+        t, s2, ["doc_id"], cc, "doc_id", "bucket", pa.string(), ["bucket"]
+    )
+    s3 = pa.schema(list(s2) + [pa.field("bucket", pa.string())])
+    t = attach_lookup(
+        t, s3, ["doc_id"], dec, "doc_id", "n_contaminated_segs",
+        pa.int64(), ["n_cont"],
+    )
+
+    def _stage(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keep = np.asarray(batch["keep"], dtype=np.int64)
+        bucket = np.asarray(batch["bucket"])
+        contaminated = ~np.asarray(pc.is_null(batch["n_cont"]))
+        rej = np.full(len(ids), None, dtype=object)
+        rej[contaminated] = "decontaminate"
+        rej[bucket == "tail"] = "ccnet"
+        rej[keep == 0] = "gopher"
+        rej[ids % holdout_mod == 0] = "holdout"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canonical": batch["canonical"],
+                "rej": pa.array(rej, pa.string()),
+            }
+        )
+
+    staged = t.map_batches(_stage, batch_format="pyarrow").materialize()
+
+    def _surv_key(batch: pa.Table) -> pa.Table:
+        m = pc.is_null(batch["rej"])
+        kept_rows = batch.filter(m)
+        return pa.table(
+            {
+                "doc_id": kept_rows["doc_id"],
+                "h": sha256_hex_array(kept_rows["canonical"]),
+            }
+        )
+
+    surv = staged.map_batches(_surv_key, batch_format="pyarrow")
+
+    def _rep_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        out = df.with_columns(
+            pl.col("doc_id").min().over("h").alias("rep")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "rep": pa.array(out["rep"].to_numpy(), pa.int64()),
+            }
+        )
+
+    withrep = partitioned_group_map(surv, "h", _rep_part, arrow=True)
+
+    # staged still carries canonical; attach the rep on a slim projection
+    staged_slim = staged.map_batches(
+        lambda b: b.select(["doc_id", "rej"]), batch_format="pyarrow"
+    )
+    final = attach_lookup(
+        staged_slim,
+        pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("rej", pa.string())]
+        ),
+        ["doc_id"],
+        withrep,
+        "doc_id",
+        "rep",
+        pa.int64(),
+        ["rep"],
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        rej = np.asarray(batch["rej"], dtype=object)
+        rep = batch["rep"]
+        rep_np = np.asarray(
+            pc.fill_null(rep, pa.scalar(-1, pa.int64())), dtype=np.int64
+        )
+        surv_mask = np.array([r is None for r in rej])
+        kept = surv_mask & (rep_np == ids)
+        stage = rej.copy()
+        stage[surv_mask & (rep_np != ids)] = "exact_dup"
+        stage[kept] = "kept"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "kept": pa.array(kept.astype(np.int64), pa.int64()),
+                "reject_stage": pa.array(stage, pa.string()),
+            }
+        )
+
+    return final.map_batches(_final, batch_format="pyarrow")

@@ -1207,3 +1207,272 @@ def filter_below_source_median(sf_dir: str) -> "rd.Dataset":
         )
 
     return scored.map_batches(_filter, batch_format="pyarrow")
+
+
+def token_budget_sample(
+    sf_dir: str, budget: int = 1500, bucket_size: int = 1024
+) -> "rd.Dataset":
+    """Token-budget corpus selection: within each source, take documents
+    in doc_id order while the running token total stays within `budget`
+    — the per-source quota step of a data-mixing recipe (each source
+    contributes at most `budget` tokens to the mix; the reference's
+    analog is the per-domain `max_samples_per_domain` cap,
+    dataset/constructor.py:169-190, in tokens instead of documents).
+
+    Scale: the keep/drop decision needs the per-source prefix sum of
+    token counts, computed with the same two-phase BSP scan as
+    `pack_sequences`: (1) per-(source, doc_id-range-bucket) token totals
+    — a bounded combiner groupby — whose per-source running offsets the
+    driver folds and broadcasts; (2) one vectorized polars pass per
+    hash partition adds the within-bucket cumulative sum. All-integer,
+    order-independent, no global sort. Output (doc_id, source,
+    n_tokens, cum_tokens) for kept docs, where cum_tokens is the
+    inclusive per-source running total (<= budget)."""
+    import polars as pl
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    _T_SCHEMA = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("source", pa.string()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("bucket", pa.int64()),
+        ]
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        canonical = normalize_whitespace_array(batch["text"])
+        nw = pc.add(
+            pc.cast(pc.count_substring(canonical, pattern=" "), pa.int64()),
+            1,
+        )
+        bucket = pc.cast(
+            pc.divide(batch["doc_id"], pa.scalar(bucket_size, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tokens": nw,
+                "bucket": bucket,
+            }
+        )
+
+    tok = ds.map_batches(_prep, batch_format="pyarrow").materialize()
+    totals = typed_pandas(
+        tok.groupby(["source", "bucket"]).aggregate(
+            Sum("n_tokens", alias_name="tot")
+        ),
+        {"source": "object", "bucket": "int64", "tot": "int64"},
+    ).sort_values(["source", "bucket"])
+    if totals.empty:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    pa.field("doc_id", pa.int64()),
+                    pa.field("source", pa.string()),
+                    pa.field("n_tokens", pa.int64()),
+                    pa.field("cum_tokens", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    offs = totals.groupby("source")["tot"].cumsum() - totals["tot"]
+    offsets_ref = ray.put(
+        {
+            (s, int(b)): int(o)
+            for s, b, o in zip(totals["source"], totals["bucket"], offs)
+        }
+    )
+
+    def _select(tb: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        df = pl.from_arrow(tb).sort(["source", "bucket", "doc_id"])
+        off = np.array(
+            [
+                offsets[(s, int(b))]
+                for s, b in zip(df["source"], df["bucket"])
+            ],
+            dtype=np.int64,
+        )
+        local = (
+            df.select(
+                pl.col("n_tokens").cum_sum().over(["source", "bucket"])
+            )
+            .to_series()
+            .to_numpy()
+        )
+        cum = off + local
+        keep = cum <= budget
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()[keep], pa.int64()),
+                "source": pa.array(
+                    df["source"].to_numpy()[keep], pa.string()
+                ),
+                "n_tokens": pa.array(
+                    df["n_tokens"].to_numpy()[keep], pa.int64()
+                ),
+                "cum_tokens": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(tok, "bucket", _select, arrow=True)
+
+
+def dsir_select_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """DSIR selection step (Xie et al. 2023 §3.2): after importance
+    scoring, keep the top-k documents per source by (dsir_score desc,
+    doc_id asc) — the data-selection pass that follows
+    `dsir_importance_weights`.
+
+    Scale: the score table is corpus-sized, so source is attached with
+    `attach_lookup` (broadcast under 1M docs, hash-partitioned join
+    above) and the top-k runs as the coarse-partitioned rank pattern
+    (`top_docs_per_source`): hash-partition on source, one vectorized
+    polars rank per partition, <= k rows out per source. Output
+    (source, doc_id, n_bigrams, dsir_score, rank)."""
+    import polars as pl
+
+    scored = dsir_importance_weights(sf_dir).materialize()
+
+    _S_SCHEMA = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_bigrams", pa.int64()),
+            pa.field("dsir_score", pa.float64()),
+        ]
+    )
+    with_src = attach_lookup(
+        scored,
+        _S_SCHEMA,
+        ["doc_id"],
+        _docs(sf_dir, ["doc_id", "source"]),
+        "doc_id",
+        "source",
+        pa.string(),
+        ["source"],
+    )
+
+    _OUT = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_bigrams", pa.int64()),
+            pa.field("dsir_score", pa.float64()),
+            pa.field("rank", pa.int64()),
+        ]
+    )
+
+    def _rank_part(tb: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(tb)
+            .sort(
+                ["source", "dsir_score", "doc_id"],
+                descending=[False, True, False],
+            )
+            .with_columns(
+                (pl.int_range(pl.len()).over("source") + 1).alias("rank")
+            )
+            .filter(pl.col("rank") <= k)
+        )
+        return (
+            out.select(
+                ["source", "doc_id", "n_bigrams", "dsir_score", "rank"]
+            )
+            .to_arrow()
+            .cast(_OUT)
+        )
+
+    return partitioned_group_map(with_src, "source", _rank_part, arrow=True)
+
+
+def shard_docs_deterministic(
+    sf_dir: str, n_shards: int = 8
+) -> "rd.Dataset":
+    """Deterministic global shuffle + shard assignment: every doc gets a
+    shard (md5 of its doc_id, first 32 bits, mod n_shards) and a 1-based
+    position within that shard in full-md5-hash order — the
+    seed-reproducible shuffle order a training-shard writer consumes
+    (same md5 key family as `train_val_test_split`; the hash order IS
+    the shuffle).
+
+    Scale: positions come from the two-phase rank scan
+    (`global_length_rank` pattern) keyed on the hash's first 16 bits:
+    a (shard, prefix-bucket) count histogram (<= n_shards * 65536 rows,
+    independent of corpus size) is folded into per-shard running
+    offsets on the driver and broadcast; each hash partition then ranks
+    its rows locally within (shard, bucket) sorted by (hash_hex,
+    doc_id). The bucket is a prefix of the sort key, so bucket blocks
+    are contiguous in shard order and offset + local rank is the global
+    position. No global sort. Output (doc_id, shard, pos)."""
+    import hashlib
+
+    import polars as pl
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        hx = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        h32 = np.array([int(h[:8], 16) for h in hx], dtype=np.int64)
+        b16 = np.array([int(h[:4], 16) for h in hx], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "hx": pa.array(hx, pa.string()),
+                "shard": pa.array(h32 % n_shards, pa.int64()),
+                "bucket": b16,
+            }
+        )
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow").materialize()
+    hist = typed_pandas(
+        keyed.groupby(["shard", "bucket"]).aggregate(Count(alias_name="n")),
+        {"shard": "int64", "bucket": "int64", "n": "int64"},
+    ).sort_values(["shard", "bucket"])
+    if hist.empty:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    pa.field("doc_id", pa.int64()),
+                    pa.field("shard", pa.int64()),
+                    pa.field("pos", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    offs = hist.groupby("shard")["n"].cumsum() - hist["n"]
+    offsets_ref = ray.put(
+        {
+            (int(s), int(b)): int(o)
+            for s, b, o in zip(hist["shard"], hist["bucket"], offs)
+        }
+    )
+
+    def _pos(tb: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        df = pl.from_arrow(tb).sort(["shard", "bucket", "hx", "doc_id"])
+        off = np.array(
+            [
+                offsets[(int(s), int(b))]
+                for s, b in zip(df["shard"], df["bucket"])
+            ],
+            dtype=np.int64,
+        )
+        local = (
+            df.select(
+                (pl.int_range(pl.len()) + 1).over(["shard", "bucket"])
+            )
+            .to_series()
+            .to_numpy()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "shard": pa.array(df["shard"].to_numpy(), pa.int64()),
+                "pos": pa.array(off + local, pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(keyed, "bucket", _pos, arrow=True)

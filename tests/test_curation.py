@@ -541,3 +541,120 @@ class TestSoftDedupWeights:
         out = soft_dedup_weights(sf).to_pandas()
         assert len(out) == 5
         assert abs(out["weight"].sum() - 1.0) < 1e-4
+
+
+class TestCurationPipeline:
+    def _corpus(self):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"word{i}" for i in range(30)]
+        good = (
+            "the quick brown fox jumps over that lazy dog again " * 6
+        ).strip()
+        texts = {}
+        for i in range(60):
+            if i % 7 == 3:
+                texts[i] = "way too short"  # gopher reject
+            elif i % 7 == 4:
+                texts[i] = good  # exact-dup family
+            else:
+                # gopher-passing text with randomized tail: 'the ... it is'
+                # repeated base keeps stopwords/word-length in range
+                words = [
+                    "the",
+                    "it",
+                    "is",
+                    "for",
+                    "and",
+                ] + [rng.choice(vocab) for _ in range(55)]
+                rng.shuffle(words)
+                texts[i] = " ".join(words)
+        return texts
+
+    def test_total_lineage_and_stage_consistency(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import (
+            curation_pipeline_docs,
+            decontaminate_docs,
+        )
+        from quarrycore_ray.pipelines.training import (
+            ccnet_bucket_docs,
+            gopher_quality_docs,
+        )
+        from quarrycore_ray.text import normalize_whitespace
+
+        texts = self._corpus()
+        sf = _write_docs(tmp_path, texts)
+        out = curation_pipeline_docs(sf).to_pandas().set_index("doc_id")
+
+        # one row per input document — lineage is total
+        assert sorted(out.index) == sorted(texts)
+        assert set(out["reject_stage"]) <= {
+            "holdout",
+            "gopher",
+            "ccnet",
+            "decontaminate",
+            "exact_dup",
+            "kept",
+        }
+        # kept flag is exactly the 'kept' stage
+        assert ((out["reject_stage"] == "kept") == (out["kept"] == 1)).all()
+
+        gop = gopher_quality_docs(sf).to_pandas().set_index("doc_id")
+        cc = ccnet_bucket_docs(sf).to_pandas().set_index("doc_id")
+        dec_df = decontaminate_docs(sf).to_pandas()
+        # Ray drops columns on zero-row to_pandas
+        dec = set(dec_df["doc_id"]) if "doc_id" in dec_df.columns else set()
+
+        for i in sorted(texts):
+            stage = out.loc[i, "reject_stage"]
+            if i % 50 == 0:
+                assert stage == "holdout", i
+            elif gop.loc[i, "keep"] == 0:
+                assert stage == "gopher", i
+            elif cc.loc[i, "bucket"] == "tail":
+                assert stage == "ccnet", i
+            elif i in dec:
+                assert stage == "decontaminate", i
+            else:
+                assert stage in ("kept", "exact_dup"), i
+
+        # every stage actually fires on this corpus
+        assert set(out["reject_stage"]) >= {
+            "holdout",
+            "gopher",
+            "kept",
+            "exact_dup",
+        }
+
+        # exact_dup rows point at an earlier kept survivor with the
+        # same canonical text
+        canon = {i: normalize_whitespace(t) for i, t in texts.items()}
+        kept_by_canon = {}
+        for i in sorted(out[out["kept"] == 1].index):
+            kept_by_canon.setdefault(canon[i], i)
+        for i in out[out["reject_stage"] == "exact_dup"].index:
+            assert canon[i] in kept_by_canon
+            assert kept_by_canon[canon[i]] < i
+        # kept canonicals are unique
+        kept_canons = [canon[i] for i in out[out["kept"] == 1].index]
+        assert len(kept_canons) == len(set(kept_canons))
+
+    def test_holdout_mod_param(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import curation_pipeline_docs
+
+        good = (
+            "the quick brown fox jumps over that lazy dog again " * 6
+        ).strip()
+        sf = _write_docs(tmp_path, {i: good for i in range(6)})
+        out = (
+            curation_pipeline_docs(sf, holdout_mod=3)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "reject_stage"] == "holdout"
+        assert out.loc[3, "reject_stage"] == "holdout"
+        # identical survivors: min doc_id wins, rest are exact dups —
+        # unless the shared-segment decontamination fires first (all six
+        # docs share every segment with the holdout docs)
+        assert out.loc[1, "reject_stage"] in ("kept", "decontaminate")

@@ -7,6 +7,7 @@ weights follow the temperature power law."""
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -1138,3 +1139,131 @@ class TestTokenLengthQuantiles:
         sf = _write_docs(tmp_path, {0: "a  b \t c"}, {0: "s"})
         out = token_length_quantiles(sf).set_index("source")
         assert out.loc["s", "p50"] == 3
+
+
+class TestTokenBudgetSample:
+    def test_prefix_sum_cutoff(self, tmp_path):
+        from quarrycore_ray.pipelines.training import token_budget_sample
+
+        # source s: docs 0..3 with 2,3,4,5 tokens; budget 9 keeps
+        # cum 2,5,9 (docs 0,1,2) and drops doc 3 (cum 14)
+        texts = {
+            0: "a a",
+            1: "b b b",
+            2: "c c c c",
+            3: "d d d d d",
+            4: "e",
+        }
+        sources = {0: "s", 1: "s", 2: "s", 3: "s", 4: "t"}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = (
+            token_budget_sample(sf, budget=9)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["doc_id"]) == [0, 1, 2, 4]
+        assert list(out["cum_tokens"]) == [2, 5, 9, 1]
+
+    def test_bucket_boundaries_do_not_change_result(self, tmp_path):
+        from quarrycore_ray.pipelines.training import token_budget_sample
+
+        texts = {i: " ".join(["w"] * (1 + i % 4)) for i in range(20)}
+        sources = {i: f"s{i % 3}" for i in range(20)}
+        sf = _write_docs(tmp_path, texts, sources)
+        a = (
+            token_budget_sample(sf, budget=7, bucket_size=1024)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            token_budget_sample(sf, budget=7, bucket_size=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_exactly_at_budget_is_kept(self, tmp_path):
+        from quarrycore_ray.pipelines.training import token_budget_sample
+
+        sf = _write_docs(tmp_path, {0: "x y z"}, {0: "s"})
+        out = token_budget_sample(sf, budget=3).to_pandas()
+        assert list(out["doc_id"]) == [0]
+
+
+class TestDsirSelectTopk:
+    def test_rank_order_and_cutoff(self, tmp_path):
+        from quarrycore_ray.pipelines.training import (
+            dsir_importance_weights,
+            dsir_select_topk,
+        )
+
+        texts = {
+            0: "alpha beta alpha beta gamma",
+            1: "alpha beta delta",
+            2: "zeta eta theta iota",
+            3: "zeta eta zeta eta",
+            4: "alpha beta gamma delta",
+        }
+        sources = {0: "a_tgt", 1: "a_tgt", 2: "b_raw", 3: "b_raw", 4: "b_raw"}
+        sf = _write_docs(tmp_path, texts, sources)
+        scores = (
+            dsir_importance_weights(sf).to_pandas().set_index("doc_id")
+        )
+        out = dsir_select_topk(sf, k=2).to_pandas()
+        # per source, ranks follow (dsir_score desc, doc_id asc)
+        for src, grp in out.groupby("source"):
+            grp = grp.sort_values("rank")
+            assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+            sc = list(grp["dsir_score"])
+            assert sc == sorted(sc, reverse=True)
+        # k=2 cap: b_raw has 3 scored docs, only 2 survive
+        assert len(out[out["source"] == "b_raw"]) == 2
+        # the dropped b_raw doc is the lowest-scoring one
+        b = scores.loc[[2, 3, 4]].sort_values(
+            ["dsir_score"], ascending=False
+        )
+        kept = set(out[out["source"] == "b_raw"]["doc_id"])
+        assert kept == set(b.index[:2])
+
+
+class TestShardDocsDeterministic:
+    def test_matches_pure_python(self, tmp_path):
+        import hashlib
+
+        from quarrycore_ray.pipelines.training import (
+            shard_docs_deterministic,
+        )
+
+        ids = list(range(40))
+        sf = _write_docs(tmp_path, {i: "x" for i in ids})
+        out = (
+            shard_docs_deterministic(sf, n_shards=4)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        hx = {i: hashlib.md5(str(i).encode()).hexdigest() for i in ids}
+        expect = {}
+        by_shard: dict[int, list[int]] = {}
+        for i in ids:
+            s = int(hx[i][:8], 16) % 4
+            by_shard.setdefault(s, []).append(i)
+        for s, members in by_shard.items():
+            members.sort(key=lambda i: (hx[i], i))
+            for pos, i in enumerate(members, 1):
+                expect[i] = (s, pos)
+        for i in ids:
+            assert (out.loc[i, "shard"], out.loc[i, "pos"]) == expect[i], i
+
+    def test_positions_are_a_permutation_per_shard(self, tmp_path):
+        from quarrycore_ray.pipelines.training import (
+            shard_docs_deterministic,
+        )
+
+        sf = _write_docs(tmp_path, {i: "x" for i in range(100)})
+        out = shard_docs_deterministic(sf, n_shards=8).to_pandas()
+        assert len(out) == 100
+        for _, grp in out.groupby("shard"):
+            assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
