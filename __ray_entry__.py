@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic dedup / similarity search (§2.1 D12)
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
+        # recall@k of LSH ANN vs exact top-k (index-quality eval)
+        "ann_recall_eval": similarity.ann_recall_eval,
         "ann_ivf_knn": similarity.ann_ivf_knn,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "semdedup_prune": similarity.semdedup_prune,
@@ -276,7 +278,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_docs_by_quality": docs.filter_docs_by_quality,
         "langid_docs": docs.langid_docs,
         "fingerprint_docs": docs.fingerprint_docs,
-        "extract_structured": docs.extract_structured,
         # reference TextProcessor.clean_text (boilerplate cascade)
         "clean_text_docs": docs.clean_text_docs,
         # corpus curation (C4/CCNet/Gopher lineage)
@@ -335,11 +336,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distribution": docs.source_distribution,
         "top_docs_by_len": docs.top_docs_by_len,
         "search_docs": docs.search_docs,
+        "extract_structured": docs.extract_structured,
         # reference TextProcessor markdown structure classifier
         "markdown_structure_docs": docs.markdown_structure_docs,
         "balanced_sample_by_source": docs.balanced_sample_by_source,
         # distribution sibling of the in-window source_distribution
         "lang_distribution": docs.lang_distribution,
+        # langid accuracy vs the labeled lang column
+        "lang_confusion_matrix": docs.lang_confusion_matrix,
         # conversation formatter (reference formatter.py:60-77;
         # format_instruction's sibling — chunk/split reps stay in-window)
         "format_conversation": dset.format_conversation,
@@ -881,6 +885,54 @@ def oracle_sql() -> dict[str, str]:
             FROM hits GROUP BY doc_id
         """
 
+    _V_knn_cosine = """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (
+                SELECT q_id, e.vec_id AS n_id,
+                       list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM q, embeddings e WHERE e.vec_id != q_id
+            )
+            SELECT q_id, n_id, CAST(rk AS BIGINT) AS rank, floor((cos) * 1000000 + 0.5) / 1000000.0 AS cosine
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos DESC, n_id) AS rk
+                FROM s
+            ) WHERE rk <= 5
+        """
+
+    _V_langid_docs = f"""
+            -- mirrors functions/textstats.py:LangIdStage exactly:
+            -- stopword hits per language over whitespace-split lower text,
+            -- CJK chars in the first 400 chars vote for zh; best language
+            -- by (score DESC, lang ASC); conf = floor_round(best/total, 6)
+            WITH t AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+            w AS (SELECT doc_id, text, lt,
+                         list_filter(string_split_regex(lt, '\\s+'), x -> x != '')
+                             AS words
+                  FROM t),
+            s AS ({lang_scores}
+                  UNION ALL
+                  SELECT doc_id, 'zh' AS lang,
+                         len(regexp_extract_all(substring(lt, 1, 400), '[一-鿿]')) AS sc
+                  FROM w),
+            agg AS (SELECT doc_id, sum(sc) AS total FROM s GROUP BY doc_id),
+            best AS (
+                SELECT doc_id, lang, sc FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY sc DESC, lang) AS rk
+                    FROM s
+                ) WHERE rk = 1
+            )
+            SELECT w.doc_id,
+                   CASE WHEN a.total > 0 THEN b.lang ELSE 'unknown' END AS pred_lang,
+                   CASE WHEN a.total > 0
+                        THEN floor((b.sc * 1.0 / a.total) * 1000000 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS lang_conf
+            FROM w JOIN best b ON b.doc_id = w.doc_id
+                   JOIN agg a ON a.doc_id = w.doc_id
+        """
+
     return {
         "exact_dedup_docs": (
             f"SELECT min(doc_id) AS doc_id, canonical FROM ({canon_docs}) "
@@ -912,6 +964,20 @@ def oracle_sql() -> dict[str, str]:
         # hyperplane-LSH ANN in exact integer arithmetic: planes
         # embedded as literals, buckets = integer dot signs
         "ann_lsh_knn": _ann_lsh_sql(),
+        "ann_recall_eval": f"""
+            WITH ex AS MATERIALIZED ({_V_knn_cosine}),
+            ap AS MATERIALIZED ({_ann_lsh_sql()}),
+            hit AS (SELECT ex.q_id, count(*) AS n_hit
+                    FROM ex JOIN ap ON ex.q_id = ap.q_id
+                                   AND ex.n_id = ap.n_id
+                    GROUP BY ex.q_id),
+            exn AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY q_id)
+            SELECT exn.q_id, CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+                   floor(coalesce(n_hit, 0) * 1.0 / n_exact * 1000000
+                         + 0.5) / 1000000.0 AS recall
+            FROM exn LEFT JOIN hit USING (q_id)
+        """,
         # md5-hash HLL sketch: registers + estimate reproduced exactly
         "vocab_size_approx": _hll_vocab_sql(),
         # extraction cascade: readability must strip the planted page
@@ -1017,37 +1083,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine
             FROM p WHERE cos >= 0.45
         """,
-        "langid_docs": f"""
-            -- mirrors functions/textstats.py:LangIdStage exactly:
-            -- stopword hits per language over whitespace-split lower text,
-            -- CJK chars in the first 400 chars vote for zh; best language
-            -- by (score DESC, lang ASC); conf = floor_round(best/total, 6)
-            WITH t AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
-            w AS (SELECT doc_id, text, lt,
-                         list_filter(string_split_regex(lt, '\\s+'), x -> x != '')
-                             AS words
-                  FROM t),
-            s AS ({lang_scores}
-                  UNION ALL
-                  SELECT doc_id, 'zh' AS lang,
-                         len(regexp_extract_all(substring(lt, 1, 400), '[一-鿿]')) AS sc
-                  FROM w),
-            agg AS (SELECT doc_id, sum(sc) AS total FROM s GROUP BY doc_id),
-            best AS (
-                SELECT doc_id, lang, sc FROM (
-                    SELECT *, row_number() OVER (
-                        PARTITION BY doc_id ORDER BY sc DESC, lang) AS rk
-                    FROM s
-                ) WHERE rk = 1
-            )
-            SELECT w.doc_id,
-                   CASE WHEN a.total > 0 THEN b.lang ELSE 'unknown' END AS pred_lang,
-                   CASE WHEN a.total > 0
-                        THEN floor((b.sc * 1.0 / a.total) * 1000000 + 0.5) / 1000000.0
-                        ELSE 0.0 END AS lang_conf
-            FROM w JOIN best b ON b.doc_id = w.doc_id
-                   JOIN agg a ON a.doc_id = w.doc_id
-        """,
+        "langid_docs": _V_langid_docs,
         "fingerprint_docs": f"""
             -- mirrors text.py:rolling_fingerprint: polynomial hash
             -- h = (h*1000003 + ord(ch)) % 2^61 over the first 1024 chars of
@@ -1190,6 +1226,13 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000 + 0.5) / 1000000.0 AS avg_chars FROM documents GROUP BY source"
         ),
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "lang_confusion_matrix": f"""
+            WITH p AS MATERIALIZED ({_V_langid_docs})
+            SELECT d.lang AS true_lang, p.pred_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "top_docs_by_len": (
             "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
@@ -1537,21 +1580,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, floor(prob * 1000000 + 0.5) / 1000000.0 AS accept_prob
             FROM q WHERE u < prob
         """,
-        "knn_cosine": """
-            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-                       FROM embeddings WHERE vec_id < 5),
-            s AS (
-                SELECT q_id, e.vec_id AS n_id,
-                       list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cos
-                FROM q, embeddings e WHERE e.vec_id != q_id
-            )
-            SELECT q_id, n_id, CAST(rk AS BIGINT) AS rank, floor((cos) * 1000000 + 0.5) / 1000000.0 AS cosine
-            FROM (
-                SELECT *, row_number() OVER (PARTITION BY q_id
-                                             ORDER BY cos DESC, n_id) AS rk
-                FROM s
-            ) WHERE rk <= 5
-        """,
+        "knn_cosine": _V_knn_cosine,
 
         # --- dataset analytics report (dataset.py:dataset_analytics_report) ---
         "dataset_analytics_report": f"""

@@ -833,3 +833,48 @@ def embedding_top_component(
     return pd.DataFrame(
         {"dim": np.arange(dim, dtype=np.int64), "component": v}
     )
+
+
+def ann_recall_eval(
+    sf_dir: str, n_queries: int = 5, k: int = 5
+) -> pd.DataFrame:
+    """Recall@k of the hyperplane-LSH ANN against the exact cosine
+    top-k — the index-quality evaluation the reference runs informally
+    when tuning its FAISS config (deduplicator/semantic_dedup.py IVF
+    nlist/nprobe); here it is a first-class operator so index-parameter
+    changes are regression-tested, not eyeballed.
+
+    Both inputs are top-k result tables (n_queries x k rows — bounded
+    by construction, never corpus-sized), so the set intersection runs
+    on the driver. Output (q_id, n_exact, n_hit, recall) with recall
+    floor-rounded to 6 dp, one row per query that has exact
+    neighbors."""
+    ex = knn_cosine(sf_dir, n_queries=n_queries, k=k)
+    ap = ann_lsh_knn(sf_dir, n_queries=n_queries, k=k)
+    if ex.empty:
+        return pd.DataFrame(
+            {
+                "q_id": pd.Series([], dtype="int64"),
+                "n_exact": pd.Series([], dtype="int64"),
+                "n_hit": pd.Series([], dtype="int64"),
+                "recall": pd.Series([], dtype="float64"),
+            }
+        )
+    n_exact = ex.groupby("q_id").size()
+    hits = ex.merge(ap[["q_id", "n_id"]], on=["q_id", "n_id"])
+    n_hit = hits.groupby("q_id").size()
+    out = pd.DataFrame(
+        {
+            "q_id": n_exact.index.to_numpy(dtype=np.int64),
+            "n_exact": n_exact.to_numpy(dtype=np.int64),
+            "n_hit": n_hit.reindex(n_exact.index, fill_value=0).to_numpy(
+                dtype=np.int64
+            ),
+        }
+    )
+    out["recall"] = floor_round_np(
+        out["n_hit"].to_numpy(dtype=np.float64)
+        / out["n_exact"].to_numpy(dtype=np.float64),
+        6,
+    )
+    return out.sort_values("q_id").reset_index(drop=True)

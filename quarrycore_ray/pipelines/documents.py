@@ -2755,3 +2755,48 @@ def markdown_structure_docs(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _extract, batch_format="pyarrow"
     )
+
+
+def lang_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    """Language-ID evaluation: confusion counts of the heuristic
+    predictor (`langid_docs`) against the table's labeled `lang` column
+    — the accuracy readout the reference logs for its fasttext detector
+    (extractor/language_detector.py confidence stats), as an operator.
+
+    Scale: predictions are a stateless actor-pool pass; the true label
+    is attached with the doc_id-keyed `attach_lookup` (broadcast under
+    1M docs, partitioned join above) and the confusion matrix is a
+    (true_lang, pred_lang) combiner groupby whose cardinality is
+    n_langs^2, independent of corpus size. Output (true_lang,
+    pred_lang, n) sorted."""
+    from ..stages.grouped import attach_lookup
+
+    pred = langid_docs(sf_dir)
+    _P_SCHEMA = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("pred_lang", pa.string()),
+            pa.field("lang_conf", pa.float64()),
+        ]
+    )
+    with_true = attach_lookup(
+        pred,
+        _P_SCHEMA,
+        ["doc_id"],
+        _docs(sf_dir, ["doc_id", "lang"]),
+        "doc_id",
+        "lang",
+        pa.string(),
+        ["true_lang"],
+    )
+    out = typed_pandas(
+        with_true.groupby(["true_lang", "pred_lang"]).aggregate(
+            Count(alias_name="n")
+        ),
+        {"true_lang": "object", "pred_lang": "object", "n": "int64"},
+    )
+    return (
+        out[["true_lang", "pred_lang", "n"]]
+        .sort_values(["true_lang", "pred_lang"])
+        .reset_index(drop=True)
+    )

@@ -517,3 +517,50 @@ class TestAudioDecode:
                     }
                 )
             )
+
+
+class TestAnnRecallEval:
+    def test_matches_manual_intersection(self):
+        from quarrycore_ray.functions.similarity import (
+            ann_lsh_knn,
+            ann_recall_eval,
+            knn_cosine,
+        )
+
+        exact = knn_cosine(SF, n_queries=5, k=5)
+        approx = ann_lsh_knn(SF, n_queries=5, k=5)
+        out = ann_recall_eval(SF, n_queries=5, k=5).set_index("q_id")
+        for q in exact["q_id"].unique():
+            truth = set(exact[exact["q_id"] == q]["n_id"])
+            got = set(approx[approx["q_id"] == q]["n_id"])
+            assert out.loc[q, "n_exact"] == len(truth)
+            assert out.loc[q, "n_hit"] == len(truth & got)
+            assert 0.0 <= out.loc[q, "recall"] <= 1.0
+        assert list(out.columns) == ["n_exact", "n_hit", "recall"]
+
+
+class TestLangConfusionMatrix:
+    def test_counts_partition_the_corpus(self):
+        from quarrycore_ray.pipelines.documents import (
+            lang_confusion_matrix,
+            langid_docs,
+        )
+
+        out = lang_confusion_matrix(SF)
+        pred = langid_docs(SF).to_pandas()
+        # total count equals corpus size; cells are positive
+        assert out["n"].sum() == len(pred)
+        assert (out["n"] > 0).all()
+        # cell (t, p) equals the direct join count for one spot cell
+        import pyarrow.parquet as _pq
+
+        truth = _pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        j = pred.merge(truth, on="doc_id")
+        spot = (
+            j.groupby(["lang", "pred_lang"]).size().reset_index(name="n")
+        )
+        t, p, n = spot.iloc[0]["lang"], spot.iloc[0]["pred_lang"], spot.iloc[0]["n"]
+        cell = out[(out["true_lang"] == t) & (out["pred_lang"] == p)]
+        assert int(cell["n"].iloc[0]) == int(n)
