@@ -191,6 +191,8 @@ def run_bench() -> dict:
     timed("extract_html_docs", docs.extract_html_docs)
     timed("exact_substr_spans", cur.exact_substr_spans)
     timed("gif_decode_stats", docs.gif_decode_stats)
+    timed("curation_pipeline_docs", cur.curation_pipeline_docs)
+    timed("shard_docs_deterministic", trn.shard_docs_deterministic)
 
     ray.shutdown()
     return {
