@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data construction (pipelines/training.py)
         "tfidf_top_terms": trn.tfidf_top_terms,
         "pack_sequences": trn.pack_sequences,
+        # shard + token-bin pack plan (md5 hash order, BSP scan)
+        "shard_pack_assignments": trn.shard_pack_assignments,
         "unigram_logprob_docs": trn.unigram_logprob_docs,
         # relational / windows (§2.10 streaming shapes)
         "events_hourly": rel.events_hourly,
@@ -3151,6 +3153,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT)
                        AS cum_tokens
             FROM s WHERE cum <= 1500
+        """,
+        "shard_pack_assignments": f"""
+            WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+                              CAST(len(string_split({_CANON}, ' '))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents),
+            k AS (SELECT doc_id, hx, n_tokens,
+                         CAST(('0x' || substring(hx, 1, 8)) AS BIGINT)
+                             % 8 AS shard
+                  FROM h)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(row_number() OVER w AS BIGINT) AS pos,
+                   n_tokens,
+                   CAST((sum(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY hx, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
+                        AS BIGINT) AS bin_id
+            FROM k WINDOW w AS (PARTITION BY shard ORDER BY hx, doc_id)
         """,
         "shard_docs_deterministic": """
             WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx

@@ -1476,3 +1476,190 @@ def shard_docs_deterministic(
         )
 
     return partitioned_group_map(keyed, "bucket", _pos, arrow=True)
+
+
+def shard_pack_assignments(
+    sf_dir: str, n_shards: int = 8, budget: int = 512
+) -> "rd.Dataset":
+    """Shard + pack plan for training-shard writing: every doc gets its
+    md5 shard, its 1-based position in shard hash order, and the
+    token-budget bin it packs into within that shard (bin boundaries
+    follow the same deterministic hash order, so the plan is
+    seed-reproducible end to end — `shard_docs_deterministic` and
+    `pack_sequences` composed on one key).
+
+    Scale: one pass computes (hash, shard, 16-bit prefix bucket, token
+    count); a (shard, bucket) histogram of counts AND token totals —
+    <= n_shards * 65536 rows regardless of corpus size — is folded into
+    per-shard running offsets on the driver and broadcast; each hash
+    partition then ranks and prefix-sums locally within (shard, bucket)
+    sorted by (hash_hex, doc_id). All-integer. Output (doc_id, shard,
+    pos, n_tokens, bin_id)."""
+    import hashlib
+
+    import polars as pl
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        hx = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        h32 = np.array([int(h[:8], 16) for h in hx], dtype=np.int64)
+        b16 = np.array([int(h[:4], 16) for h in hx], dtype=np.int64)
+        canonical = normalize_whitespace_array(batch["text"])
+        nt = pc.add(
+            pc.cast(pc.count_substring(canonical, pattern=" "), pa.int64()),
+            1,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "hx": pa.array(hx, pa.string()),
+                "shard": pa.array(h32 % n_shards, pa.int64()),
+                "bucket": b16,
+                "n_tokens": nt,
+            }
+        )
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow").materialize()
+    hist = typed_pandas(
+        keyed.groupby(["shard", "bucket"]).aggregate(
+            Count(alias_name="n"), Sum("n_tokens", alias_name="tok")
+        ),
+        {"shard": "int64", "bucket": "int64", "n": "int64", "tok": "int64"},
+    ).sort_values(["shard", "bucket"])
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("shard", pa.int64()),
+            pa.field("pos", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("bin_id", pa.int64()),
+        ]
+    )
+    if hist.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    n_off = hist.groupby("shard")["n"].cumsum() - hist["n"]
+    t_off = hist.groupby("shard")["tok"].cumsum() - hist["tok"]
+    offsets_ref = ray.put(
+        {
+            (int(s), int(b)): (int(no), int(to))
+            for s, b, no, to in zip(
+                hist["shard"], hist["bucket"], n_off, t_off
+            )
+        }
+    )
+
+    def _assign(tb: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        df = pl.from_arrow(tb).sort(["shard", "bucket", "hx", "doc_id"])
+        pairs = [
+            offsets[(int(s), int(b))]
+            for s, b in zip(df["shard"], df["bucket"])
+        ]
+        n_off = np.array([p[0] for p in pairs], dtype=np.int64)
+        t_off = np.array([p[1] for p in pairs], dtype=np.int64)
+        local_pos = (
+            df.select((pl.int_range(pl.len()) + 1).over(["shard", "bucket"]))
+            .to_series()
+            .to_numpy()
+        )
+        local_before = (
+            df.select(
+                (
+                    pl.col("n_tokens").cum_sum().over(["shard", "bucket"])
+                    - pl.col("n_tokens")
+                )
+            )
+            .to_series()
+            .to_numpy()
+        )
+        before = t_off + local_before
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "shard": pa.array(df["shard"].to_numpy(), pa.int64()),
+                "pos": pa.array(n_off + local_pos, pa.int64()),
+                "n_tokens": pa.array(
+                    df["n_tokens"].to_numpy(), pa.int64()
+                ),
+                "bin_id": pa.array(before // budget, pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(keyed, "bucket", _assign, arrow=True)
+
+
+def write_training_shards(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+    budget: int = 512,
+) -> dict:
+    """Resumable training-shard writer: plans with
+    `shard_pack_assignments`, attaches the text back by doc_id, and
+    writes hive-partitioned Parquet (`shard=K/` directories — the
+    resumable layout: a re-run skips a completed output via the
+    manifest) with the tmp+rename protocol (a crash mid-write can never
+    leave a partial directory that a resume mistakes for complete —
+    same discipline as CheckpointManager.stage). Returns the manifest
+    (per-shard row counts + token totals); calling again with the same
+    out_dir is a no-op that returns the stored manifest."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.io import write_partitioned
+
+    manifest_path = _os.path.join(out_dir, "manifest.json")
+    if _os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return _json.load(f)
+
+    plan = shard_pack_assignments(
+        sf_dir, n_shards=n_shards, budget=budget
+    ).materialize()
+    _P_SCHEMA = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("shard", pa.int64()),
+            pa.field("pos", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("bin_id", pa.int64()),
+        ]
+    )
+    with_text = attach_lookup(
+        plan,
+        _P_SCHEMA,
+        ["doc_id"],
+        _docs(sf_dir, ["doc_id", "text"]),
+        "doc_id",
+        "text",
+        pa.string(),
+        ["text"],
+    )
+
+    tmp = out_dir + ".tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(tmp, exist_ok=True)
+    write_partitioned(with_text, _os.path.join(tmp, "data"),
+                      partition_cols=["shard"])
+    stats = typed_pandas(
+        plan.groupby("shard").aggregate(
+            Count(alias_name="n_docs"), Sum("n_tokens", alias_name="tok")
+        ),
+        {"shard": "int64", "n_docs": "int64", "tok": "int64"},
+    ).sort_values("shard")
+    manifest = {
+        "n_shards": n_shards,
+        "budget": budget,
+        "shards": {
+            str(int(s)): {"n_docs": int(n), "n_tokens": int(t)}
+            for s, n, t in zip(stats["shard"], stats["n_docs"], stats["tok"])
+        },
+    }
+    with open(_os.path.join(tmp, "manifest.json"), "w") as f:
+        _json.dump(manifest, f)
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.rename(tmp, out_dir)
+    return manifest

@@ -1267,3 +1267,108 @@ class TestShardDocsDeterministic:
         assert len(out) == 100
         for _, grp in out.groupby("shard"):
             assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+
+
+class TestShardPackAssignments:
+    def test_matches_pure_python(self, tmp_path):
+        import hashlib
+
+        from quarrycore_ray.pipelines.training import (
+            shard_pack_assignments,
+        )
+
+        texts = {i: " ".join(["tok"] * (1 + i % 7)) for i in range(60)}
+        sf = _write_docs(tmp_path, texts)
+        out = (
+            shard_pack_assignments(sf, n_shards=4, budget=10)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        hx = {i: hashlib.md5(str(i).encode()).hexdigest() for i in texts}
+        by_shard: dict[int, list[int]] = {}
+        for i in texts:
+            by_shard.setdefault(int(hx[i][:8], 16) % 4, []).append(i)
+        expect = {}
+        for s, members in by_shard.items():
+            members.sort(key=lambda i: (hx[i], i))
+            cum = 0
+            for pos, i in enumerate(members, 1):
+                nt = len(texts[i].split())
+                expect[i] = (s, pos, nt, cum // 10)
+                cum += nt
+        assert len(out) == len(texts)
+        for i in texts:
+            got = (
+                int(out.loc[i, "shard"]),
+                int(out.loc[i, "pos"]),
+                int(out.loc[i, "n_tokens"]),
+                int(out.loc[i, "bin_id"]),
+            )
+            assert got == expect[i], i
+
+    def test_bins_monotone_and_positions_permutation(self, tmp_path):
+        from quarrycore_ray.pipelines.training import (
+            shard_pack_assignments,
+        )
+
+        sf = _write_docs(
+            tmp_path, {i: " ".join(["w"] * (1 + i % 11)) for i in range(200)}
+        )
+        out = shard_pack_assignments(sf, n_shards=8, budget=16).to_pandas()
+        assert len(out) == 200
+        for _, grp in out.groupby("shard"):
+            grp = grp.sort_values("pos")
+            assert list(grp["pos"]) == list(range(1, len(grp) + 1))
+            bins = list(grp["bin_id"])
+            assert bins == sorted(bins)
+            assert bins[0] == 0
+
+
+class TestWriteTrainingShards:
+    def test_writes_partitioned_and_resumes(self, tmp_path):
+        import json
+        import os
+
+        import pyarrow.dataset as pads
+
+        from quarrycore_ray.pipelines.training import (
+            shard_pack_assignments,
+            write_training_shards,
+        )
+
+        texts = {i: " ".join(["tok"] * (1 + i % 5)) for i in range(50)}
+        sf = _write_docs(tmp_path, texts)
+        out_dir = str(tmp_path / "shards")
+        manifest = write_training_shards(
+            sf, out_dir, n_shards=4, budget=12
+        )
+        # manifest totals match the plan
+        plan = shard_pack_assignments(sf, n_shards=4, budget=12).to_pandas()
+        for s, grp in plan.groupby("shard"):
+            m = manifest["shards"][str(int(s))]
+            assert m["n_docs"] == len(grp)
+            assert m["n_tokens"] == int(grp["n_tokens"].sum())
+        # hive layout: one directory per shard, text attached
+        tbl = pads.dataset(
+            os.path.join(out_dir, "data"), partitioning="hive"
+        ).to_table()
+        assert tbl.num_rows == 50
+        names = set(tbl.schema.names)
+        assert {"doc_id", "pos", "n_tokens", "bin_id", "text"} <= names
+        got = {
+            i: t for i, t in zip(
+                tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+            )
+        }
+        assert got == texts
+        # no stale tmp dir
+        assert not os.path.exists(out_dir + ".tmp")
+        # resume: second call is a no-op returning the stored manifest
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            stored = json.load(f)
+        marker = os.path.join(out_dir, "marker")
+        with open(marker, "w") as f:
+            f.write("x")
+        again = write_training_shards(sf, out_dir, n_shards=4, budget=12)
+        assert again == stored
+        assert os.path.exists(marker)  # nothing was rewritten
