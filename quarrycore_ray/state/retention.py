@@ -150,3 +150,93 @@ def stamp_partition(path: str, now: float | None = None) -> None:
     now = time.time() if now is None else now
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump({"written_at": now}, f)
+
+
+def read_tiered(
+    warm_dir: str, cold_dir: str, columns: list[str] | None = None
+):
+    """One streaming `ray.data.Dataset` over BOTH tiers — archived data
+    stays queryable, matching the reference's cold tier remaining part
+    of the store (`storage_manager.py`: cold storage holds the same
+    Parquet, only relocated). Warm wins a name collision (a partition
+    caught mid-archive is read exactly once). Column projection is
+    pushed into the read."""
+    import ray.data as rd
+
+    def _parts(root: str) -> dict[str, str]:
+        if not os.path.isdir(root):
+            return {}
+        return {
+            n: os.path.join(root, n)
+            for n in os.listdir(root)
+            if os.path.isdir(os.path.join(root, n))
+            and not n.endswith(".tmp")
+        }
+
+    warm, cold = _parts(warm_dir), _parts(cold_dir)
+    paths = sorted(
+        list(warm.values())
+        + [p for n, p in cold.items() if n not in warm]
+    )
+    if not paths:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({}))
+    # retention stamps live next to the data files; exclude them from
+    # the parquet scan by listing the part files per partition
+    files = sorted(
+        os.path.join(d, f)
+        for d in paths
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    return rd.read_parquet(files, columns=columns)
+
+
+def compact_partition(
+    partition_dir: str,
+    min_fragments: int = 8,
+    target_rows_per_file: int = 1_000_000,
+) -> bool:
+    """Rewrite a fragmented partition's many small part files into few
+    large ones — the Parquet-tier VACUUM
+    (`storage/sqlite_manager.py:158-174`, `storage_manager.py:266-272`:
+    reclaim/compact a store in place without blocking readers of other
+    partitions).
+
+    Streams the fragments through ray.data (no driver
+    materialization), writes to `<dir>.compact.tmp`, then swaps
+    directories atomically; the retention stamp is preserved so
+    compaction never resets a partition's archive age. Returns True
+    when a rewrite happened — partitions under `min_fragments` files
+    are left alone (compaction cost would exceed the read
+    amplification it saves). One partition at a time: on a 100 TB
+    store this is an embarrassingly parallel maintenance sweep with no
+    shuffle and bounded temp space."""
+    import ray.data as rd
+
+    frags = [
+        f for f in os.listdir(partition_dir) if f.endswith(".parquet")
+    ]
+    if len(frags) < min_fragments:
+        return False
+    stamp = None
+    stamp_path = os.path.join(partition_dir, "_manifest.json")
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            stamp = f.read()
+    ds = rd.read_parquet(
+        [os.path.join(partition_dir, f) for f in sorted(frags)]
+    )
+    tmp = partition_dir + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp, min_rows_per_file=target_rows_per_file)
+    if stamp is not None:
+        with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+            f.write(stamp)
+    old = partition_dir + ".compact.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(partition_dir, old)
+    os.rename(tmp, partition_dir)
+    shutil.rmtree(old)
+    return True

@@ -193,3 +193,91 @@ class TestRetention:
         assert os.path.exists(os.path.join(cold, "edges", "_MANIFEST.json"))
         # the fresh warm side is empty; a rerun is a no-op
         assert archive_partitions(root, cold, 30, now=now) == []
+
+
+class TestTieredReadAndCompact:
+    """Cold tier stays queryable + fragment compaction (VACUUM analog;
+    reference storage_manager.py:266-276, sqlite_manager.py:158-174)."""
+
+    def _write_partition(self, root, name, ids, n_files=1):
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        chunks = [ids[i::n_files] for i in range(n_files)]
+        for i, chunk in enumerate(chunks):
+            _pq.write_table(
+                pa.table({"doc_id": pa.array(chunk, pa.int64())}),
+                os.path.join(d, f"part-{i}.parquet"),
+            )
+        return d
+
+    def test_read_tiered_unions_warm_and_cold(self, tmp_path):
+        from quarrycore_ray.state.retention import (
+            archive_partitions,
+            read_tiered,
+            stamp_partition,
+        )
+
+        warm = str(tmp_path / "warm")
+        cold = str(tmp_path / "cold")
+        os.makedirs(warm)
+        now = 1_000_000_000.0
+        old = self._write_partition(warm, "p_old", list(range(10)))
+        new = self._write_partition(warm, "p_new", list(range(10, 25)))
+        stamp_partition(old, now=now - 40 * 86400)
+        stamp_partition(new, now=now - 86400)
+        assert archive_partitions(warm, cold, 30, now=now) == ["p_old"]
+        got = read_tiered(warm, cold).to_pandas()
+        assert sorted(got["doc_id"]) == list(range(25))
+        # projection + empty tiers
+        got2 = read_tiered(warm, cold, columns=["doc_id"]).to_pandas()
+        assert len(got2) == 25
+        empty = read_tiered(str(tmp_path / "nope"), str(tmp_path / "nope2"))
+        assert empty.count() == 0
+
+    def test_read_tiered_warm_wins_collision(self, tmp_path):
+        from quarrycore_ray.state.retention import read_tiered
+
+        warm = str(tmp_path / "warm")
+        cold = str(tmp_path / "cold")
+        os.makedirs(warm), os.makedirs(cold)
+        self._write_partition(warm, "p", [1, 2, 3])
+        self._write_partition(cold, "p", [1, 2, 3, 99])  # stale copy
+        got = read_tiered(warm, cold).to_pandas()
+        assert sorted(got["doc_id"]) == [1, 2, 3]
+
+    def test_compact_merges_fragments_and_keeps_stamp(self, tmp_path):
+        from quarrycore_ray.state.retention import (
+            compact_partition,
+            stamp_partition,
+        )
+
+        warm = str(tmp_path / "warm")
+        os.makedirs(warm)
+        d = self._write_partition(
+            warm, "p_frag", list(range(200)), n_files=10
+        )
+        stamp_partition(d, now=123.0)
+        assert compact_partition(d, min_fragments=8) is True
+        frags = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(frags) < 10
+        got = pq.read_table(
+            [os.path.join(d, f) for f in frags]
+        ).to_pandas()
+        assert sorted(got["doc_id"]) == list(range(200))
+        with open(os.path.join(d, "_manifest.json")) as f:
+            assert json.load(f)["written_at"] == 123.0
+        assert not os.path.exists(d + ".compact.tmp")
+        assert not os.path.exists(d + ".compact.old")
+
+    def test_compact_skips_small_partitions(self, tmp_path):
+        from quarrycore_ray.state.retention import compact_partition
+
+        warm = str(tmp_path / "warm")
+        os.makedirs(warm)
+        d = self._write_partition(warm, "p_ok", list(range(20)), n_files=3)
+        before = sorted(os.listdir(d))
+        assert compact_partition(d, min_fragments=8) is False
+        assert sorted(os.listdir(d)) == before
