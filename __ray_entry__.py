@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # media_decode_stats; balanced sampling variant of the
         # in-window samplers)
         # ------------------------------------------------------------------
+        # dedup diagnostics over the flagship clusters (exact oracles:
+        # the generated SHA-1 dedup SQL wrapped in integer rollups)
+        "dedup_cluster_size_hist": docs.dedup_cluster_size_hist,
+        "dedup_rate_by_source": docs.dedup_rate_by_source,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -948,6 +952,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_transcripts_full": sqlgen.dedup_clusters_sql(
             sqlgen.TRANSCRIPT_CONVS_BODY
         ),
+        # dedup diagnostics: the same generated dedup SQL, rolled up.
+        # count(*) is BIGINT in DuckDB; sum() would be HUGEINT (cast).
+        "dedup_cluster_size_hist": f"""
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (
+                SELECT CAST(count(*) AS BIGINT) AS size
+                FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)}) c
+                GROUP BY cluster_id
+            ) s GROUP BY size
+        """,
+        "dedup_rate_by_source": f"""
+            WITH c AS (
+                SELECT *, CAST(substring(conv_id, 5, 8) AS BIGINT) AS did,
+                       CASE WHEN conv_id = cluster_id THEN 1 ELSE 0 END
+                           AS kept
+                FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)})
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(c.kept) AS BIGINT) AS n_kept,
+                   CAST(count(*) - sum(c.kept) AS BIGINT) AS n_removed
+            FROM c JOIN documents d ON d.doc_id = c.did
+            GROUP BY d.source
+        """,
         "incremental_near_dup_docs": sqlgen.incremental_matches_sql(
             sqlgen.TRANSCRIPT_HIST_BODY, sqlgen.TRANSCRIPT_NEW_BODY
         ),

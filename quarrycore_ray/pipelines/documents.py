@@ -110,6 +110,75 @@ def minhash_dedup_docs(sf_dir: str) -> "rd.Dataset":
     return res.clusters
 
 
+def dedup_cluster_size_hist(sf_dir: str) -> "rd.Dataset":
+    """Cluster-size distribution of the flagship dedup — the standard
+    post-dedup diagnostic (how much mass sits in giant near-dup
+    clusters vs singletons; the reference logs the analogous duplicate
+    counts per level, `deduplicator/deduplicator.py` stats).
+
+    Two partial-agg groupbys over the clusters table (already tiny
+    relative to the corpus) — no new shuffle over raw text. All-integer
+    output (size, n_clusters); the oracle reruns the full generated
+    SHA-1 dedup SQL and aggregates identically."""
+    clusters = minhash_dedup_docs(sf_dir)
+    sizes = clusters.groupby("cluster_id").aggregate(
+        Count(alias_name="size")
+    )
+    hist = sizes.groupby("size").aggregate(Count(alias_name="n_clusters"))
+    return rd.from_pandas(
+        typed_pandas(hist, {"size": "int64", "n_clusters": "int64"})
+    )
+
+
+def dedup_rate_by_source(sf_dir: str) -> "rd.Dataset":
+    """Per-source dedup lineage: documents in, cluster representatives
+    kept, duplicates removed — the per-partition lineage rollup of the
+    north rule projected onto the `source` column (which source feeds
+    the most duplicate mass is the first question a 100 TB curation run
+    asks of its dedup stage).
+
+    The source attach is a broadcast lookup (documents' doc_id->source
+    at driver scale; `attach_lookup` auto-switches to the partitioned
+    join above 1M rows). All-integer (n_docs = n_kept + n_removed)."""
+    from ..stages.grouped import attach_lookup
+
+    clusters = minhash_dedup_docs(sf_dir)
+
+    def _doc_ids(batch: pa.Table) -> pa.Table:
+        # conv_id is 'doc-XXXXXXXX' (pipelines/documents
+        # ._docs_as_conversations)
+        did = pc.cast(
+            pc.utf8_slice_codeunits(batch["conv_id"], 4, 12), pa.int64()
+        )
+        kept = pc.cast(
+            pc.equal(batch["conv_id"], batch["cluster_id"]), pa.int64()
+        )
+        return pa.table({"doc_id": did, "kept": kept})
+
+    flat = clusters.map_batches(_doc_ids, batch_format="pyarrow")
+    flat_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("kept", pa.int64())]
+    )
+    with_src = attach_lookup(
+        flat,
+        flat_schema,
+        ["doc_id"],
+        _docs(sf_dir, ["doc_id", "source"]),
+        "doc_id",
+        "source",
+        pa.string(),
+        ["source"],
+    )
+    agg = with_src.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("kept", alias_name="n_kept")
+    )
+    out = typed_pandas(
+        agg, {"source": "object", "n_docs": "int64", "n_kept": "int64"}
+    )
+    out["n_removed"] = out["n_docs"] - out["n_kept"]
+    return rd.from_pandas(out)
+
+
 def extract_html_docs(sf_dir: str) -> "rd.Dataset":
     """Extraction-cascade driver query: wrap each document in a
     deterministic page template with REAL boilerplate (nav, breadcrumbs,

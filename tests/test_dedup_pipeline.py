@@ -385,3 +385,46 @@ class TestHotbandQueryCapBinds:
         cl = res.clusters.to_pandas()
         hot = cl[cl.conv_id.str.startswith("hot-")]
         assert hot.cluster_id.nunique() == 1
+
+
+class TestDedupDiagnostics:
+    """Cluster-size histogram + per-source dedup lineage rollups
+    (pipelines/documents.dedup_cluster_size_hist / dedup_rate_by_source)
+    must reconcile exactly with the clusters table they roll up."""
+
+    def test_hist_and_rates_reconcile_with_clusters(self):
+        import pandas as pd
+
+        from quarrycore_ray.pipelines.documents import (
+            dedup_cluster_size_hist,
+            dedup_rate_by_source,
+            minhash_dedup_docs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        cl = minhash_dedup_docs(sf).to_pandas()
+        hist = dedup_cluster_size_hist(sf).to_pandas()
+        # histogram masses: sum(size * n_clusters) == total docs,
+        # sum(n_clusters) == number of distinct clusters
+        assert int((hist["size"] * hist["n_clusters"]).sum()) == len(cl)
+        assert int(hist["n_clusters"].sum()) == cl["cluster_id"].nunique()
+        sizes = cl.groupby("cluster_id").size().value_counts()
+        got = dict(zip(hist["size"], hist["n_clusters"]))
+        assert got == {int(k): int(v) for k, v in sizes.items()}
+
+        rates = dedup_rate_by_source(sf).to_pandas()
+        src = pd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source"]
+        )
+        assert int(rates["n_docs"].sum()) == len(cl)
+        assert (rates["n_docs"] == rates["n_kept"] + rates["n_removed"]).all()
+        # kept == cluster label holders, attributed to the doc's source
+        cl["did"] = cl["conv_id"].str.slice(4).astype("int64")
+        merged = cl.merge(src, left_on="did", right_on="doc_id")
+        kept = (
+            merged[merged["conv_id"] == merged["cluster_id"]]
+            .groupby("source")
+            .size()
+        )
+        got_kept = dict(zip(rates["source"], rates["n_kept"]))
+        assert got_kept == {k: int(v) for k, v in kept.items()}
