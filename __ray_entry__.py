@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the generated SHA-1 dedup SQL wrapped in integer rollups)
         "dedup_cluster_size_hist": docs.dedup_cluster_size_hist,
         "dedup_rate_by_source": docs.dedup_rate_by_source,
+        # per-doc n-gram novelty (first-occurrence introduction counts)
+        "ngram_novelty_docs": cur.ngram_novelty_docs,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -1042,6 +1044,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = a_id
             JOIN cnt cb ON cb.doc_id = b_id
             WHERE nb * 1.0 / (ca.n + cb.n - nb) >= 0.5
+        """,
+        "ngram_novelty_docs": f"""
+            WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w,
+                         generate_subscripts(words, 1) AS i FROM c),
+            grams AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win AS g
+                FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY g IS NOT NULL
+            ),
+            d AS (SELECT DISTINCT doc_id, g FROM grams),
+            f AS (SELECT g, min(doc_id) AS first_doc FROM d GROUP BY g)
+            SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN f.first_doc = d.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM d JOIN f USING (g)
+            GROUP BY d.doc_id
         """,
         "substring_containment": f"""
             -- contained side must be >= 30 chars: the engine's winnowing

@@ -192,6 +192,8 @@ def run_bench() -> dict:
     timed("exact_substr_spans", cur.exact_substr_spans)
     timed("gif_decode_stats", docs.gif_decode_stats)
     timed("curation_pipeline_docs", cur.curation_pipeline_docs)
+    timed("ngram_novelty_docs", cur.ngram_novelty_docs)
+    timed("shard_pack_assignments", trn.shard_pack_assignments)
     timed("shard_docs_deterministic", trn.shard_docs_deterministic)
 
     ray.shutdown()

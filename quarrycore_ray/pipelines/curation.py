@@ -1012,3 +1012,96 @@ def curation_pipeline_docs(
         )
 
     return final.map_batches(_final, batch_format="pyarrow")
+
+
+def ngram_novelty_docs(sf_dir: str, n: int = 3) -> "rd.Dataset":
+    """Per-document n-gram novelty: of a document's distinct word
+    n-grams, how many does it introduce to the corpus (this doc is the
+    gram's minimum-doc_id occurrence)? The memorization/novelty
+    diagnostic of training-data curation — a doc whose grams all first
+    appeared elsewhere adds no new text even if it isn't a near-dup
+    (complements MinHash, which misses low-Jaccard recombinations).
+
+    Shuffle plan: docs explode to DISTINCT (gram, doc_id) rows once;
+    ONE hash-partition on the gram string co-locates every occurrence
+    of a gram, so the partition-local min doc_id IS the global
+    first-occurrence and per-doc partials (grams seen, grams
+    introduced) reduce inside the partition; a combiner-friendly
+    integer Sum groupby on int doc_id folds the partials. Text never
+    shuffles twice, and the second shuffle carries <= |docs| x
+    |partitions| integer rows. Output (doc_id, n_grams, n_novel) for
+    every doc with >= n tokens; all-integer, exact oracle.
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..sources.io import typed_pandas
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "canonical": normalize_whitespace_array(batch["text"]),
+                }
+            )
+        )
+        e = (
+            df.with_columns(pl.col("canonical").str.split(" ").alias("w"))
+            .select("doc_id", "w")
+            .explode("w")
+        )
+        gram = pl.col("w")
+        for k in range(1, n):
+            gram = gram + " " + pl.col("w").shift(-k).over("doc_id")
+        out = (
+            e.with_columns(gram.alias("gram"))
+            .drop_nulls("gram")
+            .select("doc_id", "gram")
+            .unique()
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [pa.field("doc_id", pa.int64()),
+                 pa.field("gram", pa.string())]
+            )
+        )
+
+    keyed = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(_grams, batch_format="pyarrow")
+
+    def _part(tb: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tb)
+        per_doc = (
+            df.with_columns(
+                pl.col("doc_id").min().over("gram").alias("first_doc")
+            )
+            .group_by("doc_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_grams_p"),
+                (pl.col("doc_id") == pl.col("first_doc"))
+                .sum()
+                .cast(pl.Int64)
+                .alias("n_novel_p"),
+            )
+        )
+        return per_doc.to_arrow().cast(
+            pa.schema(
+                [pa.field("doc_id", pa.int64()),
+                 pa.field("n_grams_p", pa.int64()),
+                 pa.field("n_novel_p", pa.int64())]
+            )
+        )
+
+    parts = partitioned_group_map(keyed, "gram", _part, arrow=True)
+    agg = parts.groupby("doc_id").aggregate(
+        _Sum("n_grams_p", alias_name="n_grams"),
+        _Sum("n_novel_p", alias_name="n_novel"),
+    )
+    return rd.from_pandas(
+        typed_pandas(
+            agg, {"doc_id": "int64", "n_grams": "int64", "n_novel": "int64"}
+        )
+    )

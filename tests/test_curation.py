@@ -658,3 +658,37 @@ class TestCurationPipeline:
         # unless the shared-segment decontamination fires first (all six
         # docs share every segment with the holdout docs)
         assert out.loc[1, "reject_stage"] in ("kept", "decontaminate")
+
+
+class TestNgramNovelty:
+    def test_matches_hand_computation(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        from quarrycore_ray.pipelines.curation import ngram_novelty_docs
+
+        texts = {
+            0: "a b c d",          # grams: abc, bcd -> both novel
+            1: "a b c e",          # abc (seen), bce (novel)
+            2: "x y",              # < 3 tokens -> absent from output
+            3: "a b c d",          # exact dup of 0: nothing novel
+        }
+        ids = sorted(texts)
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([texts[i] for i in ids], pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = (
+            ngram_novelty_docs(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert sorted(out.index) == [0, 1, 3]
+        assert (out.loc[0, "n_grams"], out.loc[0, "n_novel"]) == (2, 2)
+        assert (out.loc[1, "n_grams"], out.loc[1, "n_novel"]) == (2, 1)
+        assert (out.loc[3, "n_grams"], out.loc[3, "n_novel"]) == (2, 0)
