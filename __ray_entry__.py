@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": docs.dedup_rate_by_source,
         # per-doc n-gram novelty (first-occurrence introduction counts)
         "ngram_novelty_docs": cur.ngram_novelty_docs,
+        # cross-source near-dup contamination matrix
+        "cross_source_dup_matrix": docs.cross_source_dup_matrix,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -963,6 +965,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)}) c
                 GROUP BY cluster_id
             ) s GROUP BY size
+        """,
+        "cross_source_dup_matrix": f"""
+            WITH cl AS (
+                SELECT cluster_id,
+                       CAST(substring(conv_id, 5, 8) AS BIGINT) AS did
+                FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)})
+            ),
+            u AS (
+                SELECT DISTINCT cl.cluster_id, d.source
+                FROM cl JOIN documents d ON d.doc_id = cl.did
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM u a JOIN u b
+              ON a.cluster_id = b.cluster_id AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "dedup_rate_by_source": f"""
             WITH c AS (

@@ -179,6 +179,91 @@ def dedup_rate_by_source(sf_dir: str) -> "rd.Dataset":
     return rd.from_pandas(out)
 
 
+def cross_source_dup_matrix(sf_dir: str) -> "rd.Dataset":
+    """Cross-source near-duplicate contamination matrix: for every
+    unordered source pair (a < b), the number of flagship dedup
+    clusters containing at least one document from EACH — the
+    source-mixing / train-test-leakage diagnostic a multi-source
+    corpus runs right after dedup (exact-text overlap is zero on this
+    corpus; near-dup clusters are where cross-source contamination
+    actually shows up).
+
+    Shuffles: the source attach (broadcast at lookup scale), then one
+    hash partition on cluster_id where the per-cluster distinct-source
+    pair explosion happens vectorized (polars self-join within the
+    partition — each cluster is wholly local), then an integer combiner
+    groupby on the ~|sources|^2 pair table. All-integer output
+    (source_a, source_b, n_clusters)."""
+    import polars as pl
+
+    from ..stages.grouped import attach_lookup, partitioned_group_map
+
+    clusters = minhash_dedup_docs(sf_dir)
+
+    def _doc_ids(batch: pa.Table) -> pa.Table:
+        did = pc.cast(
+            pc.utf8_slice_codeunits(batch["conv_id"], 4, 12), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": did, "cluster_id": batch["cluster_id"]}
+        )
+
+    flat = clusters.map_batches(_doc_ids, batch_format="pyarrow")
+    flat_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()),
+         pa.field("cluster_id", pa.string())]
+    )
+    with_src = attach_lookup(
+        flat,
+        flat_schema,
+        ["doc_id"],
+        _docs(sf_dir, ["doc_id", "source"]),
+        "doc_id",
+        "source",
+        pa.string(),
+        ["source"],
+    )
+
+    def _pairs(tb: pa.Table) -> pa.Table:
+        u = (
+            pl.from_arrow(tb)
+            .select("cluster_id", "source")
+            .unique()
+        )
+        pairs = (
+            u.join(u, on="cluster_id", suffix="_b")
+            .filter(pl.col("source") < pl.col("source_b"))
+            .group_by(["source", "source_b"])
+            .len()
+            .rename({"source": "source_a", "source_b": "source_b",
+                     "len": "n_p"})
+        )
+        return pairs.to_arrow().cast(
+            pa.schema(
+                [pa.field("source_a", pa.string()),
+                 pa.field("source_b", pa.string()),
+                 pa.field("n_p", pa.int64())]
+            )
+        )
+
+    parts = partitioned_group_map(
+        with_src.select_columns(["cluster_id", "source"]),
+        "cluster_id",
+        _pairs,
+        arrow=True,
+    )
+    agg = parts.groupby(["source_a", "source_b"]).aggregate(
+        Sum("n_p", alias_name="n_clusters")
+    )
+    return rd.from_pandas(
+        typed_pandas(
+            agg,
+            {"source_a": "object", "source_b": "object",
+             "n_clusters": "int64"},
+        )
+    )
+
+
 def extract_html_docs(sf_dir: str) -> "rd.Dataset":
     """Extraction-cascade driver query: wrap each document in a
     deterministic page template with REAL boilerplate (nav, breadcrumbs,

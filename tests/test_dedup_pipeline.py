@@ -428,3 +428,35 @@ class TestDedupDiagnostics:
         )
         got_kept = dict(zip(rates["source"], rates["n_kept"]))
         assert got_kept == {k: int(v) for k, v in kept.items()}
+
+    def test_cross_source_matrix_reconciles(self):
+        import itertools
+
+        import pandas as pd
+
+        from quarrycore_ray.pipelines.documents import (
+            cross_source_dup_matrix,
+            minhash_dedup_docs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        cl = minhash_dedup_docs(sf).to_pandas()
+        cl["did"] = cl["conv_id"].str.slice(4).astype("int64")
+        src = pd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source"]
+        )
+        m = cl.merge(src, left_on="did", right_on="doc_id")
+        expect: dict[tuple[str, str], int] = {}
+        for _, grp in m.groupby("cluster_id"):
+            for a, b in itertools.combinations(
+                sorted(set(grp["source"])), 2
+            ):
+                expect[(a, b)] = expect.get((a, b), 0) + 1
+        out = cross_source_dup_matrix(sf).to_pandas()
+        got = {
+            (a, b): int(n)
+            for a, b, n in zip(
+                out["source_a"], out["source_b"], out["n_clusters"]
+            )
+        }
+        assert got == expect
