@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty_docs": cur.ngram_novelty_docs,
         # cross-source near-dup contamination matrix
         "cross_source_dup_matrix": docs.cross_source_dup_matrix,
+        # multinomial NB source classifier (integer micro-unit scores)
+        "nb_source_classifier_docs": trn.nb_source_classifier_docs,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -965,6 +967,63 @@ def oracle_sql() -> dict[str, str]:
                 FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)}) c
                 GROUP BY cluster_id
             ) s GROUP BY size
+        """,
+        "nb_source_classifier_docs": f"""
+            WITH c AS (SELECT doc_id, source,
+                              string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            tok AS (SELECT doc_id, source, unnest(words) AS t FROM c),
+            nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY doc_id),
+            cls AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+                    FROM tok GROUP BY source, t),
+            tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+                    FROM cls GROUP BY source),
+            v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tok),
+            n_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            pri AS (SELECT source,
+                           CAST(floor(ln(count(*) * 1.0
+                                         / (SELECT n FROM n_all))
+                                      * 1000000 + 0.5) AS BIGINT)
+                               AS prior_u
+                    FROM documents GROUP BY source),
+            defs AS (SELECT source,
+                            CAST(floor(ln(1.0 / (tot + (SELECT v FROM v)))
+                                       * 1000000 + 0.5) AS BIGINT) AS def_u
+                     FROM tot),
+            lp AS (SELECT cls.source, cls.t,
+                          CAST(floor(ln((cls.cnt + 1.0)
+                                        / (tot.tot + (SELECT v FROM v)))
+                                     * 1000000 + 0.5) AS BIGINT)
+                              - defs.def_u AS adj_u
+                   FROM cls JOIN tot USING (source)
+                   JOIN defs USING (source)),
+            dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, t),
+            adj AS (SELECT dt.doc_id, lp.source,
+                           CAST(sum(dt.tf * lp.adj_u) AS BIGINT) AS a
+                    FROM dt JOIN lp USING (t) GROUP BY 1, 2),
+            scores AS (
+                SELECT nd.doc_id, defs.source,
+                       pri.prior_u + nd.n * defs.def_u
+                           + coalesce(adj.a, 0) AS score
+                FROM nd CROSS JOIN defs
+                JOIN pri ON pri.source = defs.source
+                LEFT JOIN adj ON adj.doc_id = nd.doc_id
+                             AND adj.source = defs.source
+            ),
+            pred AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, source ASC)
+                           AS rn
+                FROM scores
+            )
+            SELECT p.doc_id, p.source AS pred_source,
+                   CAST(CASE WHEN p.source = d.source THEN 1 ELSE 0 END
+                        AS BIGINT) AS correct
+            FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+            WHERE p.rn = 1
         """,
         "cross_source_dup_matrix": f"""
             WITH cl AS (

@@ -1663,3 +1663,268 @@ def write_training_shards(
     _shutil.rmtree(out_dir, ignore_errors=True)
     _os.rename(tmp, out_dir)
     return manifest
+
+
+def nb_source_classifier_docs(sf_dir: str) -> "rd.Dataset":
+    """Multinomial Naive-Bayes source classifier over unigram tokens
+    (Laplace smoothing) — the closed-form, exactly-reproducible stand-in
+    for the fasttext-style quality/domain classifiers of web-corpus
+    curation (DSIR's discriminative cousin: instead of importance
+    ratios, argmax_s ln P(s) + sum_t tf ln P(t|s)).
+
+    Every log is floored to integer micro-units BEFORE any sum, so
+    scores are order-independent integers and the DuckDB oracle matches
+    bit-for-bit. The unseen-token default factors out: score(d, s) =
+    prior_u[s] + n_d * def_u[s] + sum over (t in d, s saw t) of
+    tf * (lp_u[s,t] - def_u[s]) — so the only large join carries the
+    class-count rows that actually exist.
+
+    Shuffles: class-conditional counts via per-batch combiners (one
+    (source, token)-keyed groupby); ONE token-key hash partition joins
+    doc term rows with class rows; integer combiner groupbys fold
+    (doc, source) adjustment partials; per-doc argmax runs inside a
+    doc_id hash partition with the S-sized prior/default vectors
+    broadcast. Vocabulary is token-string-keyed here; at 10^9+ vocab
+    the scale path is feature hashing (hash buckets as tokens), which
+    changes no plumbing. Output (doc_id, pred_source, correct)."""
+    import polars as pl
+
+    docs_src = _docs(sf_dir, ["doc_id", "source"]).materialize()
+    n_docs = docs_src.count()
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("pred_source", pa.string()),
+            pa.field("correct", pa.int64()),
+        ]
+    )
+    if n_docs == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    tf = _term_counts(canonical_docs(sf_dir)).materialize()
+
+    # class-conditional token counts: attach source to tf triples, then
+    # a combiner groupby on (source, token)
+    with_src = attach_lookup(
+        tf, TF_SCHEMA, ["doc_id"], docs_src, "doc_id", "source",
+        pa.string(), ["source"],
+    )
+
+    def _cls_partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["source", "token", "tf"]))
+        out = df.group_by(["source", "token"]).agg(
+            pl.col("tf").sum().alias("cnt")
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [pa.field("source", pa.string()),
+                 pa.field("token", pa.string()),
+                 pa.field("cnt", pa.int64())]
+            )
+        )
+
+    cls = (
+        with_src.map_batches(_cls_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    # small driver-side vectors: per-source token totals + doc priors
+    tot = typed_pandas(
+        cls.groupby("source").aggregate(Sum("cnt", alias_name="tot")),
+        {"source": "object", "tot": "int64"},
+    )
+    vocab = _token_aggregate(tf, "df").count()
+    pri = typed_pandas(
+        docs_src.groupby("source").aggregate(Count(alias_name="nd")),
+        {"source": "object", "nd": "int64"},
+    )
+    sources = sorted(tot["source"])
+    tot_by_s = dict(zip(tot["source"], tot["tot"]))
+    nd_by_s = dict(zip(pri["source"], pri["nd"]))
+    import math
+
+    def_u = {
+        s: int(math.floor(
+            math.log(1.0 / float(tot_by_s[s] + vocab)) * 1e6 + 0.5
+        ))
+        for s in sources
+    }
+    prior_u = {
+        s: int(math.floor(
+            math.log(float(nd_by_s[s]) / float(n_docs)) * 1e6 + 0.5
+        ))
+        for s in sources
+    }
+    const_ref = ray.put((sources, def_u, prior_u))
+
+    # adjustment rows per existing class count: tf * (lp_u - def_u)
+    def _adj_rows(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        cnts = batch["cnt"].to_pylist()
+        _, d_u, _ = ray.get(const_ref)
+        lut = ray.get(tot_ref)
+        adj = [
+            int(math.floor(
+                math.log((c + 1.0) / float(lut[s] + vocab)) * 1e6 + 0.5
+            )) - d_u[s]
+            for s, c in zip(srcs, cnts)
+        ]
+        return pa.table(
+            {
+                "token": batch["token"],
+                "source": batch["source"],
+                "adj_u": pa.array(adj, pa.int64()),
+            }
+        )
+
+    tot_ref = ray.put(tot_by_s)
+    cls_adj = cls.map_batches(_adj_rows, batch_format="pyarrow")
+
+    # token-key partitioned join: doc term rows x class adjustment rows
+    _U_SCHEMA = pa.schema(
+        [
+            pa.field("token", pa.string()),
+            pa.field("doc_id", pa.int64()),
+            pa.field("tf", pa.int64()),
+            pa.field("source", pa.string()),
+            pa.field("adj_u", pa.int64()),
+        ]
+    )
+
+    def _tag_doc(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "token": batch["token"],
+                "doc_id": batch["doc_id"],
+                "tf": batch["tf"],
+                "source": pa.nulls(n, pa.string()),
+                "adj_u": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def _tag_cls(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "token": batch["token"],
+                "doc_id": pa.nulls(n, pa.int64()),
+                "tf": pa.nulls(n, pa.int64()),
+                "source": batch["source"],
+                "adj_u": batch["adj_u"],
+            }
+        )
+
+    unioned = tf.map_batches(_tag_doc, batch_format="pyarrow").union(
+        cls_adj.map_batches(_tag_cls, batch_format="pyarrow")
+    )
+
+    def _join_part(tb: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tb)
+        doc_rows = df.filter(pl.col("doc_id").is_not_null()).select(
+            ["token", "doc_id", "tf"]
+        )
+        cls_rows = df.filter(pl.col("doc_id").is_null()).select(
+            ["token", "source", "adj_u"]
+        )
+        j = doc_rows.join(cls_rows, on="token")
+        out = (
+            j.group_by(["doc_id", "source"])
+            .agg((pl.col("tf") * pl.col("adj_u")).sum().alias("a_p"))
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [pa.field("doc_id", pa.int64()),
+                 pa.field("source", pa.string()),
+                 pa.field("a_p", pa.int64())]
+            )
+        )
+
+    adj = (
+        partitioned_group_map(unioned, "token", _join_part, arrow=True)
+        .groupby(["doc_id", "source"])
+        .aggregate(Sum("a_p", alias_name="a"))
+    )
+
+    # per-doc totals + true source, unioned with adjustments, argmax
+    # inside a doc_id hash partition
+    nd_tbl = tf.groupby("doc_id").aggregate(Sum("tf", alias_name="n_d"))
+    _N_SCHEMA = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("n_d", pa.int64())]
+    )
+    nd_src = attach_lookup(
+        nd_tbl, _N_SCHEMA, ["doc_id"], docs_src, "doc_id", "source",
+        pa.string(), ["src_true"],
+    )
+
+    def _tag_nd(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": pa.nulls(n, pa.string()),
+                "a": pa.nulls(n, pa.int64()),
+                "n_d": batch["n_d"],
+                "src_true": batch["src_true"],
+            }
+        )
+
+    def _tag_adj(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "a": batch["a"],
+                "n_d": pa.nulls(n, pa.int64()),
+                "src_true": pa.nulls(n, pa.string()),
+            }
+        )
+
+    final_in = nd_src.map_batches(_tag_nd, batch_format="pyarrow").union(
+        adj.map_batches(_tag_adj, batch_format="pyarrow")
+    )
+
+    def _argmax_part(tb: pa.Table) -> pa.Table:
+        srcs, d_u, p_u = ray.get(const_ref)
+        s_index = {s: k for k, s in enumerate(srcs)}
+        def_vec = np.array([d_u[s] for s in srcs], dtype=np.int64)
+        pri_vec = np.array([p_u[s] for s in srcs], dtype=np.int64)
+        df = pl.from_arrow(tb)
+        base = df.filter(pl.col("n_d").is_not_null()).select(
+            ["doc_id", "n_d", "src_true"]
+        ).sort("doc_id")
+        if base.height == 0:
+            return out_schema.empty_table()
+        ids = base["doc_id"].to_numpy()
+        pos = {int(i): k for k, i in enumerate(ids)}
+        # scores start at prior + n_d * default for every source
+        scores = (
+            pri_vec[None, :]
+            + base["n_d"].to_numpy()[:, None] * def_vec[None, :]
+        )
+        arows = df.filter(pl.col("source").is_not_null())
+        for i, s, a in zip(
+            arows["doc_id"].to_numpy(),
+            arows["source"].to_list(),
+            arows["a"].to_numpy(),
+        ):
+            scores[pos[int(i)], s_index[s]] += int(a)
+        # argmax with smallest-source tie-break: sources are sorted, and
+        # np.argmax returns the first (lowest index) maximum
+        best = np.argmax(scores, axis=1)
+        pred = [srcs[k] for k in best]
+        truth = base["src_true"].to_list()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pred_source": pa.array(pred, pa.string()),
+                "correct": pa.array(
+                    [int(p == t) for p, t in zip(pred, truth)], pa.int64()
+                ),
+            }
+        )
+
+    return partitioned_group_map(final_in, "doc_id", _argmax_part, arrow=True)

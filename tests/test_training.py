@@ -1372,3 +1372,80 @@ class TestWriteTrainingShards:
         again = write_training_shards(sf, out_dir, n_shards=4, budget=12)
         assert again == stored
         assert os.path.exists(marker)  # nothing was rewritten
+
+
+class TestNbSourceClassifier:
+    def test_separable_sources_classified_correctly(self, tmp_path):
+        from quarrycore_ray.pipelines.training import (
+            nb_source_classifier_docs,
+        )
+
+        texts = {
+            0: "apple banana apple fruit",
+            1: "banana apple apple pie",
+            2: "engine piston crank torque",
+            3: "torque engine engine oil",
+            4: "apple engine",  # mixed: tips by token counts
+        }
+        sources = {0: "food", 1: "food", 2: "cars", 3: "cars", 4: "food"}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = (
+            nb_source_classifier_docs(sf).to_pandas().set_index("doc_id")
+        )
+        assert len(out) == 5
+        # clearly separable docs go to their own source
+        for i in (0, 1):
+            assert out.loc[i, "pred_source"] == "food", i
+            assert out.loc[i, "correct"] == 1
+        for i in (2, 3):
+            assert out.loc[i, "pred_source"] == "cars", i
+            assert out.loc[i, "correct"] == 1
+        # correct flag is consistent with the prediction
+        assert (
+            out.loc[4, "correct"]
+            == int(out.loc[4, "pred_source"] == "food")
+        )
+
+    def test_matches_pure_python_scores(self, tmp_path):
+        import math
+        from collections import Counter
+
+        from quarrycore_ray.pipelines.training import (
+            nb_source_classifier_docs,
+        )
+
+        texts = {
+            0: "a b a",
+            1: "b c",
+            2: "c c d",
+            3: "a d",
+        }
+        sources = {0: "x", 1: "x", 2: "y", 3: "y"}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = (
+            nb_source_classifier_docs(sf).to_pandas().set_index("doc_id")
+        )
+
+        # pure-python NB with the same micro-unit flooring
+        toks = {i: t.split() for i, t in texts.items()}
+        cls: dict[str, Counter] = {}
+        for i, ts in toks.items():
+            cls.setdefault(sources[i], Counter()).update(ts)
+        vocab = len({t for ts in toks.values() for t in ts})
+        n = len(texts)
+        srcs = sorted(cls)
+
+        def u(x: float) -> int:
+            return int(math.floor(math.log(x) * 1e6 + 0.5))
+
+        for i, ts in toks.items():
+            best, best_s = None, None
+            for s in srcs:
+                tot = sum(cls[s].values())
+                nd = sum(1 for j in sources if sources[j] == s)
+                score = u(nd / n) + sum(
+                    u((cls[s][t] + 1.0) / (tot + vocab)) for t in ts
+                )
+                if best is None or score > best:
+                    best, best_s = score, s
+            assert out.loc[i, "pred_source"] == best_s, i
