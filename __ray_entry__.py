@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dup_matrix": docs.cross_source_dup_matrix,
         # multinomial NB source classifier (integer micro-unit scores)
         "nb_source_classifier_docs": trn.nb_source_classifier_docs,
+        # pairwise KL divergence between source unigram distributions
+        "source_kl_matrix": trn.source_kl_matrix,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -967,6 +969,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)}) c
                 GROUP BY cluster_id
             ) s GROUP BY size
+        """,
+        "source_kl_matrix": f"""
+            WITH c AS (SELECT doc_id, source,
+                              string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            tok AS (SELECT source, unnest(words) AS t FROM c),
+            cls AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+                    FROM tok GROUP BY source, t),
+            tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+                    FROM cls GROUP BY source),
+            v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tok),
+            toks AS (SELECT DISTINCT t FROM tok),
+            srcs AS (SELECT source, tot + (SELECT v FROM v) AS den
+                     FROM tot),
+            p AS (SELECT toks.t, srcs.source,
+                         (coalesce(cls.cnt, 0) + 1.0) / srcs.den AS p
+                  FROM toks CROSS JOIN srcs
+                  LEFT JOIN cls ON cls.t = toks.t
+                               AND cls.source = srcs.source),
+            terms AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(floor(a.p * ln(a.p / b.p) * 1000000000000
+                                  + 0.5) AS BIGINT) AS tu
+                FROM p a JOIN p b
+                  ON a.t = b.t AND a.source <> b.source
+            )
+            SELECT source_a, source_b,
+                   floor((CAST(sum(tu) AS BIGINT) / 1000000000000.0)
+                         * 1000000 + 0.5) / 1000000.0 AS kl
+            FROM terms GROUP BY 1, 2
         """,
         "nb_source_classifier_docs": f"""
             WITH c AS (SELECT doc_id, source,

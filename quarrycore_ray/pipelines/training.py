@@ -1665,6 +1665,39 @@ def write_training_shards(
     return manifest
 
 
+def _class_token_counts(tf: "rd.Dataset", docs_src: "rd.Dataset"):
+    """Class-conditional token counts for source-keyed distributional
+    ops (NB classifier, KL matrix): attach each tf triple's source and
+    fold a per-batch combiner into one (source, token) groupby. Returns
+    the materialized counts Dataset (source, token, cnt)."""
+    import polars as pl
+
+    with_src = attach_lookup(
+        tf, TF_SCHEMA, ["doc_id"], docs_src, "doc_id", "source",
+        pa.string(), ["source"],
+    )
+
+    def _cls_partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["source", "token", "tf"]))
+        out = df.group_by(["source", "token"]).agg(
+            pl.col("tf").sum().alias("cnt")
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [pa.field("source", pa.string()),
+                 pa.field("token", pa.string()),
+                 pa.field("cnt", pa.int64())]
+            )
+        )
+
+    return (
+        with_src.map_batches(_cls_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+
 def nb_source_classifier_docs(sf_dir: str) -> "rd.Dataset":
     """Multinomial Naive-Bayes source classifier over unigram tokens
     (Laplace smoothing) — the closed-form, exactly-reproducible stand-in
@@ -1702,33 +1735,7 @@ def nb_source_classifier_docs(sf_dir: str) -> "rd.Dataset":
         return rd.from_arrow(out_schema.empty_table())
 
     tf = _term_counts(canonical_docs(sf_dir)).materialize()
-
-    # class-conditional token counts: attach source to tf triples, then
-    # a combiner groupby on (source, token)
-    with_src = attach_lookup(
-        tf, TF_SCHEMA, ["doc_id"], docs_src, "doc_id", "source",
-        pa.string(), ["source"],
-    )
-
-    def _cls_partial(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["source", "token", "tf"]))
-        out = df.group_by(["source", "token"]).agg(
-            pl.col("tf").sum().alias("cnt")
-        )
-        return out.to_arrow().cast(
-            pa.schema(
-                [pa.field("source", pa.string()),
-                 pa.field("token", pa.string()),
-                 pa.field("cnt", pa.int64())]
-            )
-        )
-
-    cls = (
-        with_src.map_batches(_cls_partial, batch_format="pyarrow")
-        .groupby(["source", "token"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .materialize()
-    )
+    cls = _class_token_counts(tf, docs_src)
 
     # small driver-side vectors: per-source token totals + doc priors
     tot = typed_pandas(
@@ -1928,3 +1935,107 @@ def nb_source_classifier_docs(sf_dir: str) -> "rd.Dataset":
         )
 
     return partitioned_group_map(final_in, "doc_id", _argmax_part, arrow=True)
+
+
+def source_kl_matrix(sf_dir: str) -> "rd.Dataset":
+    """Pairwise KL divergence between source unigram distributions
+    (Laplace-smoothed over the shared vocabulary): KL(a || b) for every
+    ORDERED source pair — the distributional-redundancy view of the
+    corpus mix (two sources with near-zero symmetric KL are candidates
+    for down-sampling; the counterpart to `cross_source_dup_matrix`,
+    which sees only verbatim near-dups).
+
+    Exactness: each token's contribution p_a ln(p_a / p_b) is an
+    identical IEEE sequence in engine and oracle, floored to 1e-12
+    integer units BEFORE the sum, so the per-pair reduction is
+    order-independent. Shuffles: the (source, token) class counts (one
+    combiner groupby), then ONE token-key hash partition where each
+    token's S-vector is assembled (zeros filled locally — a token lives
+    wholly in its partition) and S^2 partial sums fold; only
+    |partitions| x S^2 integer rows reach the final groupby. Output
+    (source_a, source_b, kl) at 1e-6 rounding."""
+    import polars as pl
+
+    docs_src = _docs(sf_dir, ["doc_id", "source"]).materialize()
+    out_schema = pa.schema(
+        [
+            pa.field("source_a", pa.string()),
+            pa.field("source_b", pa.string()),
+            pa.field("kl", pa.float64()),
+        ]
+    )
+    if docs_src.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    tf = _term_counts(canonical_docs(sf_dir)).materialize()
+    cls = _class_token_counts(tf, docs_src)
+
+    tot = typed_pandas(
+        cls.groupby("source").aggregate(Sum("cnt", alias_name="tot")),
+        {"source": "object", "tot": "int64"},
+    )
+    vocab = _token_aggregate(tf, "df").count()
+    sources = sorted(tot["source"])
+    denom = {
+        s: float(t + vocab) for s, t in zip(tot["source"], tot["tot"])
+    }
+    const_ref = ray.put((sources, denom))
+
+    def _pair_partial(tb: pa.Table) -> pa.Table:
+        srcs, den = ray.get(const_ref)
+        s_index = {s: k for k, s in enumerate(srcs)}
+        S = len(srcs)
+        df = pl.from_arrow(tb)
+        piv = df.pivot(
+            values="cnt", index="token", on="source",
+            aggregate_function="first",
+        )
+        n_tok = piv.height
+        counts = np.zeros((n_tok, S), dtype=np.float64)
+        for col in piv.columns:
+            if col == "token":
+                continue
+            counts[:, s_index[col]] = (
+                piv[col].fill_null(0).cast(pl.Int64).to_numpy()
+            )
+        den_vec = np.array([den[s] for s in srcs], dtype=np.float64)
+        p = (counts + 1.0) / den_vec[None, :]  # (n_tok, S)
+        # su[a, b] = sum_t floor(p[t,a] * ln(p[t,a]/p[t,b]) * 1e12 + .5)
+        su = np.zeros((S, S), dtype=np.int64)
+        for a in range(S):
+            pa_col = p[:, a]
+            terms = pa_col[:, None] * np.log(pa_col[:, None] / p)
+            su[a, :] = np.floor(terms * 1e12 + 0.5).astype(np.int64).sum(
+                axis=0
+            )
+        ai, bi = [k for k in range(S) for _ in range(S)], list(
+            range(S)
+        ) * S
+        return pa.table(
+            {
+                "source_a": pa.array([srcs[k] for k in ai], pa.string()),
+                "source_b": pa.array([srcs[k] for k in bi], pa.string()),
+                "su": pa.array(su.reshape(-1), pa.int64()),
+            }
+        )
+
+    parts = partitioned_group_map(cls, "token", _pair_partial, arrow=True)
+    agg = parts.groupby(["source_a", "source_b"]).aggregate(
+        Sum("su", alias_name="su")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        # self-pairs are exactly 0 by construction; keep the off-diagonal
+        batch = batch.filter(
+            pc.invert(pc.equal(batch["source_a"], batch["source_b"]))
+        )
+        su = np.asarray(batch["su"], dtype=np.float64)
+        return pa.table(
+            {
+                "source_a": batch["source_a"],
+                "source_b": batch["source_b"],
+                "kl": pa.array(floor_round_np(su / 1e12), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

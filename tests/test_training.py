@@ -1449,3 +1449,55 @@ class TestNbSourceClassifier:
                 if best is None or score > best:
                     best, best_s = score, s
             assert out.loc[i, "pred_source"] == best_s, i
+
+
+class TestSourceKlMatrix:
+    def test_matches_pure_python_and_nonnegative(self, tmp_path):
+        import math
+        from collections import Counter
+
+        from quarrycore_ray.pipelines.training import source_kl_matrix
+
+        texts = {
+            0: "a a b",
+            1: "a b b c",
+            2: "c c d d",
+            3: "d d d e",
+        }
+        sources = {0: "x", 1: "x", 2: "y", 3: "y"}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = source_kl_matrix(sf).to_pandas()
+        assert len(out) == 2  # (x,y) and (y,x)
+        assert (out["kl"] >= 0).all()  # Gibbs' inequality survives rounding
+
+        cls: dict[str, Counter] = {}
+        for i, t in texts.items():
+            cls.setdefault(sources[i], Counter()).update(t.split())
+        vocab = len({w for t in texts.values() for w in t.split()})
+        srcs = sorted(cls)
+        den = {s: sum(cls[s].values()) + vocab for s in srcs}
+        all_toks = sorted({w for t in texts.values() for w in t.split()})
+
+        def kl(a: str, b: str) -> float:
+            su = 0
+            for t in all_toks:
+                p_a = (cls[a][t] + 1.0) / den[a]
+                p_b = (cls[b][t] + 1.0) / den[b]
+                su += int(math.floor(p_a * math.log(p_a / p_b) * 1e12 + 0.5))
+            return math.floor((su / 1e12) * 1e6 + 0.5) / 1e6
+
+        got = {
+            (a, b): v
+            for a, b, v in zip(out["source_a"], out["source_b"], out["kl"])
+        }
+        assert got == {("x", "y"): kl("x", "y"), ("y", "x"): kl("y", "x")}
+
+    def test_identical_distributions_give_zero(self, tmp_path):
+        from quarrycore_ray.pipelines.training import source_kl_matrix
+
+        texts = {0: "a b c", 1: "a b c"}
+        sources = {0: "p", 1: "q"}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = source_kl_matrix(sf).to_pandas()
+        assert len(out) == 2
+        assert (out["kl"] == 0.0).all()
