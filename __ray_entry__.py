@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_source_classifier_docs": trn.nb_source_classifier_docs,
         # pairwise KL divergence between source unigram distributions
         "source_kl_matrix": trn.source_kl_matrix,
+        # per-source lexical diversity (distinct-1/distinct-2 TTRs)
+        "source_diversity_stats": trn.source_diversity_stats,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -969,6 +971,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)}) c
                 GROUP BY cluster_id
             ) s GROUP BY size
+        """,
+        "source_diversity_stats": f"""
+            WITH c AS (SELECT doc_id, source,
+                              string_split({_CANON}, ' ') AS words
+                       FROM documents),
+            w AS (SELECT doc_id, source, unnest(words) AS w,
+                         generate_subscripts(words, 1) AS i FROM c),
+            uni AS (SELECT source,
+                           CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(count(DISTINCT w) AS BIGINT)
+                               AS distinct_tokens
+                    FROM w GROUP BY source),
+            bg AS (
+                SELECT doc_id, source, w AS prev,
+                       lead(w, 1) OVER win AS cur
+                FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY cur IS NOT NULL
+            ),
+            big AS (SELECT source,
+                           CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(count(DISTINCT prev || chr(31) || cur)
+                                AS BIGINT) AS distinct_bigrams
+                    FROM bg GROUP BY source)
+            SELECT uni.source, uni.n_tokens, uni.distinct_tokens,
+                   coalesce(big.n_bigrams, 0) AS n_bigrams,
+                   coalesce(big.distinct_bigrams, 0) AS distinct_bigrams,
+                   floor((uni.distinct_tokens * 1.0 / uni.n_tokens)
+                         * 1000000 + 0.5) / 1000000.0 AS ttr_1,
+                   CASE WHEN coalesce(big.n_bigrams, 0) > 0
+                        THEN floor((big.distinct_bigrams * 1.0
+                                    / big.n_bigrams)
+                                   * 1000000 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS ttr_2
+            FROM uni LEFT JOIN big ON big.source = uni.source
         """,
         "source_kl_matrix": f"""
             WITH c AS (SELECT doc_id, source,

@@ -2039,3 +2039,80 @@ def source_kl_matrix(sf_dir: str) -> "rd.Dataset":
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def source_diversity_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-source lexical-diversity rollup: token/bigram totals,
+    distinct counts, and type-token ratios (distinct-1 / distinct-2 in
+    the self-BLEU family of generation-diversity metrics) — the quick
+    screen for template-heavy or looping sources before dedup even
+    runs.
+
+    Everything reduces through (source, gram)-keyed combiner groupbys
+    (`_class_token_counts` over unigram and bigram triples); only
+    S-sized tables reach the driver. Ratios are single int/int divides
+    floor-rounded at 1e-6 (exact oracle); a bigram-free source reports
+    ttr_2 = 0."""
+    docs_src = _docs(sf_dir, ["doc_id", "source"]).materialize()
+    out_schema = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("distinct_tokens", pa.int64()),
+            pa.field("n_bigrams", pa.int64()),
+            pa.field("distinct_bigrams", pa.int64()),
+            pa.field("ttr_1", pa.float64()),
+            pa.field("ttr_2", pa.float64()),
+        ]
+    )
+    if docs_src.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    docs = canonical_docs(sf_dir)
+    tf = _term_counts(docs).materialize()
+
+    def _bg_as_tf(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "token": batch["pair"],
+                "tf": batch["tf"],
+            }
+        )
+
+    bg = (
+        _bigram_counts(docs)
+        .map_batches(_bg_as_tf, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _per_source(cls: "rd.Dataset", dcol: str, ncol: str):
+        from ray.data.aggregate import Count as _Count
+
+        return typed_pandas(
+            cls.groupby("source").aggregate(
+                _Count(alias_name=dcol), Sum("cnt", alias_name=ncol)
+            ),
+            {"source": "object", dcol: "int64", ncol: "int64"},
+        ).set_index("source")
+
+    uni = _per_source(
+        _class_token_counts(tf, docs_src), "distinct_tokens", "n_tokens"
+    )
+    big = _per_source(
+        _class_token_counts(bg, docs_src), "distinct_bigrams", "n_bigrams"
+    )
+    out = uni.join(big, how="left").fillna(0).astype("int64").reset_index()
+    n1 = out["n_tokens"].to_numpy(dtype=np.float64)
+    d1 = out["distinct_tokens"].to_numpy(dtype=np.float64)
+    n2 = out["n_bigrams"].to_numpy(dtype=np.float64)
+    d2 = out["distinct_bigrams"].to_numpy(dtype=np.float64)
+    out["ttr_1"] = floor_round_np(d1 / n1)  # every source has >= 1 token
+    out["ttr_2"] = np.where(n2 > 0, floor_round_np(d2 / np.maximum(n2, 1)), 0.0)
+    out = out[
+        ["source", "n_tokens", "distinct_tokens", "n_bigrams",
+         "distinct_bigrams", "ttr_1", "ttr_2"]
+    ]
+    return rd.from_arrow(
+        pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+    )

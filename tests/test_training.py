@@ -1501,3 +1501,34 @@ class TestSourceKlMatrix:
         out = source_kl_matrix(sf).to_pandas()
         assert len(out) == 2
         assert (out["kl"] == 0.0).all()
+
+
+class TestSourceDiversityStats:
+    def test_matches_hand_computation(self, tmp_path):
+        from quarrycore_ray.pipelines.training import (
+            source_diversity_stats,
+        )
+
+        texts = {
+            0: "a a a a",       # 4 tokens, 1 distinct; 3 bigrams, 1 distinct
+            1: "a b c d",       # 4 tokens, 4 distinct; 3 bigrams, 3 distinct
+            2: "x",             # 1 token; no bigrams
+        }
+        sources = {0: "loop", 1: "rich", 2: "tiny"}
+        sf = _write_docs(tmp_path, texts, sources)
+        out = (
+            source_diversity_stats(sf).to_pandas().set_index("source")
+        )
+        assert len(out) == 3
+        assert tuple(out.loc["loop"][
+            ["n_tokens", "distinct_tokens", "n_bigrams",
+             "distinct_bigrams"]]) == (4, 1, 3, 1)
+        assert out.loc["loop", "ttr_1"] == 0.25
+        assert abs(out.loc["loop", "ttr_2"] - 0.333333) < 1e-9
+        assert tuple(out.loc["rich"][
+            ["n_tokens", "distinct_tokens", "n_bigrams",
+             "distinct_bigrams"]]) == (4, 4, 3, 3)
+        assert out.loc["rich", "ttr_1"] == 1.0
+        # bigram-free source: zeros, not NaN
+        assert tuple(out.loc["tiny"][
+            ["n_bigrams", "distinct_bigrams", "ttr_2"]]) == (0, 0, 0.0)
