@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl_matrix": trn.source_kl_matrix,
         # per-source lexical diversity (distinct-1/distinct-2 TTRs)
         "source_diversity_stats": trn.source_diversity_stats,
+        # dedup x quality composition: keep the best copy per cluster
+        "cluster_rep_by_quality": docs.cluster_rep_by_quality,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -971,6 +973,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)}) c
                 GROUP BY cluster_id
             ) s GROUP BY size
+        """,
+        "cluster_rep_by_quality": f"""
+            WITH cl AS (
+                SELECT cluster_id,
+                       CAST(substring(conv_id, 5, 8) AS BIGINT) AS doc_id
+                FROM ({sqlgen.dedup_clusters_sql(sqlgen.DOCS_CONVS_BODY)})
+            ),
+            t AS (
+                SELECT doc_id, canonical,
+                       string_split(canonical, ' ') AS words
+                FROM ({canon_docs})
+            ), s AS (
+                SELECT doc_id,
+                    least(length(canonical) / 400.0, 1.0) AS ls,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        5.0 * len(list_filter(words,
+                                              w -> w IN {_STOPLIST_SQL}))
+                            / len(words),
+                        1.0) END AS lgs,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        2.0 * len(list_distinct(words)) / len(words),
+                        1.0) END AS ch
+                FROM t
+            ),
+            q AS (
+                SELECT doc_id,
+                       floor((0.3 * ls + 0.4 * lgs + 0.3 * ch)
+                             * 1000000 + 0.5) / 1000000.0 AS quality
+                FROM s
+            ),
+            j AS (
+                SELECT cl.cluster_id, cl.doc_id, q.quality
+                FROM cl JOIN q USING (doc_id)
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY quality DESC,
+                                                   doc_id ASC) AS rn,
+                       CAST(count(*) OVER (PARTITION BY cluster_id)
+                            AS BIGINT) AS n_members
+                FROM j
+            )
+            SELECT cluster_id, doc_id AS rep_doc_id, quality, n_members
+            FROM r WHERE rn = 1
         """,
         "source_diversity_stats": f"""
             WITH c AS (SELECT doc_id, source,

@@ -264,6 +264,69 @@ def cross_source_dup_matrix(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def cluster_rep_by_quality(sf_dir: str) -> "rd.Dataset":
+    """Quality-aware representative selection: per flagship-dedup
+    cluster, keep the member with the highest composite quality score
+    (tie: smallest doc_id) instead of the min-id default — "keep the
+    best copy, not the first copy", composing the dedup and quality
+    operators on one table (the reference scores quality and dedups in
+    the same pipeline pass; this is the policy their combination
+    enables).
+
+    Quality scores attach by broadcast/partitioned lookup; the argmax
+    runs vectorized inside a cluster_id hash partition (each cluster is
+    wholly local). Output (cluster_id, rep_doc_id, quality, n_members);
+    quality is already 1e-6-floor-rounded by the scorer, so the oracle
+    comparison stays exact."""
+    import polars as pl
+
+    from ..stages.grouped import attach_lookup, partitioned_group_map
+
+    clusters = minhash_dedup_docs(sf_dir)
+
+    def _doc_ids(batch: pa.Table) -> pa.Table:
+        did = pc.cast(
+            pc.utf8_slice_codeunits(batch["conv_id"], 4, 12), pa.int64()
+        )
+        return pa.table(
+            {"doc_id": did, "cluster_id": batch["cluster_id"]}
+        )
+
+    flat = clusters.map_batches(_doc_ids, batch_format="pyarrow")
+    flat_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()),
+         pa.field("cluster_id", pa.string())]
+    )
+    q = quality_score_docs(sf_dir).select_columns(["doc_id", "quality"])
+    with_q = attach_lookup(
+        flat, flat_schema, ["doc_id"], q, "doc_id", "quality",
+        pa.float64(), ["quality"],
+    )
+
+    def _best(tb: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tb)
+        out = (
+            df.sort(["cluster_id", "quality", "doc_id"],
+                    descending=[False, True, False])
+            .group_by("cluster_id", maintain_order=True)
+            .agg(
+                pl.col("doc_id").first().alias("rep_doc_id"),
+                pl.col("quality").first().alias("quality"),
+                pl.len().cast(pl.Int64).alias("n_members"),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [pa.field("cluster_id", pa.string()),
+                 pa.field("rep_doc_id", pa.int64()),
+                 pa.field("quality", pa.float64()),
+                 pa.field("n_members", pa.int64())]
+            )
+        )
+
+    return partitioned_group_map(with_q, "cluster_id", _best, arrow=True)
+
+
 def extract_html_docs(sf_dir: str) -> "rd.Dataset":
     """Extraction-cascade driver query: wrap each document in a
     deterministic page template with REAL boilerplate (nav, breadcrumbs,

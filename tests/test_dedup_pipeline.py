@@ -460,3 +460,32 @@ class TestDedupDiagnostics:
             )
         }
         assert got == expect
+
+    def test_cluster_rep_by_quality_reconciles(self):
+        import pandas as pd
+
+        from quarrycore_ray.pipelines.documents import (
+            cluster_rep_by_quality,
+            minhash_dedup_docs,
+            quality_score_docs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        cl = minhash_dedup_docs(sf).to_pandas()
+        cl["did"] = cl["conv_id"].str.slice(4).astype("int64")
+        q = quality_score_docs(sf).to_pandas().set_index("doc_id")["quality"]
+        out = cluster_rep_by_quality(sf).to_pandas().set_index("cluster_id")
+        # one row per cluster, member counts reconcile
+        sizes = cl.groupby("cluster_id").size()
+        assert sorted(out.index) == sorted(sizes.index)
+        assert all(
+            out.loc[c, "n_members"] == n for c, n in sizes.items()
+        )
+        # the chosen rep is the (quality desc, doc_id asc) argmax
+        m = cl.assign(quality=cl["did"].map(q))
+        for c, grp in m.groupby("cluster_id"):
+            grp = grp.sort_values(
+                ["quality", "did"], ascending=[False, True]
+            )
+            assert out.loc[c, "rep_doc_id"] == grp.iloc[0]["did"], c
+            assert out.loc[c, "quality"] == grp.iloc[0]["quality"], c
