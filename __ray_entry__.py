@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_diversity_stats": trn.source_diversity_stats,
         # dedup x quality composition: keep the best copy per cluster
         "cluster_rep_by_quality": docs.cluster_rep_by_quality,
+        # threshold-sensitivity sweep over fixed LSH candidates
+        "dedup_threshold_sweep": docs.dedup_threshold_sweep,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -974,6 +976,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY cluster_id
             ) s GROUP BY size
         """,
+        "dedup_threshold_sweep": sqlgen.threshold_sweep_sql(
+            sqlgen.DOCS_CONVS_BODY
+        ),
         "cluster_rep_by_quality": f"""
             WITH cl AS (
                 SELECT cluster_id,

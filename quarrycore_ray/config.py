@@ -47,6 +47,11 @@ class DedupConfig:
         ("general", 0.8),
     )
 
+    # banding plan override: when set, band_plan() uses this instead of
+    # `threshold` (threshold-sweep analysis: fixed candidates, varying
+    # verify predicate)
+    band_threshold: float | None = None
+
     # --- SimHash verification layer (north-rule addition) ---
     simhash_bits: int = 64
     # A candidate pair is a duplicate iff signature-Jaccard >= threshold
@@ -107,9 +112,16 @@ class DedupConfig:
         (public algorithm), evaluated with a trapezoidal integral so we
         need no scipy dependency. For threshold=0.85 / num_perm=128
         this yields b*r == 128 with r around 8-10.
+
+        `band_threshold` (when set) decouples the banding plan from the
+        verification threshold — used by the threshold-sweep analysis,
+        which holds the candidate set fixed while varying only the
+        verify predicate.
         """
         return optimal_band_plan(
-            self.threshold,
+            self.band_threshold
+            if self.band_threshold is not None
+            else self.threshold,
             self.num_perm,
             self.false_positive_weight,
             self.false_negative_weight,

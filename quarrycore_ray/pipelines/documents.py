@@ -264,6 +264,107 @@ def cross_source_dup_matrix(sf_dir: str) -> "rd.Dataset":
     )
 
 
+SWEEP_THRESHOLDS = (0.75, 0.8, 0.85, 0.9, 0.95)
+
+
+def dedup_threshold_sweep(
+    sf_dir: str, thresholds: tuple = SWEEP_THRESHOLDS
+) -> "rd.Dataset":
+    """Threshold-sensitivity sweep for the flagship dedup: how many
+    edges and clusters each candidate verification threshold would
+    produce — the tuning curve an operator reads before committing a
+    100 TB dedup run to one threshold.
+
+    Signatures, banding and candidate generation run ONCE (the banding
+    plan stays pinned to the production 0.85 via
+    `DedupConfig.band_threshold`); the verifier emits every candidate
+    with its Jaccard estimate (threshold 0, Hamming clause disabled),
+    and each sweep point is a driver-side filter + union-find over the
+    small candidate-pair table (the same O(duplicate-pairs) fast path
+    as the flagship; the label-propagation path applies unchanged if a
+    corpus ever makes candidates driver-hostile). Edges here are
+    est-only — the flagship's Hamming rescue clause is intentionally
+    excluded so the sweep isolates one variable. Output per threshold:
+    (threshold, n_candidates, n_edges, n_clusters)."""
+    from ..stages.cluster import driver_union_find
+    from ..stages.exact import exact_dedup
+    from ..stages.lsh import candidate_pairs
+    from ..stages.minhash_stage import MinHashSimHashStage
+    from ..stages.verify import PairVerifier
+
+    cfg = DedupConfig(threshold=0.0, strict_hamming=-1, band_threshold=0.85)
+    out_schema = pa.schema(
+        [
+            pa.field("threshold", pa.float64()),
+            pa.field("n_candidates", pa.int64()),
+            pa.field("n_edges", pa.int64()),
+            pa.field("n_clusters", pa.int64()),
+        ]
+    )
+    reps = exact_dedup(_docs_as_conversations(sf_dir)).materialize()
+    n_reps = reps.count()
+    if n_reps == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "threshold": pa.array(
+                        [float(t) for t in thresholds], pa.float64()
+                    ),
+                    "n_candidates": pa.array([0] * len(thresholds)),
+                    "n_edges": pa.array([0] * len(thresholds)),
+                    "n_clusters": pa.array([0] * len(thresholds)),
+                }
+            ).cast(out_schema)
+        )
+
+    mh_conc = cfg.resolved_minhash_concurrency()
+    sig_input = reps.select_columns(
+        ["conv_id", "canonical_text"]
+    ).repartition(mh_conc * 4)
+    with_sigs = sig_input.map_batches(
+        MinHashSimHashStage,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.sig_batch_size,
+        concurrency=(1, mh_conc),
+    )
+    est = (
+        candidate_pairs(with_sigs.drop_columns(["canonical_text"]), cfg)
+        .map_batches(
+            PairVerifier,
+            fn_constructor_kwargs={"config": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, cfg.resolved_verify_concurrency()),
+        )
+        .materialize()
+    )
+    df = typed_pandas(
+        est.select_columns(["a_id", "b_id", "jaccard"]),
+        {"a_id": "object", "b_id": "object", "jaccard": "float64"},
+    )
+    rows = []
+    for t in thresholds:
+        sel = df[df["jaccard"] >= float(t)]
+        assign = driver_union_find(list(zip(sel["a_id"], sel["b_id"])))
+        merged = len(assign) - len(set(assign.values()))
+        rows.append(
+            (float(t), len(df), len(sel), int(n_reps - merged))
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "threshold": pa.array([r[0] for r in rows], pa.float64()),
+                "n_candidates": pa.array(
+                    [r[1] for r in rows], pa.int64()
+                ),
+                "n_edges": pa.array([r[2] for r in rows], pa.int64()),
+                "n_clusters": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
 def cluster_rep_by_quality(sf_dir: str) -> "rd.Dataset":
     """Quality-aware representative selection: per flagship-dedup
     cluster, keep the member with the highest composite quality score

@@ -468,3 +468,83 @@ TRANSCRIPT_NEW_BODY = f"""
          {CANON_EXPR} AS canonical
   FROM documents WHERE doc_id % 10 IN (0, 5)
 """
+
+
+def threshold_sweep_sql(
+    convs_body: str,
+    thresholds: tuple = (0.75, 0.8, 0.85, 0.9, 0.95),
+    bands: int = 8,
+    rows_per_band: int = 16,
+    num_perm: int = 128,
+    seed: int = 1,
+    shingle_size: int = 7,
+) -> str:
+    """Oracle for the dedup threshold-sweep analysis
+    (pipelines/documents.dedup_threshold_sweep): candidates come from
+    the FIXED banding plan; for each threshold t the est-only predicate
+    (eq/num_perm >= t, no Hamming clause) defines the edge set, and a
+    single threshold-parameterized recursive reach computes components.
+    Output one row per threshold: (threshold, n_candidates, n_edges,
+    n_clusters) with n_clusters = |reps| - (nodes-with-edges -
+    components-among-them)."""
+    ths = ", ".join(f"({t!r})" for t in thresholds)
+    return f"""
+WITH RECURSIVE convs AS ({convs_body}),
+groups AS MATERIALIZED (
+  SELECT conv_id, canonical, min(conv_id) OVER (PARTITION BY canonical) AS rep
+  FROM convs
+),
+reps AS (SELECT conv_id, canonical FROM groups WHERE conv_id = rep),
+{_signature_ctes("reps", num_perm, seed, shingle_size)},
+bands AS (
+  SELECT conv_id, i // {rows_per_band} AS band,
+         string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+  FROM sigs GROUP BY conv_id, i // {rows_per_band}
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT x.conv_id AS a_id, y.conv_id AS b_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.conv_id < y.conv_id
+),
+est AS MATERIALIZED (
+  SELECT p.a_id, p.b_id, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS eq
+  FROM pairs p
+  JOIN sigs sa ON sa.conv_id = p.a_id
+  JOIN sigs sb ON sb.conv_id = p.b_id AND sb.i = sa.i
+  GROUP BY p.a_id, p.b_id
+),
+ths(t) AS (VALUES {ths}),
+bi AS MATERIALIZED (
+  SELECT ths.t, e.a_id AS s, e.b_id AS d
+  FROM est e JOIN ths ON e.eq / {num_perm}.0 >= ths.t
+  UNION ALL
+  SELECT ths.t, e.b_id, e.a_id
+  FROM est e JOIN ths ON e.eq / {num_perm}.0 >= ths.t
+),
+reach AS (
+  SELECT t, s, d FROM bi
+  UNION
+  SELECT r.t, r.s, b2.d FROM reach r JOIN bi b2
+    ON b2.t = r.t AND r.d = b2.s
+),
+comp AS (
+  SELECT t, s, least(min(d), s) AS label
+  FROM reach GROUP BY t, s
+),
+merged AS (
+  SELECT t, CAST(count(*) - count(DISTINCT label) AS BIGINT) AS m
+  FROM comp GROUP BY t
+),
+edge_cnt AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_edges
+  FROM (SELECT DISTINCT t, s, d FROM bi WHERE s < d) GROUP BY t
+)
+SELECT ths.t AS threshold,
+       (SELECT CAST(count(*) AS BIGINT) FROM est) AS n_candidates,
+       coalesce(edge_cnt.n_edges, 0) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM reps)
+           - coalesce(merged.m, 0) AS n_clusters
+FROM ths
+LEFT JOIN edge_cnt ON edge_cnt.t = ths.t
+LEFT JOIN merged ON merged.t = ths.t
+"""

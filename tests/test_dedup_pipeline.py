@@ -489,3 +489,30 @@ class TestDedupDiagnostics:
             )
             assert out.loc[c, "rep_doc_id"] == grp.iloc[0]["did"], c
             assert out.loc[c, "quality"] == grp.iloc[0]["quality"], c
+
+    def test_threshold_sweep_monotone_and_anchored(self):
+        from quarrycore_ray.pipelines.documents import (
+            dedup_threshold_sweep,
+            minhash_dedup_docs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = (
+            dedup_threshold_sweep(sf)
+            .to_pandas()
+            .sort_values("threshold")
+            .reset_index(drop=True)
+        )
+        assert list(out["threshold"]) == [0.75, 0.8, 0.85, 0.9, 0.95]
+        # one candidate set across the sweep
+        assert out["n_candidates"].nunique() == 1
+        # raising the threshold never adds edges or merges clusters
+        assert list(out["n_edges"]) == sorted(out["n_edges"], reverse=True)
+        assert list(out["n_clusters"]) == sorted(out["n_clusters"])
+        assert (out["n_edges"] <= out["n_candidates"]).all()
+        # anchor: at the flagship threshold, est-only clusters can only
+        # be >= the flagship count (which adds the Hamming rescue)
+        cl = minhash_dedup_docs(sf).to_pandas()
+        flag = cl["cluster_id"].nunique()
+        row = out[out["threshold"] == 0.85].iloc[0]
+        assert row["n_clusters"] >= flag
