@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup_docs": incremental_near_dup_docs,
         "simhash_dup_pairs": docs.simhash_dup_pairs,
         "ngram_jaccard_pairs": docs.ngram_jaccard_pairs,
+        # PPJoin-style prefix-filtered set-similarity self-join
+        "setsim_join_docs": docs.setsim_join_docs,
         "substring_containment": docs.substring_containment,
         "fuzzy_match_docs": docs.fuzzy_match_docs,
         # turn-level exact dedup across conversations
@@ -1241,6 +1243,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = a_id
             JOIN cnt cb ON cb.doc_id = b_id
             WHERE nb * 1.0 / (ca.n + cb.n - nb) >= 0.5
+        """,
+        # brute-force token-set similarity join — an EXACT oracle for the
+        # engine's prefix-filtered PPJoin (the prefix filter is lossless
+        # by the WWW'08 theorem); the threshold predicate is all-integer
+        # on both sides (10*inter >= 9*union), jaccard is one exact
+        # division of the same integers in both engines
+        "setsim_join_docs": f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            u AS (SELECT doc_id, unnest(string_split(canonical, ' ')) AS token
+                  FROM c),
+            tok AS (SELECT DISTINCT doc_id, token FROM u),
+            n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            p AS (
+                SELECT ta.doc_id AS a_id, tb.doc_id AS b_id,
+                       count(*) AS inter_size
+                FROM tok ta JOIN tok tb
+                  ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT p.a_id, p.b_id, p.inter_size,
+                       na.n + nb.n - p.inter_size AS union_size
+                FROM p
+                JOIN n na ON na.doc_id = p.a_id
+                JOIN n nb ON nb.doc_id = p.b_id
+            )
+            SELECT a_id, b_id,
+                   CAST(inter_size AS BIGINT) AS inter_size,
+                   CAST(union_size AS BIGINT) AS union_size,
+                   inter_size * 1.0 / union_size AS jaccard
+            FROM j WHERE inter_size * 10 >= union_size * 9
         """,
         "ngram_novelty_docs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words

@@ -982,6 +982,266 @@ _NGRAM_INTER_SCHEMA = pa.schema(
 )
 
 
+# token-set Jaccard threshold for setsim_join_docs as an EXACT rational
+# (9/10): both the engine predicate and the DuckDB oracle compare
+# integers (10*inter >= 9*union), so no float threshold boundary exists.
+SETSIM_T_NUM = 9
+SETSIM_T_DEN = 10
+
+_SETSIM_TOK_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("token", pa.string()), ("n", pa.int64())]
+)
+_SETSIM_PAIR_SCHEMA = pa.schema(
+    [
+        ("a_id", pa.int64()),
+        ("b_id", pa.int64()),
+        ("na", pa.int64()),
+        ("nb", pa.int64()),
+    ]
+)
+
+
+def setsim_join_docs(sf_dir: str) -> pd.DataFrame:
+    """Set-similarity self-join at token-set Jaccard >= 9/10 via
+    PPJoin-style prefix filtering (Xiao, Wang, Lin, Yu: "Efficient
+    Similarity Joins for Near Duplicate Detection", WWW 2008, §3).
+
+    Each doc's DISTINCT tokens are ordered by ascending global document
+    frequency (ties by token) and only the first
+    ``n - ceil(t*n) + 1`` tokens are indexed: any pair with Jaccard >= t
+    must collide on at least one prefix token, so the inverted index —
+    and the all-to-all shuffle behind it — carries a small fraction of
+    the corpus posting mass, unlike the full-index n-gram join above.
+    Candidates also pass the length bound ``t * |longer| <= |shorter|``
+    before verification, and the verify predicate is integer-exact
+    (``10*inter >= 9*union``); the prefix filter is lossless by the
+    PPJoin theorem, so a brute-force SQL join is an exact oracle.
+
+    Scale shape (coarse partitioned passes, stages/grouped.py):
+
+        distinct (doc, token) + set size        [materialized]
+          -> token-keyed df combiner aggregate (token, df)
+          -> attach df   (broadcast under 1M vocab, partitioned above)
+          -> key=doc_id: df-ascending sort, emit PREFIX postings only
+          -> key=token:  length-filtered candidate pairs
+          -> key=a_id:   distinct candidates
+          -> attach both token lists (partitioned lookup join)
+          -> vectorized polars set-intersection verify
+
+    Boilerplate-heavy corpora should run exact dedup first (identical
+    docs make even rare prefix tokens hot); the near-dup tier here is
+    meant to run on exact-dedup survivors, same as the LSH tier.
+    """
+    from ..stages.grouped import attach_lookup, partitioned_group_map, run_bounds
+
+    def _toksets(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["doc_id", "canonical"]))
+        out = (
+            df.with_columns(
+                pl.col("canonical").str.split(" ").list.unique().alias("token")
+            )
+            .drop("canonical")
+            .with_columns(pl.col("token").list.len().cast(pl.Int64).alias("n"))
+            .explode("token")
+        )
+        return out.to_arrow().cast(_SETSIM_TOK_SCHEMA)
+
+    toks = (
+        canonical_docs(sf_dir)
+        .map_batches(_toksets, batch_format="pyarrow")
+        .materialize()  # feeds df aggregate, prefix pass, and verify lists
+    )
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch.select(["token"]))
+            .group_by("token")
+            .len()
+            .with_columns(pl.col("len").cast(pl.Int64).alias("_part"))
+            .select(["token", "_part"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("_part", pa.int64())])
+        )
+
+    dfs = (
+        toks.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("_part", alias_name="df"))
+    )
+
+    with_df = attach_lookup(
+        toks,
+        _SETSIM_TOK_SCHEMA,
+        ["token"],
+        dfs,
+        "token",
+        "df",
+        pa.int64(),
+        ["df"],
+    )
+
+    def _prefix(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["doc_id", "df", "token"])
+        out = (
+            df.with_columns(
+                pl.int_range(pl.len()).over("doc_id").alias("_i"),
+                # prefix length n - ceil(9n/10) + 1, all-integer
+                (
+                    pl.col("n")
+                    - (SETSIM_T_NUM * pl.col("n") + SETSIM_T_DEN - 1)
+                    // SETSIM_T_DEN
+                    + 1
+                ).alias("_p"),
+            )
+            .filter(pl.col("_i") < pl.col("_p"))
+            .select(["token", "doc_id", "n"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("doc_id", pa.int64()), ("n", pa.int64())])
+        )
+
+    prefix = partitioned_group_map(with_df, "doc_id", _prefix, arrow=True)
+
+    def _pairs_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["token", "doc_id"])
+        keys = df["token"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        ns = df["n"].to_numpy()
+        bounds = run_bounds(keys)
+        all_cols: list[tuple[np.ndarray, ...]] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = int(e - s)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            a, b = ids[ai + s], ids[bi + s]
+            na, nb = ns[ai + s], ns[bi + s]
+            # Jaccard >= 9/10 requires 10*min(n) >= 9*max(n)
+            lo = np.minimum(na, nb)
+            hi = np.maximum(na, nb)
+            keep = SETSIM_T_DEN * lo >= SETSIM_T_NUM * hi
+            all_cols.append((a[keep], b[keep], na[keep], nb[keep]))
+        if not all_cols:
+            return _SETSIM_PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate([c[0] for c in all_cols]), pa.int64()),
+                "b_id": pa.array(np.concatenate([c[1] for c in all_cols]), pa.int64()),
+                "na": pa.array(np.concatenate([c[2] for c in all_cols]), pa.int64()),
+                "nb": pa.array(np.concatenate([c[3] for c in all_cols]), pa.int64()),
+            }
+        )
+
+    raw_pairs = partitioned_group_map(prefix, "token", _pairs_part, arrow=True)
+
+    def _distinct(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        # all rows of a given a_id land in this partition, so a
+        # per-partition unique is globally distinct
+        return (
+            pl.from_arrow(tb)
+            .unique(["a_id", "b_id"], keep="any")
+            .to_arrow()
+            .cast(_SETSIM_PAIR_SCHEMA)
+        )
+
+    cand = partitioned_group_map(raw_pairs, "a_id", _distinct, arrow=True)
+
+    def _lists(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["doc_id", "token"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("token").alias("toks"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("toks", pa.list_(pa.string()))])
+        )
+
+    lists = partitioned_group_map(
+        toks.select_columns(["doc_id", "token"]), "doc_id", _lists, arrow=True
+    )
+
+    with_lists = attach_lookup(
+        cand,
+        _SETSIM_PAIR_SCHEMA,
+        ["a_id", "b_id"],
+        lists,
+        "doc_id",
+        "toks",
+        pa.list_(pa.string()),
+        ["toks_a", "toks_b"],
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(
+                pl.col("toks_a")
+                .list.set_intersection(pl.col("toks_b"))
+                .list.len()
+                .cast(pl.Int64)
+                .alias("inter_size")
+            )
+            .with_columns(
+                (pl.col("na") + pl.col("nb") - pl.col("inter_size")).alias(
+                    "union_size"
+                )
+            )
+            .filter(
+                SETSIM_T_DEN * pl.col("inter_size")
+                >= SETSIM_T_NUM * pl.col("union_size")
+            )
+            .with_columns(
+                (
+                    pl.col("inter_size").cast(pl.Float64)
+                    / pl.col("union_size").cast(pl.Float64)
+                ).alias("jaccard")
+            )
+            .select(["a_id", "b_id", "inter_size", "union_size", "jaccard"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("a_id", pa.int64()),
+                    ("b_id", pa.int64()),
+                    ("inter_size", pa.int64()),
+                    ("union_size", pa.int64()),
+                    ("jaccard", pa.float64()),
+                ]
+            )
+        )
+
+    return (
+        typed_pandas(
+            with_lists.map_batches(_verify, batch_format="pyarrow"),
+            {
+                "a_id": "int64",
+                "b_id": "int64",
+                "inter_size": "int64",
+                "union_size": "int64",
+                "jaccard": "float64",
+            },
+        )
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
 SUBSTRING_MIN_LEN = 30  # chars; must be >= winnowing t = W_GRAM + WINDOW - 1
 
 

@@ -516,3 +516,104 @@ class TestDedupDiagnostics:
         flag = cl["cluster_id"].nunique()
         row = out[out["threshold"] == 0.85].iloc[0]
         assert row["n_clusters"] >= flag
+
+
+class TestSetSimJoin:
+    """PPJoin-style prefix-filtered set-similarity join
+    (pipelines/documents.setsim_join_docs): planted near-identical
+    token sets are found with exact intersection/union sizes, and the
+    prefix filter is LOSSLESS — engine output equals a brute-force
+    all-pairs join on a corpus with planted high-Jaccard variants."""
+
+    @staticmethod
+    def _write(tmp_path, texts: dict[int, str]) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tb = pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    @staticmethod
+    def _brute(texts: dict[int, str]) -> list[tuple[int, int, int, int]]:
+        import itertools
+
+        from quarrycore_ray.text import normalize_whitespace
+
+        sets = {
+            d: set(normalize_whitespace(t).split(" ")) for d, t in texts.items()
+        }
+        out = []
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 10 >= union * 9:
+                out.append((a, b, inter, union))
+        return out
+
+    def test_planted_pairs(self, tmp_path):
+        from quarrycore_ray.pipelines.documents import setsim_join_docs
+
+        base = " ".join(f"tok{i}" for i in range(20))
+        texts = {
+            0: base,
+            # one token of twenty replaced: J = 19/21 >= 0.9
+            1: base.replace("tok7", "zzz"),
+            # same token SET as 0 (reordered, messy whitespace): J = 1
+            2: "  " + " ".join(f"tok{i}" for i in reversed(range(20))) + "\t",
+            # half overlap: excluded
+            3: " ".join(f"tok{i}" for i in range(10))
+            + " "
+            + " ".join(f"other{i}" for i in range(10)),
+        }
+        out = setsim_join_docs(self._write(tmp_path, texts))
+        got = {
+            (a, b): (i, u)
+            for a, b, i, u in zip(
+                out["a_id"], out["b_id"], out["inter_size"], out["union_size"]
+            )
+        }
+        assert got == {
+            (0, 1): (19, 21),
+            (0, 2): (20, 20),
+            (1, 2): (19, 21),
+        }
+        jac = dict(zip(zip(out["a_id"], out["b_id"]), out["jaccard"]))
+        assert jac[(0, 2)] == 1.0
+        assert jac[(0, 1)] == 19 / 21
+
+    def test_matches_bruteforce(self, tmp_path):
+        import random
+
+        from quarrycore_ray.pipelines.documents import setsim_join_docs
+
+        rng = random.Random(97)
+        vocab = [f"w{i}" for i in range(120)]
+        texts: dict[int, str] = {}
+        for d in range(30):
+            texts[d] = " ".join(rng.choice(vocab) for _ in range(25))
+        # planted variants: one occurrence of one token changed; the
+        # distinct-set Jaccard stays high but is NOT always >= 0.9
+        # (depends on within-doc repeats), so the brute force decides
+        for k, d in enumerate(range(30, 40)):
+            words = texts[d - 30].split(" ")
+            words[rng.randrange(len(words))] = f"x{k}"
+            texts[d] = " ".join(words)
+        # exact set duplicates (always joined)
+        for d in range(40, 44):
+            words = texts[d - 40].split(" ")
+            rng.shuffle(words)
+            texts[d] = " ".join(words)
+
+        out = setsim_join_docs(self._write(tmp_path, texts))
+        got = sorted(
+            zip(out["a_id"], out["b_id"], out["inter_size"], out["union_size"])
+        )
+        expect = self._brute(texts)
+        assert got == [(int(a), int(b), int(i), int(u)) for a, b, i, u in expect]
+        assert len(expect) >= 10  # the fixture genuinely plants joins
