@@ -297,8 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_length_quantiles": trn.token_length_quantiles,
         # DSIR hashed-bigram importance weights (target = smallest source)
         "dsir_importance_weights": trn.dsir_importance_weights,
-        # DSIR selection step: per-source top-k by importance score
-        "dsir_select_topk": trn.dsir_select_topk,
+        # streaming-shaped tumbling-window dedup (§2.10)
+        "events_window_dedup": rel.events_window_dedup,
         # per-source token-budget selection (BSP prefix scan)
         "token_budget_sample": trn.token_budget_sample,
         # deterministic md5-order shuffle + shard assignment
@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": rel.top_revenue_orders,
         "customers_without_recent_orders": rel.customers_without_recent_orders,
         "events_range_join": rel.events_range_join,
+        # DSIR selection step: per-source top-k by importance score
+        "dsir_select_topk": trn.dsir_select_topk,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "filter_docs_by_length": dset.filter_docs_by_length,
@@ -3641,5 +3643,17 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts - INTERVAL 1 HOUR
              AND e.ts < p.ts
             WHERE p.event_type = 'purchase'
+        """,
+        "events_window_dedup": """
+            SELECT user_id, event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   event_id
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                    ORDER BY ts, event_id
+                ) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
     }

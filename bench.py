@@ -195,6 +195,7 @@ def run_bench() -> dict:
     timed("ngram_novelty_docs", cur.ngram_novelty_docs)
     timed("shard_pack_assignments", trn.shard_pack_assignments)
     timed("shard_docs_deterministic", trn.shard_docs_deterministic)
+    timed("setsim_join_docs", docs.setsim_join_docs)
 
     ray.shutdown()
     return {

@@ -86,6 +86,72 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
     return agg.map_batches(_derive, batch_format="pyarrow")
 
 
+def events_window_dedup(sf_dir: str) -> "rd.Dataset":
+    """Streaming-shaped tumbling-window DEDUP: within each (user_id,
+    event_type, 1-hour event-time window), keep only the earliest event
+    (min ts, ties by min event_id) — the compaction step an
+    at-least-once delivery pipeline runs before aggregation, expressed
+    as a batch operator (SURVEY.md §2.10 streaming concerns; same
+    dedup-tier keep-first semantics as the exact text layer,
+    stages/exact.py).
+
+    Scale shape: per-batch polars partial keep-first (a combiner — at
+    most one candidate row per key leaves any batch, so duplicate mass
+    drops BEFORE the shuffle), then one hash-partitioned keep-first on
+    user_id (all of a user's partials co-locate; stages/grouped.py).
+    Output: (user_id, event_type, window_start, event_id); the kept
+    event's exact ts rides only through the reduce (it is the ORDER
+    key) and is recoverable by joining event_id — emitting a second,
+    micro-aligned timestamp column next to the hour-aligned window
+    label would trip pandas' per-block datetime string formatting in
+    the driver's frame hash.
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    _SCHEMA = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("window_start", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    _OUT = pa.schema([f for f in _SCHEMA if f.name != "ts"])
+
+    def _first(df: "object") -> "object":
+        import polars as pl
+
+        return (
+            df.sort(["user_id", "event_type", "window_start", "ts", "event_id"])
+            .unique(
+                ["user_id", "event_type", "window_start"],
+                keep="first",
+                maintain_order=True,
+            )
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        batch = batch.append_column(
+            "window_start", pc.floor_temporal(batch["ts"], unit="hour")
+        )
+        out = _first(pl.from_arrow(batch))
+        return out.to_arrow().select([f.name for f in _SCHEMA]).cast(_SCHEMA)
+
+    def _final(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = _first(pl.from_arrow(tb))
+        return out.to_arrow().select([f.name for f in _OUT]).cast(_OUT)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return partitioned_group_map(partials, "user_id", _final, arrow=True)
+
+
 def events_user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     """Session windows per user: count sessions and events per user.
 

@@ -705,3 +705,46 @@ class TestPromoAndRegion:
         )
         assert out.loc["ASIA", "n_suppliers"] == 3
         assert out.loc["EUROPE", "n_suppliers"] == 1
+
+
+class TestEventsWindowDedup:
+    def test_keep_first_per_hour_window(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import events_window_dedup
+
+        h5, h6 = dt.datetime(2024, 1, 1, 5), dt.datetime(2024, 1, 1, 6)
+        rows = [
+            # three dups of (u1, click) inside hour 5 -> earliest ts wins
+            (0, h5.replace(minute=10), 1, "click"),
+            (1, h5.replace(minute=5), 1, "click"),
+            (2, h5.replace(minute=50), 1, "click"),
+            # same user+type in the NEXT window survives separately
+            (3, h6.replace(minute=1), 1, "click"),
+            # same window, different type -> kept
+            (4, h5.replace(minute=20), 1, "purchase"),
+            # same window+type, different user -> kept
+            (5, h5.replace(minute=30), 2, "click"),
+            # exact ts tie -> min event_id wins
+            (7, h6.replace(minute=30), 2, "view"),
+            (6, h6.replace(minute=30), 2, "view"),
+        ]
+        _write(
+            tmp_path,
+            "events",
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                }
+            ),
+        )
+        out = (
+            events_window_dedup(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out["event_id"].tolist() == [1, 3, 4, 5, 6]
+        kept = out[out["event_id"] == 1].iloc[0]
+        assert kept["window_start"] == h5
