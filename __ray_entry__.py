@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from quarrycore_ray.pipelines import curation as cur
     from quarrycore_ray.pipelines import dataset as dset
     from quarrycore_ray.pipelines import documents as docs
+    from quarrycore_ray.pipelines import graph as grf
     from quarrycore_ray.pipelines import relational as rel
     from quarrycore_ray.pipelines import training as trn
 
@@ -299,8 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": trn.dsir_importance_weights,
         # streaming-shaped tumbling-window dedup (§2.10)
         "events_window_dedup": rel.events_window_dedup,
-        # per-source token-budget selection (BSP prefix scan)
-        "token_budget_sample": trn.token_budget_sample,
+        # link-graph PageRank (iterative BSP, exact fixed-point)
+        "link_pagerank_docs": grf.link_pagerank_docs,
         # deterministic md5-order shuffle + shard assignment
         "shard_docs_deterministic": trn.shard_docs_deterministic,
         # multimodal binary-column decode (real PNG/BMP + stub codecs)
@@ -312,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": rel.events_range_join,
         # DSIR selection step: per-source top-k by importance score
         "dsir_select_topk": trn.dsir_select_topk,
+        # per-source token-budget selection (BSP prefix scan)
+        "token_budget_sample": trn.token_budget_sample,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "filter_docs_by_length": dset.filter_docs_by_length,
@@ -718,6 +721,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from quarrycore_ray import sqlgen
+    from quarrycore_ray.pipelines.graph import (
+        pagerank_oracle_sql as _pagerank_oracle_sql,
+    )
 
     _bigram_sql = f"""
             WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
@@ -3656,4 +3662,5 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rn = 1
         """,
+        "link_pagerank_docs": _pagerank_oracle_sql(),
     }

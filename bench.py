@@ -159,6 +159,7 @@ def run_bench() -> dict:
 
     from quarrycore_ray.functions import similarity
     from quarrycore_ray.pipelines import documents as docs
+    from quarrycore_ray.pipelines import graph as grf
     from quarrycore_ray.pipelines import relational as rel
 
     timed("exact_dedup_docs", docs.exact_dedup_docs)
@@ -196,6 +197,7 @@ def run_bench() -> dict:
     timed("shard_pack_assignments", trn.shard_pack_assignments)
     timed("shard_docs_deterministic", trn.shard_docs_deterministic)
     timed("setsim_join_docs", docs.setsim_join_docs)
+    timed("link_pagerank_docs", grf.link_pagerank_docs)
 
     ray.shutdown()
     return {

@@ -1,0 +1,275 @@
+"""Link-graph operators over the `documents` table.
+
+Web-curation pipelines rank pages by link structure before sampling
+training data (Common Crawl publishes harmonic/PageRank centrality per
+host; the reference keeps per-URL metadata but has no graph step, so
+this extends SURVEY.md §2 the same way the curation/training modules
+do). The graph here is derived *deterministically* from doc_id — the
+same construction trick as `documents.extract_structured`'s synthetic
+HTML — so the DuckDB oracle can rebuild the identical edge set and the
+whole iterative computation is exact-checked end to end.
+
+Edge rule: doc `d` links to `(d*31 + j*17 + 1) % n` for
+`j in 0..(d % 3)` (n = corpus size), duplicate targets collapsed —
+out-degree 1..3, self-loops possible and kept.
+
+PageRank runs a FIXED number of synchronous power-iteration rounds in
+fixed-point integer arithmetic (scale 1e12, damping 85/100, floor
+division everywhere), so the result is bit-identical to the oracle's
+unrolled CTE chain regardless of block layout, batch size or CPU
+count — the same exactness discipline as `relational._micros` /
+`similarity.embedding_top_component`.
+
+Scale shape: the edge table is materialized ONCE (it is re-read every
+round); each round is one partitioned hash join (ranks attached to
+edges on src — broadcast under `attach_lookup`'s byte threshold, tagged
+-union partitioned join above it) plus one hash-partitioned sum on dst.
+Rank rows are 2 int64s per node — ~16 bytes/doc, far smaller than the
+corpus — and nothing ever materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..stages.grouped import attach_lookup, partitioned_group_map
+
+#: fixed-point scale: 1.0 of PageRank mass == 1e12 units
+PR_SCALE = 10**12
+#: damping factor as an exact rational (85/100)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_ITERS = 5
+
+_EDGE_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("dst", pa.int64()), ("odeg", pa.int64())]
+)
+_RANK_SCHEMA = pa.schema([("node", pa.int64()), ("r", pa.int64())])
+_SUM_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("s", pa.int64()), ("b", pa.int8())]
+)
+
+
+def _docs_ids(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+
+def link_edges(ds_ids: "rd.Dataset", n: int) -> "rd.Dataset":
+    """(src, dst, odeg) with duplicate targets collapsed.
+
+    All of a src's candidate targets are generated from its own row, so
+    dedup and out-degree are batch-local — no shuffle.
+    """
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        srcs, dsts = [], []
+        for j in range(3):
+            sel = ids[(ids % 3) >= j]
+            srcs.append(sel)
+            dsts.append((sel * 31 + j * 17 + 1) % n)
+        df = pl.DataFrame(
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+        ).unique(["src", "dst"])
+        df = df.with_columns(pl.len().over("src").cast(pl.Int64).alias("odeg"))
+        return df.to_arrow().select(["src", "dst", "odeg"]).cast(_EDGE_SCHEMA)
+
+    return ds_ids.map_batches(_edges, batch_format="pyarrow")
+
+
+def _pagerank(
+    ds_ids: "rd.Dataset", n: int, iters: int = PR_ITERS
+) -> "rd.Dataset":
+    """(node, r) after `iters` exact fixed-point power-iteration rounds."""
+    teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
+    r0 = PR_SCALE // n
+
+    edges = link_edges(ds_ids, n).materialize()
+
+    def _init(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["doc_id"].cast(pa.int64()),
+                "r": pa.array(np.full(m, r0, dtype=np.int64)),
+            }
+        ).cast(_RANK_SCHEMA)
+
+    def _base(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["doc_id"].cast(pa.int64()),
+                "s": pa.array(np.zeros(m, dtype=np.int64)),
+                "b": pa.array(np.ones(m, dtype=np.int8)),
+            }
+        ).cast(_SUM_SCHEMA)
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        r = np.asarray(batch["r_src"], dtype=np.int64)
+        odeg = np.asarray(batch["odeg"], dtype=np.int64)
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "s": pa.array(r // odeg, pa.int64()),
+                "b": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        ).cast(_SUM_SCHEMA)
+
+    def _reduce(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("node")
+            .agg(pl.col("s").sum(), pl.col("b").max())
+            # contributions to a dst that is not a real doc_id carry no
+            # base row — dropped, same as the oracle's nodes LEFT JOIN
+            .filter(pl.col("b") == 1)
+            .with_columns(
+                (teleport + (PR_DAMP_NUM * pl.col("s")) // PR_DAMP_DEN).alias("r")
+            )
+            .select(["node", "r"])
+        )
+        return out.to_arrow().cast(_RANK_SCHEMA)
+
+    base = ds_ids.map_batches(_base, batch_format="pyarrow")
+    ranks = ds_ids.map_batches(_init, batch_format="pyarrow")
+    for _ in range(iters):
+        attached = attach_lookup(
+            edges,
+            _EDGE_SCHEMA,
+            ["src"],
+            ranks,
+            "node",
+            "r",
+            pa.int64(),
+            ["r_src"],
+        )
+        contribs = attached.map_batches(_contrib, batch_format="pyarrow")
+        ranks = partitioned_group_map(
+            contribs.union(base), "node", _reduce, arrow=True
+        )
+    return ranks
+
+
+def link_pagerank_docs(sf_dir: str, iters: int = PR_ITERS) -> "rd.Dataset":
+    """(doc_id, in_degree, pagerank_fx): PageRank in 1e-12 fixed-point
+    units plus in-degree over the deterministic link graph."""
+    ds_ids = _docs_ids(sf_dir)
+    n = ds_ids.count()
+    edges = link_edges(ds_ids, n)
+
+    def _ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "s": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "b": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        ).cast(_SUM_SCHEMA)
+
+    def _base(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["doc_id"].cast(pa.int64()),
+                "s": pa.array(np.zeros(m, dtype=np.int64)),
+                "b": pa.array(np.ones(m, dtype=np.int8)),
+            }
+        ).cast(_SUM_SCHEMA)
+
+    def _indeg(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("node")
+            .agg(pl.col("s").sum(), pl.col("b").max())
+            .filter(pl.col("b") == 1)
+            .select(["node", pl.col("s").alias("ind")])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("ind", pa.int64())])
+        )
+
+    indeg = partitioned_group_map(
+        edges.map_batches(_ones, batch_format="pyarrow").union(
+            ds_ids.map_batches(_base, batch_format="pyarrow")
+        ),
+        "node",
+        _indeg,
+        arrow=True,
+    )
+    ranks = _pagerank(ds_ids, n, iters)
+    out = attach_lookup(
+        ranks, _RANK_SCHEMA, ["node"], indeg, "node", "ind", pa.int64(), ["ind"]
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["node"],
+                "in_degree": batch["ind"].cast(pa.int64()),
+                "pagerank_fx": batch["r"],
+            }
+        )
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+    """Unrolled-iteration DuckDB twin of `link_pagerank_docs`.
+
+    Multiply-referenced CTEs are MATERIALIZED (DuckDB re-inlines the
+    whole chain otherwise — the sqlgen.py lesson); every SUM/COUNT is
+    cast back to BIGINT to dodge the HUGEINT->float64 dtype drift."""
+    s, num, den = PR_SCALE, PR_DAMP_NUM, PR_DAMP_DEN
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),",
+        "nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),",
+        """edges AS MATERIALIZED (
+            SELECT src, dst, CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS odeg
+            FROM (
+                SELECT DISTINCT d.doc_id AS src,
+                       (d.doc_id * 31 + j.j * 17 + 1) % (SELECT c FROM nn) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+                WHERE j.j <= d.doc_id % 3
+            )
+        ),""",
+        f"""r0 AS (SELECT node, {s} // (SELECT c FROM nn) AS r FROM nodes),""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""c{t} AS (
+            SELECT e.dst AS node, CAST(SUM(r.r // e.odeg) AS BIGINT) AS sm
+            FROM edges e JOIN r{t - 1} r ON r.node = e.src
+            GROUP BY e.dst
+        ),
+        r{t} AS {"MATERIALIZED" if t == iters else ""} (
+            SELECT nd.node,
+                   ({s} * {den - num} // {den}) // (SELECT c FROM nn)
+                   + ({num} * COALESCE(c.sm, 0)) // {den} AS r
+            FROM nodes nd LEFT JOIN c{t} c ON c.node = nd.node
+        ),"""
+        )
+    parts.append(
+        f"""ideg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS ind
+                 FROM edges GROUP BY dst)
+        SELECT nd.node AS doc_id,
+               CAST(COALESCE(ideg.ind, 0) AS BIGINT) AS in_degree,
+               CAST(r{iters}.r AS BIGINT) AS pagerank_fx
+        FROM nodes nd
+        JOIN r{iters} ON r{iters}.node = nd.node
+        LEFT JOIN ideg ON ideg.node = nd.node"""
+    )
+    return "\n".join(parts)

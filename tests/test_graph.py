@@ -1,0 +1,100 @@
+"""Link-graph operators (pipelines/graph.py): the distributed
+fixed-point PageRank matches a sequential integer reference on the same
+deterministic edge rule, phantom targets (dst not a real doc_id) drop
+out, and the generated oracle SQL reproduces the engine bit-for-bit."""
+
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_ids(tmp_path, ids):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([f"text {i}" for i in ids], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _seq_pagerank(ids, iters=5):
+    """Sequential twin of the exact fixed-point recurrence."""
+    from quarrycore_ray.pipelines.graph import PR_SCALE
+
+    n = len(ids)
+    id_set = set(ids)
+    edges = {(d, (d * 31 + j * 17 + 1) % n) for d in ids for j in range(d % 3 + 1)}
+    odeg = Counter(s for s, _ in edges)
+    indeg = Counter(t for _, t in edges if t in id_set)
+    teleport = (PR_SCALE * 15 // 100) // n
+    r = {d: PR_SCALE // n for d in ids}
+    for _ in range(iters):
+        s = Counter()
+        for u, v in edges:
+            if v in id_set:
+                s[v] += r[u] // odeg[u]
+        r = {d: teleport + (85 * s.get(d, 0)) // 100 for d in ids}
+    return r, indeg
+
+
+class TestPagerank:
+    def test_matches_sequential_reference(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_pagerank_docs
+
+        ids = list(range(37))
+        sf = _write_ids(tmp_path, ids)
+        out = link_pagerank_docs(sf).to_pandas().set_index("doc_id")
+        ref_r, ref_ind = _seq_pagerank(ids)
+        assert sorted(out.index) == ids
+        for d in ids:
+            assert out.loc[d, "pagerank_fx"] == ref_r[d], d
+            assert out.loc[d, "in_degree"] == ref_ind.get(d, 0), d
+        # rank mass sums to ~PR_SCALE (floor-division loss only)
+        total = int(out["pagerank_fx"].sum())
+        assert 0 <= 10**12 - total < 10**12 // 100
+
+    def test_phantom_targets_dropped(self, tmp_path):
+        # non-contiguous doc_ids: `% n` targets may not exist as docs;
+        # those contributions vanish in engine and reference alike
+        from quarrycore_ray.pipelines.graph import link_pagerank_docs
+
+        ids = [0, 2, 5, 9, 14, 20, 27, 35]
+        sf = _write_ids(tmp_path, ids)
+        out = link_pagerank_docs(sf).to_pandas().set_index("doc_id")
+        ref_r, ref_ind = _seq_pagerank(ids)
+        assert sorted(out.index) == ids
+        for d in ids:
+            assert out.loc[d, "pagerank_fx"] == ref_r[d], d
+            assert out.loc[d, "in_degree"] == ref_ind.get(d, 0), d
+
+    def test_oracle_sql_matches_engine(self, tmp_path):
+        import duckdb
+
+        from quarrycore_ray.pipelines.graph import (
+            link_pagerank_docs,
+            pagerank_oracle_sql,
+        )
+
+        ids = list(range(53))
+        sf = _write_ids(tmp_path, ids)
+        eng = (
+            link_pagerank_docs(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        ora = con.execute(
+            pagerank_oracle_sql() + " ORDER BY doc_id"
+        ).fetchdf()
+        assert eng["pagerank_fx"].tolist() == ora["pagerank_fx"].tolist()
+        assert eng["in_degree"].tolist() == ora["in_degree"].tolist()
+        assert str(eng["pagerank_fx"].dtype) == str(ora["pagerank_fx"].dtype)
