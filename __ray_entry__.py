@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_topk": trn.dsir_select_topk,
         # per-source token-budget selection (BSP prefix scan)
         "token_budget_sample": trn.token_budget_sample,
+        # link-graph weakly-connected components (BSP min-label)
+        "link_components_docs": grf.link_components_docs,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "filter_docs_by_length": dset.filter_docs_by_length,
@@ -722,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
 
     from quarrycore_ray import sqlgen
     from quarrycore_ray.pipelines.graph import (
+        components_oracle_sql as _components_oracle_sql,
         pagerank_oracle_sql as _pagerank_oracle_sql,
     )
 
@@ -3663,4 +3666,5 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "link_pagerank_docs": _pagerank_oracle_sql(),
+        "link_components_docs": _components_oracle_sql(),
     }

@@ -226,6 +226,140 @@ def link_pagerank_docs(sf_dir: str, iters: int = PR_ITERS) -> "rd.Dataset":
     return out.map_batches(_final, batch_format="pyarrow")
 
 
+def link_components_docs(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, component_id, component_size): weakly-connected
+    components of the link graph via the SAME distributed min-label
+    propagation that clusters duplicate pairs (stages/cluster.py) —
+    components here are a second, independent consumer of that BSP
+    machinery. component_id = min node id reachable (phantom targets —
+    `% n` values that are not real doc_ids — conduct connectivity and
+    can even be the min, exactly as in the oracle's closure);
+    component_size counts REAL docs only.
+
+    ids ride through label_propagation as zero-padded strings so its
+    lexicographic min IS the numeric min. The oracle is a recursive-CTE
+    transitive closure — exact but O(n * component size), fine at the
+    driver's sf0.01 gate; the engine side stays O(edges * diameter).
+    """
+    from ..stages.cluster import label_propagation
+
+    ds_ids = _docs_ids(sf_dir)
+    n = ds_ids.count()
+    edges = link_edges(ds_ids, n)
+
+    _PAD = 20  # int64 max is 19 digits
+
+    def _to_str(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select(["src", "dst"]))
+            .select(
+                pl.col("src").cast(pl.String).str.zfill(_PAD).alias("a_id"),
+                pl.col("dst").cast(pl.String).str.zfill(_PAD).alias("b_id"),
+            )
+            .to_arrow()
+            .cast(pa.schema([("a_id", pa.string()), ("b_id", pa.string())]))
+        )
+
+    labels = label_propagation(edges.map_batches(_to_str, batch_format="pyarrow"))
+
+    def _to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["node"].cast(pa.int64()),
+                "component_id": batch["label"].cast(pa.int64()),
+            }
+        )
+
+    as_int = labels.map_batches(_to_int, batch_format="pyarrow")
+    _LBL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("component_id", pa.int64())])
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["doc_id"].cast(pa.int64()),
+                "one": pa.array(np.ones(m, dtype=np.int64)),
+            }
+        )
+
+    # phantom nodes got labels too — keep only real doc_ids
+    marked = attach_lookup(
+        as_int,
+        _LBL_SCHEMA,
+        ["doc_id"],
+        ds_ids.map_batches(_mark, batch_format="pyarrow"),
+        "node",
+        "one",
+        pa.int64(),
+        ["is_real"],
+    )
+    import pyarrow.compute as pc
+
+    real = marked.map_batches(
+        lambda b: b.filter(pc.equal(b["is_real"], 1)).drop_columns(["is_real"]),
+        batch_format="pyarrow",
+    )
+
+    def _sizes(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("component_id")
+            .agg(pl.len().cast(pl.Int64).alias("sz"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("component_id", pa.int64()), ("sz", pa.int64())])
+        )
+
+    sizes = partitioned_group_map(
+        real.select_columns(["component_id"]), "component_id", _sizes, arrow=True
+    )
+    out = attach_lookup(
+        real, _LBL_SCHEMA, ["component_id"], sizes, "component_id", "sz",
+        pa.int64(), ["component_size"],
+    )
+    return out
+
+
+def components_oracle_sql() -> str:
+    """Recursive-CTE transitive-closure twin of `link_components_docs`."""
+    return """
+        WITH RECURSIVE nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),
+        raw AS MATERIALIZED (
+            SELECT DISTINCT d.doc_id AS src,
+                   (d.doc_id * 31 + j.j * 17 + 1) % (SELECT c FROM nn) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+            WHERE j.j <= d.doc_id % 3
+        ),
+        und AS MATERIALIZED (
+            SELECT src AS a, dst AS b FROM raw
+            UNION
+            SELECT dst AS a, src AS b FROM raw
+        ),
+        reach(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM und)
+            UNION
+            SELECT u.a, r.lab FROM und u JOIN reach r ON r.node = u.b
+        ),
+        comp AS MATERIALIZED (
+            SELECT node, MIN(lab) AS component_id FROM reach GROUP BY node
+        ),
+        realc AS MATERIALIZED (
+            SELECT d.doc_id, c.component_id
+            FROM documents d JOIN comp c ON c.node = d.doc_id
+        )
+        SELECT doc_id,
+               CAST(component_id AS BIGINT) AS component_id,
+               CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+                   AS component_size
+        FROM realc
+    """
+
+
 def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
     """Unrolled-iteration DuckDB twin of `link_pagerank_docs`.
 

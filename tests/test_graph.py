@@ -72,6 +72,60 @@ class TestPagerank:
             assert out.loc[d, "pagerank_fx"] == ref_r[d], d
             assert out.loc[d, "in_degree"] == ref_ind.get(d, 0), d
 
+    def test_components_match_union_find(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_components_docs
+
+        ids = list(range(23))
+        sf = _write_ids(tmp_path, ids)
+        out = link_components_docs(sf).to_pandas().set_index("doc_id")
+
+        n = len(ids)
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for d in ids:
+            for j in range(d % 3 + 1):
+                a, b = find(d), find((d * 31 + j * 17 + 1) % n)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+        comp = {d: find(d) for d in ids}
+        sizes = Counter(comp.values())
+        assert sorted(out.index) == ids
+        for d in ids:
+            assert out.loc[d, "component_id"] == comp[d], d
+            assert out.loc[d, "component_size"] == sizes[comp[d]], d
+
+    def test_components_oracle_matches_engine(self, tmp_path):
+        import duckdb
+
+        from quarrycore_ray.pipelines.graph import (
+            components_oracle_sql,
+            link_components_docs,
+        )
+
+        ids = [0, 2, 5, 9, 14, 20, 27, 35]  # non-contiguous: phantom targets
+        sf = _write_ids(tmp_path, ids)
+        eng = (
+            link_components_docs(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        ora = con.execute(components_oracle_sql() + " ORDER BY doc_id").fetchdf()
+        assert eng["doc_id"].tolist() == ora["doc_id"].tolist()
+        assert eng["component_id"].tolist() == ora["component_id"].tolist()
+        assert eng["component_size"].tolist() == ora["component_size"].tolist()
+
     def test_oracle_sql_matches_engine(self, tmp_path):
         import duckdb
 
