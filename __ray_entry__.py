@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": trn.token_budget_sample,
         # link-graph weakly-connected components (BSP min-label)
         "link_components_docs": grf.link_components_docs,
+        # Zipf rank-frequency profile (exact integer regression)
+        "zipf_profile_docs": trn.zipf_profile_docs,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "filter_docs_by_length": dset.filter_docs_by_length,
@@ -2518,6 +2520,51 @@ def oracle_sql() -> dict[str, str]:
                   WHERE canonical != '')
             SELECT token, count(*) AS n FROM w
             GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        # --- corpus lexical profile (pipelines/training.py:zipf_profile_docs) ---
+        "zipf_profile_docs": f"""
+            WITH c AS (SELECT {_CANON} AS canonical FROM documents),
+            w AS (SELECT unnest(string_split(canonical, ' ')) AS token FROM c
+                  WHERE canonical != ''),
+            cnt AS MATERIALIZED (
+                SELECT token, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY token
+            ),
+            top AS MATERIALIZED (
+                SELECT n,
+                       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+                           AS rnk
+                FROM cnt ORDER BY n DESC, token LIMIT 100
+            ),
+            xy AS (
+                SELECT CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS x,
+                       CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT) AS y
+                FROM top
+            ),
+            agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM xy
+            ),
+            tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS hapax_count,
+                       CAST(MAX(n) AS BIGINT) AS top1
+                FROM cnt
+            )
+            SELECT agg.nn AS n_top,
+                   tot.total_tokens,
+                   tot.distinct_tokens,
+                   tot.hapax_count,
+                   CAST((CAST(tot.top1 AS HUGEINT) * 1000000) // tot.total_tokens
+                        AS BIGINT) AS top1_share_micro,
+                   CAST(agg.nn * agg.sxy - agg.sx * agg.sy AS BIGINT) AS zipf_num,
+                   CAST(agg.nn * agg.sxx - agg.sx * agg.sx AS BIGINT) AS zipf_den
+            FROM agg, tot
         """,
         # --- anti-join (pipelines/relational.py:customers_without_recent_orders) ---
         "customers_without_recent_orders": """

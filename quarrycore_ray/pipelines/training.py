@@ -2116,3 +2116,107 @@ def source_diversity_stats(sf_dir: str) -> "rd.Dataset":
     return rd.from_arrow(
         pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
     )
+
+
+def zipf_profile_docs(sf_dir: str, n_top: int = 100) -> pd.DataFrame:
+    """One-row corpus lexical profile: Zipf rank-frequency regression
+    over the top-`n_top` tokens plus exact vocabulary scalars — the
+    distribution check a curation run does before/after dedup to see
+    whether duplicate removal flattened the head of the token
+    distribution (cf. the reference's vocabulary analytics,
+    dataset/analytics.py:61-81).
+
+    Columns (all int64, division-free where a ratio would be lossy):
+    n_top, total_tokens, distinct_tokens, hapax_count,
+    top1_share_micro (= top1*1e6 // total), and the OLS slope of
+    ln(count) on ln(rank) as an exact integer pair
+    (zipf_num, zipf_den): slope = (N*Sxy - Sx*Sy) / (N*Sxx - Sx*Sx)
+    over per-element micro-units x=floor(ln(rank)*1e6+0.5),
+    y=floor(ln(count)*1e6+0.5) — transcendentals per element
+    (math.log, bit-equal to DuckDB ln()), sums as exact ints.
+
+    Scale shape: per-batch token-count combiner -> one token-keyed
+    groupby; then the vocab table is reduced by per-batch combiners
+    (scalar partials + per-batch top-k), so only O(blocks) rows and the
+    <= n_top head ever reach the driver.
+    """
+    import math
+
+    import polars as pl
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch.select(["canonical"]))
+            .filter(pl.col("canonical") != "")
+            .select(pl.col("canonical").str.split(" ").alias("token"))
+            .explode("token")
+            .group_by("token")
+            .agg(pl.len().cast(pl.Int64).alias("n_partial"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("n_partial", pa.int64())])
+        )
+
+    counts = (
+        canonical_docs(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .materialize()  # reused: scalar partials + top-k combiner
+    )
+
+    def _scalars(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        return pa.table(
+            {
+                "tt": pa.array([int(n.sum())], pa.int64()),
+                "dt": pa.array([len(n)], pa.int64()),
+                "hx": pa.array([int((n == 1).sum())], pa.int64()),
+            }
+        )
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["token", "n"]))
+        return (
+            df.sort(["n", "token"], descending=[True, False])
+            .head(n_top)
+            .to_arrow()
+            .cast(pa.schema([("token", pa.string()), ("n", pa.int64())]))
+        )
+
+    sc = counts.map_batches(_scalars, batch_format="pyarrow").to_pandas()
+    total_tokens = int(sc["tt"].sum())
+    distinct_tokens = int(sc["dt"].sum())
+    hapax_count = int(sc["hx"].sum())
+
+    top = (
+        counts.map_batches(_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(n_top)
+        .reset_index(drop=True)
+    )
+    # exact integer regression on the driver (<= n_top rows)
+    xs = [int(math.floor(math.log(i + 1) * 1_000_000 + 0.5)) for i in range(len(top))]
+    ys = [
+        int(math.floor(math.log(int(v)) * 1_000_000 + 0.5)) for v in top["n"]
+    ]
+    nn = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    top1 = int(top["n"].iloc[0]) if nn else 0
+    out = pd.DataFrame(
+        {
+            "n_top": [nn],
+            "total_tokens": [total_tokens],
+            "distinct_tokens": [distinct_tokens],
+            "hapax_count": [hapax_count],
+            "top1_share_micro": [
+                (top1 * 1_000_000) // total_tokens if total_tokens else 0
+            ],
+            "zipf_num": [nn * sxy - sx * sy],
+            "zipf_den": [nn * sxx - sx * sx],
+        }
+    )
+    return out.astype("int64")

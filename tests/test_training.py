@@ -1532,3 +1532,35 @@ class TestSourceDiversityStats:
         # bigram-free source: zeros, not NaN
         assert tuple(out.loc["tiny"][
             ["n_bigrams", "distinct_bigrams", "ttr_2"]]) == (0, 0, 0.0)
+
+
+class TestZipfProfile:
+    def test_matches_hand_computation(self, tmp_path):
+        import math
+
+        from quarrycore_ray.pipelines.training import zipf_profile_docs
+
+        # counts: aa=4, bb=2, cc=1  -> ranks 1,2,3
+        sf = _write_docs(
+            tmp_path,
+            {0: "aa aa bb", 1: "aa bb cc", 2: "aa"},
+        )
+        out = zipf_profile_docs(sf).iloc[0]
+        assert out["n_top"] == 3
+        assert out["total_tokens"] == 7
+        assert out["distinct_tokens"] == 3
+        assert out["hapax_count"] == 1
+        assert out["top1_share_micro"] == 4 * 1_000_000 // 7
+
+        def mic(v):
+            return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+        xs = [mic(1), mic(2), mic(3)]
+        ys = [mic(4), mic(2), mic(1)]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        assert out["zipf_num"] == 3 * sxy - sx * sy
+        assert out["zipf_den"] == 3 * sxx - sx * sx
+        # slope ~ -1.26 for this head
+        assert -1.5 < out["zipf_num"] / out["zipf_den"] < -1.0
