@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components_docs": grf.link_components_docs,
         # Zipf rank-frequency profile (exact integer regression)
         "zipf_profile_docs": trn.zipf_profile_docs,
+        # BPE vocabulary training (iterative pair-count rounds; rows-only
+        # like IVF k-means — each round depends on the last's rewrite)
+        "bpe_train_merges": trn.bpe_train_merges,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "filter_docs_by_length": dset.filter_docs_by_length,

@@ -2220,3 +2220,198 @@ def zipf_profile_docs(sf_dir: str, n_top: int = 100) -> pd.DataFrame:
         }
     )
     return out.astype("int64")
+
+
+# --- BPE vocabulary training --------------------------------------------------
+
+BPE_SYM_SCHEMA = pa.schema(
+    [("syms", pa.list_(pa.string())), ("freq", pa.int64())]
+)
+_BPE_PAIR_SCHEMA = pa.schema([("pair", pa.string()), ("c", pa.int64())])
+
+
+def _flat_syms(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy-ish flatten of the `syms` list column: (flat symbol
+    object array, per-word lengths)."""
+    col = batch["syms"].combine_chunks()
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(col.flatten().to_pylist(), dtype=object)
+    return flat, lens
+
+
+def _inner_mask(flat_len: int, lens: np.ndarray) -> np.ndarray:
+    """True at positions whose right neighbor is in the same word."""
+    inner = np.ones(flat_len, dtype=bool)
+    if flat_len:
+        inner[np.cumsum(lens) - 1] = False
+    return inner
+
+
+def _bpe_pair_top1(words: "rd.Dataset") -> pd.DataFrame:
+    """Global (pair, count) argmax: per-batch combiner partials, one
+    pair-keyed groupby, per-block top-1 combiner, tiny driver min."""
+    import polars as pl
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_syms(batch)
+        if len(flat) == 0:
+            return _BPE_PAIR_SCHEMA.empty_table()
+        freqs = np.asarray(batch["freq"], dtype=np.int64)
+        inner = _inner_mask(len(flat), lens)
+        sel = inner[:-1] if len(flat) > 1 else np.zeros(0, dtype=bool)
+        left = flat[:-1][sel]
+        right = flat[1:][sel]
+        w = np.repeat(freqs, lens)[:-1][sel]
+        if len(left) == 0:
+            return _BPE_PAIR_SCHEMA.empty_table()
+        df = (
+            pl.DataFrame(
+                {
+                    "pair": pl.Series(left, dtype=pl.String)
+                    + "\x00"
+                    + pl.Series(right, dtype=pl.String),
+                    "w": pl.Series(w),
+                }
+            )
+            .group_by("pair")
+            .agg(pl.col("w").sum().cast(pl.Int64).alias("c"))
+        )
+        return df.to_arrow().cast(_BPE_PAIR_SCHEMA)
+
+    def _top1(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch)
+            .sort(["n", "pair"], descending=[True, False])
+            .head(1)
+        )
+        return out.to_arrow().cast(
+            pa.schema([("pair", pa.string()), ("n", pa.int64())])
+        )
+
+    return (
+        words.map_batches(_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("c", alias_name="n"))
+        .map_batches(_top1, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def _bpe_apply_merge(left_sym: str, right_sym: str):
+    """Greedy left-to-right non-overlapping merge of adjacent
+    (left, right) occurrences — the standard BPE apply, vectorized: in a
+    run of consecutive candidate positions every other one merges."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_syms(batch)
+        if len(flat) == 0:
+            return batch.cast(BPE_SYM_SCHEMA)
+        inner = _inner_mask(len(flat), lens)
+        cand = np.zeros(len(flat), dtype=bool)
+        if len(flat) > 1:
+            cand[:-1] = inner[:-1] & (flat[:-1] == left_sym) & (flat[1:] == right_sym)
+        if not cand.any():
+            return batch.cast(BPE_SYM_SCHEMA)
+        idx = np.flatnonzero(cand)
+        run_start = np.ones(len(idx), dtype=bool)
+        run_start[1:] = idx[1:] != idx[:-1] + 1
+        run_id = np.cumsum(run_start) - 1
+        run_first = idx[run_start][run_id]
+        kept = idx[(idx - run_first) % 2 == 0]
+        out_flat = flat.copy()
+        out_flat[kept] = left_sym + right_sym
+        drop = np.zeros(len(flat), dtype=bool)
+        drop[kept + 1] = True
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        new_lens = lens - np.add.reduceat(drop.astype(np.int64), starts)
+        kept_flat = out_flat[~drop]
+        offs = np.concatenate(([0], np.cumsum(new_lens)))
+        new_syms = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(kept_flat, pa.string())
+        )
+        return pa.table(
+            {"syms": new_syms, "freq": batch["freq"]}
+        ).cast(BPE_SYM_SCHEMA)
+
+    return _apply
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = 20) -> pd.DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016,
+    arXiv:1508.07909 §3.2 — the tokenizer-training step a corpus
+    pipeline runs before tokenize-and-pack; gives the reference's gpt2
+    chunker hook, dataset/chunker.py:15-54, a from-corpus vocabulary):
+    learn the top-`n_merges` merges by iterated frequency-weighted
+    adjacent-pair counting over character symbol sequences. Ties break
+    to the lexicographically smaller pair, so the sequence is fully
+    deterministic.
+
+    Output (rank, left, right, merged, pair_count), one row per learned
+    merge. NOT SQL-expressible (round t's pair counts depend on round
+    t-1's list rewriting), so the driver records a rows-only check;
+    exactness is pinned by tests/test_training.py::TestBpeTrainer
+    against a sequential in-test reference.
+
+    Scale shape: the only corpus-sized step is the word-count groupby
+    (per-batch combiner). Every round then runs over the DISTINCT-WORD
+    table — vocab-scale, orders of magnitude smaller than the corpus:
+    one pair-count combiner aggregate whose per-block top-1 rows reach
+    the driver, one 2-symbol broadcast, one vectorized rewrite pass.
+    """
+    import polars as pl
+
+    def _words(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch.select(["canonical"]))
+            .filter(pl.col("canonical") != "")
+            .select(pl.col("canonical").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by("w")
+            .agg(pl.len().cast(pl.Int64).alias("n_partial"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("w", pa.string()), ("n_partial", pa.int64())])
+        )
+
+    def _to_syms(batch: pa.Table) -> pa.Table:
+        words_col = batch["w"].to_pylist()
+        return pa.table(
+            {
+                "syms": pa.array([list(w) for w in words_col], pa.list_(pa.string())),
+                "freq": batch["freq"].cast(pa.int64()),
+            }
+        ).cast(BPE_SYM_SCHEMA)
+
+    words = (
+        canonical_docs(sf_dir)
+        .map_batches(_words, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n_partial", alias_name="freq"))
+        .map_batches(_to_syms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = _bpe_pair_top1(words)
+        if top.empty:
+            break
+        top = top.sort_values(["n", "pair"], ascending=[False, True])
+        pair, n = str(top["pair"].iloc[0]), int(top["n"].iloc[0])
+        left_sym, right_sym = pair.split("\x00", 1)
+        merges.append(
+            {
+                "rank": rank,
+                "left": left_sym,
+                "right": right_sym,
+                "merged": left_sym + right_sym,
+                "pair_count": n,
+            }
+        )
+        words = words.map_batches(
+            _bpe_apply_merge(left_sym, right_sym), batch_format="pyarrow"
+        ).materialize()
+    out = pd.DataFrame(
+        merges, columns=["rank", "left", "right", "merged", "pair_count"]
+    )
+    return out.astype({"rank": "int64", "pair_count": "int64"})

@@ -1564,3 +1564,64 @@ class TestZipfProfile:
         assert out["zipf_den"] == 3 * sxx - sx * sx
         # slope ~ -1.26 for this head
         assert -1.5 < out["zipf_num"] / out["zipf_den"] < -1.0
+
+
+class TestBpeTrainer:
+    @staticmethod
+    def _seq_bpe(word_freqs: dict[str, int], n_merges: int):
+        """Sequential reference: Sennrich et al. 2016 trainer loop."""
+        words = {w: list(w) for w in word_freqs}
+        merges = []
+        for _ in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for w, syms in words.items():
+                f = word_freqs[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            # max count, ties to lexicographically smaller pair
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), n = best
+            merges.append((a, b, a + b, n))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    def test_matches_sequential_reference(self, tmp_path):
+        from quarrycore_ray.pipelines.training import bpe_train_merges
+
+        texts = {
+            0: "lower lower lowest low low low newer newer new",
+            1: "wider wide wide widest newer lower low",
+            2: "aaaa aaa aa aaaa banana bandana",
+        }
+        sf = _write_docs(tmp_path, texts)
+        word_freqs: dict[str, int] = {}
+        for t in texts.values():
+            for w in t.split():
+                word_freqs[w] = word_freqs.get(w, 0) + 1
+        ref = self._seq_bpe(word_freqs, 12)
+        out = bpe_train_merges(sf, n_merges=12)
+        got = list(
+            zip(out["left"], out["right"], out["merged"], out["pair_count"])
+        )
+        assert got == ref
+
+    def test_overlapping_run_merges_every_other(self, tmp_path):
+        # 'aaaa' x3: pair (a,a) counts 9; greedy apply -> [aa, aa]
+        from quarrycore_ray.pipelines.training import bpe_train_merges
+
+        sf = _write_docs(tmp_path, {0: "aaaa aaaa aaaa"})
+        out = bpe_train_merges(sf, n_merges=2)
+        assert out.iloc[0][["left", "right", "pair_count"]].tolist() == ["a", "a", 9]
+        # after merging: every word is [aa, aa] -> pair (aa,aa) count 3
+        assert out.iloc[1][["left", "right", "pair_count"]].tolist() == ["aa", "aa", 3]
