@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE vocabulary training (iterative pair-count rounds; rows-only
         # like IVF k-means — each round depends on the last's rewrite)
         "bpe_train_merges": trn.bpe_train_merges,
+        # per-source OLS quality-vs-length trend (division-free)
+        "source_quality_regression": trn.source_quality_regression,
         # dataset construction (§3.3: sample -> chunk -> format -> export)
         "chunk_documents": dset.chunk_documents,
         "filter_docs_by_length": dset.filter_docs_by_length,
@@ -1371,6 +1373,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WHERE floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000 + 0.5) / 1000000.0
                   >= 0.6
+        """,
+        # --- per-source OLS quality-vs-length (training.py:source_quality_regression) ---
+        "source_quality_regression": f"""
+            WITH t AS (
+                SELECT source, canonical, string_split(canonical, ' ') AS words
+                FROM (SELECT source, {_CANON} AS canonical FROM documents)
+            ), s AS (
+                SELECT source,
+                    CAST(length(canonical) AS BIGINT) AS x,
+                    least(length(canonical) / 400.0, 1.0) AS ls,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        5.0 * len(list_filter(words, w -> w IN {_STOPLIST_SQL})) / len(words),
+                        1.0) END AS lgs,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        2.0 * len(list_distinct(words)) / len(words), 1.0) END AS ch
+                FROM t
+            ), q AS (
+                SELECT source, x,
+                       CAST(floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000 + 0.5)
+                            AS BIGINT) AS y
+                FROM s
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(x) AS BIGINT) AS sum_len,
+                   CAST(SUM(y) AS BIGINT) AS sum_q_micro,
+                   CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+                        - SUM(CAST(x AS HUGEINT)) * SUM(y) AS BIGINT) AS slope_num,
+                   CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+                        - SUM(CAST(x AS HUGEINT)) * SUM(x) AS BIGINT) AS slope_den
+            FROM q GROUP BY source
         """,
         "embedding_dup_pairs": """
             WITH p AS (

@@ -2415,3 +2415,99 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 20) -> pd.DataFrame:
         merges, columns=["rank", "left", "right", "merged", "pair_count"]
     )
     return out.astype({"rank": "int64", "pair_count": "int64"})
+
+
+def source_quality_regression(sf_dir: str) -> "rd.Dataset":
+    """Per-source OLS trend of quality on document length — the
+    corpus-diagnostic regression a curation run uses to see whether a
+    source's quality systematically rises or falls with length (e.g.
+    boilerplate-heavy sources trend negative). One combiner aggregate:
+    per-batch integer partial sums (n, Sx, Sy, Sxy, Sxx) per source,
+    one source-keyed groupby, then the division-free OLS pair
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+
+    with x = canonical length (chars), y = quality in exact 1e-6
+    micro-units (the same floor-rounded score as quality_score_docs).
+    All sums are int64; magnitudes stay under 2^63 for corpora below
+    ~1e5 docs/source at 50k chars (the oracle runs at the sf0.01 gate).
+
+    Output (source, n_docs, sum_len, sum_q_micro, slope_num, slope_den)
+    — all int64, bit-exact against the DuckDB twin.
+    """
+    from ..functions.textstats import quality_scores
+    from .documents import _docs as _docs_tbl
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "canonical", normalize_whitespace_array(batch["text"])
+        ).drop_columns(["text"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        batch = quality_scores(batch)
+        x = pc.utf8_length(batch["canonical"]).cast(pa.int64())
+        y = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["quality"], 1_000_000.0), 0.5)),
+            pa.int64(),
+        )
+        df = pl.DataFrame(
+            {
+                "source": pl.from_arrow(batch["source"].combine_chunks()),
+                "x": pl.from_arrow(x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x),
+                "y": pl.from_arrow(y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y),
+            }
+        )
+        out = df.group_by("source").agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("x").sum().alias("sx"),
+            pl.col("y").sum().alias("sy"),
+            (pl.col("x") * pl.col("y")).sum().alias("sxy"),
+            (pl.col("x") * pl.col("x")).sum().alias("sxx"),
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n", pa.int64()),
+                    ("sx", pa.int64()),
+                    ("sy", pa.int64()),
+                    ("sxy", pa.int64()),
+                    ("sxx", pa.int64()),
+                ]
+            )
+        )
+
+    agg = (
+        _docs_tbl(sf_dir, ["source", "text"])
+        .map_batches(_canon, batch_format="pyarrow")
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("sx", alias_name="sum_len"),
+            Sum("sy", alias_name="sum_q_micro"),
+            Sum("sxy", alias_name="t_sxy"),
+            Sum("sxx", alias_name="t_sxx"),
+        )
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_docs"], dtype=np.int64)
+        sx = np.asarray(batch["sum_len"], dtype=np.int64)
+        sy = np.asarray(batch["sum_q_micro"], dtype=np.int64)
+        sxy = np.asarray(batch["t_sxy"], dtype=np.int64)
+        sxx = np.asarray(batch["t_sxx"], dtype=np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(n, pa.int64()),
+                "sum_len": pa.array(sx, pa.int64()),
+                "sum_q_micro": pa.array(sy, pa.int64()),
+                "slope_num": pa.array(n * sxy - sx * sy, pa.int64()),
+                "slope_den": pa.array(n * sxx - sx * sx, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")

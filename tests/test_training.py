@@ -1625,3 +1625,54 @@ class TestBpeTrainer:
         assert out.iloc[0][["left", "right", "pair_count"]].tolist() == ["a", "a", 9]
         # after merging: every word is [aa, aa] -> pair (aa,aa) count 3
         assert out.iloc[1][["left", "right", "pair_count"]].tolist() == ["aa", "aa", 3]
+
+
+class TestSourceQualityRegression:
+    def test_matches_hand_ols(self, tmp_path):
+        import math
+
+        from quarrycore_ray.functions.textstats import (
+            LENGTH_FULL_SCORE_CHARS,
+            STOPWORDS_EN,
+        )
+        from quarrycore_ray.pipelines.training import source_quality_regression
+
+        texts = {
+            0: "the quick brown fox jumps over the lazy dog",
+            1: "short text",
+            2: "a a a a a a a a a a a a",
+            3: "completely different words in every position here now",
+        }
+        sf = _write_docs(
+            tmp_path, texts, sources={0: "s1", 1: "s1", 2: "s2", 3: "s2"}
+        )
+        out = (
+            source_quality_regression(sf)
+            .to_pandas()
+            .set_index("source")
+            .sort_index()
+        )
+
+        stop = set(STOPWORDS_EN)
+
+        def q_micro(t):
+            words = t.split(" ")
+            n = len(words)
+            ls = min(len(t) / LENGTH_FULL_SCORE_CHARS, 1.0)
+            lgs = min(5.0 * sum(1 for w in words if w in stop) / n, 1.0)
+            ch = min(2.0 * len(set(words)) / n, 1.0)
+            return int(math.floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1e6 + 0.5))
+
+        for src, ids in {"s1": [0, 1], "s2": [2, 3]}.items():
+            xs = [len(texts[i]) for i in ids]
+            ys = [q_micro(texts[i]) for i in ids]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            row = out.loc[src]
+            assert row["n_docs"] == n
+            assert row["sum_len"] == sx
+            assert row["sum_q_micro"] == sy
+            assert row["slope_num"] == n * sxy - sx * sy
+            assert row["slope_den"] == n * sxx - sx * sx
