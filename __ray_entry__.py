@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components_docs": grf.link_components_docs,
         # Zipf rank-frequency profile (exact integer regression)
         "zipf_profile_docs": trn.zipf_profile_docs,
+        # JL sign projection (md5-derived signs, int64-exact matmul)
+        "random_projection_embeddings": similarity.random_projection_embeddings,
         # BPE vocabulary training (iterative pair-count rounds; rows-only
         # like IVF k-means — each round depends on the last's rewrite)
         "bpe_train_merges": trn.bpe_train_merges,
@@ -733,6 +735,9 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.pipelines.graph import (
         components_oracle_sql as _components_oracle_sql,
         pagerank_oracle_sql as _pagerank_oracle_sql,
+    )
+    from quarrycore_ray.functions.similarity import (
+        random_projection_oracle_sql as _rp_oracle_sql,
     )
 
     _bigram_sql = f"""
@@ -3750,4 +3755,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_pagerank_docs": _pagerank_oracle_sql(),
         "link_components_docs": _components_oracle_sql(),
+        "random_projection_embeddings": _rp_oracle_sql(),
     }

@@ -878,3 +878,79 @@ def ann_recall_eval(
         6,
     )
     return out.sort_values("q_id").reset_index(drop=True)
+
+
+_RP_SIGN_CACHE: dict = {}
+
+
+def _rp_signs(dim: int, k: int) -> np.ndarray:
+    """Deterministic ±1 sign matrix (dim x k): sign(d, j) = +1 iff the
+    first hex nibble of md5(f"{d}:{j}") is even — reproducible in
+    DuckDB as CAST('0x' || substring(md5(d || ':' || j), 1, 1) AS INT) % 2."""
+    key = (dim, k)
+    if key not in _RP_SIGN_CACHE:
+        import hashlib
+
+        s = np.empty((dim, k), dtype=np.int64)
+        for d in range(dim):
+            for j in range(k):
+                nib = int(hashlib.md5(f"{d}:{j}".encode()).hexdigest()[0], 16)
+                s[d, j] = 1 if nib % 2 == 0 else -1
+        _RP_SIGN_CACHE[key] = s
+    return _RP_SIGN_CACHE[key]
+
+
+def random_projection_embeddings(sf_dir: str, k: int = 8) -> "rd.Dataset":
+    """Johnson–Lindenstrauss sign projection (Achlioptas 2003, JCSS
+    66(4) — the database-friendly ±1 variant): project each embedding
+    to `k` dimensions with a deterministic md5-derived sign matrix.
+    The dimensionality-reduction pass a 100 TB pipeline runs before
+    brute-force candidate scoring or index build; distance distortion
+    is bounded by the JL lemma while the projected table is dim/k times
+    smaller on the wire.
+
+    Exactness: components are micro-unit quantized BEFORE the matmul
+    (floor(x*1e6+0.5), the ann_lsh convention) and the projection is an
+    int64 matmul, so (vec_id, p0..p{k-1}) is bit-exact against the
+    DuckDB twin that recomputes the same signs from md5. Stateless
+    map_batches; the sign matrix is a module-level cache, built once
+    per worker."""
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        xm = _quantize_u(emb)
+        s = _rp_signs(xm.shape[1], k)
+        p = xm @ s
+        cols: dict = {"vec_id": pa.array(ids, pa.int64())}
+        for j in range(k):
+            cols[f"p{j}"] = pa.array(p[:, j], pa.int64())
+        return pa.table(cols)
+
+    return _embeddings(sf_dir).map_batches(_proj, batch_format="pyarrow")
+
+
+def random_projection_oracle_sql(k: int = 8) -> str:
+    """DuckDB twin of `random_projection_embeddings`."""
+    sign = (
+        "CASE WHEN CAST(('0x' || substring(md5(CAST(di - 1 AS VARCHAR) "
+        "|| ':' || '{j}'), 1, 1)) AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    cols = ",\n               ".join(
+        f"CAST(SUM(xm * {sign.format(j=j)}) AS BIGINT) AS p{j}"
+        for j in range(k)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, di,
+                   CAST(floor(CAST(embedding[di] AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS xm
+            FROM (
+                SELECT vec_id, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS di
+                FROM embeddings
+            )
+        )
+        SELECT vec_id,
+               {cols}
+        FROM e GROUP BY vec_id
+    """

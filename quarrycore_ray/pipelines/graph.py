@@ -141,7 +141,8 @@ def _pagerank(
         )
         return out.to_arrow().cast(_RANK_SCHEMA)
 
-    base = ds_ids.map_batches(_base, batch_format="pyarrow")
+    # materialized once — unioned into every round's reduce
+    base = ds_ids.map_batches(_base, batch_format="pyarrow").materialize()
     ranks = ds_ids.map_batches(_init, batch_format="pyarrow")
     for _ in range(iters):
         attached = attach_lookup(
@@ -166,6 +167,16 @@ def link_pagerank_docs(sf_dir: str, iters: int = PR_ITERS) -> "rd.Dataset":
     units plus in-degree over the deterministic link graph."""
     ds_ids = _docs_ids(sf_dir)
     n = ds_ids.count()
+    if n == 0:  # empty corpus: no nodes, no edges — typed empty result
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("in_degree", pa.int64()),
+                    ("pagerank_fx", pa.int64()),
+                ]
+            ).empty_table()
+        )
     edges = link_edges(ds_ids, n)
 
     def _ones(batch: pa.Table) -> pa.Table:
@@ -245,6 +256,16 @@ def link_components_docs(sf_dir: str) -> "rd.Dataset":
 
     ds_ids = _docs_ids(sf_dir)
     n = ds_ids.count()
+    if n == 0:  # empty corpus: typed empty result
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("component_id", pa.int64()),
+                    ("component_size", pa.int64()),
+                ]
+            ).empty_table()
+        )
     edges = link_edges(ds_ids, n)
 
     _PAD = 20  # int64 max is 19 digits

@@ -2166,6 +2166,15 @@ def zipf_profile_docs(sf_dir: str, n_top: int = 100) -> pd.DataFrame:
     )
 
     def _scalars(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            # empty corpus: aggregate tail emits schemaless empty blocks
+            return pa.table(
+                {
+                    "tt": pa.array([0], pa.int64()),
+                    "dt": pa.array([0], pa.int64()),
+                    "hx": pa.array([0], pa.int64()),
+                }
+            )
         n = np.asarray(batch["n"], dtype=np.int64)
         return pa.table(
             {
@@ -2176,6 +2185,10 @@ def zipf_profile_docs(sf_dir: str, n_top: int = 100) -> pd.DataFrame:
         )
 
     def _topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return pa.schema(
+                [("token", pa.string()), ("n", pa.int64())]
+            ).empty_table()
         df = pl.from_arrow(batch.select(["token", "n"]))
         return (
             df.sort(["n", "token"], descending=[True, False])
@@ -2185,14 +2198,15 @@ def zipf_profile_docs(sf_dir: str, n_top: int = 100) -> pd.DataFrame:
         )
 
     sc = counts.map_batches(_scalars, batch_format="pyarrow").to_pandas()
-    total_tokens = int(sc["tt"].sum())
-    distinct_tokens = int(sc["dt"].sum())
-    hapax_count = int(sc["hx"].sum())
+    total_tokens = int(sc["tt"].sum()) if "tt" in sc.columns else 0
+    distinct_tokens = int(sc["dt"].sum()) if "dt" in sc.columns else 0
+    hapax_count = int(sc["hx"].sum()) if "hx" in sc.columns else 0
 
+    top = counts.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    if "n" not in top.columns:
+        top = pd.DataFrame({"token": [], "n": []})
     top = (
-        counts.map_batches(_topk, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["n", "token"], ascending=[False, True])
+        top.sort_values(["n", "token"], ascending=[False, True])
         .head(n_top)
         .reset_index(drop=True)
     )

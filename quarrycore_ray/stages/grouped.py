@@ -175,22 +175,63 @@ def attach_lookup(
     lookup = lookup.materialize()
     n_lookup = lookup.count()
     if n_lookup <= broadcast_limit:
+        key_type = left_schema.field(key_cols[0]).type
+        lut_schema = pa.schema([("_jk", key_type), ("_lv", value_type)])
         if n_lookup == 0:
             # an empty lookup has no schema — every left key misses
-            lut = {}
+            ref = ray.put(lut_schema.empty_table())
         else:
-            lut_df = lookup.select_columns([lookup_key, value_col]).to_pandas()
-            lut = dict(zip(lut_df[lookup_key], lut_df[value_col]))
-        ref = ray.put(lut)
+            # assemble the broadcast table INSIDE a task (one zero-copy
+            # Arrow table in the object store; nothing payload-sized on
+            # the driver). Duplicate keys keep the last occurrence —
+            # the dict(zip(...)) semantics this path always had.
+            @ray.remote(num_returns=1)
+            def _build(*tbls) -> pa.Table:
+                import polars as pl
+
+                # blocks arrive as Arrow tables or pandas frames
+                # depending on the upstream stage's batch format
+                parts = [
+                    t if isinstance(t, pa.Table)
+                    else pa.Table.from_pandas(t, preserve_index=False)
+                    for t in tbls
+                ]
+                parts = [
+                    t.rename_columns(["_jk", "_lv"]).cast(lut_schema)
+                    for t in parts
+                    if t.num_rows
+                ]
+                cat = pa.concat_tables(parts)
+                return (
+                    pl.from_arrow(cat)
+                    .unique("_jk", keep="last", maintain_order=True)
+                    .to_arrow()
+                    .cast(lut_schema)
+                )
+
+            ref = _build.remote(
+                *lookup.select_columns([lookup_key, value_col]).to_arrow_refs()
+            )
 
         def _attach(batch: pa.Table) -> pa.Table:
-            lut = ray.get(ref)
+            import polars as pl
+
+            lut = pl.from_arrow(ray.get(ref))
+            df = pl.from_arrow(batch).with_row_index("_ri")
             for key_col, out_name in zip(key_cols, out_names):
-                vals = [lut.get(k) for k in batch[key_col].to_pylist()]
-                batch = batch.append_column(
-                    out_name, pa.array(vals, value_type)
+                df = df.join(
+                    lut.rename({"_jk": key_col, "_lv": out_name}),
+                    on=key_col,
+                    how="left",
                 )
-            return batch
+            out = df.sort("_ri").drop("_ri").to_arrow()
+            # polars may emit large_string/large_list — cast back to the
+            # input batch's exact types (+ the appended value columns)
+            schema = pa.schema(
+                list(batch.schema)
+                + [pa.field(n, value_type) for n in out_names]
+            )
+            return out.cast(schema)
 
         return left.map_batches(_attach, batch_format="pyarrow")
 

@@ -564,3 +564,51 @@ class TestLangConfusionMatrix:
         t, p, n = spot.iloc[0]["lang"], spot.iloc[0]["pred_lang"], spot.iloc[0]["n"]
         cell = out[(out["true_lang"] == t) & (out["pred_lang"] == p)]
         assert int(cell["n"].iloc[0]) == int(n)
+
+
+class TestRandomProjection:
+    def test_signs_and_projection_match_hand(self, tmp_path):
+        import hashlib
+        import math
+
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.functions.similarity import (
+            random_projection_embeddings,
+        )
+
+        vecs = {
+            0: [0.5, -0.25, 1.0],
+            1: [0.0, 0.000001, -0.000001],
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(sorted(vecs), pa.int64()),
+                    "embedding": pa.array(
+                        [vecs[i] for i in sorted(vecs)], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0, 1], pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        out = (
+            random_projection_embeddings(str(tmp_path), k=4)
+            .to_pandas()
+            .set_index("vec_id")
+        )
+
+        def sign(d, j):
+            nib = int(hashlib.md5(f"{d}:{j}".encode()).hexdigest()[0], 16)
+            return 1 if nib % 2 == 0 else -1
+
+        import numpy as np
+
+        for vid, v in vecs.items():
+            xm = [
+                int(math.floor(float(np.float32(x)) * 1e6 + 0.5)) for x in v
+            ]
+            for j in range(4):
+                want = sum(xm[d] * sign(d, j) for d in range(3))
+                assert out.loc[vid, f"p{j}"] == want, (vid, j)
