@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": trn.token_budget_sample,
         # link-graph weakly-connected components (BSP min-label)
         "link_components_docs": grf.link_components_docs,
+        # link-graph degree assortativity (exact integer moments)
+        "link_assortativity_docs": grf.link_assortativity_docs,
         # Zipf rank-frequency profile (exact integer regression)
         "zipf_profile_docs": trn.zipf_profile_docs,
         # JL sign projection (md5-derived signs, int64-exact matmul)
@@ -733,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
 
     from quarrycore_ray import sqlgen
     from quarrycore_ray.pipelines.graph import (
+        assortativity_oracle_sql as _assort_oracle_sql,
         components_oracle_sql as _components_oracle_sql,
         pagerank_oracle_sql as _pagerank_oracle_sql,
     )
@@ -3756,4 +3759,5 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank_docs": _pagerank_oracle_sql(),
         "link_components_docs": _components_oracle_sql(),
         "random_projection_embeddings": _rp_oracle_sql(),
+        "link_assortativity_docs": _assort_oracle_sql(),
     }

@@ -198,6 +198,10 @@ def run_bench() -> dict:
     timed("shard_docs_deterministic", trn.shard_docs_deterministic)
     timed("setsim_join_docs", docs.setsim_join_docs)
     timed("link_pagerank_docs", grf.link_pagerank_docs)
+    timed("events_window_dedup", rel.events_window_dedup)
+    timed("zipf_profile_docs", trn.zipf_profile_docs)
+    timed("source_quality_regression", trn.source_quality_regression)
+    timed("random_projection_embeddings", similarity.random_projection_embeddings)
 
     ray.shutdown()
     return {

@@ -428,3 +428,136 @@ def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
         LEFT JOIN ideg ON ideg.node = nd.node"""
     )
     return "\n".join(parts)
+
+
+def link_assortativity_docs(sf_dir: str) -> "rd.Dataset":
+    """One-row degree-assortativity profile of the link graph: the
+    second-moment sums of (out-degree of src, in-degree of dst) over
+    every edge — the graph-health diagnostic (Newman 2002, PRL 89) a
+    crawl-curation run uses to spot hub-dominated link farms. The
+    Pearson correlation is kept division-free as exact integer moments:
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Output (n_edges, sxy_num, varx_num, vary_num) — all int64; the
+    consumer takes one final sqrt. Scale shape: in-degree is one
+    hash-partitioned count; one broadcast/partitioned attach puts it on
+    the edges; the moments are a per-batch integer combiner + driver
+    fold of O(blocks) rows.
+    """
+    ds_ids = _docs_ids(sf_dir)
+    n = ds_ids.count()
+    out_schema = pa.schema(
+        [
+            ("n_edges", pa.int64()),
+            ("sxy_num", pa.int64()),
+            ("varx_num", pa.int64()),
+            ("vary_num", pa.int64()),
+        ]
+    )
+    if n == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    edges = link_edges(ds_ids, n).materialize()
+
+    def _ones(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "c": pa.array(np.ones(m, dtype=np.int64)),
+            }
+        )
+
+    def _count(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("node")
+            .agg(pl.col("c").sum().alias("ind"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("ind", pa.int64())])
+        )
+
+    indeg = partitioned_group_map(
+        edges.map_batches(_ones, batch_format="pyarrow"), "node", _count,
+        arrow=True,
+    )
+    with_ind = attach_lookup(
+        edges, _EDGE_SCHEMA, ["dst"], indeg, "node", "ind", pa.int64(), ["ind"]
+    )
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["odeg"], dtype=np.int64)
+        # a dst with no in-edge cannot appear here (it IS an in-edge
+        # target), and in-degree was counted over edges themselves, so
+        # the attached column is never null
+        y = np.asarray(batch["ind"], dtype=np.int64)
+        return pa.table(
+            {
+                "m": pa.array([batch.num_rows], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = with_ind.map_batches(_moments, batch_format="pyarrow").to_pandas()
+    m = int(parts["m"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy, sxx, syy = (
+        int(parts["sxy"].sum()),
+        int(parts["sxx"].sum()),
+        int(parts["syy"].sum()),
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([m], pa.int64()),
+                "sxy_num": pa.array([m * sxy - sx * sy], pa.int64()),
+                "varx_num": pa.array([m * sxx - sx * sx], pa.int64()),
+                "vary_num": pa.array([m * syy - sy * sy], pa.int64()),
+            }
+        ).cast(out_schema)
+    )
+
+
+def assortativity_oracle_sql() -> str:
+    """DuckDB twin of `link_assortativity_docs`."""
+    return """
+        WITH nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS odeg
+            FROM (
+                SELECT DISTINCT d.doc_id AS src,
+                       (d.doc_id * 31 + j.j * 17 + 1) % (SELECT c FROM nn) AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+                WHERE j.j <= d.doc_id % 3
+            )
+        ),
+        ideg AS MATERIALIZED (
+            SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS ind
+            FROM edges GROUP BY dst
+        ),
+        xy AS (
+            SELECT e.odeg AS x, i.ind AS y
+            FROM edges e JOIN ideg i ON i.node = e.dst
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
+            FROM xy
+        )
+        SELECT m AS n_edges,
+               CAST(m * sxy - sx * sy AS BIGINT) AS sxy_num,
+               CAST(m * sxx - sx * sx AS BIGINT) AS varx_num,
+               CAST(m * syy - sy * sy AS BIGINT) AS vary_num
+        FROM agg
+    """

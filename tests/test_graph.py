@@ -152,3 +152,45 @@ class TestPagerank:
         assert eng["pagerank_fx"].tolist() == ora["pagerank_fx"].tolist()
         assert eng["in_degree"].tolist() == ora["in_degree"].tolist()
         assert str(eng["pagerank_fx"].dtype) == str(ora["pagerank_fx"].dtype)
+
+
+class TestAssortativity:
+    def test_matches_hand_moments(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_assortativity_docs
+
+        ids = list(range(19))
+        sf = _write_ids(tmp_path, ids)
+        n = len(ids)
+        edges = {(d, (d * 31 + j * 17 + 1) % n) for d in ids for j in range(d % 3 + 1)}
+        odeg = Counter(s for s, _ in edges)
+        indeg = Counter(t for _, t in edges)
+        xs = [odeg[s] for s, t in sorted(edges)]
+        ys = [indeg[t] for s, t in sorted(edges)]
+        m = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        out = link_assortativity_docs(sf).to_pandas().iloc[0]
+        assert out["n_edges"] == m
+        assert out["sxy_num"] == m * sxy - sx * sy
+        assert out["varx_num"] == m * sxx - sx * sx
+        assert out["vary_num"] == m * syy - sy * sy
+
+    def test_oracle_matches_engine(self, tmp_path):
+        import duckdb
+
+        from quarrycore_ray.pipelines.graph import (
+            assortativity_oracle_sql,
+            link_assortativity_docs,
+        )
+
+        sf = _write_ids(tmp_path, list(range(31)))
+        eng = link_assortativity_docs(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        ora = con.execute(assortativity_oracle_sql()).fetchdf()
+        for c in ["n_edges", "sxy_num", "varx_num", "vary_num"]:
+            assert eng[c].tolist() == ora[c].tolist(), c
