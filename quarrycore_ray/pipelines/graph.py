@@ -561,3 +561,195 @@ def assortativity_oracle_sql() -> str:
                CAST(m * syy - sy * sy AS BIGINT) AS vary_num
         FROM agg
     """
+
+
+HITS_SCALE = 10**6
+HITS_ITERS = 3
+
+
+def link_hits_docs(sf_dir: str, iters: int = HITS_ITERS) -> "rd.Dataset":
+    """(doc_id, hub_fx, auth_fx): HITS hubs-and-authorities (Kleinberg
+    1999, JACM 46(5)) over the deterministic link graph, in exact
+    fixed-point integers. Each round:
+
+        a(v) = sum_{u->v} h(u),  then a <- a * 1e6 // max(a)
+        h(u) = sum_{u->v} a(v),  then h <- h * 1e6 // max(h)
+
+    Max-normalization (the standard bound-keeping variant) uses integer
+    floor division, so every round is bit-deterministic across block
+    layouts and matches the oracle's unrolled CTE chain exactly.
+    Phantom targets (`% n` values that are not doc_ids) carry authority
+    mass and feed hub scores, on both sides identically; only the final
+    output is restricted to real docs (auth 0 for docs nobody links).
+
+    Scale shape: per round, two broadcast/partitioned attaches and two
+    hash-partitioned sums over score tables of 2 int64s per node; the
+    max is a per-batch combiner + driver scalar. Edges materialized
+    once.
+    """
+    ds_ids = _docs_ids(sf_dir)
+    n = ds_ids.count()
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("hub_fx", pa.int64()), ("auth_fx", pa.int64())]
+    )
+    if n == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    edges = link_edges(ds_ids, n).materialize()
+    _SCORE = pa.schema([("node", pa.int64()), ("v", pa.int64())])
+
+    def _init(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["doc_id"].cast(pa.int64()),
+                "v": pa.array(np.full(m, HITS_SCALE, dtype=np.int64)),
+            }
+        ).cast(_SCORE)
+
+    def _sum_by(key_out: str):
+        def _reduce(tb: pa.Table) -> pa.Table:
+            import polars as pl
+
+            out = (
+                pl.from_arrow(tb)
+                .group_by("node")
+                .agg(pl.col("v").sum())
+            )
+            return out.to_arrow().cast(_SCORE)
+
+        return _reduce
+
+    def _normalize(ds: "rd.Dataset") -> "rd.Dataset":
+        ds = ds.materialize()
+        mx = int(ds.max("v"))
+
+        def _scale(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch["v"], dtype=np.int64)
+            return pa.table(
+                {"node": batch["node"], "v": pa.array(v * HITS_SCALE // mx)}
+            ).cast(_SCORE)
+
+        return ds.map_batches(_scale, batch_format="pyarrow")
+
+    hubs = ds_ids.map_batches(_init, batch_format="pyarrow")
+    auths = None
+    for _ in range(iters):
+        eh = attach_lookup(
+            edges, _EDGE_SCHEMA, ["src"], hubs, "node", "v", pa.int64(), ["hs"]
+        )
+
+        def _to_dst(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": batch["dst"], "v": batch["hs"].cast(pa.int64())}
+            ).cast(_SCORE)
+
+        auths = _normalize(
+            partitioned_group_map(
+                eh.map_batches(_to_dst, batch_format="pyarrow"),
+                "node",
+                _sum_by("dst"),
+                arrow=True,
+            )
+        )
+        ea = attach_lookup(
+            edges, _EDGE_SCHEMA, ["dst"], auths, "node", "v", pa.int64(), ["as_"]
+        )
+
+        def _to_src(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": batch["src"], "v": batch["as_"].cast(pa.int64())}
+            ).cast(_SCORE)
+
+        hubs = _normalize(
+            partitioned_group_map(
+                ea.map_batches(_to_src, batch_format="pyarrow"),
+                "node",
+                _sum_by("src"),
+                arrow=True,
+            )
+        )
+
+    hubs_final = hubs  # covers every real doc (out-degree >= 1)
+    _H = pa.schema([("node", pa.int64()), ("hub_fx", pa.int64())])
+
+    def _rename_h(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch["node"], "hub_fx": batch["v"]}
+        ).cast(_H)
+
+    out = attach_lookup(
+        hubs_final.map_batches(_rename_h, batch_format="pyarrow"),
+        _H,
+        ["node"],
+        auths,
+        "node",
+        "v",
+        pa.int64(),
+        ["auth_fx"],
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        auth = batch["auth_fx"]
+        auth = pc.fill_null(auth, 0)
+        return pa.table(
+            {
+                "doc_id": batch["node"],
+                "hub_fx": batch["hub_fx"],
+                "auth_fx": auth.cast(pa.int64()),
+            }
+        ).cast(out_schema)
+
+    import pyarrow.compute as pc
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+def hits_oracle_sql(iters: int = HITS_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of `link_hits_docs`."""
+    s = HITS_SCALE
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),",
+        "nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),",
+        """edges AS MATERIALIZED (
+            SELECT DISTINCT d.doc_id AS src,
+                   (d.doc_id * 31 + j.j * 17 + 1) % (SELECT c FROM nn) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+            WHERE j.j <= d.doc_id % 3
+        ),""",
+        f"h0 AS (SELECT node, CAST({s} AS BIGINT) AS v FROM nodes),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""ar{t} AS MATERIALIZED (
+            SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS v
+            FROM edges e JOIN h{t - 1} h ON h.node = e.src
+            GROUP BY e.dst
+        ),
+        a{t} AS MATERIALIZED (
+            SELECT node,
+                   CAST(v AS BIGINT) * {s} // (SELECT MAX(v) FROM ar{t}) AS v
+            FROM ar{t}
+        ),
+        hr{t} AS MATERIALIZED (
+            SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS v
+            FROM edges e JOIN a{t} a ON a.node = e.dst
+            GROUP BY e.src
+        ),
+        h{t} AS MATERIALIZED (
+            SELECT node,
+                   CAST(v AS BIGINT) * {s} // (SELECT MAX(v) FROM hr{t}) AS v
+            FROM hr{t}
+        ),"""
+        )
+    parts.append(
+        f"""fin AS (
+            SELECT h.node AS doc_id,
+                   CAST(h.v AS BIGINT) AS hub_fx,
+                   CAST(COALESCE(a.v, 0) AS BIGINT) AS auth_fx
+            FROM h{iters} h LEFT JOIN a{iters} a ON a.node = h.node
+        )
+        SELECT f.doc_id, f.hub_fx, f.auth_fx
+        FROM fin f JOIN nodes nd ON nd.node = f.doc_id"""
+    )
+    return "\n".join(parts)
