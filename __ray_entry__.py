@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components_docs": grf.link_components_docs,
         # link-graph degree assortativity (exact integer moments)
         "link_assortativity_docs": grf.link_assortativity_docs,
+        # HITS hubs/authorities (max-normalized, exact fixed-point)
+        "link_hits_docs": grf.link_hits_docs,
         # Zipf rank-frequency profile (exact integer regression)
         "zipf_profile_docs": trn.zipf_profile_docs,
         # JL sign projection (md5-derived signs, int64-exact matmul)
@@ -737,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.pipelines.graph import (
         assortativity_oracle_sql as _assort_oracle_sql,
         components_oracle_sql as _components_oracle_sql,
+        hits_oracle_sql as _hits_oracle_sql,
         pagerank_oracle_sql as _pagerank_oracle_sql,
     )
     from quarrycore_ray.functions.similarity import (
@@ -3760,4 +3763,5 @@ def oracle_sql() -> dict[str, str]:
         "link_components_docs": _components_oracle_sql(),
         "random_projection_embeddings": _rp_oracle_sql(),
         "link_assortativity_docs": _assort_oracle_sql(),
+        "link_hits_docs": _hits_oracle_sql(),
     }

@@ -194,3 +194,55 @@ class TestAssortativity:
         ora = con.execute(assortativity_oracle_sql()).fetchdf()
         for c in ["n_edges", "sxy_num", "varx_num", "vary_num"]:
             assert eng[c].tolist() == ora[c].tolist(), c
+
+
+class TestHits:
+    @staticmethod
+    def _seq_hits(ids, iters=3):
+        from quarrycore_ray.pipelines.graph import HITS_SCALE
+
+        n = len(ids)
+        edges = {(d, (d * 31 + j * 17 + 1) % n) for d in ids for j in range(d % 3 + 1)}
+        h = {d: HITS_SCALE for d in ids}
+        a = {}
+        for _ in range(iters):
+            a = {}
+            for u, v in edges:
+                a[v] = a.get(v, 0) + h.get(u, 0)
+            amax = max(a.values())
+            a = {k: v * HITS_SCALE // amax for k, v in a.items()}
+            h = {}
+            for u, v in edges:
+                h[u] = h.get(u, 0) + a.get(v, 0)
+            hmax = max(h.values())
+            h = {k: v * HITS_SCALE // hmax for k, v in h.items()}
+        return h, a
+
+    def test_matches_sequential_reference(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_hits_docs
+
+        ids = list(range(29))
+        sf = _write_ids(tmp_path, ids)
+        out = link_hits_docs(sf).to_pandas().set_index("doc_id")
+        h, a = self._seq_hits(ids)
+        assert sorted(out.index) == ids
+        for d in ids:
+            assert out.loc[d, "hub_fx"] == h[d], d
+            assert out.loc[d, "auth_fx"] == a.get(d, 0), d
+
+    def test_oracle_matches_engine(self, tmp_path):
+        import duckdb
+
+        from quarrycore_ray.pipelines.graph import hits_oracle_sql, link_hits_docs
+
+        sf = _write_ids(tmp_path, list(range(41)))
+        eng = (
+            link_hits_docs(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        ora = con.execute(hits_oracle_sql() + " ORDER BY doc_id").fetchdf()
+        assert eng["hub_fx"].tolist() == ora["hub_fx"].tolist()
+        assert eng["auth_fx"].tolist() == ora["auth_fx"].tolist()
