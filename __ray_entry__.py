@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_assortativity_docs": grf.link_assortativity_docs,
         # HITS hubs/authorities (max-normalized, exact fixed-point)
         "link_hits_docs": grf.link_hits_docs,
+        # hybrid BM25 + vector retrieval with reciprocal-rank fusion
+        "hybrid_search_docs": docs.hybrid_search_docs,
         # Zipf rank-frequency profile (exact integer regression)
         "zipf_profile_docs": trn.zipf_profile_docs,
         # JL sign projection (md5-derived signs, int64-exact matmul)
@@ -745,6 +747,77 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.functions.similarity import (
         random_projection_oracle_sql as _rp_oracle_sql,
     )
+
+    def _hybrid_search_sql() -> str:
+        # mirrors pipelines/documents.py:hybrid_search_docs term by term
+        from quarrycore_ray.pipelines.documents import HS_RRF_K, HS_TERMS, HS_TOP_N
+
+        tf_cols = ",\n                   ".join(
+            f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+            for i, t in enumerate(HS_TERMS)
+        )
+        df_cols = ",\n                   ".join(
+            f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+            for i in range(len(HS_TERMS))
+        )
+        contribs = "\n                 + ".join(
+            f"""(CASE WHEN s.tf{i} > 0 THEN CAST(floor(
+                     (ln((g.n - g.df{i} + 0.5) / (g.df{i} + 0.5) + 1.0)
+                      * ((s.tf{i} * 2.2)
+                         / (s.tf{i} + 1.2 * (0.25 + 0.75 * ((s.dl * g.n) / g.total)))))
+                     * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)"""
+            for i in range(len(HS_TERMS))
+        )
+        return f"""
+            WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
+            t AS (SELECT doc_id, string_split(canonical, ' ') AS toks FROM c),
+            stats AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                   {tf_cols}
+                FROM t
+            ),
+            g AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS total,
+                   {df_cols}
+                FROM stats
+            ),
+            lex AS (
+                SELECT s.doc_id,
+                       {contribs} AS lex_micro
+                FROM stats s, g
+            ),
+            ltop AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY lex_micro DESC, doc_id)
+                            AS BIGINT) AS lr
+                FROM lex ORDER BY lex_micro DESC, doc_id LIMIT {HS_TOP_N}
+            ),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id = 0),
+            sem AS (
+                SELECT e.vec_id AS doc_id,
+                       list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[]))
+                           AS cos
+                FROM embeddings e, q
+            ),
+            stp AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                            AS BIGINT) AS sr
+                FROM sem ORDER BY cos DESC, doc_id LIMIT {HS_TOP_N}
+            )
+            SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                   CAST(COALESCE(l.lr, 0) AS BIGINT) AS lex_rank,
+                   CAST(COALESCE(s.sr, 0) AS BIGINT) AS sem_rank,
+                   CAST((CASE WHEN l.lr IS NULL THEN 0
+                              ELSE 1000000 // ({HS_RRF_K} + l.lr) END)
+                      + (CASE WHEN s.sr IS NULL THEN 0
+                              ELSE 1000000 // ({HS_RRF_K} + s.sr) END)
+                        AS BIGINT) AS fused_micro
+            FROM ltop l FULL OUTER JOIN stp s ON s.doc_id = l.doc_id
+            ORDER BY fused_micro DESC, COALESCE(l.doc_id, s.doc_id) LIMIT 20
+        """
 
     _bigram_sql = f"""
             WITH c AS (SELECT doc_id, {_CANON} AS canonical FROM documents),
@@ -3764,4 +3837,5 @@ def oracle_sql() -> dict[str, str]:
         "random_projection_embeddings": _rp_oracle_sql(),
         "link_assortativity_docs": _assort_oracle_sql(),
         "link_hits_docs": _hits_oracle_sql(),
+        "hybrid_search_docs": _hybrid_search_sql(),
     }

@@ -3378,3 +3378,176 @@ def lang_confusion_matrix(sf_dir: str) -> pd.DataFrame:
         .sort_values(["true_lang", "pred_lang"])
         .reset_index(drop=True)
     )
+
+
+# --- hybrid lexical + vector retrieval ----------------------------------------
+
+HS_TERMS = ("table", "scan", "merge")
+HS_TOP_N = 100
+HS_RRF_K = 60
+
+
+def hybrid_search_docs(
+    sf_dir: str,
+    terms: tuple[str, ...] = HS_TERMS,
+    top_n: int = HS_TOP_N,
+    k: int = 20,
+) -> pd.DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the RAG-serving
+    query shape (BM25 lexical + embedding cosine, RRF fusion; Cormack,
+    Clarke & Buettcher, SIGIR 2009) over the documents + embeddings
+    tables joined on id. The reference exposes lexical search through
+    SQLite FTS5 and vector search through FAISS
+    (storage/sqlite_manager.py FTS schema, deduplicator/semantic_dedup
+    .py:377); this composes both sides with the standard fusion rule.
+
+    Lexical: BM25 (k1=1.2, b=0.75) over whitespace tokens of canonical
+    text for a fixed deterministic query-term list; per-term
+    contributions are floored to integer micro-units and summed as
+    ints, with the IEEE sequence mirrored verbatim in the oracle.
+    Vector: cosine vs the vec_id=0 embedding (the knn_cosine pattern).
+    Fusion: RRF over the two top-`top_n` lists with integer
+    floor(1e6/(60+rank)) contributions — all-integer output.
+
+    Scale shape: one stats pass over the corpus (dl + per-term tf,
+    emitted as a compact int table), driver scalars (N, total length,
+    per-term df) from per-batch combiner partials, one scoring pass
+    with a per-batch top-`top_n` combiner per modality — only
+    O(top_n x blocks) rows ever reach the driver. Output
+    (doc_id, lex_rank, sem_rank, fused_micro), ranks 0 when the doc is
+    outside that modality's top list.
+    """
+    import math
+
+    import polars as pl
+
+    from ..functions.similarity import _normalize, _to_matrix
+
+    k1, b = 1.2, 0.75
+    nt = len(terms)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "canonical"])).with_columns(
+            pl.col("canonical").str.split(" ").alias("toks")
+        )
+        cols = [
+            pl.col("doc_id"),
+            pl.col("toks").list.len().cast(pl.Int64).alias("dl"),
+        ]
+        for i, t in enumerate(terms):
+            cols.append(
+                pl.col("toks").list.count_matches(t).cast(pl.Int64).alias(f"tf{i}")
+            )
+        out = df.select(cols)
+        return out.to_arrow().cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("dl", pa.int64())]
+                + [(f"tf{i}", pa.int64()) for i in range(nt)]
+            )
+        )
+
+    stats = canonical_docs(sf_dir).map_batches(_stats, batch_format="pyarrow")
+    stats = stats.materialize()
+
+    def _gpart(batch: pa.Table) -> pa.Table:
+        dl = np.asarray(batch["dl"], dtype=np.int64)
+        cols = {
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "total": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for i in range(nt):
+            tf = np.asarray(batch[f"tf{i}"], dtype=np.int64)
+            cols[f"df{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    g = stats.map_batches(_gpart, batch_format="pyarrow").to_pandas()
+    n_docs = int(g["n"].sum()) if "n" in g.columns else 0
+    out_cols = ["doc_id", "lex_rank", "sem_rank", "fused_micro"]
+    if n_docs == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in out_cols})
+    total_len = int(g["total"].sum())
+    dfs = [int(g[f"df{i}"].sum()) for i in range(nt)]
+    idfs = [
+        math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in dfs
+    ]
+
+    def _lex_score(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        dl = np.asarray(batch["dl"], dtype=np.int64)
+        score = np.zeros(len(ids), dtype=np.int64)
+        for i in range(nt):
+            tf = np.asarray(batch[f"tf{i}"], dtype=np.int64)
+            # IEEE sequence mirrored in the oracle SQL, term by term —
+            # literal constants (2.2, 1.2, 0.25, 0.75) on BOTH sides so
+            # no computed constant can differ by an ulp
+            tfn = (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * ((dl * n_docs) / total_len))
+            )
+            contrib = np.floor((idfs[i] * tfn) * 1_000_000.0 + 0.5).astype(np.int64)
+            score += np.where(tf > 0, contrib, 0)
+        out = (
+            pl.DataFrame({"doc_id": ids, "lex_micro": score})
+            .sort(["lex_micro", "doc_id"], descending=[True, False])
+            .head(top_n)
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("lex_micro", pa.int64())])
+        )
+
+    lex_top = (
+        stats.map_batches(_lex_score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["lex_micro", "doc_id"], ascending=[False, True])
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+
+    import ray as _ray
+    import ray.data as _rd
+
+    emb_ds = _rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = emb_ds.filter(expr="vec_id == 0").to_pandas()
+    sem_top = pd.DataFrame({"doc_id": [], "cos": []})
+    if not qdf.empty:
+        qv = _normalize(
+            np.asarray([qdf["embedding"].iloc[0]], dtype=np.float64)
+        )[0]
+        q_ref = _ray.put(qv)
+
+        def _sem_score(batch: pa.Table) -> pa.Table:
+            qv = _ray.get(q_ref)
+            ids, emb = _to_matrix(batch)
+            cos = _normalize(emb) @ qv
+            out = (
+                pl.DataFrame({"doc_id": ids, "cos": cos})
+                .sort(["cos", "doc_id"], descending=[True, False])
+                .head(top_n)
+            )
+            return out.to_arrow().cast(
+                pa.schema([("doc_id", pa.int64()), ("cos", pa.float64())])
+            )
+
+        sem_top = (
+            emb_ds.map_batches(_sem_score, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["cos", "doc_id"], ascending=[False, True])
+            .head(top_n)
+            .reset_index(drop=True)
+        )
+
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex_top["doc_id"])}
+    sem_rank = {int(d): i + 1 for i, d in enumerate(sem_top["doc_id"])}
+    fused = []
+    for d in sorted(set(lex_rank) | set(sem_rank)):
+        lr, sr = lex_rank.get(d, 0), sem_rank.get(d, 0)
+        f = (1_000_000 // (HS_RRF_K + lr) if lr else 0) + (
+            1_000_000 // (HS_RRF_K + sr) if sr else 0
+        )
+        fused.append((d, lr, sr, f))
+    out = (
+        pd.DataFrame(fused, columns=out_cols)
+        .sort_values(["fused_micro", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")

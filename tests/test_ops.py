@@ -612,3 +612,80 @@ class TestRandomProjection:
             for j in range(4):
                 want = sum(xm[d] * sign(d, j) for d in range(3))
                 assert out.loc[vid, f"p{j}"] == want, (vid, j)
+
+
+class TestHybridSearch:
+    def test_rrf_fusion_matches_hand(self, tmp_path):
+        import math
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.documents import hybrid_search_docs
+
+        texts = {
+            0: "table scan merge table",        # hits all three terms
+            1: "table only here",
+            2: "nothing relevant at all",
+            3: "merge merge merge",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(sorted(texts), pa.int64()),
+                    "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        vecs = {
+            0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0], 3: [0.5, 0.5],
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(sorted(vecs), pa.int64()),
+                    "embedding": pa.array(
+                        [vecs[i] for i in sorted(vecs)], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0] * 4, pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        out = hybrid_search_docs(str(tmp_path), k=10).set_index("doc_id")
+
+        # hand BM25 over terms (table, scan, merge)
+        toks = {d: t.split(" ") for d, t in texts.items()}
+        dls = {d: len(t) for d, t in toks.items()}
+        n, total = 4, sum(dls.values())
+        scores = {}
+        for d in texts:
+            s = 0
+            for term in ("table", "scan", "merge"):
+                tf = toks[d].count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for dd in texts if term in toks[dd])
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                tfn = (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * ((dls[d] * n) / total))
+                )
+                s += int(math.floor((idf * tfn) * 1_000_000.0 + 0.5))
+            scores[d] = s
+        lex_order = sorted(texts, key=lambda d: (-scores[d], d))
+        # semantic: cosine vs normalized vec 0
+        qv = np.array(vecs[0]) / np.linalg.norm(vecs[0])
+        cos = {
+            d: float(np.dot(np.array(v, dtype=np.float32).astype(np.float64)
+                            / np.linalg.norm(np.array(v, dtype=np.float32).astype(np.float64)), qv))
+            for d, v in vecs.items()
+        }
+        sem_order = sorted(vecs, key=lambda d: (-cos[d], d))
+        for d in texts:
+            lr = lex_order.index(d) + 1
+            sr = sem_order.index(d) + 1
+            want = 1_000_000 // (60 + lr) + 1_000_000 // (60 + sr)
+            assert out.loc[d, "fused_micro"] == want, d
+            assert out.loc[d, "lex_rank"] == lr
+            assert out.loc[d, "sem_rank"] == sr
