@@ -60,6 +60,17 @@ def _docs_ids(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def _graph_parts(n: int) -> int:
+    """Partition count for per-round score-table shuffles: the
+    CPU-proportional default is right when the table is big, but an
+    iterative round over a small score table pays the per-partition
+    dispatch cost every round — clamp so each partition holds at least
+    ~5k rows, floor 8 (n is the node count, known before the loop)."""
+    from ..stages.grouped import default_num_partitions
+
+    return max(8, min(default_num_partitions(), n // 5000 + 1))
+
+
 def link_edges(ds_ids: "rd.Dataset", n: int) -> "rd.Dataset":
     """(src, dst, odeg) with duplicate targets collapsed.
 
@@ -157,7 +168,7 @@ def _pagerank(
         )
         contribs = attached.map_batches(_contrib, batch_format="pyarrow")
         ranks = partitioned_group_map(
-            contribs.union(base), "node", _reduce, arrow=True
+            contribs.union(base), "node", _reduce, _graph_parts(n), arrow=True
         )
     return ranks
 
@@ -218,6 +229,7 @@ def link_pagerank_docs(sf_dir: str, iters: int = PR_ITERS) -> "rd.Dataset":
         ),
         "node",
         _indeg,
+        _graph_parts(n),
         arrow=True,
     )
     ranks = _pagerank(ds_ids, n, iters)
@@ -283,7 +295,10 @@ def link_components_docs(sf_dir: str) -> "rd.Dataset":
             .cast(pa.schema([("a_id", pa.string()), ("b_id", pa.string())]))
         )
 
-    labels = label_propagation(edges.map_batches(_to_str, batch_format="pyarrow"))
+    labels = label_propagation(
+        edges.map_batches(_to_str, batch_format="pyarrow"),
+        num_partitions=_graph_parts(n),
+    )
 
     def _to_int(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -336,7 +351,8 @@ def link_components_docs(sf_dir: str) -> "rd.Dataset":
         )
 
     sizes = partitioned_group_map(
-        real.select_columns(["component_id"]), "component_id", _sizes, arrow=True
+        real.select_columns(["component_id"]), "component_id", _sizes,
+        _graph_parts(n), arrow=True,
     )
     out = attach_lookup(
         real, _LBL_SCHEMA, ["component_id"], sizes, "component_id", "sz",
@@ -482,7 +498,7 @@ def link_assortativity_docs(sf_dir: str) -> "rd.Dataset":
 
     indeg = partitioned_group_map(
         edges.map_batches(_ones, batch_format="pyarrow"), "node", _count,
-        arrow=True,
+        _graph_parts(n), arrow=True,
     )
     with_ind = attach_lookup(
         edges, _EDGE_SCHEMA, ["dst"], indeg, "node", "ind", pa.int64(), ["ind"]
@@ -648,6 +664,7 @@ def link_hits_docs(sf_dir: str, iters: int = HITS_ITERS) -> "rd.Dataset":
                 eh.map_batches(_to_dst, batch_format="pyarrow"),
                 "node",
                 _sum_by("dst"),
+                _graph_parts(n),
                 arrow=True,
             )
         )
@@ -665,6 +682,7 @@ def link_hits_docs(sf_dir: str, iters: int = HITS_ITERS) -> "rd.Dataset":
                 ea.map_batches(_to_src, batch_format="pyarrow"),
                 "node",
                 _sum_by("src"),
+                _graph_parts(n),
                 arrow=True,
             )
         )
