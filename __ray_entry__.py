@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hits_docs": grf.link_hits_docs,
         # hybrid BM25 + vector retrieval with reciprocal-rank fusion
         "hybrid_search_docs": docs.hybrid_search_docs,
+        # MMR diverse re-rank over the semantic top-50 (integer greedy)
+        "mmr_rerank_docs": similarity.mmr_rerank_docs,
         # Zipf rank-frequency profile (exact integer regression)
         "zipf_profile_docs": trn.zipf_profile_docs,
         # JL sign projection (md5-derived signs, int64-exact matmul)
@@ -745,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         pagerank_oracle_sql as _pagerank_oracle_sql,
     )
     from quarrycore_ray.functions.similarity import (
+        mmr_oracle_sql as _mmr_oracle_sql,
         random_projection_oracle_sql as _rp_oracle_sql,
     )
 
@@ -3838,4 +3841,5 @@ def oracle_sql() -> dict[str, str]:
         "link_assortativity_docs": _assort_oracle_sql(),
         "link_hits_docs": _hits_oracle_sql(),
         "hybrid_search_docs": _hybrid_search_sql(),
+        "mmr_rerank_docs": _mmr_oracle_sql(),
     }

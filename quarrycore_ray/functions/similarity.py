@@ -954,3 +954,169 @@ def random_projection_oracle_sql(k: int = 8) -> str:
                {cols}
         FROM e GROUP BY vec_id
     """
+
+
+MMR_N, MMR_K = 50, 10
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10  # lambda = 0.7
+
+
+def mmr_rerank_docs(sf_dir: str, n_cand: int = MMR_N, k: int = MMR_K) -> pd.DataFrame:
+    """MMR diverse re-ranking (Carbonell & Goldstein, SIGIR 1998): from
+    the semantic top-`n_cand` for the vec_id=0 query, greedily pick `k`
+    results maximizing 7*rel - 3*max_sim_to_selected (lambda=0.7 kept
+    as integers; constant factor 10 dropped — ordering unchanged). The
+    de-duplicating re-rank step a retrieval pipeline runs so the
+    context window isn't filled with near-identical passages.
+
+    Exactness: relevance and pairwise cosines are floored to 1e-6
+    micro-units before ANY comparison, so the greedy trace is integer
+    -deterministic and the oracle (an unrolled 10-step CTE chain over
+    the same candidate set) reproduces it bit-for-bit — PROVIDED no
+    cosine sits within float rounding of a micro boundary, the same
+    caveat (and margin headroom on the driver fixtures) as
+    `semdedup_prune`.
+
+    Scale shape: candidate selection is the distributed per-batch
+    top-N combiner; everything after runs on the n_cand x n_cand
+    candidate matrix — 50 vectors — which is driver-trivial by
+    construction (a re-ranker operates on a candidate page, not the
+    corpus).
+
+    Output (rank, doc_id, rel_micro, obj_micro), rank 1..k.
+    """
+    out_cols = ["rank", "doc_id", "rel_micro", "obj_micro"]
+    emb = _embeddings(sf_dir)
+    qdf = emb.filter(expr="vec_id == 0").to_pandas()
+    if qdf.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in out_cols})
+    qv = _normalize(np.asarray([qdf["embedding"].iloc[0]], dtype=np.float64))[0]
+    q_ref = ray.put(qv)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        qv = ray.get(q_ref)
+        ids, m = _to_matrix(batch)
+        cos = _normalize(m) @ qv
+        rel = np.floor(cos * 1_000_000.0 + 0.5).astype(np.int64)
+        out = (
+            pl.DataFrame({"doc_id": ids, "rel": rel})
+            .sort(["rel", "doc_id"], descending=[True, False])
+            .head(n_cand)
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("rel", pa.int64())])
+        )
+
+    cand = (
+        emb.map_batches(_score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["rel", "doc_id"], ascending=[False, True])
+        .head(n_cand)
+        .reset_index(drop=True)
+    )
+    cand_ids = cand["doc_id"].astype(int).tolist()
+    rels = dict(zip(cand_ids, cand["rel"].astype(int)))
+
+    id_set = set(cand_ids)
+
+    def _gather(batch: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(batch)
+        keep = np.isin(ids, list(id_set))
+        if not keep.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "embedding": pa.array(list(m[keep]), pa.list_(pa.float64())),
+            }
+        )
+
+    got = emb.map_batches(_gather, batch_format="pyarrow").to_pandas()
+    mat = _normalize(
+        np.asarray(got.sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
+    )
+    order_ids = got.sort_values("vec_id")["vec_id"].astype(int).tolist()
+    idx = {d: i for i, d in enumerate(order_ids)}
+    sim_f = mat @ mat.T
+    sim = np.floor(sim_f * 1_000_000.0 + 0.5).astype(np.int64)
+
+    selected: list[tuple[int, int, int, int]] = []
+    remaining = set(cand_ids)
+    for r in range(1, min(k, len(cand_ids)) + 1):
+        best = None
+        for d in sorted(remaining):
+            ms = (
+                max(int(sim[idx[d], idx[s[1]]]) for s in selected)
+                if selected
+                else 0
+            )
+            obj = MMR_LAMBDA_NUM * rels[d] - (MMR_LAMBDA_DEN - MMR_LAMBDA_NUM) * ms
+            if best is None or obj > best[0]:
+                best = (obj, d)
+        obj, d = best
+        selected.append((r, d, rels[d], obj))
+        remaining.discard(d)
+    return pd.DataFrame(selected, columns=out_cols).astype("int64")
+
+
+def mmr_oracle_sql(n_cand: int = MMR_N, k: int = MMR_K) -> str:
+    """Unrolled greedy-CTE DuckDB twin of `mmr_rerank_docs`."""
+    lam, rest = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    parts = [
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id = 0),""",
+        f"""cand AS MATERIALIZED (
+            SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+                   CAST(floor(list_cosine_similarity(
+                        q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000.0 + 0.5)
+                        AS BIGINT) AS rel
+            FROM embeddings e, q
+            ORDER BY rel DESC, id LIMIT {n_cand}
+        ),""",
+        """sim AS MATERIALIZED (
+            SELECT a.id AS ai, b.id AS bi,
+                   CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+                        AS BIGINT) AS s
+            FROM cand a, cand b
+        ),""",
+        f"""s1 AS MATERIALIZED (
+            SELECT id, rel, {lam} * rel AS obj FROM cand
+            ORDER BY obj DESC, id LIMIT 1
+        ),
+        sel1 AS (SELECT id FROM s1),""",
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""p{t} AS (
+            SELECT c.id, c.rel, MAX(s.s) AS ms
+            FROM cand c
+            JOIN sim s ON s.ai = c.id AND s.bi IN (SELECT id FROM sel{t - 1})
+            WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+            GROUP BY c.id, c.rel
+        ),
+        s{t} AS MATERIALIZED (
+            SELECT id, rel, {lam} * rel - {rest} * ms AS obj FROM p{t}
+            ORDER BY obj DESC, id LIMIT 1
+        ),
+        sel{t} AS (SELECT id FROM sel{t - 1} UNION ALL SELECT id FROM s{t}),"""
+        )
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {t} AS rank, id AS doc_id, rel AS rel_micro, obj AS obj_micro FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append(
+        f"""fin AS (
+            {unions}
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+               CAST(rel_micro AS BIGINT) AS rel_micro,
+               CAST(obj_micro AS BIGINT) AS obj_micro
+        FROM fin"""
+    )
+    return "\n".join(parts)

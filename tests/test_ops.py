@@ -689,3 +689,61 @@ class TestHybridSearch:
             assert out.loc[d, "fused_micro"] == want, d
             assert out.loc[d, "lex_rank"] == lr
             assert out.loc[d, "sem_rank"] == sr
+
+
+class TestMmrRerank:
+    def test_greedy_trace_matches_hand(self, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.functions.similarity import mmr_rerank_docs
+
+        # query = doc0's direction. Step 2 of MMR reduces to 4*rel (the
+        # only selected doc IS the query direction), so diversity can
+        # only reorder from step 3 on: doc2 is a near-duplicate twin of
+        # doc1, doc3 is diverse with moderate relevance — MMR must pick
+        # doc3 third even though pure relevance ranks doc2 above it
+        # (obj3 = 7*500000 - 3*500000 = 2.0e6 vs
+        #  obj2 = 7*702070 - 3*999987 ~= 1.91e6, ~85k micro margin).
+        vecs = {
+            0: [1.0, 0.0, 0.0],      # query itself, rel = 1
+            1: [0.7, 0.7, 0.0],      # high relevance
+            2: [0.70, 0.71, 0.0],    # near-duplicate of doc1
+            3: [0.5, 0.0, 0.86603],  # diverse, moderate relevance
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(sorted(vecs), pa.int64()),
+                    "embedding": pa.array(
+                        [vecs[i] for i in sorted(vecs)], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0] * 4, pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        out = mmr_rerank_docs(str(tmp_path), n_cand=4, k=4)
+
+        def norm(v):
+            v = np.array(v, dtype=np.float32).astype(np.float64)
+            return v / np.linalg.norm(v)
+
+        mat = np.array([norm(vecs[i]) for i in range(4)])
+        rel = np.floor(mat @ norm(vecs[0]) * 1e6 + 0.5).astype(int)
+        sim = np.floor(mat @ mat.T * 1e6 + 0.5).astype(int)
+        sel, remaining = [], set(range(4))
+        for _ in range(4):
+            best = None
+            for d in sorted(remaining):
+                ms = max((int(sim[d, s]) for s in sel), default=0)
+                obj = 7 * int(rel[d]) - 3 * ms
+                if best is None or obj > best[0]:
+                    best = (obj, d)
+            sel.append(best[1])
+            remaining.discard(best[1])
+        assert out["doc_id"].tolist() == sel
+        # the diverse doc must outrank the near-duplicate twin, even
+        # though pure relevance orders them the other way
+        assert sel.index(3) < sel.index(2)
+        assert rel[2] > rel[3]
