@@ -56,6 +56,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         est = approx_vocab_size(canonical_docs(sf_dir), hash64=md5_feature_hash64)
         return pd.DataFrame({"vocab_size_approx": pd.array([int(est)], dtype="int64")})
 
+    def truncate_conversations_stats(sf_dir: str):
+        """Context-budget truncation over the transcript corpus: per
+        conversation, how many trailing turns / words survive the
+        20-word context window (`pipelines/transcripts.py`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import truncate_conversations
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return truncate_conversations(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def dedup_transcripts_full(sf_dir: str):
         import ray.data as rd
 
@@ -274,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcript payload analytics (north-rule input shape)
         "transcript_turn_stats": transcript_turn_stats,
         "tool_usage_stats": tool_usage_stats,
+        # context-window trim to a word budget (keep-last-turns suffix)
+        "truncate_conversations_stats": truncate_conversations_stats,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -749,6 +764,9 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.functions.similarity import (
         mmr_oracle_sql as _mmr_oracle_sql,
         random_projection_oracle_sql as _rp_oracle_sql,
+    )
+    from quarrycore_ray.pipelines.transcripts import (
+        truncate_oracle_sql as _truncate_oracle_sql,
     )
 
     def _hybrid_search_sql() -> str:
@@ -2547,6 +2565,9 @@ def oracle_sql() -> dict[str, str]:
                    n_turns // 2 AS n_assistant_turns
             FROM all_convs
         """,
+        # --- context-budget truncation (generated: rebuilds per-turn word
+        #     counts and replays the reverse-cumsum keep rule) ---
+        "truncate_conversations_stats": _truncate_oracle_sql(),
         # --- agent tool-call analytics (synth plants tool='search'/'code'
         #     on assistant turns as (doc_id + turn_idx) % 4 == 1 / 3) ---
         "tool_usage_stats": r"""

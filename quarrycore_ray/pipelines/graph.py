@@ -49,6 +49,9 @@ _EDGE_SCHEMA = pa.schema(
     [("src", pa.int64()), ("dst", pa.int64()), ("odeg", pa.int64())]
 )
 _RANK_SCHEMA = pa.schema([("node", pa.int64()), ("r", pa.int64())])
+_RANK_IND_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("r", pa.int64()), ("ind", pa.int64())]
+)
 _SUM_SCHEMA = pa.schema(
     [("node", pa.int64()), ("s", pa.int64()), ("b", pa.int8())]
 )
@@ -97,9 +100,15 @@ def link_edges(ds_ids: "rd.Dataset", n: int) -> "rd.Dataset":
 
 
 def _pagerank(
-    ds_ids: "rd.Dataset", n: int, iters: int = PR_ITERS
+    ds_ids: "rd.Dataset", n: int, iters: int = PR_ITERS, with_indeg: bool = False
 ) -> "rd.Dataset":
-    """(node, r) after `iters` exact fixed-point power-iteration rounds."""
+    """(node, r) after `iters` exact fixed-point power-iteration rounds.
+
+    With `with_indeg`, the FINAL round's reduce also emits `ind` — the
+    node's in-degree, which is exactly the number of contribution rows
+    (one per collapsed (src, dst) edge) in its group — so callers that
+    want both get in-degree for free instead of paying a second
+    edge-table shuffle plus an attach join."""
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
     r0 = PR_SCALE // n
 
@@ -152,10 +161,32 @@ def _pagerank(
         )
         return out.to_arrow().cast(_RANK_SCHEMA)
 
+    def _reduce_ind(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("node")
+            .agg(
+                pl.col("s").sum(),
+                pl.col("b").max(),
+                # in-degree == contribution rows (b == 0) in the group
+                (pl.len().cast(pl.Int64) - pl.col("b").cast(pl.Int64).sum()).alias(
+                    "ind"
+                ),
+            )
+            .filter(pl.col("b") == 1)
+            .with_columns(
+                (teleport + (PR_DAMP_NUM * pl.col("s")) // PR_DAMP_DEN).alias("r")
+            )
+            .select(["node", "r", "ind"])
+        )
+        return out.to_arrow().cast(_RANK_IND_SCHEMA)
+
     # materialized once — unioned into every round's reduce
     base = ds_ids.map_batches(_base, batch_format="pyarrow").materialize()
     ranks = ds_ids.map_batches(_init, batch_format="pyarrow")
-    for _ in range(iters):
+    for it in range(iters):
         attached = attach_lookup(
             edges,
             _EDGE_SCHEMA,
@@ -167,8 +198,9 @@ def _pagerank(
             ["r_src"],
         )
         contribs = attached.map_batches(_contrib, batch_format="pyarrow")
+        reduce_fn = _reduce_ind if (with_indeg and it == iters - 1) else _reduce
         ranks = partitioned_group_map(
-            contribs.union(base), "node", _reduce, _graph_parts(n), arrow=True
+            contribs.union(base), "node", reduce_fn, _graph_parts(n), arrow=True
         )
     return ranks
 
@@ -188,54 +220,9 @@ def link_pagerank_docs(sf_dir: str, iters: int = PR_ITERS) -> "rd.Dataset":
                 ]
             ).empty_table()
         )
-    edges = link_edges(ds_ids, n)
-
-    def _ones(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch["dst"],
-                "s": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-                "b": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
-            }
-        ).cast(_SUM_SCHEMA)
-
-    def _base(batch: pa.Table) -> pa.Table:
-        m = batch.num_rows
-        return pa.table(
-            {
-                "node": batch["doc_id"].cast(pa.int64()),
-                "s": pa.array(np.zeros(m, dtype=np.int64)),
-                "b": pa.array(np.ones(m, dtype=np.int8)),
-            }
-        ).cast(_SUM_SCHEMA)
-
-    def _indeg(tb: pa.Table) -> pa.Table:
-        import polars as pl
-
-        out = (
-            pl.from_arrow(tb)
-            .group_by("node")
-            .agg(pl.col("s").sum(), pl.col("b").max())
-            .filter(pl.col("b") == 1)
-            .select(["node", pl.col("s").alias("ind")])
-        )
-        return out.to_arrow().cast(
-            pa.schema([("node", pa.int64()), ("ind", pa.int64())])
-        )
-
-    indeg = partitioned_group_map(
-        edges.map_batches(_ones, batch_format="pyarrow").union(
-            ds_ids.map_batches(_base, batch_format="pyarrow")
-        ),
-        "node",
-        _indeg,
-        _graph_parts(n),
-        arrow=True,
-    )
-    ranks = _pagerank(ds_ids, n, iters)
-    out = attach_lookup(
-        ranks, _RANK_SCHEMA, ["node"], indeg, "node", "ind", pa.int64(), ["ind"]
-    )
+    # in-degree rides the final PageRank round's reduce (count of
+    # contribution rows per node) — no second edge shuffle, no attach
+    out = _pagerank(ds_ids, n, max(iters, 1), with_indeg=True)
 
     def _final(batch: pa.Table) -> pa.Table:
         return pa.table(

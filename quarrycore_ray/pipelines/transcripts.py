@@ -1,0 +1,192 @@
+"""Transcript-shaped operators beyond dedup.
+
+Chat-training pipelines run conversation-level maintenance passes the
+document operators can't express: trimming each conversation to the
+model's context budget (keep the most recent whole turns), validating
+role structure, and reassembling after turn-level gates. The reference
+works at document granularity (`dataset/constructor.py` chunks flat
+text); these operators extend the same surface to the (conv_id,
+turn_idx, role, text) transcript table the north rule targets.
+
+At 100 TB the input is a real transcripts table; the driver queries
+feed the deterministic `synth.transcripts_from_documents` expansion so
+every result is exactly recomputable in DuckDB from the shipped
+`documents` table (turns = 12-word chunks, roles alternate, planted
+`-dup`/`-ws` variants).
+
+Scale shape: everything here is ONE hash partition by `conv_id`
+followed by a vectorized polars pass per partition
+(`partitioned_group_map`) — the same discipline as
+`stages/grouped.py`; no per-conversation Python dispatch and nothing
+driver-side.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..stages.grouped import partitioned_group_map
+
+#: default context budget (words) for `truncate_conversations`
+TRUNCATE_BUDGET = 20
+
+_TRUNC_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("kept_turns", pa.int64()),
+        ("kept_words", pa.int64()),
+        ("first_kept_idx", pa.int64()),
+    ]
+)
+
+
+def truncate_conversations(
+    ds: "rd.Dataset", budget: int = TRUNCATE_BUDGET
+) -> "rd.Dataset":
+    """Context-window trim: keep each conversation's maximal suffix of
+    whole turns whose total word count fits `budget`; the final turn is
+    always kept even when it alone exceeds the budget (a chat fine-tune
+    can't drop the most recent exchange).
+
+    Words are `\\S+` runs, so the planted `-ws` whitespace variants
+    count identically to their base conversations. The suffix rule is a
+    reverse cumulative sum per conversation — monotone, so the kept set
+    is always contiguous-from-the-end and `first_kept_idx` fully
+    determines the applied truncation.
+
+    Output (conv_id, n_turns, kept_turns, kept_words, first_kept_idx),
+    all counters int64 — exact against the unrolled SQL twin.
+    """
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text")
+                .str.count_matches(r"\S+")
+                .cast(pl.Int64)
+                .alias("wc"),
+                pl.col("turn_idx").cast(pl.Int64),
+            )
+            .sort(["conv_id", "turn_idx"], descending=[False, True])
+            .with_columns(pl.col("wc").cum_sum().over("conv_id").alias("rev"))
+            .with_columns(
+                (
+                    (pl.col("rev") <= budget)
+                    | (
+                        pl.col("turn_idx")
+                        == pl.col("turn_idx").max().over("conv_id")
+                    )
+                ).alias("keep")
+            )
+            .group_by("conv_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_turns"),
+                pl.col("keep").cast(pl.Int64).sum().alias("kept_turns"),
+                (pl.col("wc") * pl.col("keep").cast(pl.Int64))
+                .sum()
+                .alias("kept_words"),
+                pl.col("turn_idx").filter(pl.col("keep")).min().alias(
+                    "first_kept_idx"
+                ),
+            )
+        )
+        return out.to_arrow().cast(_TRUNC_SCHEMA)
+
+    return partitioned_group_map(
+        ds.select_columns(["conv_id", "turn_idx", "text"]),
+        "conv_id",
+        _part,
+        arrow=True,
+    )
+
+
+def apply_truncation(ds: "rd.Dataset", budget: int = TRUNCATE_BUDGET) -> "rd.Dataset":
+    """The row-level twin of `truncate_conversations`: return the kept
+    turn rows themselves (same keep rule), for pipelines that feed the
+    trimmed transcripts onward. Stats + `first_kept_idx` from
+    `truncate_conversations` fully determine this output, so the SQL
+    oracle on the stats table covers it."""
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text").str.count_matches(r"\S+").cast(pl.Int64).alias("wc")
+            )
+            .sort(["conv_id", "turn_idx"], descending=[False, True])
+            .with_columns(pl.col("wc").cum_sum().over("conv_id").alias("rev"))
+            .filter(
+                (pl.col("rev") <= budget)
+                | (pl.col("turn_idx") == pl.col("turn_idx").max().over("conv_id"))
+            )
+            .drop(["wc", "rev"])
+            .sort(["conv_id", "turn_idx"])
+        )
+        return out.to_arrow().cast(tb.schema)
+
+    return partitioned_group_map(ds, "conv_id", _part, arrow=True)
+
+
+def truncate_oracle_sql(budget: int = TRUNCATE_BUDGET) -> str:
+    """DuckDB twin of `truncate_conversations` over the deterministic
+    transcript synth: rebuilds per-turn word counts (12-word chunks,
+    last turn gets the remainder; a 0-word doc is one empty turn) and
+    replays the reverse-cumsum keep rule with a window sum."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '')) AS nw
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, nw,
+                   'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   CASE WHEN nw = 0 THEN 1
+                        ELSE CAST(ceil(nw / 12.0) AS BIGINT) END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT conv_id, n_turns, nw FROM t
+            UNION ALL
+            SELECT conv_id || '-dup', n_turns, nw FROM t WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT conv_id || '-ws', n_turns, nw FROM t WHERE doc_id % 10 = 5
+        ),
+        turns AS (
+            SELECT conv_id, n_turns, gs.ti AS ti,
+                   CASE WHEN nw = 0 THEN 0
+                        WHEN gs.ti < n_turns - 1 THEN 12
+                        ELSE nw - 12 * (n_turns - 1) END AS wc
+            FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
+        ),
+        r AS (
+            SELECT conv_id, n_turns, ti, wc,
+                   SUM(wc) OVER (PARTITION BY conv_id ORDER BY ti DESC
+                                 ROWS UNBOUNDED PRECEDING) AS rev
+            FROM turns
+        ),
+        k AS (
+            SELECT conv_id, n_turns, ti, wc,
+                   (rev <= {budget} OR ti = n_turns - 1) AS keep
+            FROM r
+        )
+        SELECT conv_id,
+               CAST(n_turns AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_turns,
+               CAST(SUM(CASE WHEN keep THEN wc ELSE 0 END) AS BIGINT)
+                   AS kept_words,
+               CAST(MIN(CASE WHEN keep THEN ti END) AS BIGINT)
+                   AS first_kept_idx
+        FROM k
+        GROUP BY conv_id, n_turns
+    """
