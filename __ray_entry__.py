@@ -56,6 +56,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         est = approx_vocab_size(canonical_docs(sf_dir), hash64=md5_feature_hash64)
         return pd.DataFrame({"vocab_size_approx": pd.array([int(est)], dtype="int64")})
 
+    def _corpus_snapshot_diff(sf_dir: str):
+        """Incremental-ingest maintenance: content diff of two
+        deterministic corpus snapshot versions
+        (`pipelines/incremental.snapshot_diff`)."""
+        from quarrycore_ray.pipelines.incremental import corpus_snapshot_diff
+
+        return corpus_snapshot_diff(sf_dir)
+
     def truncate_conversations_stats(sf_dir: str):
         """Context-budget truncation over the transcript corpus: per
         conversation, how many trailing turns / words survive the
@@ -289,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage_stats": tool_usage_stats,
         # context-window trim to a word budget (keep-last-turns suffix)
         "truncate_conversations_stats": truncate_conversations_stats,
+        # versioned-corpus snapshot diff (added/removed/changed by content)
+        "corpus_snapshot_diff": _corpus_snapshot_diff,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -767,6 +777,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.transcripts import (
         truncate_oracle_sql as _truncate_oracle_sql,
+    )
+    from quarrycore_ray.pipelines.incremental import (
+        snapshot_diff_oracle_sql as _snapshot_diff_oracle_sql,
     )
 
     def _hybrid_search_sql() -> str:
@@ -2568,6 +2581,9 @@ def oracle_sql() -> dict[str, str]:
         # --- context-budget truncation (generated: rebuilds per-turn word
         #     counts and replays the reverse-cumsum keep rule) ---
         "truncate_conversations_stats": _truncate_oracle_sql(),
+        # --- snapshot diff (generated: rebuilds both versions, FULL OUTER
+        #     JOIN comparing texts — engine compares sha256) ---
+        "corpus_snapshot_diff": _snapshot_diff_oracle_sql(),
         # --- agent tool-call analytics (synth plants tool='search'/'code'
         #     on assistant turns as (doc_id + turn_idx) % 4 == 1 / 3) ---
         "tool_usage_stats": r"""

@@ -381,3 +381,144 @@ def incremental_near_dup(
         _unprefix, batch_format="pyarrow"
     )
     return IncrementalNearDupResult(new_only=new_only, matches=matches)
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (versioned-ingest maintenance)
+# ---------------------------------------------------------------------------
+
+_DIFF_SCHEMA = pa.schema([("doc_id", pa.int64()), ("change", pa.string())])
+
+#: deterministic version rules for the driver fixtures: docs with
+#: doc_id % 17 == 3 are "added" after snapshot v1; docs with
+#: doc_id % 19 == 4 are "removed" before snapshot v2; docs with
+#: doc_id % 13 == 2 are edited in v2 (text + ' [edited]').
+DIFF_ADD_MOD, DIFF_REM_MOD, DIFF_EDIT_MOD = (17, 3), (19, 4), (13, 2)
+
+
+def _snapshot_versions(sf_dir: str) -> tuple["rd.Dataset", "rd.Dataset"]:
+    """Derive the two deterministic snapshot versions of `documents`.
+
+    At 100 TB these are two real Parquet snapshot directories; the
+    fixtures derive both from the shipped table so the oracle can
+    rebuild them in SQL (same modular rules) and compare TEXTS directly
+    — proving the engine's hash-based comparison faithful."""
+    import os
+
+    import numpy as np
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    (am, ar), (rm, rr), (em, er) = DIFF_ADD_MOD, DIFF_REM_MOD, DIFF_EDIT_MOD
+
+    def _v1(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.filter(pa.array(ids % am != ar))
+
+    def _v2(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        kept = batch.filter(pa.array(ids % rm != rr))
+        ids2 = np.asarray(kept["doc_id"], dtype=np.int64)
+        texts = kept["text"].to_pylist()
+        edited = [
+            (t or "") + " [edited]" if i % em == er else t
+            for i, t in zip(ids2, texts)
+        ]
+        return pa.table(
+            {"doc_id": kept["doc_id"], "text": pa.array(edited, pa.string())}
+        )
+
+    return (
+        docs.map_batches(_v1, batch_format="pyarrow"),
+        docs.map_batches(_v2, batch_format="pyarrow"),
+    )
+
+
+def snapshot_diff(old: "rd.Dataset", new: "rd.Dataset") -> "rd.Dataset":
+    """Diff two corpus snapshots by content: (doc_id, change) with
+    change in {'added', 'removed', 'changed'} — unchanged docs are
+    dropped, so output size tracks the churn, not the corpus.
+
+    Scale shape: each side is hashed per batch (sha256 of text — 64
+    bytes/doc crosses the shuffle, never the payload), tagged, and
+    unioned; ONE hash partition on doc_id classifies every doc with a
+    vectorized polars pass. No broadcast (both sides are corpus-scale)
+    and nothing driver-side. This is the maintenance pass an
+    incremental ingest runs to decide what to re-embed / re-dedup."""
+    from ..stages.grouped import partitioned_group_map
+    from ..text import sha256_hex_array
+
+    def _tag(side: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "h": sha256_hex_array(batch["text"]),
+                    "side": pa.array([side] * batch.num_rows, pa.string()),
+                }
+            )
+
+        return _f
+
+    tagged = old.map_batches(_tag("o"), batch_format="pyarrow").union(
+        new.map_batches(_tag("n"), batch_format="pyarrow")
+    )
+
+    def _classify(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(tb)
+            .group_by("doc_id")
+            .agg(
+                pl.col("h").filter(pl.col("side") == "o").first().alias("ho"),
+                pl.col("h").filter(pl.col("side") == "n").first().alias("hn"),
+            )
+            .with_columns(
+                pl.when(pl.col("ho").is_null())
+                .then(pl.lit("added"))
+                .when(pl.col("hn").is_null())
+                .then(pl.lit("removed"))
+                .when(pl.col("ho") != pl.col("hn"))
+                .then(pl.lit("changed"))
+                .otherwise(pl.lit(""))
+                .alias("change")
+            )
+            .filter(pl.col("change") != "")
+            .select(["doc_id", "change"])
+        )
+        return df.to_arrow().cast(_DIFF_SCHEMA)
+
+    return partitioned_group_map(tagged, "doc_id", _classify, arrow=True)
+
+
+def corpus_snapshot_diff(sf_dir: str) -> "rd.Dataset":
+    """Driver query: diff the two deterministic snapshot versions."""
+    v1, v2 = _snapshot_versions(sf_dir)
+    return snapshot_diff(v1, v2)
+
+
+def snapshot_diff_oracle_sql() -> str:
+    """DuckDB twin: rebuilds both versions with the same modular rules
+    and FULL OUTER JOINs them comparing texts directly."""
+    (am, ar), (rm, rr), (em, er) = DIFF_ADD_MOD, DIFF_REM_MOD, DIFF_EDIT_MOD
+    return f"""
+        WITH v1 AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % {am} != {ar}
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {em} = {er}
+                        THEN COALESCE(text, '') || ' [edited]'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % {rm} != {rr}
+        )
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+           OR COALESCE(v1.text, '') != COALESCE(v2.text, '')
+    """

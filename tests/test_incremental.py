@@ -267,3 +267,32 @@ class TestBloomZeroCopy:
         writable = BloomFilter.from_bytes(blob)
         writable.add("new-key")
         assert "new-key" in writable
+
+
+class TestSnapshotDiff:
+    def test_classes(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.incremental import snapshot_diff
+
+        old = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["a", "b", "c", None], pa.string()),
+                }
+            )
+        )
+        new = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+                    "text": pa.array(["b", "C!", "", "e"], pa.string()),
+                }
+            )
+        )
+        out = snapshot_diff(old, new).to_pandas().set_index("doc_id")["change"]
+        assert out.to_dict() == {1: "removed", 3: "changed", 5: "added"}
+        # doc 2 unchanged -> absent; doc 4 None -> "" hashes equal -> absent
+        assert 2 not in out.index and 4 not in out.index
