@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_assortativity_docs": grf.link_assortativity_docs,
         # HITS hubs/authorities (max-normalized, exact fixed-point)
         "link_hits_docs": grf.link_hits_docs,
+        # per-node triangle counts + degree (local clustering numerators)
+        "link_triangles_docs": grf.link_triangles_docs,
         # hybrid BM25 + vector retrieval with reciprocal-rank fusion
         "hybrid_search_docs": docs.hybrid_search_docs,
         # MMR diverse re-rank over the semantic top-50 (integer greedy)
@@ -770,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         components_oracle_sql as _components_oracle_sql,
         hits_oracle_sql as _hits_oracle_sql,
         pagerank_oracle_sql as _pagerank_oracle_sql,
+        triangles_oracle_sql as _triangles_oracle_sql,
     )
     from quarrycore_ray.functions.similarity import (
         mmr_oracle_sql as _mmr_oracle_sql,
@@ -3877,6 +3880,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection_embeddings": _rp_oracle_sql(),
         "link_assortativity_docs": _assort_oracle_sql(),
         "link_hits_docs": _hits_oracle_sql(),
+        "link_triangles_docs": _triangles_oracle_sql(),
         "hybrid_search_docs": _hybrid_search_sql(),
         "mmr_rerank_docs": _mmr_oracle_sql(),
     }

@@ -758,3 +758,230 @@ def hits_oracle_sql(iters: int = HITS_ITERS) -> str:
         FROM fin f JOIN nodes nd ON nd.node = f.doc_id"""
     )
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering structure
+# ---------------------------------------------------------------------------
+
+_TRI_STAGE_SCHEMA = pa.schema(
+    [("x", pa.int64()), ("y", pa.int64()), ("c", pa.int64()), ("tag", pa.int8())]
+)
+_TRI_CRED_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("d", pa.int64()), ("t", pa.int64()), ("b", pa.int8())]
+)
+_TRI_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("degree", pa.int64()), ("triangles", pa.int64())]
+)
+
+
+def link_triangles_docs(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, degree, triangles): per-node triangle participation and
+    undirected degree over the link graph — the integer numerators of
+    the local clustering coefficient 2T/(k(k-1)) (division-free, the
+    same exactness discipline as `link_assortativity_docs`).
+
+    Node-iterator with lowest-id orientation (Schank & Wagner 2005):
+    every triangle x<y<z is found exactly once, as the wedge (y, z)
+    emitted from its lowest node x matched against the edge (y, z).
+    Id orientation is safe here because the deterministic graph's
+    degrees are bounded (out-degree <= 3, in-degree ~Poisson); for a
+    power-law web graph the same stage would orient low-degree ->
+    high-degree to cap wedge fan-out.
+
+    Scale shape: three hash shuffles over edge-sized tables — (1)
+    partition pairs by lower endpoint: batch-dup'd pairs become
+    distinct, each node's sorted higher-neighbor list emits its wedges;
+    (2) partition wedges+edges by wedge first endpoint: vectorized
+    (x, y) hash join per partition, matched wedges explode to 3 credit
+    rows; (3) partition credits by node: one integer sum. Self-loops
+    drop; nothing driver-side; the oracle replays the identical
+    wedge-join in SQL.
+    """
+    ds_ids = _docs_ids(sf_dir)
+    n = ds_ids.count()
+    if n == 0:
+        return rd.from_arrow(_TRI_OUT_SCHEMA.empty_table())
+    edges = link_edges(ds_ids, n)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        src = np.asarray(batch["src"], dtype=np.int64)
+        dst = np.asarray(batch["dst"], dtype=np.int64)
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        df = pl.DataFrame({"a": a, "b": b}).unique(["a", "b"])
+        return df.to_arrow().cast(
+            pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        )
+
+    def _wedges(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).unique(["a", "b"])
+        av = df["a"].to_numpy()
+        bv = df["b"].to_numpy()
+        order = np.lexsort((bv, av))
+        av, bv = av[order], bv[order]
+        # per-node sorted higher-neighbor runs -> all (b, c) pairs
+        xs, ys, cs = [np.empty(0, np.int64)] * 3
+        wx, wy, wc = [], [], []
+        starts = np.flatnonzero(np.r_[True, av[1:] != av[:-1]])
+        ends = np.r_[starts[1:], len(av)]
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            nb = bv[s:e]
+            iu, ju = np.triu_indices(k, k=1)
+            wx.append(nb[iu])
+            wy.append(nb[ju])
+            wc.append(np.full(len(iu), av[s], dtype=np.int64))
+        if wx:
+            xs = np.concatenate(wx)
+            ys = np.concatenate(wy)
+            cs = np.concatenate(wc)
+        edge_tb = pa.table(
+            {
+                "x": pa.array(av, pa.int64()),
+                "y": pa.array(bv, pa.int64()),
+                "c": pa.array(np.zeros(len(av), np.int64)),
+                "tag": pa.array(np.ones(len(av), np.int8)),
+            }
+        )
+        wedge_tb = pa.table(
+            {
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+                "c": pa.array(cs, pa.int64()),
+                "tag": pa.array(np.zeros(len(xs), np.int8)),
+            }
+        )
+        return pa.concat_tables([edge_tb, wedge_tb]).cast(_TRI_STAGE_SCHEMA)
+
+    staged = partitioned_group_map(
+        edges.map_batches(_pairs, batch_format="pyarrow"),
+        "a",
+        _wedges,
+        _graph_parts(n),
+        arrow=True,
+    ).materialize()
+
+    def _match(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        e = df.filter(pl.col("tag") == 1).select(["x", "y"])
+        w = df.filter(pl.col("tag") == 0)
+        hit = w.join(e, on=["x", "y"], how="inner")
+        if hit.height == 0:
+            return _TRI_CRED_SCHEMA.empty_table()
+        nodes = np.concatenate(
+            [hit["c"].to_numpy(), hit["x"].to_numpy(), hit["y"].to_numpy()]
+        )
+        m = len(nodes)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "d": pa.array(np.zeros(m, np.int64)),
+                "t": pa.array(np.ones(m, np.int64)),
+                "b": pa.array(np.zeros(m, np.int8)),
+            }
+        ).cast(_TRI_CRED_SCHEMA)
+
+    tri_credits = partitioned_group_map(
+        staged, "x", _match, _graph_parts(n), arrow=True
+    )
+
+    def _deg_credits(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).filter(pl.col("tag") == 1)
+        nodes = np.concatenate([df["x"].to_numpy(), df["y"].to_numpy()])
+        m = len(nodes)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "d": pa.array(np.ones(m, np.int64)),
+                "t": pa.array(np.zeros(m, np.int64)),
+                "b": pa.array(np.zeros(m, np.int8)),
+            }
+        ).cast(_TRI_CRED_SCHEMA)
+
+    def _base(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["doc_id"].cast(pa.int64()),
+                "d": pa.array(np.zeros(m, np.int64)),
+                "t": pa.array(np.zeros(m, np.int64)),
+                "b": pa.array(np.ones(m, np.int8)),
+            }
+        ).cast(_TRI_CRED_SCHEMA)
+
+    def _reduce(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("node")
+            .agg(pl.col("d").sum(), pl.col("t").sum(), pl.col("b").max())
+            .filter(pl.col("b") == 1)
+            .select(
+                pl.col("node").alias("doc_id"),
+                pl.col("d").alias("degree"),
+                pl.col("t").alias("triangles"),
+            )
+        )
+        return out.to_arrow().cast(_TRI_OUT_SCHEMA)
+
+    credits = (
+        tri_credits.union(
+            staged.map_batches(_deg_credits, batch_format="pyarrow")
+        ).union(ds_ids.map_batches(_base, batch_format="pyarrow"))
+    )
+    return partitioned_group_map(
+        credits, "node", _reduce, _graph_parts(n), arrow=True
+    )
+
+
+def triangles_oracle_sql() -> str:
+    """Wedge-join DuckDB twin of `link_triangles_docs`."""
+    return """
+        WITH nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),
+        raw AS MATERIALIZED (
+            SELECT DISTINCT d.doc_id AS src,
+                   (d.doc_id * 31 + j.j * 17 + 1) % (SELECT c FROM nn) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+            WHERE j.j <= d.doc_id % 3
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src != dst
+        ),
+        tri AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        cred AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ),
+        deg AS (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ),
+        tcnt AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM cred GROUP BY node),
+        dcnt AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM deg GROUP BY node)
+        SELECT d.doc_id,
+               CAST(COALESCE(dc.c, 0) AS BIGINT) AS degree,
+               CAST(COALESCE(tc.c, 0) AS BIGINT) AS triangles
+        FROM documents d
+        LEFT JOIN dcnt dc ON dc.node = d.doc_id
+        LEFT JOIN tcnt tc ON tc.node = d.doc_id
+    """

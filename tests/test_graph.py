@@ -246,3 +246,55 @@ class TestHits:
         ora = con.execute(hits_oracle_sql() + " ORDER BY doc_id").fetchdf()
         assert eng["hub_fx"].tolist() == ora["hub_fx"].tolist()
         assert eng["auth_fx"].tolist() == ora["auth_fx"].tolist()
+
+
+class TestTriangles:
+    @staticmethod
+    def _brute(ids):
+        n = len(ids)
+        und = {
+            (min(d, t), max(d, t))
+            for d in ids
+            for j in range(d % 3 + 1)
+            for t in [(d * 31 + j * 17 + 1) % n]
+            if d != t
+        }
+        nbrs: dict = {}
+        for a, b in und:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        # enumerate each triangle x<y<z once, credit all three nodes
+        tri = Counter()
+        nodes = sorted(nbrs)
+        for x, y in und:
+            for z in nbrs[x] & nbrs[y]:
+                if z > y > x:
+                    tri[x] += 1
+                    tri[y] += 1
+                    tri[z] += 1
+        deg = {v: len(nbrs.get(v, ())) for v in ids}
+        return deg, tri
+
+    def test_matches_brute_force(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_triangles_docs
+
+        ids = list(range(41))
+        sf = _write_ids(tmp_path, ids)
+        out = link_triangles_docs(sf).to_pandas().set_index("doc_id")
+        deg, tri = self._brute(ids)
+        assert sorted(out.index) == ids
+        for d in ids:
+            assert out.loc[d, "degree"] == deg.get(d, 0), d
+            assert out.loc[d, "triangles"] == tri.get(d, 0), d
+        # total credit divisible by 3 and positive on this graph
+        assert out["triangles"].sum() % 3 == 0
+        assert out["triangles"].sum() > 0
+
+    def test_no_self_loop_triangles(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_triangles_docs
+
+        # n=1: the single node links only to itself -> no edges at all
+        sf = _write_ids(tmp_path, [0])
+        out = link_triangles_docs(sf).to_pandas()
+        assert out["degree"].tolist() == [0]
+        assert out["triangles"].tolist() == [0]
