@@ -202,6 +202,20 @@ def run_bench() -> dict:
     timed("zipf_profile_docs", trn.zipf_profile_docs)
     timed("source_quality_regression", trn.source_quality_regression)
     timed("random_projection_embeddings", similarity.random_projection_embeddings)
+    timed("link_triangles_docs", grf.link_triangles_docs)
+    timed("mmr_rerank_docs", similarity.mmr_rerank_docs)
+
+    from quarrycore_ray.pipelines.incremental import corpus_snapshot_diff
+    from quarrycore_ray.pipelines.transcripts import truncate_conversations
+    from quarrycore_ray.synth import transcripts_from_documents
+
+    timed("corpus_snapshot_diff", corpus_snapshot_diff)
+    timed(
+        "truncate_conversations_stats",
+        lambda sf: truncate_conversations(
+            rd.from_arrow(transcripts_from_documents(sf))
+        ),
+    )
 
     ray.shutdown()
     return {

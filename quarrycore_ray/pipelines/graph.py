@@ -35,6 +35,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..stages.grouped import attach_lookup, partitioned_group_map
@@ -44,6 +45,15 @@ PR_SCALE = 10**12
 #: damping factor as an exact rational (85/100)
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 PR_ITERS = 5
+
+#: node-count ceiling for the single-task local-rounds path (same
+#: auto-switch discipline as the dedup clusterer's driver-union-find ↔
+#: BSP switch): below it the whole iteration state is a few MB and the
+#: per-round shuffle fabric costs 10-100x the arithmetic, so the rounds
+#: run vectorized inside ONE Ray task with bit-identical integer math;
+#: above it the distributed BSP path takes over. Tests force the BSP
+#: path with local_max=0.
+GRAPH_LOCAL_MAX = 200_000
 
 _EDGE_SCHEMA = pa.schema(
     [("src", pa.int64()), ("dst", pa.int64()), ("odeg", pa.int64())]
@@ -99,8 +109,67 @@ def link_edges(ds_ids: "rd.Dataset", n: int) -> "rd.Dataset":
     return ds_ids.map_batches(_edges, batch_format="pyarrow")
 
 
+def _local_graph_arrays(*tbls) -> tuple:
+    """Assemble doc_ids + the deterministic edge arrays inside a task.
+
+    Shared by the local-rounds paths: returns (ids, src, dst, odeg)
+    with duplicate (src, dst) targets collapsed and odeg per src —
+    byte-identical semantics to `link_edges`."""
+    import polars as pl
+
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+        for t in tbls
+    ]
+    ids = np.concatenate(
+        [np.asarray(t["doc_id"], dtype=np.int64) for t in parts if t.num_rows]
+        or [np.empty(0, np.int64)]
+    )
+    n = len(ids)
+    srcs, dsts = [], []
+    for j in range(3):
+        sel = ids[(ids % 3) >= j]
+        srcs.append(sel)
+        dsts.append((sel * 31 + j * 17 + 1) % n)
+    df = (
+        pl.DataFrame({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+        .unique(["src", "dst"])
+        .with_columns(pl.len().over("src").cast(pl.Int64).alias("odeg"))
+    )
+    return ids, df["src"].to_numpy(), df["dst"].to_numpy(), df["odeg"].to_numpy()
+
+
+@ray.remote(num_returns=1)
+def _local_pagerank_task(iters: int, with_indeg: bool, *tbls) -> pa.Table:
+    """All PageRank rounds in one task — bit-identical to the BSP path:
+    same collapsed edges, same int64 sums, same floor divisions."""
+    ids, src, dst, odeg = _local_graph_arrays(*tbls)
+    n = len(ids)
+    teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
+    sorted_ids = np.sort(ids)
+    pos = np.searchsorted(sorted_ids, src)
+    # contributions land only on real doc nodes (phantom dsts drop)
+    dpos = np.searchsorted(sorted_ids, np.clip(dst, sorted_ids[0], sorted_ids[-1]))
+    real = sorted_ids[dpos] == dst
+    r = np.full(n, PR_SCALE // n, dtype=np.int64)
+    for _ in range(iters):
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dpos[real], (r[pos] // odeg)[real])
+        r = teleport + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+    cols = {"node": pa.array(sorted_ids, pa.int64()), "r": pa.array(r, pa.int64())}
+    if with_indeg:
+        ind = np.zeros(n, dtype=np.int64)
+        np.add.at(ind, dpos[real], 1)
+        cols["ind"] = pa.array(ind, pa.int64())
+    return pa.table(cols)
+
+
 def _pagerank(
-    ds_ids: "rd.Dataset", n: int, iters: int = PR_ITERS, with_indeg: bool = False
+    ds_ids: "rd.Dataset",
+    n: int,
+    iters: int = PR_ITERS,
+    with_indeg: bool = False,
+    local_max: int = GRAPH_LOCAL_MAX,
 ) -> "rd.Dataset":
     """(node, r) after `iters` exact fixed-point power-iteration rounds.
 
@@ -108,7 +177,17 @@ def _pagerank(
     node's in-degree, which is exactly the number of contribution rows
     (one per collapsed (src, dst) edge) in its group — so callers that
     want both get in-degree for free instead of paying a second
-    edge-table shuffle plus an attach join."""
+    edge-table shuffle plus an attach join.
+
+    `local_max`: below this node count all rounds run vectorized inside
+    ONE Ray task (`_local_pagerank_task`, bit-identical integer math);
+    the per-round shuffle fabric only pays for itself at cluster scale.
+    Tests force the BSP path with local_max=0."""
+    if n <= local_max:
+        tbl = ray.get(
+            _local_pagerank_task.remote(iters, with_indeg, *ds_ids.to_arrow_refs())
+        )
+        return rd.from_arrow(tbl)
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
     r0 = PR_SCALE // n
 
@@ -205,7 +284,9 @@ def _pagerank(
     return ranks
 
 
-def link_pagerank_docs(sf_dir: str, iters: int = PR_ITERS) -> "rd.Dataset":
+def link_pagerank_docs(
+    sf_dir: str, iters: int = PR_ITERS, local_max: int = GRAPH_LOCAL_MAX
+) -> "rd.Dataset":
     """(doc_id, in_degree, pagerank_fx): PageRank in 1e-12 fixed-point
     units plus in-degree over the deterministic link graph."""
     ds_ids = _docs_ids(sf_dir)
@@ -222,7 +303,7 @@ def link_pagerank_docs(sf_dir: str, iters: int = PR_ITERS) -> "rd.Dataset":
         )
     # in-degree rides the final PageRank round's reduce (count of
     # contribution rows per node) — no second edge shuffle, no attach
-    out = _pagerank(ds_ids, n, max(iters, 1), with_indeg=True)
+    out = _pagerank(ds_ids, n, max(iters, 1), with_indeg=True, local_max=local_max)
 
     def _final(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -236,7 +317,44 @@ def link_pagerank_docs(sf_dir: str, iters: int = PR_ITERS) -> "rd.Dataset":
     return out.map_batches(_final, batch_format="pyarrow")
 
 
-def link_components_docs(sf_dir: str) -> "rd.Dataset":
+@ray.remote(num_returns=1)
+def _local_components_task(*tbls) -> pa.Table:
+    """Union-find over the whole edge set in one task — identical
+    semantics to the BSP min-label propagation: phantom nodes conduct
+    connectivity (and can be the min label); sizes count real docs."""
+    ids, src, dst, _ = _local_graph_arrays(*tbls)
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(src.tolist(), dst.tolist()):
+        a, b = find(u), find(v)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comp = {d: find(d) for d in ids.tolist()}
+    from collections import Counter
+
+    sizes = Counter(comp.values())
+    sorted_ids = np.sort(ids)
+    labels = np.array([comp[d] for d in sorted_ids.tolist()], dtype=np.int64)
+    szs = np.array([sizes[c] for c in labels.tolist()], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(sorted_ids, pa.int64()),
+            "component_id": pa.array(labels, pa.int64()),
+            "component_size": pa.array(szs, pa.int64()),
+        }
+    )
+
+
+def link_components_docs(
+    sf_dir: str, local_max: int = GRAPH_LOCAL_MAX
+) -> "rd.Dataset":
     """(doc_id, component_id, component_size): weakly-connected
     components of the link graph via the SAME distributed min-label
     propagation that clusters duplicate pairs (stages/cluster.py) —
@@ -264,6 +382,10 @@ def link_components_docs(sf_dir: str) -> "rd.Dataset":
                     ("component_size", pa.int64()),
                 ]
             ).empty_table()
+        )
+    if n <= local_max:
+        return rd.from_arrow(
+            ray.get(_local_components_task.remote(*ds_ids.to_arrow_refs()))
         )
     edges = link_edges(ds_ids, n)
 
@@ -570,7 +692,42 @@ HITS_SCALE = 10**6
 HITS_ITERS = 3
 
 
-def link_hits_docs(sf_dir: str, iters: int = HITS_ITERS) -> "rd.Dataset":
+@ray.remote(num_returns=1)
+def _local_hits_task(iters: int, *tbls) -> pa.Table:
+    """All HITS rounds in one task — bit-identical to the BSP path:
+    same int64 sums, same max-normalization floor divisions, phantom
+    dst nodes carry authority mass on both paths."""
+    ids, src, dst, _ = _local_graph_arrays(*tbls)
+    sorted_ids = np.sort(ids)
+    spos = np.searchsorted(sorted_ids, src)
+    dst_nodes = np.unique(dst)
+    dpos = np.searchsorted(dst_nodes, dst)
+    h = np.full(len(sorted_ids), HITS_SCALE, dtype=np.int64)
+    a = np.zeros(len(dst_nodes), dtype=np.int64)
+    for _ in range(iters):
+        a = np.zeros(len(dst_nodes), dtype=np.int64)
+        np.add.at(a, dpos, h[spos])
+        a = a * HITS_SCALE // a.max()
+        h = np.zeros(len(sorted_ids), dtype=np.int64)
+        np.add.at(h, spos, a[dpos])
+        h = h * HITS_SCALE // h.max()
+    ap = np.searchsorted(
+        dst_nodes, np.clip(sorted_ids, dst_nodes[0], dst_nodes[-1])
+    )
+    is_dst = dst_nodes[ap] == sorted_ids
+    auth = np.where(is_dst, a[ap], 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(sorted_ids, pa.int64()),
+            "hub_fx": pa.array(h, pa.int64()),
+            "auth_fx": pa.array(auth, pa.int64()),
+        }
+    )
+
+
+def link_hits_docs(
+    sf_dir: str, iters: int = HITS_ITERS, local_max: int = GRAPH_LOCAL_MAX
+) -> "rd.Dataset":
     """(doc_id, hub_fx, auth_fx): HITS hubs-and-authorities (Kleinberg
     1999, JACM 46(5)) over the deterministic link graph, in exact
     fixed-point integers. Each round:
@@ -597,6 +754,10 @@ def link_hits_docs(sf_dir: str, iters: int = HITS_ITERS) -> "rd.Dataset":
     )
     if n == 0:
         return rd.from_arrow(out_schema.empty_table())
+    if n <= local_max:
+        return rd.from_arrow(
+            ray.get(_local_hits_task.remote(iters, *ds_ids.to_arrow_refs()))
+        )
     edges = link_edges(ds_ids, n).materialize()
     _SCORE = pa.schema([("node", pa.int64()), ("v", pa.int64())])
 
@@ -775,7 +936,67 @@ _TRI_OUT_SCHEMA = pa.schema(
 )
 
 
-def link_triangles_docs(sf_dir: str) -> "rd.Dataset":
+@ray.remote(num_returns=1)
+def _local_triangles_task(*tbls) -> pa.Table:
+    """Whole wedge-join in one task (small graphs) — identical counting
+    to the distributed path: lowest-id orientation, self-loops dropped,
+    credits only to real doc nodes."""
+    import polars as pl
+
+    ids, src, dst, _ = _local_graph_arrays(*tbls)
+    n = len(ids)
+    sorted_ids = np.sort(ids)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    und = pl.DataFrame({"a": a, "b": b}).unique(["a", "b"]).sort(["a", "b"])
+    av, bv = und["a"].to_numpy(), und["b"].to_numpy()
+    wx, wy, wc = [], [], []
+    starts = np.flatnonzero(np.r_[True, av[1:] != av[:-1]]) if len(av) else []
+    ends = np.r_[starts[1:], len(av)] if len(av) else []
+    for s, e in zip(starts, ends):
+        k = e - s
+        if k < 2:
+            continue
+        nb = bv[s:e]
+        iu, ju = np.triu_indices(k, k=1)
+        wx.append(nb[iu])
+        wy.append(nb[ju])
+        wc.append(np.full(len(iu), av[s], dtype=np.int64))
+    deg_nodes = np.concatenate([av, bv]) if len(av) else np.empty(0, np.int64)
+    tri_nodes = np.empty(0, np.int64)
+    if wx:
+        w = pl.DataFrame(
+            {"x": np.concatenate(wx), "y": np.concatenate(wy), "c": np.concatenate(wc)}
+        )
+        hit = w.join(und.rename({"a": "x", "b": "y"}), on=["x", "y"], how="inner")
+        if hit.height:
+            tri_nodes = np.concatenate(
+                [hit["c"].to_numpy(), hit["x"].to_numpy(), hit["y"].to_numpy()]
+            )
+
+    def _cred(nodes: np.ndarray) -> np.ndarray:
+        cnt = np.zeros(n, dtype=np.int64)
+        if len(nodes):
+            p = np.searchsorted(
+                sorted_ids, np.clip(nodes, sorted_ids[0], sorted_ids[-1])
+            )
+            real = sorted_ids[p] == nodes
+            np.add.at(cnt, p[real], 1)
+        return cnt
+
+    return pa.table(
+        {
+            "doc_id": pa.array(sorted_ids, pa.int64()),
+            "degree": pa.array(_cred(deg_nodes), pa.int64()),
+            "triangles": pa.array(_cred(tri_nodes), pa.int64()),
+        }
+    ).cast(_TRI_OUT_SCHEMA)
+
+
+def link_triangles_docs(
+    sf_dir: str, local_max: int = GRAPH_LOCAL_MAX
+) -> "rd.Dataset":
     """(doc_id, degree, triangles): per-node triangle participation and
     undirected degree over the link graph — the integer numerators of
     the local clustering coefficient 2T/(k(k-1)) (division-free, the
@@ -802,6 +1023,10 @@ def link_triangles_docs(sf_dir: str) -> "rd.Dataset":
     n = ds_ids.count()
     if n == 0:
         return rd.from_arrow(_TRI_OUT_SCHEMA.empty_table())
+    if n <= local_max:
+        return rd.from_arrow(
+            ray.get(_local_triangles_task.remote(*ds_ids.to_arrow_refs()))
+        )
     edges = link_edges(ds_ids, n)
 
     def _pairs(batch: pa.Table) -> pa.Table:

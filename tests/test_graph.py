@@ -298,3 +298,65 @@ class TestTriangles:
         out = link_triangles_docs(sf).to_pandas()
         assert out["degree"].tolist() == [0]
         assert out["triangles"].tolist() == [0]
+
+
+class TestLocalBspParity:
+    """The small-graph single-task path and the distributed BSP path
+    must be bit-identical (same auto-switch contract as the dedup
+    clusterer's union-find <-> label-prop switch)."""
+
+    def test_pagerank_paths_identical(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_pagerank_docs
+
+        sf = _write_ids(tmp_path, list(range(53)))
+        local = (
+            link_pagerank_docs(sf).to_pandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        bsp = (
+            link_pagerank_docs(sf, local_max=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert local.equals(bsp)
+
+    def test_triangles_paths_identical(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_triangles_docs
+
+        sf = _write_ids(tmp_path, list(range(53)))
+        local = (
+            link_triangles_docs(sf).to_pandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        bsp = (
+            link_triangles_docs(sf, local_max=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert local.equals(bsp)
+
+    def test_components_paths_identical(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_components_docs
+
+        sf = _write_ids(tmp_path, [0, 2, 5, 9, 14, 20, 27, 35])
+        local = (
+            link_components_docs(sf).to_pandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        bsp = (
+            link_components_docs(sf, local_max=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert local.equals(bsp)
+
+    def test_hits_paths_identical(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_hits_docs
+
+        sf = _write_ids(tmp_path, list(range(53)))
+        local = (
+            link_hits_docs(sf).to_pandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        bsp = (
+            link_hits_docs(sf, local_max=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert local.equals(bsp)
