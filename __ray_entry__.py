@@ -64,6 +64,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return corpus_snapshot_diff(sf_dir)
 
+    def conversation_windows_stats(sf_dir: str):
+        """Sliding 4-turn / stride-2 training windows per conversation
+        (`pipelines/transcripts.conversation_windows`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import conversation_windows
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return conversation_windows(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def truncate_conversations_stats(sf_dir: str):
         """Context-budget truncation over the transcript corpus: per
         conversation, how many trailing turns / words survive the
@@ -299,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncate_conversations_stats": truncate_conversations_stats,
         # versioned-corpus snapshot diff (added/removed/changed by content)
         "corpus_snapshot_diff": _corpus_snapshot_diff,
+        # sliding K-turn training windows over conversations
+        "conversation_windows_stats": conversation_windows_stats,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -780,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.transcripts import (
         truncate_oracle_sql as _truncate_oracle_sql,
+        windows_oracle_sql as _windows_oracle_sql,
     )
     from quarrycore_ray.pipelines.incremental import (
         snapshot_diff_oracle_sql as _snapshot_diff_oracle_sql,
@@ -2584,6 +2599,9 @@ def oracle_sql() -> dict[str, str]:
         # --- context-budget truncation (generated: rebuilds per-turn word
         #     counts and replays the reverse-cumsum keep rule) ---
         "truncate_conversations_stats": _truncate_oracle_sql(),
+        # --- sliding training windows (generated: closed-form window word
+        #     sums from the synth's 12-word turn structure) ---
+        "conversation_windows_stats": _windows_oracle_sql(),
         # --- snapshot diff (generated: rebuilds both versions, FULL OUTER
         #     JOIN comparing texts — engine compares sha256) ---
         "corpus_snapshot_diff": _snapshot_diff_oracle_sql(),

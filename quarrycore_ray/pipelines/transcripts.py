@@ -190,3 +190,134 @@ def truncate_oracle_sql(budget: int = TRUNCATE_BUDGET) -> str:
         FROM k
         GROUP BY conv_id, n_turns
     """
+
+
+#: sliding-window defaults for `conversation_windows`
+WINDOW_TURNS, WINDOW_STRIDE = 4, 2
+
+_WIN_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("window_idx", pa.int64()),
+        ("start_turn", pa.int64()),
+        ("end_turn", pa.int64()),
+        ("n_words", pa.int64()),
+    ]
+)
+
+
+def conversation_windows(
+    ds: "rd.Dataset", k: int = WINDOW_TURNS, stride: int = WINDOW_STRIDE
+) -> "rd.Dataset":
+    """Sliding training windows over conversations: window i of a
+    conversation covers turns [i*stride, i*stride + k); a conversation
+    shorter than `k` turns yields ONE window covering all of it. The
+    overlapping-context construction chat corpora use to turn long
+    conversations into fixed-shape training examples (stride < k gives
+    each reply a window where it has preceding context).
+
+    Output (conv_id, window_idx, start_turn, end_turn, n_words) with
+    end_turn inclusive. Whole partitions vectorize in numpy: window
+    counts by arithmetic, word sums by one global cumulative-sum
+    difference — no per-conversation Python in the hot path.
+    """
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl
+
+        if tb.num_rows == 0:
+            return _WIN_SCHEMA.empty_table()
+        df = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text").str.count_matches(r"\S+").cast(pl.Int64).alias("wc")
+            )
+            .sort(["conv_id", "turn_idx"])
+        )
+        ids = df["conv_id"].to_numpy()
+        tv = df["turn_idx"].to_numpy().astype(np.int64)
+        wc = df["wc"].to_numpy()
+        total = len(ids)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lens = np.diff(np.r_[starts, total])
+        wcum = np.cumsum(wc)
+        w_count = np.where(lens <= k, 1, (lens - k) // stride + 1).astype(np.int64)
+        conv_rep = np.repeat(np.arange(len(starts)), w_count)
+        base = np.cumsum(w_count) - w_count
+        widx = np.arange(int(w_count.sum()), dtype=np.int64) - base[conv_rep]
+        s = widx * stride
+        e = np.minimum(s + k, lens[conv_rep])
+        off = starts[conv_rep]
+        gs, ge = off + s, off + e
+        nw = wcum[ge - 1] - np.where(gs > 0, wcum[gs - 1], 0)
+        return pa.table(
+            {
+                "conv_id": pa.array(ids[off]),
+                "window_idx": pa.array(widx, pa.int64()),
+                "start_turn": pa.array(tv[gs], pa.int64()),
+                "end_turn": pa.array(tv[ge - 1], pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+            }
+        ).cast(_WIN_SCHEMA)
+
+    return partitioned_group_map(
+        ds.select_columns(["conv_id", "turn_idx", "text"]),
+        "conv_id",
+        _part,
+        arrow=True,
+    )
+
+
+def windows_oracle_sql(k: int = WINDOW_TURNS, stride: int = WINDOW_STRIDE) -> str:
+    """DuckDB twin of `conversation_windows` over the transcript synth.
+
+    The synth's turn structure (every turn 12 words except the last,
+    which carries `nw - 12*(n_turns-1)`; a 0-word doc is one empty
+    turn) makes each window's word sum closed-form — no per-turn
+    table: n_words = 12 * (non-last turns in window) + (remainder if
+    the last turn is inside)."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '')) AS nw
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, nw,
+                   'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   CASE WHEN nw = 0 THEN 1
+                        ELSE CAST(ceil(nw / 12.0) AS BIGINT) END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT conv_id, n_turns, nw FROM t
+            UNION ALL
+            SELECT conv_id || '-dup', n_turns, nw FROM t WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT conv_id || '-ws', n_turns, nw FROM t WHERE doc_id % 10 = 5
+        ),
+        cw AS (
+            SELECT conv_id, n_turns,
+                   CASE WHEN nw = 0 THEN 0
+                        ELSE nw - 12 * (n_turns - 1) END AS rem,
+                   CASE WHEN n_turns <= {k} THEN 1
+                        ELSE (n_turns - {k}) // {stride} + 1 END AS wcnt
+            FROM all_convs
+        ),
+        win AS (
+            SELECT conv_id, n_turns, rem, gs.wi AS window_idx,
+                   gs.wi * {stride} AS s,
+                   least(gs.wi * {stride} + {k}, n_turns) AS e
+            FROM cw, unnest(range(cw.wcnt)) AS gs(wi)
+        )
+        SELECT conv_id,
+               CAST(window_idx AS BIGINT) AS window_idx,
+               CAST(s AS BIGINT) AS start_turn,
+               CAST(e - 1 AS BIGINT) AS end_turn,
+               CAST(12 * (least(e, n_turns - 1) - s)
+                    + CASE WHEN e = n_turns THEN rem ELSE 0 END
+                    AS BIGINT) AS n_words
+        FROM win
+    """

@@ -95,3 +95,43 @@ class TestTruncateConversations:
             .set_index("conv_id")
         )
         assert out.loc["p", "kept_words"] == out.loc["q", "kept_words"] == 3
+
+
+class TestConversationWindows:
+    def test_windows_hand_case(self):
+        from quarrycore_ray.pipelines.transcripts import conversation_windows
+
+        rows = [
+            # conv a: 7 turns, wc = 1..7 -> windows (k=4, s=2): [0,3],[2,5]
+            *[("a", i, " ".join(["w"] * (i + 1))) for i in range(7)],
+            # conv b: 2 turns (< k) -> single window [0,1]
+            ("b", 0, "x y"),
+            ("b", 1, "z"),
+        ]
+        out = (
+            conversation_windows(_ds(rows), k=4, stride=2)
+            .to_pandas()
+            .sort_values(["conv_id", "window_idx"])
+            .reset_index(drop=True)
+        )
+        a = out[out["conv_id"] == "a"]
+        assert a["window_idx"].tolist() == [0, 1]
+        assert a["start_turn"].tolist() == [0, 2]
+        assert a["end_turn"].tolist() == [3, 5]
+        # wc sums: turns 0-3 -> 1+2+3+4=10; turns 2-5 -> 3+4+5+6=18
+        assert a["n_words"].tolist() == [10, 18]
+        b = out[out["conv_id"] == "b"]
+        assert b["window_idx"].tolist() == [0]
+        assert b["start_turn"].tolist() == [0]
+        assert b["end_turn"].tolist() == [1]
+        assert b["n_words"].tolist() == [3]
+
+    def test_exact_multiple_coverage(self):
+        from quarrycore_ray.pipelines.transcripts import conversation_windows
+
+        # 6 turns, k=4, s=2 -> windows at 0 and 2 (2+4=6 fits exactly)
+        rows = [("c", i, "one two") for i in range(6)]
+        out = conversation_windows(_ds(rows), k=4, stride=2).to_pandas()
+        assert len(out) == 2
+        assert out["end_turn"].max() == 5
+        assert set(out["n_words"]) == {8}
