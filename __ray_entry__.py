@@ -64,6 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return corpus_snapshot_diff(sf_dir)
 
+    def _snapshot_vocab_drift(sf_dir: str):
+        """Top-50 terms by count drift between the deterministic corpus
+        snapshot versions (`pipelines/incremental.snapshot_vocab_drift`)."""
+        from quarrycore_ray.pipelines.incremental import snapshot_vocab_drift
+
+        return snapshot_vocab_drift(sf_dir)
+
     def conversation_windows_stats(sf_dir: str):
         """Sliding 4-turn / stride-2 training windows per conversation
         (`pipelines/transcripts.conversation_windows`)."""
@@ -313,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_snapshot_diff": _corpus_snapshot_diff,
         # sliding K-turn training windows over conversations
         "conversation_windows_stats": conversation_windows_stats,
+        # token-frequency drift between the snapshot versions
+        "snapshot_vocab_drift": _snapshot_vocab_drift,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -798,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.incremental import (
         snapshot_diff_oracle_sql as _snapshot_diff_oracle_sql,
+        vocab_drift_oracle_sql as _vocab_drift_oracle_sql,
     )
 
     def _hybrid_search_sql() -> str:
@@ -2605,6 +2615,9 @@ def oracle_sql() -> dict[str, str]:
         # --- snapshot diff (generated: rebuilds both versions, FULL OUTER
         #     JOIN comparing texts — engine compares sha256) ---
         "corpus_snapshot_diff": _snapshot_diff_oracle_sql(),
+        # --- vocab drift between versions (generated: same tokenization,
+        #     total (delta DESC, term) order at the top-k boundary) ---
+        "snapshot_vocab_drift": _vocab_drift_oracle_sql(),
         # --- agent tool-call analytics (synth plants tool='search'/'code'
         #     on assistant turns as (doc_id + turn_idx) % 4 == 1 / 3) ---
         "tool_usage_stats": r"""

@@ -522,3 +522,138 @@ def snapshot_diff_oracle_sql() -> str:
         WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
            OR COALESCE(v1.text, '') != COALESCE(v2.text, '')
     """
+
+
+#: top-K drifted terms reported by `snapshot_vocab_drift`
+VOCAB_DRIFT_K = 50
+
+_DRIFT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("cnt_v1", pa.int64()),
+        ("cnt_v2", pa.int64()),
+        ("delta", pa.int64()),
+    ]
+)
+
+
+def snapshot_vocab_drift(sf_dir: str, k: int = VOCAB_DRIFT_K) -> "pd.DataFrame":
+    """Token-frequency drift between the two snapshot versions: the
+    top-`k` terms by |count_v2 - count_v1| — the distribution-shift
+    monitor an ingest pipeline runs before retraining decisions.
+
+    Tokens are `\\S+` runs (no case folding — locale-free, identical in
+    the SQL twin). Scale shape: per-batch polars token counts act as
+    the combiner (only (term, partial-count) rows cross the wire), ONE
+    hash partition on term sums both versions and keeps its local
+    top-`k`; the driver merges `partitions x k` rows. The (delta DESC,
+    term ASC) order is total, so the boundary of the top-`k` is
+    deterministic on both sides."""
+    import pandas as pd
+    import polars as pl
+
+    from ..stages.grouped import partitioned_group_map
+
+    v1, v2 = _snapshot_versions(sf_dir)
+
+    def _cnt(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select(["text"]))
+            g = (
+                df.select(
+                    pl.col("text").fill_null("").str.extract_all(r"\S+").alias("t")
+                )
+                .explode("t")
+                .drop_nulls()
+                .group_by("t")
+                .agg(pl.len().cast(pl.Int64).alias("c"))
+            )
+            zero = pl.lit(0, dtype=pl.Int64)
+            g = g.select(
+                pl.col("t").alias("term"),
+                (pl.col("c") if side == 1 else zero).alias("cnt_v1"),
+                (pl.col("c") if side == 2 else zero).alias("cnt_v2"),
+            )
+            return g.to_arrow().cast(
+                pa.schema(
+                    [
+                        ("term", pa.string()),
+                        ("cnt_v1", pa.int64()),
+                        ("cnt_v2", pa.int64()),
+                    ]
+                )
+            )
+
+        return _f
+
+    tagged = v1.map_batches(_cnt(1), batch_format="pyarrow").union(
+        v2.map_batches(_cnt(2), batch_format="pyarrow")
+    )
+
+    def _topk(tb: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(tb)
+            .group_by("term")
+            .agg(pl.col("cnt_v1").sum(), pl.col("cnt_v2").sum())
+            .with_columns(
+                (pl.col("cnt_v2") - pl.col("cnt_v1")).abs().alias("delta")
+            )
+            .filter(pl.col("delta") > 0)
+            .sort(["delta", "term"], descending=[True, False])
+            .head(k)
+        )
+        return out.to_arrow().cast(_DRIFT_SCHEMA)
+
+    parts = partitioned_group_map(tagged, "term", _topk, arrow=True).to_pandas()
+    if parts.empty:  # zero-row corpus: blocks never reach _topk
+        return _DRIFT_SCHEMA.empty_table().to_pandas()
+    return (
+        parts.sort_values(["delta", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def vocab_drift_oracle_sql(k: int = VOCAB_DRIFT_K) -> str:
+    """DuckDB twin of `snapshot_vocab_drift` (same versions, same
+    tokenization, same total order at the top-k boundary)."""
+    (am, ar), (rm, rr), (em, er) = DIFF_ADD_MOD, DIFF_REM_MOD, DIFF_EDIT_MOD
+    return f"""
+        WITH v1 AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % {am} != {ar}
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {em} = {er}
+                        THEN COALESCE(text, '') || ' [edited]'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % {rm} != {rr}
+        ),
+        t1 AS MATERIALIZED (
+            SELECT u.t AS term, COUNT(*) AS c
+            FROM v1, unnest(list_filter(
+                string_split_regex(COALESCE(v1.text, ''), '\\s+'),
+                x -> x != '')) AS u(t)
+            GROUP BY u.t
+        ),
+        t2 AS MATERIALIZED (
+            SELECT u.t AS term, COUNT(*) AS c
+            FROM v2, unnest(list_filter(
+                string_split_regex(COALESCE(v2.text, ''), '\\s+'),
+                x -> x != '')) AS u(t)
+            GROUP BY u.t
+        ),
+        j AS (
+            SELECT COALESCE(t1.term, t2.term) AS term,
+                   COALESCE(t1.c, 0) AS c1, COALESCE(t2.c, 0) AS c2
+            FROM t1 FULL OUTER JOIN t2 ON t1.term = t2.term
+        )
+        SELECT term,
+               CAST(c1 AS BIGINT) AS cnt_v1,
+               CAST(c2 AS BIGINT) AS cnt_v2,
+               CAST(abs(c2 - c1) AS BIGINT) AS delta
+        FROM j
+        WHERE c1 != c2
+        ORDER BY delta DESC, term
+        LIMIT {k}
+    """
