@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary-column decode (real PNG/BMP + stub codecs)
         "media_decode_stats": docs.media_decode_stats,
         "jpeg_decode_stats": docs.jpeg_decode_stats,
+        # perceptual-hash image dedup through the real PNG codec
+        "image_dhash_dedup": docs.image_dhash_dedup,
         # joins (§2.5): multi-way + top-k combiner, anti-join
         "top_revenue_orders": rel.top_revenue_orders,
         "customers_without_recent_orders": rel.customers_without_recent_orders,
@@ -1891,6 +1893,49 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum((doc_id + i) % 256) * 1.0 / (w * h)) * 1000000 + 0.5)
                        / 1000000.0 AS mean_intensity
             FROM px GROUP BY doc_id, w, h
+        """,
+        "image_dhash_dedup": """
+            -- dHash twin: same gradient rasters as media_decode_stats,
+            -- same 4x5 area-map grid (cell(x) = x*5 // w), same exact
+            -- integer cross-multiplication mean comparison
+            WITH dims AS (
+                SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id,
+                       (u.i % w) * 5 // w AS xc,
+                       (u.i // w) * 4 // h AS yr,
+                       (doc_id + u.i) % 256 AS v
+                FROM dims,
+                     unnest(generate_series(CAST(0 AS BIGINT), w * h - 1)) AS u(i)
+            ),
+            cells AS MATERIALIZED (
+                SELECT doc_id, yr, xc,
+                       CAST(SUM(v) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM px GROUP BY doc_id, yr, xc
+            ),
+            bits AS (
+                SELECT a.doc_id, a.yr * 4 + a.xc AS k,
+                       CASE WHEN a.s * b.cnt < b.s * a.cnt
+                            THEN 1 ELSE 0 END AS bit
+                FROM cells a
+                JOIN cells b ON b.doc_id = a.doc_id AND b.yr = a.yr
+                            AND b.xc = a.xc + 1
+                WHERE a.xc < 4
+            ),
+            hashes AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(SUM(bit * (1 << k)) AS BIGINT) AS dhash
+                FROM bits GROUP BY doc_id
+            )
+            SELECT doc_id, dhash,
+                   CAST(MIN(doc_id) OVER (PARTITION BY dhash) AS BIGINT)
+                       AS rep_id,
+                   CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT)
+                       AS group_size
+            FROM hashes
         """,
         "extract_metadata_docs": """
             -- expected metadata fields for the deterministic pages

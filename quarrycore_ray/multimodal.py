@@ -564,3 +564,68 @@ def synth_media_table(n: int = 50, seed: int = 3) -> pa.Table:
     return pa.table(
         {name: pa.array(rows[name], MEDIA_SCHEMA.field(name).type) for name in MEDIA_SCHEMA.names}
     )
+
+
+def dhash16(img: np.ndarray) -> int:
+    """16-bit difference hash (dHash, the public perceptual-hash recipe
+    scaled to the tiny fixture rasters): partition the image into a
+    4-row x 5-column grid by the area map cell(x) = x*5 // w (nonempty
+    for w >= 5, h >= 4), then bit (r, c) = 1 iff grid-mean(r, c) <
+    grid-mean(r, c+1). Means compare by exact integer cross
+    multiplication (sum_a * cnt_b < sum_b * cnt_a) — no division, so
+    the bit pattern is reproducible in SQL integer arithmetic.
+    Constant-offset intensity shifts leave the hash unchanged (the
+    property that makes dHash a NEAR-duplicate key, not an exact one).
+    RGB(A) inputs hash their per-pixel channel sum (ordering-equivalent
+    to the mean)."""
+    if img.ndim == 3:
+        img = img[:, :, :3].astype(np.int64).sum(axis=2)
+    h, w = img.shape
+    if h < 4 or w < 5:
+        return 0
+    idx = np.arange(h * w, dtype=np.int64)
+    cell = (idx // w) * 4 // h * 5 + (idx % w) * 5 // w
+    flat = img.astype(np.int64).ravel()
+    sums = np.bincount(cell, weights=flat, minlength=20).astype(np.int64)
+    cnts = np.bincount(cell, minlength=20).astype(np.int64)
+    bits = 0
+    for r in range(4):
+        for c in range(4):
+            a, b = r * 5 + c, r * 5 + c + 1
+            if sums[a] * cnts[b] < sums[b] * cnts[a]:
+                bits |= 1 << (r * 4 + c)
+    return bits
+
+
+class DHashStage:
+    """Actor-pool stage: payload binary -> (doc_id, dhash) through the
+    REAL codecs (same magic sniffing as DecodeImageStage)."""
+
+    def __init__(self) -> None:
+        self._decoder = DecodeImageStage(decode_stub=False)
+
+    def _img(self, payload: bytes) -> np.ndarray:
+        if payload[:8] == _PNG_MAGIC:
+            return decode_png(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+        if payload[:4] == b"GIF8":
+            from .gif import decode_gif
+
+            return decode_gif(payload)
+        raise NotImplementedError("unsupported image container for dHash")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [
+            dhash16(self._img(p)) for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "dhash": pa.array(hashes, pa.int64()),
+            }
+        )

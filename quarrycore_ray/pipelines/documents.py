@@ -1593,6 +1593,73 @@ def media_decode_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def image_dhash_dedup(sf_dir: str) -> "rd.Dataset":
+    """Perceptual-hash image dedup THROUGH THE REAL CODEC: every
+    document row becomes a genuine PNG (the same doc_id-derived
+    gradient raster as `media_decode_stats`), an actor-pool stage
+    decodes it with the from-spec PNG decoder and computes the 16-bit
+    difference hash (`multimodal.dhash16` — grid means compared by
+    exact integer cross multiplication), and images are grouped by
+    exact dHash: constant-intensity-shifted gradients collide (the
+    perceptual property), mod-256 wraparound splits others — a
+    non-trivial grouping the oracle reproduces arithmetically.
+
+    Output (doc_id, dhash, rep_id, group_size); one hash shuffle on
+    dhash. The multimodal near-dup tier: at scale the same stage runs
+    over a real image column and the groupby key is the hash band.
+    """
+    from ..multimodal import DHashStage, encode_png
+    from ..stages.grouped import partitioned_group_map
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for d in batch["doc_id"].to_pylist():
+            w = 8 + d % 5
+            h = 8 + d % 3
+            raster = (
+                (np.arange(w * h, dtype=np.int64) + d) % 256
+            ).astype(np.uint8).reshape(h, w)
+            out.append(encode_png(raster))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
+        )
+
+    hashes = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_payloads, batch_format="pyarrow")
+        .map_batches(
+            DHashStage,
+            batch_format="pyarrow",
+            batch_size=64,  # binary rows are wide; small batches
+            concurrency=(1, 4),
+        )
+    )
+
+    def _group(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("doc_id").min().over("dhash").alias("rep_id"),
+                pl.len().over("dhash").cast(pl.Int64).alias("group_size"),
+            )
+            .select(["doc_id", "dhash", "rep_id", "group_size"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("dhash", pa.int64()),
+                    ("rep_id", pa.int64()),
+                    ("group_size", pa.int64()),
+                ]
+            )
+        )
+
+    return partitioned_group_map(hashes, "dhash", _group, arrow=True)
+
+
 def jpeg_decode_stats(sf_dir: str) -> "rd.Dataset":
     """Baseline-JPEG decode exercised end-to-end through the REAL codec
     (jpeg.py: ITU-T T.81 marker parse, canonical Huffman, dequantize,

@@ -135,3 +135,61 @@ class TestConversationWindows:
         assert len(out) == 2
         assert out["end_turn"].max() == 5
         assert set(out["n_words"]) == {8}
+
+
+class TestDHash:
+    def test_constant_shift_invariance(self):
+        import numpy as np
+
+        from quarrycore_ray.multimodal import dhash16
+
+        base = (np.arange(80, dtype=np.int64) % 200).reshape(8, 10)
+        shifted = base + 30  # constant intensity shift, no wraparound
+        assert dhash16(base.astype(np.uint8)) == dhash16(
+            shifted.astype(np.uint8)
+        )
+
+    def test_distinct_patterns_differ(self):
+        import numpy as np
+
+        from quarrycore_ray.multimodal import dhash16
+
+        asc = np.tile(np.arange(10, dtype=np.uint8) * 20, (8, 1))
+        desc = asc[:, ::-1].copy()
+        a, d = dhash16(asc), dhash16(desc)
+        assert a != d
+        # ascending rows: every left cell mean < right cell mean
+        assert a == 0xFFFF
+        assert d == 0
+
+    def test_rgb_reduces_to_channel_sum(self):
+        import numpy as np
+
+        from quarrycore_ray.multimodal import dhash16
+
+        g = np.tile(np.arange(10, dtype=np.uint8) * 10, (8, 1))
+        rgb = np.stack([g, g, g], axis=2)
+        assert dhash16(rgb) == dhash16(g)
+
+    def test_real_codec_roundtrip_groups(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.documents import image_dhash_dedup
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(40)), pa.int64()),
+                    "text": pa.array(["t"] * 40, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = image_dhash_dedup(str(tmp_path)).to_pandas()
+        assert len(out) == 40
+        # gradient rasters with equal dims and no wrap split collide:
+        # at least one non-singleton perceptual group must exist
+        assert (out["group_size"] > 1).any()
+        # rep is the min doc_id of its group
+        g = out.groupby("dhash")["doc_id"].min()
+        assert (out["rep_id"] == out["dhash"].map(g)).all()
