@@ -260,7 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return duplicate_turns(rd.from_arrow(transcripts_from_documents(sf_dir)))
 
-    return {
+    registry = {
         # ------------------------------------------------------------------
         # Entries 1-50 = the driver's CORRECTNESS check window: every
         # SURVEY.md §2 core operator and every round-3 addition sits here
@@ -522,6 +522,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": trn.pmi_bigrams,
         "filter_below_source_median": trn.filter_below_source_median,
     }
+    # The driver's CORRECTNESS gate evaluates only the FIRST 50 entries:
+    # pin one representative of every SURVEY §2 family plus every
+    # round-3 flagship addition into that window; everything else keeps
+    # its relative order behind them (still judge-checked via
+    # scripts/check_correctness.py full sweeps).
+    window = [
+        # §2.1 dedup core (exact, MinHash/LSH, SimHash, n-gram, setsim,
+        # substring, fuzzy, turn-level, soft, segment/line/substr tiers)
+        "exact_dedup_docs", "minhash_dedup_docs", "dedup_transcripts_full",
+        "incremental_near_dup_docs", "simhash_dup_pairs",
+        "ngram_jaccard_pairs", "setsim_join_docs", "substring_containment",
+        "fuzzy_match_docs", "duplicate_turns", "soft_dedup_weights",
+        "segment_dedup_docs", "c4_line_filter_docs", "dedup_lines_docs",
+        "exact_substr_spans", "exact_substr_dedup_docs",
+        "domain_classify_docs", "dedup_docs_domain_thresholds",
+        "dedup_docs_hotband", "extract_html_docs",
+        # semantic / ANN tier + this round's MMR re-rank
+        "knn_cosine", "ann_lsh_knn", "ann_ivf_knn", "embedding_dup_pairs",
+        "semdedup_prune", "mmr_rerank_docs",
+        # transcripts axis (north-rule payload)
+        "transcript_turn_stats", "tool_usage_stats",
+        "truncate_conversations_stats", "conversation_windows_stats",
+        # versioned-ingest maintenance
+        "corpus_snapshot_diff", "snapshot_vocab_drift",
+        # text analysis / scalar functions
+        "doc_stats", "quality_score_docs", "filter_docs_by_quality",
+        "langid_docs", "fingerprint_docs", "clean_text_docs",
+        # curation
+        "pii_redact_docs", "decontaminate_docs", "curation_pipeline_docs",
+        "gopher_quality_docs",
+        # training-data construction
+        "bigram_logprob_docs", "dsir_importance_weights",
+        "shard_docs_deterministic",
+        # streaming-shaped
+        "events_window_dedup",
+        # link graph
+        "link_pagerank_docs", "link_triangles_docs",
+        # multimodal (real codecs)
+        "media_decode_stats", "image_dhash_dedup",
+    ]
+    assert len(window) == 50 and all(n in registry for n in window)
+    out = {name: registry[name] for name in window}
+    out.update({k: v for k, v in registry.items() if k not in out})
+    return out
 
 
 def _hll_vocab_sql(p: int = 12) -> str:
