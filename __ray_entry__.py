@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_decode_stats": docs.jpeg_decode_stats,
         # perceptual-hash image dedup through the real PNG codec
         "image_dhash_dedup": docs.image_dhash_dedup,
+        # energy-envelope audio fingerprint dedup through the WAV codec
+        "audio_fingerprint_dedup": docs.audio_fingerprint_dedup,
         # joins (§2.5): multi-way + top-k combiner, anti-join
         "top_revenue_orders": rel.top_revenue_orders,
         "customers_without_recent_orders": rel.customers_without_recent_orders,
@@ -1937,6 +1939,43 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum((doc_id + i) % 256) * 1.0 / (w * h)) * 1000000 + 0.5)
                        / 1000000.0 AS mean_intensity
             FROM px GROUP BY doc_id, w, h
+        """,
+        "audio_fingerprint_dedup": """
+            -- energy-envelope fingerprint twin: same ramp WAVs as
+            -- audio_decode_stats, same 16-frame area map
+            -- frame(i) = i*16 // n, exact integer sums of squares
+            WITH dims AS (
+                SELECT doc_id, 64 + doc_id % 32 AS n FROM documents
+            ),
+            sm AS (
+                SELECT doc_id,
+                       u.i * 16 // n AS frame,
+                       ((doc_id + u.i) % 256 - 128)
+                           * ((doc_id + u.i) % 256 - 128) AS sq
+                FROM dims,
+                     unnest(generate_series(CAST(0 AS BIGINT), n - 1)) AS u(i)
+            ),
+            en AS MATERIALIZED (
+                SELECT doc_id, frame, CAST(SUM(sq) AS BIGINT) AS e
+                FROM sm GROUP BY doc_id, frame
+            ),
+            bits AS (
+                SELECT a.doc_id, a.frame AS k,
+                       CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+                FROM en a
+                JOIN en b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+            ),
+            fps AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(SUM(bit * (1 << k)) AS BIGINT) AS afp
+                FROM bits GROUP BY doc_id
+            )
+            SELECT doc_id, afp,
+                   CAST(MIN(doc_id) OVER (PARTITION BY afp) AS BIGINT)
+                       AS rep_id,
+                   CAST(COUNT(*) OVER (PARTITION BY afp) AS BIGINT)
+                       AS group_size
+            FROM fps
         """,
         "image_dhash_dedup": """
             -- dHash twin: same gradient rasters as media_decode_stats,

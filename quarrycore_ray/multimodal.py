@@ -629,3 +629,58 @@ class DHashStage:
                 "dhash": pa.array(hashes, pa.int64()),
             }
         )
+
+
+def audio_fp15(samples: np.ndarray, n_frames: int = 16) -> int:
+    """15-bit energy-envelope fingerprint (the Haitsma-Kalker 2002 sign
+    -of-energy-delta recipe, time-domain variant): partition samples
+    into `n_frames` frames by the area map frame(i) = i*n_frames // n,
+    compute each frame's energy as an exact int64 sum of squares, and
+    set bit k iff energy(k+1) > energy(k). All-integer, so the SQL twin
+    reproduces it bit-for-bit; constant time-shift of a few samples
+    flips few bits (the near-duplicate property)."""
+    x = np.asarray(samples, dtype=np.int64)
+    n = len(x)
+    if n < n_frames:
+        return 0
+    frame = np.arange(n, dtype=np.int64) * n_frames // n
+    energy = np.bincount(frame, weights=(x * x).astype(np.float64),
+                         minlength=n_frames).astype(np.int64)
+    bits = 0
+    for k in range(n_frames - 1):
+        if energy[k + 1] > energy[k]:
+            bits |= 1 << k
+    return bits
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: WAV payload -> (doc_id, afp) via the real
+    stdlib-wave decode + `audio_fp15`."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        fps: list[int] = []
+        for p in batch["payload"].to_pylist():
+            if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                raise NotImplementedError(
+                    "no codec for this audio format in this environment"
+                )
+            with wave.open(io.BytesIO(p), "rb") as w:
+                nf = w.getnframes()
+                width = w.getsampwidth()
+                raw = w.readframes(nf)
+            if width == 2:
+                x = np.frombuffer(raw, dtype=np.int16)
+            elif width == 1:
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+            else:
+                raise NotImplementedError(f"unsupported WAV sample width {width}")
+            fps.append(audio_fp15(x))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "afp": pa.array(fps, pa.int64()),
+            }
+        )

@@ -1593,6 +1593,65 @@ def media_decode_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def audio_fingerprint_dedup(sf_dir: str) -> "rd.Dataset":
+    """Audio near-dup grouping THROUGH THE REAL CODEC: every document
+    row becomes the same deterministic int16 ramp WAV as
+    `audio_decode_stats`, an actor-pool stage decodes it with the
+    stdlib-wave codec and computes the 15-bit energy-envelope
+    fingerprint (`multimodal.audio_fp15`, exact int64 sums of squares),
+    and clips are grouped by exact fingerprint — the audio analog of
+    `image_dhash_dedup`. Output (doc_id, afp, rep_id, group_size)."""
+    from ..multimodal import AudioFingerprintStage, encode_wav
+    from ..stages.grouped import partitioned_group_map
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for d in batch["doc_id"].to_pylist():
+            n = 64 + d % 32
+            samples = ((np.arange(n, dtype=np.int64) + d) % 256 - 128).astype(
+                np.int16
+            )
+            out.append(encode_wav(samples, sample_rate=8000))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
+        )
+
+    fps = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_payloads, batch_format="pyarrow")
+        .map_batches(
+            AudioFingerprintStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+    )
+
+    def _group(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("doc_id").min().over("afp").alias("rep_id"),
+                pl.len().over("afp").cast(pl.Int64).alias("group_size"),
+            )
+            .select(["doc_id", "afp", "rep_id", "group_size"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("afp", pa.int64()),
+                    ("rep_id", pa.int64()),
+                    ("group_size", pa.int64()),
+                ]
+            )
+        )
+
+    return partitioned_group_map(fps, "afp", _group, arrow=True)
+
+
 def image_dhash_dedup(sf_dir: str) -> "rd.Dataset":
     """Perceptual-hash image dedup THROUGH THE REAL CODEC: every
     document row becomes a genuine PNG (the same doc_id-derived

@@ -193,3 +193,44 @@ class TestDHash:
         # rep is the min doc_id of its group
         g = out.groupby("dhash")["doc_id"].min()
         assert (out["rep_id"] == out["dhash"].map(g)).all()
+
+
+class TestAudioFingerprint:
+    def test_shift_invariance_on_envelope(self):
+        import numpy as np
+
+        from quarrycore_ray.multimodal import audio_fp15
+
+        # a loudness ramp: every next frame carries more energy
+        x = (np.arange(160) * 100 % 20000).astype(np.int64)
+        ramp = np.sort(np.abs(x)).astype(np.int16)
+        assert audio_fp15(ramp) == (1 << 15) - 1
+        # reversed envelope -> all-descending energies -> zero bits
+        assert audio_fp15(ramp[::-1].copy()) == 0
+
+    def test_short_clip_guard(self):
+        import numpy as np
+
+        from quarrycore_ray.multimodal import audio_fp15
+
+        assert audio_fp15(np.array([1, 2, 3], dtype=np.int16)) == 0
+
+    def test_real_codec_groups(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.documents import audio_fingerprint_dedup
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(64)), pa.int64()),
+                    "text": pa.array(["t"] * 64, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = audio_fingerprint_dedup(str(tmp_path)).to_pandas()
+        assert len(out) == 64
+        assert (out["group_size"] > 1).any()
+        g = out.groupby("afp")["doc_id"].min()
+        assert (out["rep_id"] == out["afp"].map(g)).all()
