@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_knn": similarity.ann_ivf_knn,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "semdedup_prune": similarity.semdedup_prune,
+        # per-label medoid (all-integer k-medoids representative step)
+        "label_medoids": similarity.label_medoids,
         # int8 scalar quantization stats (shuffle-compression pass)
         "quantize_embeddings": similarity.quantize_embeddings,
         # transcript payload analytics (north-rule input shape)
@@ -348,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": trn.dsir_importance_weights,
         # streaming-shaped tumbling-window dedup (§2.10)
         "events_window_dedup": rel.events_window_dedup,
+        # per-day trending event types (windowed leaderboard top-k)
+        "events_trending_types": rel.events_trending_types,
         # link-graph PageRank (iterative BSP, exact fixed-point)
         "link_pagerank_docs": grf.link_pagerank_docs,
         # deterministic md5-order shuffle + shard assignment
@@ -846,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         triangles_oracle_sql as _triangles_oracle_sql,
     )
     from quarrycore_ray.functions.similarity import (
+        medoids_oracle_sql as _medoids_oracle_sql,
         mmr_oracle_sql as _mmr_oracle_sql,
         random_projection_oracle_sql as _rp_oracle_sql,
     )
@@ -856,6 +861,9 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.pipelines.incremental import (
         snapshot_diff_oracle_sql as _snapshot_diff_oracle_sql,
         vocab_drift_oracle_sql as _vocab_drift_oracle_sql,
+    )
+    from quarrycore_ray.pipelines.relational import (
+        trending_oracle_sql as _trending_oracle_sql,
     )
 
     def _hybrid_search_sql() -> str:
@@ -4022,6 +4030,7 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts < p.ts
             WHERE p.event_type = 'purchase'
         """,
+        "events_trending_types": _trending_oracle_sql(),
         "events_window_dedup": """
             SELECT user_id, event_type,
                    date_trunc('hour', ts) AS window_start,
@@ -4042,4 +4051,5 @@ def oracle_sql() -> dict[str, str]:
         "link_triangles_docs": _triangles_oracle_sql(),
         "hybrid_search_docs": _hybrid_search_sql(),
         "mmr_rerank_docs": _mmr_oracle_sql(),
+        "label_medoids": _medoids_oracle_sql(),
     }

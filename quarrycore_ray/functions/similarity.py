@@ -1120,3 +1120,105 @@ def mmr_oracle_sql(n_cand: int = MMR_N, k: int = MMR_K) -> str:
         FROM fin"""
     )
     return "\n".join(parts)
+
+
+def label_medoids(sf_dir: str) -> "rd.Dataset":
+    """Per-label medoid: the member minimizing the total squared
+    euclidean distance to its co-members — the k-medoids assignment /
+    "most central real example" selection step (PAM, Kaufman &
+    Rousseeuw 1990), here made ALL-INTEGER so the oracle is exact with
+    no cosine-boundary caveat: components quantize to 1e6 micro-units
+    first, then
+
+        cost(a) = sum_b |a - b|^2 = n*|a|^2 - 2*(a . S) + Q
+
+    with S = sum of member vectors and Q = sum of member squared norms
+    — an O(n*dim) identity per label, NO pairwise matrix. Ties break to
+    the smallest vec_id. int64 headroom: cost ~ n_label * dim * 1e12,
+    safe to ~2.8e5 members/label at dim 32; beyond that drop the
+    quantization scale a decade (both sides — it's a shared constant).
+
+    Scale shape: ONE hash partition by label; each partition reduces
+    its labels with numpy (quantize, one matmul against the label's sum
+    vector). Output (label, medoid_id, cost_u).
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    out_schema = pa.schema(
+        [("label", pa.int64()), ("medoid_id", pa.int64()), ("cost_u", pa.int64())]
+    )
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        labels = np.asarray(tb["label"], dtype=np.int64)
+        ids, emb = _to_matrix(tb)
+        q = np.floor(emb * 1_000_000.0 + 0.5).astype(np.int64)
+        rows = []
+        for lab in np.unique(labels):
+            sel = labels == lab
+            a = q[sel]
+            lids = ids[sel]
+            n = a.shape[0]
+            s = a.sum(axis=0)
+            normsq = (a * a).sum(axis=1)
+            qtot = int(normsq.sum())
+            cost = n * normsq - 2 * (a @ s) + qtot
+            df = pl.DataFrame({"id": lids, "cost": cost}).sort(["cost", "id"])
+            rows.append((int(lab), int(df["id"][0]), int(df["cost"][0])))
+        if not rows:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], pa.int64()),
+                "medoid_id": pa.array([r[1] for r in rows], pa.int64()),
+                "cost_u": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(_embeddings(sf_dir), "label", _part, arrow=True)
+
+
+def medoids_oracle_sql() -> str:
+    """DuckDB twin of `label_medoids` (same quantization, same integer
+    cost identity, same (cost, vec_id) tie-break)."""
+    return """
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, CAST(label AS BIGINT) AS label, dim,
+                   CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT) AS q
+            FROM (
+                SELECT vec_id, label, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            )
+        ),
+        sums AS MATERIALIZED (
+            SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s
+            FROM e GROUP BY label, dim
+        ),
+        stats AS MATERIALIZED (
+            SELECT label,
+                   CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+                   CAST(SUM(q * q) AS BIGINT) AS qtot
+            FROM e GROUP BY label
+        ),
+        per_vec AS (
+            SELECT e.label, e.vec_id,
+                   CAST(SUM(e.q * e.q) AS BIGINT) AS normsq,
+                   CAST(SUM(e.q * s.s) AS BIGINT) AS dots
+            FROM e JOIN sums s ON s.label = e.label AND s.dim = e.dim
+            GROUP BY e.label, e.vec_id
+        ),
+        costs AS (
+            SELECT p.label, p.vec_id,
+                   st.n * p.normsq - 2 * p.dots + st.qtot AS cost
+            FROM per_vec p JOIN stats st ON st.label = p.label
+        )
+        SELECT label,
+               CAST(vec_id AS BIGINT) AS medoid_id,
+               CAST(cost AS BIGINT) AS cost_u
+        FROM costs
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY cost, vec_id) = 1
+    """

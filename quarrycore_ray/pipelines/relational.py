@@ -1473,3 +1473,100 @@ def events_range_join(sf_dir: str) -> "rd.Dataset":
         )
 
     return partitioned_group_map(ds, "user_id", _pairs, arrow=True)
+
+
+def events_trending_types(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Trending event types: per day, the top-`k` event types by count
+    with their rank — the leaderboard view a streaming pipeline keeps
+    per window, expressed as a batch operator (§2.10 + the group top-k
+    pattern of `top_docs_per_source`).
+
+    Rank order (count DESC, event_type ASC) is total, so the top-k
+    boundary is deterministic. Scale shape: per-batch (day, type)
+    combiner counts -> one groupby sum -> one hash partition by day
+    ranks each day's handful of types with a vectorized polars window.
+    Output (day, event_type, n_events, rank).
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "day": pc.floor_temporal(batch["ts"], unit="day"),
+                        "event_type": batch["event_type"],
+                    }
+                )
+            )
+            .group_by(["day", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("_part"))
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("day", pa.timestamp("us")),
+                    ("event_type", pa.string()),
+                    ("_part", pa.int64()),
+                ]
+            )
+        )
+
+    agg = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("_part", alias_name="n_events"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("n_events", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def _rank(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["day", "n_events", "event_type"], descending=[False, True, False])
+            .with_columns(
+                (pl.int_range(pl.len()).over("day") + 1).alias("rank")
+            )
+            .filter(pl.col("rank") <= k)
+            .select(["day", "event_type", "n_events", "rank"])
+        )
+        return out.to_arrow().cast(out_schema)
+
+    def _daykey(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "day_key", pc.cast(batch["day"], pa.int64())
+        )
+
+    keyed = agg.map_batches(_daykey, batch_format="pyarrow")
+    ranked = partitioned_group_map(keyed, "day_key", _rank, arrow=True)
+    return ranked
+
+
+def trending_oracle_sql(k: int = 3) -> str:
+    """DuckDB twin of `events_trending_types`."""
+    return f"""
+        WITH c AS (
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY day ORDER BY n_events DESC, event_type
+               ) AS BIGINT) AS rank
+        FROM c
+        QUALIFY rank <= {k}
+    """

@@ -234,3 +234,77 @@ class TestAudioFingerprint:
         assert (out["group_size"] > 1).any()
         g = out.groupby("afp")["doc_id"].min()
         assert (out["rep_id"] == out["afp"].map(g)).all()
+
+
+class TestMedoidsAndTrending:
+    def test_medoid_identity_matches_pairwise(self, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.functions.similarity import label_medoids
+
+        rng = [[float(((i * 7 + j * 3) % 11) - 5) / 3 for j in range(4)]
+               for i in range(12)]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(list(range(12)), pa.int64()),
+                    "embedding": pa.array(rng, pa.list_(pa.float32())),
+                    "label": pa.array([i % 2 for i in range(12)], pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        out = label_medoids(str(tmp_path)).to_pandas().set_index("label")
+        # brute-force pairwise verification of the sum-vector identity
+        q = np.floor(
+            np.array(rng, dtype=np.float32).astype(np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for lab in (0, 1):
+            ids = [i for i in range(12) if i % 2 == lab]
+            costs = {
+                a: sum(int(((q[a] - q[b]) ** 2).sum()) for b in ids)
+                for a in ids
+            }
+            best = min(ids, key=lambda a: (costs[a], a))
+            assert out.loc[lab, "medoid_id"] == best
+            assert out.loc[lab, "cost_u"] == costs[best]
+
+    def test_trending_rank_boundary(self, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.relational import events_trending_types
+
+        base = dt.datetime(2026, 1, 1)
+        rows = (
+            [("a", base)] * 5 + [("b", base)] * 5  # tie broken by type
+            + [("c", base)] * 7
+            + [("d", base)] * 1
+            + [("z", base + dt.timedelta(days=1))] * 2
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([0] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[0] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        out = (
+            events_trending_types(str(tmp_path))
+            .to_pandas()
+            .sort_values(["day", "rank"])
+            .reset_index(drop=True)
+        )
+        d1 = out[out["rank"].notna()][out["day"] == out["day"].min()]
+        assert d1["event_type"].tolist() == ["c", "a", "b"]  # d cut at k=3
+        assert d1["rank"].tolist() == [1, 2, 3]
+        d2 = out[out["day"] == out["day"].max()]
+        assert d2["event_type"].tolist() == ["z"]
