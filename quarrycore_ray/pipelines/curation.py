@@ -230,7 +230,10 @@ def segment_dedup_docs(sf_dir: str, seg_words: int = SEG_WORDS) -> "rd.Dataset":
 
 
 def decontaminate_docs(
-    sf_dir: str, seg_words: int = SEG_WORDS, holdout_mod: int = 50
+    sf_dir: str,
+    seg_words: int = SEG_WORDS,
+    holdout_mod: int = 50,
+    canon: "rd.Dataset | None" = None,
 ) -> "rd.Dataset":
     """Benchmark decontamination: flag training documents that share any
     `seg_words`-word segment with a holdout/benchmark set (the GPT-3 /
@@ -249,7 +252,7 @@ def decontaminate_docs(
     cardinality.
     """
 
-    segs = _canonical_docs(sf_dir).map_batches(
+    segs = (canon if canon is not None else _canonical_docs(sf_dir)).map_batches(
         _make_segment_explode(seg_words), batch_format="pyarrow"
     )
 
@@ -906,11 +909,16 @@ def curation_pipeline_docs(
     per input document, so lineage is total, not just the keep list."""
     from .training import ccnet_bucket_docs, gopher_quality_docs
 
-    canon = _canonical_docs(sf_dir)
+    # ONE read + canonicalize pass shared by every downstream signal
+    # (the composed pipeline would otherwise re-read and re-normalize
+    # the corpus three more times)
+    canon = _canonical_docs(sf_dir).materialize()
 
     g = gopher_quality_docs(sf_dir).select_columns(["doc_id", "keep"])
-    cc = ccnet_bucket_docs(sf_dir).select_columns(["doc_id", "bucket"])
-    dec = decontaminate_docs(sf_dir, holdout_mod=holdout_mod)
+    cc = ccnet_bucket_docs(sf_dir, canon=canon).select_columns(
+        ["doc_id", "bucket"]
+    )
+    dec = decontaminate_docs(sf_dir, holdout_mod=holdout_mod, canon=canon)
 
     t = attach_lookup(
         canon, _STAGED_SCHEMA, ["doc_id"], g, "doc_id", "keep",

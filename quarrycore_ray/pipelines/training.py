@@ -419,7 +419,10 @@ def _first_tokens(ds: "rd.Dataset") -> "rd.Dataset":
 
 
 def bigram_logprob_docs(
-    sf_dir: str, lam: float = 0.7, lam_c: float = 0.3
+    sf_dir: str,
+    lam: float = 0.7,
+    lam_c: float = 0.3,
+    canon: "rd.Dataset | None" = None,
 ) -> "rd.Dataset":
     """Interpolated bigram language-model scoring — the CCNet-style
     perplexity filter (Wenzek et al. 2020, arXiv:1911.00359 §3.2 uses a
@@ -437,8 +440,10 @@ def bigram_logprob_docs(
     so the reduction is exact, order-independent, and bit-identical to
     the DuckDB oracle. `lam_c` is passed explicitly (not computed as
     1-lam) so engine and oracle use the same float literals.
-    Output (doc_id, n_tokens, avg_neg_logprob)."""
-    docs = canonical_docs(sf_dir)
+    Output (doc_id, n_tokens, avg_neg_logprob). `canon` lets a composed
+    pipeline share one materialized canonical corpus instead of
+    re-reading + re-normalizing (curation_pipeline_docs)."""
+    docs = canon if canon is not None else canonical_docs(sf_dir)
     tf = _term_counts(docs).materialize()
     cnt = _token_aggregate(tf, "c", value="tf").materialize()
     total = int(cnt.sum("c")) if cnt.count() else 0
@@ -527,7 +532,9 @@ def _rank_cutoffs(
     return [int(h.loc[(cum >= k).idxmax(), key]) for k in ranks]
 
 
-def ccnet_bucket_docs(sf_dir: str) -> "rd.Dataset":
+def ccnet_bucket_docs(
+    sf_dir: str, canon: "rd.Dataset | None" = None
+) -> "rd.Dataset":
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
     arXiv:1911.00359 §3.3: split the corpus into three equal parts by
     LM perplexity; 'head' is the best-scoring third). Scores come from
@@ -545,7 +552,7 @@ def ccnet_bucket_docs(sf_dir: str) -> "rd.Dataset":
     micro-unit integer with floor(avg * 1e6 + 0.5) from the same
     floor-rounded float. Output (doc_id, n_tokens, avg_neg_logprob,
     bucket)."""
-    scored = bigram_logprob_docs(sf_dir).materialize()
+    scored = bigram_logprob_docs(sf_dir, canon=canon).materialize()
 
     _H_SCHEMA = pa.schema(
         [pa.field("su", pa.int64()), pa.field("_p", pa.int64())]
