@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": rel.events_window_dedup,
         # per-day trending event types (windowed leaderboard top-k)
         "events_trending_types": rel.events_trending_types,
+        # EXISTS semi-join rollup (TPC-H Q4 shape)
+        "returned_orders_by_priority": rel.returned_orders_by_priority,
         # link-graph PageRank (iterative BSP, exact fixed-point)
         "link_pagerank_docs": grf.link_pagerank_docs,
         # deterministic md5-order shuffle + shard assignment
@@ -863,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         vocab_drift_oracle_sql as _vocab_drift_oracle_sql,
     )
     from quarrycore_ray.pipelines.relational import (
+        returned_orders_oracle_sql as _returned_orders_oracle_sql,
         trending_oracle_sql as _trending_oracle_sql,
     )
 
@@ -4031,6 +4034,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase'
         """,
         "events_trending_types": _trending_oracle_sql(),
+        "returned_orders_by_priority": _returned_orders_oracle_sql(),
         "events_window_dedup": """
             SELECT user_id, event_type,
                    date_trunc('hour', ts) AS window_start,

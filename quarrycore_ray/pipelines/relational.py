@@ -1570,3 +1570,100 @@ def trending_oracle_sql(k: int = 3) -> str:
         FROM c
         QUALIFY rank <= {k}
     """
+
+
+def returned_orders_by_priority(sf_dir: str) -> "rd.Dataset":
+    """EXISTS semi-join + rollup (TPC-H Q4 shape on the available
+    columns): count orders per (year, quarter, priority) that had at
+    least one RETURNED lineitem (l_returnflag = 'R') — the
+    order-priority health check a fulfilment pipeline runs per window.
+
+    Scale shape: returned lineitems reduce to per-batch-distinct
+    orderkeys (only keys cross the wire), `attach_lookup` resolves the
+    EXISTS (broadcast under its byte threshold, partitioned tagged-
+    union join above — both sides fact-scale safe), and the count is a
+    (year, quarter, priority) groupby over per-batch combiner partials.
+    Output (o_year, o_quarter, o_orderpriority, n_orders).
+    """
+    from ..stages.grouped import attach_lookup
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def _returned_keys(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .filter(pl.col("l_returnflag") == "R")
+            .select(pl.col("l_orderkey").cast(pl.Int64).alias("k"))
+            .unique()
+            .with_columns(pl.lit(1, dtype=pl.Int64).alias("one"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("k", pa.int64()), ("one", pa.int64())])
+        )
+
+    returned = li.map_batches(_returned_keys, batch_format="pyarrow")
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    _O_SCHEMA = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    marked = attach_lookup(
+        orders, _O_SCHEMA, ["o_orderkey"], returned, "k", "one",
+        pa.int64(), ["has_return"],
+    )
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(batch)
+            .filter(pl.col("has_return").is_not_null())
+            .with_columns(
+                pl.col("o_orderdate").dt.year().cast(pl.Int64).alias("o_year"),
+                ((pl.col("o_orderdate").dt.month().cast(pl.Int64) - 1) // 3 + 1)
+                .alias("o_quarter"),
+            )
+            .group_by(["o_year", "o_quarter", "o_orderpriority"])
+            .agg(pl.len().cast(pl.Int64).alias("_part"))
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("o_year", pa.int64()),
+                    ("o_quarter", pa.int64()),
+                    ("o_orderpriority", pa.string()),
+                    ("_part", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        marked.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["o_year", "o_quarter", "o_orderpriority"])
+        .aggregate(Sum("_part", alias_name="n_orders"))
+    )
+
+
+def returned_orders_oracle_sql() -> str:
+    """DuckDB twin of `returned_orders_by_priority`."""
+    return """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST((EXTRACT(month FROM o_orderdate) - 1) // 3 + 1 AS BIGINT)
+                   AS o_quarter,
+               o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        )
+        GROUP BY 1, 2, 3
+    """
