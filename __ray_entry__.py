@@ -365,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_dedup": docs.image_dhash_dedup,
         # energy-envelope audio fingerprint dedup through the WAV codec
         "audio_fingerprint_dedup": docs.audio_fingerprint_dedup,
+        # shot-boundary detection through the real Y4M parser
+        "video_scene_changes": docs.video_scene_changes,
+        # per-source curation audit (gopher + quality pass rates)
+        "source_quality_audit": trn.source_quality_audit,
         # joins (§2.5): multi-way + top-k combiner, anti-join
         "top_revenue_orders": rel.top_revenue_orders,
         "customers_without_recent_orders": rel.customers_without_recent_orders,
@@ -1090,6 +1094,37 @@ def oracle_sql() -> dict[str, str]:
                                   AND stop_hits >= 2
                              THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM m
+        """
+
+    _V_source_quality_audit = f"""
+            WITH g AS ({_V_gopher_quality_docs}),
+            qt AS (
+                SELECT doc_id, canonical, string_split(canonical, ' ') AS words
+                FROM (SELECT doc_id, {_CANON} AS canonical FROM documents)
+            ), qs AS (
+                SELECT doc_id,
+                    least(length(canonical) / 400.0, 1.0) AS ls,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        5.0 * len(list_filter(words, w -> w IN {_STOPLIST_SQL})) / len(words),
+                        1.0) END AS lgs,
+                    CASE WHEN canonical = '' THEN 0.0 ELSE least(
+                        2.0 * len(list_distinct(words)) / len(words), 1.0) END AS ch
+                FROM qt
+            ), q AS (
+                SELECT doc_id,
+                       floor((0.3 * ls + 0.4 * lgs + 0.3 * ch) * 1000000 + 0.5)
+                           / 1000000.0 AS quality
+                FROM qs
+            )
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(g.keep) AS BIGINT) AS n_gopher_pass,
+                   CAST(SUM(CASE WHEN q.quality >= 0.6 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_quality_pass
+            FROM documents d
+            JOIN g ON g.doc_id = d.doc_id
+            JOIN q ON q.doc_id = d.doc_id
+            GROUP BY d.source
         """
 
     _V_ccnet_bucket_docs = f"""
@@ -1950,6 +1985,41 @@ def oracle_sql() -> dict[str, str]:
                    floor((sum((doc_id + i) % 256) * 1.0 / (w * h)) * 1000000 + 0.5)
                        / 1000000.0 AS mean_intensity
             FROM px GROUP BY doc_id, w, h
+        """,
+        "video_scene_changes": """
+            -- scene-cut twin: same Y4M frame rule as video_frame_stats
+            -- (pixel (f, i) = (d + 7f + i) % 256), exact integer
+            -- cross-multiplied threshold |sum_f - sum_{f-1}| * 1e6 >
+            -- 3000000 * n_pixels
+            WITH dims AS (
+                SELECT doc_id, 8 + doc_id % 4 AS w, 6 + doc_id % 3 AS h,
+                       3 + doc_id % 4 AS nf
+                FROM documents
+            ),
+            fs AS (
+                SELECT doc_id, w, h, nf, gs.f AS f
+                FROM dims, unnest(range(dims.nf)) AS gs(f)
+            ),
+            sums AS MATERIALIZED (
+                SELECT doc_id, nf, w * h AS npix, f,
+                       CAST(SUM((doc_id + 7 * f + u.i) % 256) AS BIGINT) AS s
+                FROM fs,
+                     unnest(generate_series(CAST(0 AS BIGINT), w * h - 1)) AS u(i)
+                GROUP BY doc_id, nf, w, h, f
+            ),
+            deltas AS (
+                SELECT doc_id, nf, npix,
+                       abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY f))
+                           AS d
+                FROM sums
+            )
+            SELECT doc_id,
+                   CAST(MAX(nf) AS BIGINT) AS n_frames,
+                   CAST(SUM(CASE WHEN d * 1000000 > 3000000 * npix
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_scene_changes
+            FROM deltas
+            GROUP BY doc_id
         """,
         "audio_fingerprint_dedup": """
             -- energy-envelope fingerprint twin: same ramp WAVs as
@@ -3735,6 +3805,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 3
         """,
         "gopher_quality_docs": _V_gopher_quality_docs,
+        "source_quality_audit": _V_source_quality_audit,
         "pack_sequences": f"""
             WITH n AS (SELECT doc_id, len(string_split({_CANON}, ' ')) AS n_tokens
                        FROM documents),

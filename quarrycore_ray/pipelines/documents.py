@@ -1593,6 +1593,82 @@ def media_decode_stats(sf_dir: str) -> "rd.Dataset":
     )
 
 
+SCENE_THR_MICRO = 3_000_000  # mean-intensity jump > 3.0 = scene cut
+
+
+def video_scene_changes(sf_dir: str) -> "rd.Dataset":
+    """Scene-change detection through the REAL YUV4MPEG2 parser: each
+    document becomes the same deterministic Y4M stream as
+    `video_frame_stats`, an actor-pool stage parses EVERY frame's luma
+    plane and counts cuts — consecutive frames whose mean intensity
+    jumps by more than 3.0 — via the exact integer cross-multiplied
+    test |sum_f - sum_{f-1}| * 1e6 > thr_micro * n_pixels (no division,
+    bit-identical in SQL). The shot-boundary pass a video curation
+    pipeline runs before frame sampling.
+    Output (doc_id, n_frames, n_scene_changes)."""
+    from ..multimodal import encode_y4m, iter_y4m_frames
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for d in batch["doc_id"].to_pylist():
+            w, h = 8 + d % 4, 6 + d % 3
+            nf = 3 + d % 4
+            i = np.arange(w * h, dtype=np.int64)
+            f = np.arange(nf, dtype=np.int64)[:, None]
+            frames = ((d + f * 7 + i) % 256).astype(np.uint8).reshape(nf, h, w)
+            out.append(encode_y4m(frames))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(out, pa.binary())}
+        )
+
+    class _SceneStage:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids: list[int] = []
+            nfs: list[int] = []
+            ncs: list[int] = []
+            for d, p in zip(
+                batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+            ):
+                sums: list[int] = []
+                npix = 0
+                for w, h, luma in iter_y4m_frames(p):
+                    a = np.frombuffer(luma, dtype=np.uint8).astype(np.int64)
+                    sums.append(int(a.sum()))
+                    npix = w * h
+                s = np.asarray(sums, dtype=np.int64)
+                cuts = (
+                    int(
+                        (
+                            np.abs(np.diff(s)) * 1_000_000
+                            > SCENE_THR_MICRO * npix
+                        ).sum()
+                    )
+                    if len(s) > 1
+                    else 0
+                )
+                ids.append(int(d))
+                nfs.append(len(s))
+                ncs.append(cuts)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_frames": pa.array(nfs, pa.int64()),
+                    "n_scene_changes": pa.array(ncs, pa.int64()),
+                }
+            )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_payloads, batch_format="pyarrow")
+        .map_batches(
+            _SceneStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+    )
+
+
 def audio_fingerprint_dedup(sf_dir: str) -> "rd.Dataset":
     """Audio near-dup grouping THROUGH THE REAL CODEC: every document
     row becomes the same deterministic int16 ramp WAV as

@@ -2532,3 +2532,65 @@ def source_quality_regression(sf_dir: str) -> "rd.Dataset":
         )
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def source_quality_audit(sf_dir: str) -> "rd.Dataset":
+    """Per-source curation audit: how many documents each source
+    contributes and how many pass the Gopher rules and the reference
+    quality gate (>= 0.6) — the per-provider health dashboard a corpus
+    team reviews before re-weighting sources.
+
+    ONE stateless pass computes BOTH predicates per batch (shared
+    canonicalization, the exact `gopher_stats_batch` /
+    `quality_scores` kernels other queries oracle individually), and
+    per-batch (source, counts) combiner partials feed a tiny groupby —
+    zero joins, zero extra reads.
+    Output (source, n_docs, n_gopher_pass, n_quality_pass)."""
+    from ..pipelines.documents import quality_scores
+    from ..text import normalize_whitespace_array
+
+    def _audit(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        canonical = normalize_whitespace_array(batch["text"])
+        q = quality_scores(
+            pa.table({"doc_id": batch["doc_id"], "canonical": canonical})
+        )
+        g = gopher_stats_batch(
+            pa.table({"doc_id": batch["doc_id"], "text": batch["text"]})
+        )
+        df = pl.DataFrame(
+            {
+                "source": np.asarray(batch["source"]),
+                "gopher": np.asarray(g["keep"], dtype=np.int64),
+                "quality": (
+                    np.asarray(q["quality"], dtype=np.float64) >= 0.6
+                ).astype(np.int64),
+            }
+        )
+        out = df.group_by("source").agg(
+            pl.len().cast(pl.Int64).alias("n_docs"),
+            pl.col("gopher").sum().alias("n_gopher_pass"),
+            pl.col("quality").sum().alias("n_quality_pass"),
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("n_gopher_pass", pa.int64()),
+                    ("n_quality_pass", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(_audit, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_gopher_pass", alias_name="n_gopher_pass"),
+            Sum("n_quality_pass", alias_name="n_quality_pass"),
+        )
+    )
