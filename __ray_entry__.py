@@ -71,6 +71,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return snapshot_vocab_drift(sf_dir)
 
+    def _questions_per_conversation(sf_dir: str):
+        """Per-conversation question-turn counts over the transcript
+        corpus (`pipelines/transcripts.questions_per_conversation`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import (
+            questions_per_conversation,
+        )
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return questions_per_conversation(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def conversation_windows_stats(sf_dir: str):
         """Sliding 4-turn / stride-2 training windows per conversation
         (`pipelines/transcripts.conversation_windows`)."""
@@ -324,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_windows_stats": conversation_windows_stats,
         # token-frequency drift between the snapshot versions
         "snapshot_vocab_drift": _snapshot_vocab_drift,
+        # turn-content analytics: question turns per conversation
+        "questions_per_conversation": _questions_per_conversation,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -861,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         random_projection_oracle_sql as _rp_oracle_sql,
     )
     from quarrycore_ray.pipelines.transcripts import (
+        questions_oracle_sql as _questions_oracle_sql,
         truncate_oracle_sql as _truncate_oracle_sql,
         windows_oracle_sql as _windows_oracle_sql,
     )
@@ -2827,6 +2844,9 @@ def oracle_sql() -> dict[str, str]:
         # --- vocab drift between versions (generated: same tokenization,
         #     total (delta DESC, term) order at the top-k boundary) ---
         "snapshot_vocab_drift": _vocab_drift_oracle_sql(),
+        # --- turn-content questions (generated: rebuilds each turn's
+        #     12-word slice and replays contains('?')) ---
+        "questions_per_conversation": _questions_oracle_sql(),
         # --- agent tool-call analytics (synth plants tool='search'/'code'
         #     on assistant turns as (doc_id + turn_idx) % 4 == 1 / 3) ---
         "tool_usage_stats": r"""

@@ -321,3 +321,105 @@ def windows_oracle_sql(k: int = WINDOW_TURNS, stride: int = WINDOW_STRIDE) -> st
                     AS BIGINT) AS n_words
         FROM win
     """
+
+
+_Q_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_question_turns", pa.int64()),
+        ("n_user_question_turns", pa.int64()),
+    ]
+)
+
+
+def questions_per_conversation(ds: "rd.Dataset") -> "rd.Dataset":
+    """Turn-CONTENT analytics: per conversation, how many turns (and
+    how many user turns) contain a question mark — the engagement /
+    intent signal a chat-data curator uses to pick instruction-rich
+    conversations. Unlike the count-shaped transcript stats, this reads
+    the turn text itself; the SQL twin reconstructs each turn's word
+    slice from the document text, proving turn-level content operators
+    are exactly oracle-able too.
+
+    One stateless vectorized pass (polars `contains`) + one hash
+    partition on conv_id. Output (conv_id, n_turns, n_question_turns,
+    n_user_question_turns).
+    """
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.contains("?", literal=True)
+                .cast(pl.Int64)
+                .alias("q"),
+                (pl.col("role") == "user").cast(pl.Int64).alias("u"),
+            )
+            .group_by("conv_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_turns"),
+                pl.col("q").sum().alias("n_question_turns"),
+                (pl.col("q") * pl.col("u")).sum().alias(
+                    "n_user_question_turns"
+                ),
+            )
+        )
+        return out.to_arrow().cast(_Q_SCHEMA)
+
+    return partitioned_group_map(
+        ds.select_columns(["conv_id", "role", "text"]),
+        "conv_id",
+        _part,
+        arrow=True,
+    )
+
+
+def questions_oracle_sql() -> str:
+    """DuckDB twin of `questions_per_conversation`: rebuilds every
+    turn's 12-word slice from the document text (the synth's exact
+    chunking) and replays the contains('?') test per slice; roles
+    alternate user/assistant so user turns are the even indices."""
+    return """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS words
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, words,
+                   'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   CASE WHEN len(words) = 0 THEN 1
+                        ELSE CAST(ceil(len(words) / 12.0) AS BIGINT)
+                   END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT conv_id, words, n_turns FROM t
+            UNION ALL
+            SELECT conv_id || '-dup', words, n_turns FROM t
+            WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT conv_id || '-ws', words, n_turns FROM t
+            WHERE doc_id % 10 = 5
+        ),
+        turns AS (
+            SELECT conv_id, n_turns, gs.ti AS ti,
+                   CAST(len(list_filter(
+                       list_slice(words, gs.ti * 12 + 1, gs.ti * 12 + 12),
+                       x -> contains(x, '?'))) > 0 AS BIGINT) AS q
+            FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
+        )
+        SELECT conv_id,
+               CAST(MAX(n_turns) AS BIGINT) AS n_turns,
+               CAST(SUM(q) AS BIGINT) AS n_question_turns,
+               CAST(SUM(CASE WHEN ti % 2 = 0 THEN q ELSE 0 END) AS BIGINT)
+                   AS n_user_question_turns
+        FROM turns
+        GROUP BY conv_id
+    """

@@ -308,3 +308,27 @@ class TestMedoidsAndTrending:
         assert d1["rank"].tolist() == [1, 2, 3]
         d2 = out[out["day"] == out["day"].max()]
         assert d2["event_type"].tolist() == ["z"]
+
+
+class TestQuestionsPerConversation:
+    def test_counts_and_roles(self):
+        from quarrycore_ray.pipelines.transcripts import (
+            questions_per_conversation,
+        )
+
+        rows = [
+            ("a", 0, "is this a question?"),   # user, q
+            ("a", 1, "yes it is"),             # assistant
+            ("a", 2, "really? are you sure?"), # user, q
+            ("a", 3, "indeed?"),               # assistant, q
+            ("b", 0, "no questions here"),
+        ]
+        out = (
+            questions_per_conversation(_ds(rows))
+            .to_pandas()
+            .set_index("conv_id")
+        )
+        assert out.loc["a", "n_turns"] == 4
+        assert out.loc["a", "n_question_turns"] == 3
+        assert out.loc["a", "n_user_question_turns"] == 2
+        assert out.loc["b", "n_question_turns"] == 0
