@@ -370,6 +370,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trending_types": rel.events_trending_types,
         # EXISTS semi-join rollup (TPC-H Q4 shape)
         "returned_orders_by_priority": rel.returned_orders_by_priority,
+        # predicate-pushdown scan aggregate (TPC-H Q6 shape)
+        "discount_revenue_q6": rel.discount_revenue_q6,
+        # RFM customer segmentation (recency/frequency/monetary)
+        "customer_rfm_segments": rel.customer_rfm_segments,
         # link-graph PageRank (iterative BSP, exact fixed-point)
         "link_pagerank_docs": grf.link_pagerank_docs,
         # deterministic md5-order shuffle + shard assignment
@@ -886,7 +890,9 @@ def oracle_sql() -> dict[str, str]:
         vocab_drift_oracle_sql as _vocab_drift_oracle_sql,
     )
     from quarrycore_ray.pipelines.relational import (
+        q6_oracle_sql as _q6_oracle_sql,
         returned_orders_oracle_sql as _returned_orders_oracle_sql,
+        rfm_oracle_sql as _rfm_oracle_sql,
         trending_oracle_sql as _trending_oracle_sql,
     )
 
@@ -4126,6 +4132,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_trending_types": _trending_oracle_sql(),
         "returned_orders_by_priority": _returned_orders_oracle_sql(),
+        "discount_revenue_q6": _q6_oracle_sql(),
+        "customer_rfm_segments": _rfm_oracle_sql(),
         "events_window_dedup": """
             SELECT user_id, event_type,
                    date_trunc('hour', ts) AS window_start,

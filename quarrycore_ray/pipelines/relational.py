@@ -1667,3 +1667,182 @@ def returned_orders_oracle_sql() -> str:
         )
         GROUP BY 1, 2, 3
     """
+
+
+def discount_revenue_q6(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q6 shape: forecast-revenue-change aggregate — the
+    canonical predicate-pushdown scan. Revenue = SUM(extendedprice *
+    discount) over lineitems shipped in 1997 with discount in
+    [0.05, 0.07] and quantity < 24.
+
+    Exactness: the per-row product is quantized to 1e-6 micro-units
+    BEFORE the sum (the price and the discount each carry <= 2 dp in
+    the synth, so extendedprice * discount is representable and the
+    floor-round is boundary-safe); the reduction is an exact int64 sum.
+    One column-pruned read + one stateless filter-map + one scalar
+    fold: no shuffle at all. Output one row (revenue_u, n_items).
+    """
+    import pandas as pd
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(batch)
+            .filter(
+                (pl.col("l_shipdate") >= pl.datetime(1997, 1, 1))
+                & (pl.col("l_shipdate") < pl.datetime(1998, 1, 1))
+                & (pl.col("l_discount") >= 0.05)
+                & (pl.col("l_discount") <= 0.07)
+                & (pl.col("l_quantity") < 24)
+            )
+            .with_columns(
+                (
+                    (pl.col("l_extendedprice") * pl.col("l_discount") * 1e6)
+                    + 0.5
+                )
+                .floor()
+                .cast(pl.Int64)
+                .alias("rev_u")
+            )
+            .select(
+                pl.col("rev_u").sum().alias("revenue_u"),
+                pl.len().cast(pl.Int64).alias("n_items"),
+            )
+        )
+        return df.to_arrow().cast(
+            pa.schema([("revenue_u", pa.int64()), ("n_items", pa.int64())])
+        )
+
+    parts = ds.map_batches(_f, batch_format="pyarrow").to_pandas()
+    rev = int(parts["revenue_u"].sum()) if "revenue_u" in parts.columns else 0
+    n = int(parts["n_items"].sum()) if "n_items" in parts.columns else 0
+    return pd.DataFrame(
+        {
+            "revenue_u": pd.array([rev], dtype="int64"),
+            "n_items": pd.array([n], dtype="int64"),
+        }
+    )
+
+
+def q6_oracle_sql() -> str:
+    """DuckDB twin of `discount_revenue_q6` (same per-row micro-unit
+    quantization before the sum)."""
+    return """
+        SELECT CAST(COALESCE(SUM(CAST(floor(
+                   l_extendedprice * l_discount * 1000000.0 + 0.5)
+                   AS BIGINT)), 0) AS BIGINT) AS revenue_u,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+
+
+def customer_rfm_segments(sf_dir: str) -> "rd.Dataset":
+    """RFM customer segmentation (the classic marketing-analytics
+    rollup): per customer, Recency (last order date), Frequency (order
+    count) and Monetary (total spend, exact micro-units), with a
+    deterministic segment label from fixed thresholds — frequency >= 8
+    and monetary >= 800k micro-million = 'core', frequency >= 4 =
+    'active', else 'occasional'.
+
+    One (custkey) groupby over per-batch combiner partials (max date /
+    count / int64 sum — all mergeable), then a stateless label map.
+    Output (o_custkey, last_order, n_orders, total_spend_u, segment).
+    """
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.from_arrow(_micros(batch["o_totalprice"])).alias("p_u")
+            )
+            .group_by("o_custkey")
+            .agg(
+                pl.col("o_orderdate").max().alias("last_order"),
+                pl.len().cast(pl.Int64).alias("n_orders"),
+                pl.col("p_u").sum().alias("total_spend_u"),
+            )
+        )
+        return out.to_arrow().cast(_RFM_PART_SCHEMA)
+
+    def _reduce(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("o_custkey")
+            .agg(
+                pl.col("last_order").max(),
+                pl.col("n_orders").sum(),
+                pl.col("total_spend_u").sum(),
+            )
+            .with_columns(
+                pl.when(
+                    (pl.col("n_orders") >= 8)
+                    & (pl.col("total_spend_u") >= 800_000_000_000)
+                )
+                .then(pl.lit("core"))
+                .when(pl.col("n_orders") >= 4)
+                .then(pl.lit("active"))
+                .otherwise(pl.lit("occasional"))
+                .alias("segment")
+            )
+        )
+        return out.to_arrow().cast(_RFM_OUT_SCHEMA)
+
+    from ..stages.grouped import partitioned_group_map
+
+    partials = ds.map_batches(_partials, batch_format="pyarrow")
+    return partitioned_group_map(partials, "o_custkey", _reduce, arrow=True)
+
+
+_RFM_PART_SCHEMA = pa.schema(
+    [
+        ("o_custkey", pa.int64()),
+        ("last_order", pa.timestamp("us")),
+        ("n_orders", pa.int64()),
+        ("total_spend_u", pa.int64()),
+    ]
+)
+_RFM_OUT_SCHEMA = pa.schema(
+    [
+        ("o_custkey", pa.int64()),
+        ("last_order", pa.timestamp("us")),
+        ("n_orders", pa.int64()),
+        ("total_spend_u", pa.int64()),
+        ("segment", pa.string()),
+    ]
+)
+
+
+def rfm_oracle_sql() -> str:
+    """DuckDB twin of `customer_rfm_segments`."""
+    return """
+        WITH a AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS total_spend_u
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, last_order, n_orders, total_spend_u,
+               CASE WHEN n_orders >= 8 AND total_spend_u >= 800000000000
+                    THEN 'core'
+                    WHEN n_orders >= 4 THEN 'active'
+                    ELSE 'occasional' END AS segment
+        FROM a
+    """
