@@ -405,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hits_docs": grf.link_hits_docs,
         # per-node triangle counts + degree (local clustering numerators)
         "link_triangles_docs": grf.link_triangles_docs,
+        # BFS shortest-hop layers from the smallest doc_id
+        "link_bfs_layers": grf.link_bfs_layers,
         # hybrid BM25 + vector retrieval with reciprocal-rank fusion
         "hybrid_search_docs": docs.hybrid_search_docs,
         # MMR diverse re-rank over the semantic top-50 (integer greedy)
@@ -871,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.pipelines.graph import (
         assortativity_oracle_sql as _assort_oracle_sql,
         components_oracle_sql as _components_oracle_sql,
+        bfs_oracle_sql as _bfs_oracle_sql,
         hits_oracle_sql as _hits_oracle_sql,
         pagerank_oracle_sql as _pagerank_oracle_sql,
         triangles_oracle_sql as _triangles_oracle_sql,
@@ -4152,6 +4155,7 @@ def oracle_sql() -> dict[str, str]:
         "link_assortativity_docs": _assort_oracle_sql(),
         "link_hits_docs": _hits_oracle_sql(),
         "link_triangles_docs": _triangles_oracle_sql(),
+        "link_bfs_layers": _bfs_oracle_sql(),
         "hybrid_search_docs": _hybrid_search_sql(),
         "mmr_rerank_docs": _mmr_oracle_sql(),
         "label_medoids": _medoids_oracle_sql(),

@@ -1210,3 +1210,173 @@ def triangles_oracle_sql() -> str:
         LEFT JOIN dcnt dc ON dc.node = d.doc_id
         LEFT JOIN tcnt tc ON tc.node = d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability layers
+# ---------------------------------------------------------------------------
+
+BFS_DEPTH = 6
+
+_BFS_SCHEMA = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+_BFS_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("depth", pa.int64())])
+
+
+@ray.remote(num_returns=1)
+def _local_bfs_task(max_depth: int, *tbls) -> pa.Table:
+    """Whole BFS in one task — identical frontier/min semantics to the
+    BSP path; phantom nodes conduct reachability."""
+    ids, src, dst, _ = _local_graph_arrays(*tbls)
+    root = int(ids.min())
+    depth: dict = {root: 0}
+    frontier = {root}
+    for d in range(1, max_depth + 1):
+        nxt = set()
+        for u, v in zip(src.tolist(), dst.tolist()):
+            if u in frontier and v not in depth:
+                nxt.add(v)
+        for v in nxt:
+            depth[v] = d
+        frontier = nxt
+        if not frontier:
+            break
+    id_set = set(ids.tolist())
+    rows = sorted((n, dd) for n, dd in depth.items() if n in id_set)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "depth": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def link_bfs_layers(
+    sf_dir: str, max_depth: int = BFS_DEPTH, local_max: int = GRAPH_LOCAL_MAX
+) -> "rd.Dataset":
+    """(doc_id, depth): shortest directed-hop distance from the
+    smallest doc_id to every node reachable within `max_depth` hops —
+    the crawl-frontier / influence-radius computation, and the third
+    iterative BSP class (frontier expansion) next to power iteration
+    and label propagation.
+
+    Each round: attach the current depth table to edges on src (only
+    frontier rows propagate), emit (dst, d+1) candidates, then one
+    hash-partitioned MIN per node merges candidates with existing
+    depths — new nodes enter with round number d, visited nodes keep
+    their (smaller) depth, exactly BFS layer semantics. Phantom `% n`
+    targets conduct reachability (as in components); only real docs
+    appear in the output. Small graphs auto-switch to the single-task
+    path (`_local_bfs_task`, parity-tested)."""
+    ds_ids = _docs_ids(sf_dir)
+    n = ds_ids.count()
+    if n == 0:
+        return rd.from_arrow(_BFS_OUT_SCHEMA.empty_table())
+    if n <= local_max:
+        return rd.from_arrow(
+            ray.get(_local_bfs_task.remote(max_depth, *ds_ids.to_arrow_refs()))
+        )
+    edges = link_edges(ds_ids, n).materialize()
+    root = int(ds_ids.min("doc_id"))
+
+    depths = rd.from_arrow(
+        pa.table({"node": pa.array([root], pa.int64()),
+                  "d": pa.array([0], pa.int64())})
+    )
+
+    def _min_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("node")
+            .agg(pl.col("d").min())
+        )
+        return out.to_arrow().cast(_BFS_SCHEMA)
+
+    for rnd in range(1, max_depth + 1):
+        attached = attach_lookup(
+            edges, _EDGE_SCHEMA, ["src"], depths, "node", "d",
+            pa.int64(), ["d_src"],
+        )
+
+        def _expand(batch: pa.Table, _r=rnd) -> pa.Table:
+            import polars as pl
+
+            out = (
+                pl.from_arrow(batch)
+                # only the CURRENT frontier (depth == round-1) expands;
+                # older layers already propagated in earlier rounds
+                .filter(pl.col("d_src") == _r - 1)
+                .select(
+                    pl.col("dst").alias("node"),
+                    pl.lit(_r, dtype=pl.Int64).alias("d"),
+                )
+            )
+            return out.to_arrow().cast(_BFS_SCHEMA)
+
+        cands = attached.map_batches(_expand, batch_format="pyarrow")
+        depths = partitioned_group_map(
+            depths.union(cands), "node", _min_part, _graph_parts(n), arrow=True
+        ).materialize()
+
+    # restrict to real docs (phantoms conducted but are not output)
+    def _mark(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["doc_id"].cast(pa.int64()),
+                "one": pa.array(np.ones(m, dtype=np.int64)),
+            }
+        )
+
+    marked = attach_lookup(
+        depths, _BFS_SCHEMA, ["node"],
+        ds_ids.map_batches(_mark, batch_format="pyarrow"),
+        "node", "one", pa.int64(), ["is_doc"],
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .filter(pl.col("is_doc").is_not_null())
+            .select(pl.col("node").alias("doc_id"), pl.col("d").alias("depth"))
+        )
+        return out.to_arrow().cast(_BFS_OUT_SCHEMA)
+
+    return marked.map_batches(_final, batch_format="pyarrow")
+
+
+def bfs_oracle_sql(max_depth: int = BFS_DEPTH) -> str:
+    """Unrolled frontier-expansion DuckDB twin of `link_bfs_layers`."""
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),",
+        """edges AS MATERIALIZED (
+            SELECT DISTINCT d.doc_id AS src,
+                   (d.doc_id * 31 + j.j * 17 + 1) % (SELECT c FROM nn) AS dst
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+            WHERE j.j <= d.doc_id % 3
+        ),""",
+        """r0 AS (SELECT MIN(doc_id) AS node, 0 AS d FROM documents),""",
+    ]
+    for t in range(1, max_depth + 1):
+        parts.append(
+            f"""c{t} AS (
+            SELECT e.dst AS node, {t} AS d
+            FROM edges e JOIN r{t - 1} r ON r.node = e.src AND r.d = {t - 1}
+        ),
+        r{t} AS MATERIALIZED (
+            SELECT node, MIN(d) AS d
+            FROM (SELECT node, d FROM r{t - 1}
+                  UNION ALL SELECT node, d FROM c{t})
+            GROUP BY node
+        ),"""
+        )
+    parts.append(
+        f"""fin AS (SELECT * FROM r{max_depth})
+        SELECT d2.doc_id, CAST(f.d AS BIGINT) AS depth
+        FROM fin f JOIN documents d2 ON d2.doc_id = f.node"""
+    )
+    return "\n".join(parts)

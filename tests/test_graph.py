@@ -360,3 +360,49 @@ class TestLocalBspParity:
             .sort_values("doc_id").reset_index(drop=True)
         )
         assert local.equals(bsp)
+
+
+class TestBfsLayers:
+    @staticmethod
+    def _seq_bfs(ids, max_depth=6):
+        n = len(ids)
+        edges = [
+            (d, (d * 31 + j * 17 + 1) % n)
+            for d in ids
+            for j in range(d % 3 + 1)
+        ]
+        root = min(ids)
+        depth = {root: 0}
+        frontier = {root}
+        for dd in range(1, max_depth + 1):
+            nxt = {
+                v for u, v in edges if u in frontier and v not in depth
+            }
+            for v in nxt:
+                depth[v] = dd
+            frontier = nxt
+        return {k: v for k, v in depth.items() if k in set(ids)}
+
+    def test_matches_sequential_bfs(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_bfs_layers
+
+        ids = list(range(41))
+        sf = _write_ids(tmp_path, ids)
+        out = link_bfs_layers(sf).to_pandas().set_index("doc_id")["depth"]
+        ref = self._seq_bfs(ids)
+        assert out.to_dict() == ref
+        assert ref[0] == 0  # the root
+
+    def test_bfs_paths_identical(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_bfs_layers
+
+        sf = _write_ids(tmp_path, [0, 2, 5, 9, 14, 20, 27, 35])
+        local = (
+            link_bfs_layers(sf).to_pandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        bsp = (
+            link_bfs_layers(sf, local_max=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert local.equals(bsp)
