@@ -374,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_revenue_q6": rel.discount_revenue_q6,
         # RFM customer segmentation (recency/frequency/monetary)
         "customer_rfm_segments": rel.customer_rfm_segments,
+        # DAU/WAU rolling engagement (sliding exact distinct count)
+        "events_dau_wau": rel.events_dau_wau,
         # link-graph PageRank (iterative BSP, exact fixed-point)
         "link_pagerank_docs": grf.link_pagerank_docs,
         # deterministic md5-order shuffle + shard assignment
@@ -893,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         vocab_drift_oracle_sql as _vocab_drift_oracle_sql,
     )
     from quarrycore_ray.pipelines.relational import (
+        dau_wau_oracle_sql as _dau_wau_oracle_sql,
         q6_oracle_sql as _q6_oracle_sql,
         returned_orders_oracle_sql as _returned_orders_oracle_sql,
         rfm_oracle_sql as _rfm_oracle_sql,
@@ -4137,6 +4140,7 @@ def oracle_sql() -> dict[str, str]:
         "returned_orders_by_priority": _returned_orders_oracle_sql(),
         "discount_revenue_q6": _q6_oracle_sql(),
         "customer_rfm_segments": _rfm_oracle_sql(),
+        "events_dau_wau": _dau_wau_oracle_sql(),
         "events_window_dedup": """
             SELECT user_id, event_type,
                    date_trunc('hour', ts) AS window_start,

@@ -1846,3 +1846,148 @@ def rfm_oracle_sql() -> str:
                     ELSE 'occasional' END AS segment
         FROM a
     """
+
+
+def events_dau_wau(sf_dir: str) -> "rd.Dataset":
+    """DAU / WAU engagement: per calendar day, the exact count of
+    distinct active users that day (DAU) and over the trailing 7 days
+    (WAU, days d-6..d) — the stickiness dashboard metric, expressed
+    with the same disjoint-partial distinct-count plan as
+    `event_type_distinct_users` composed with the hopping-window
+    per-row bounded expansion.
+
+    Per batch: dedup to (user, day) pairs, expand each into its <= 7
+    trailing windows tagged DAU (offset 0) or WAU (all offsets), dedup
+    again; ONE hash partition on user_id makes per-partition distinct
+    counts disjoint, so the final per-day Sum is exact. Shuffle volume
+    is <= 8x the distinct (user, day) pairs — bounded by the window
+    width, never by event count. Output (day, dau, wau); only days
+    with >= 1 event that day appear (dau >= 1).
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    _PAIR = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("day", pa.timestamp("us")),
+            ("is_dau", pa.int8()),
+        ]
+    )
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        base = (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "user_id": batch["user_id"],
+                        "day": pc.floor_temporal(batch["ts"], unit="day"),
+                    }
+                )
+            )
+            .unique()
+        )
+        outs = []
+        for off in range(7):
+            outs.append(
+                base.select(
+                    pl.col("user_id"),
+                    (pl.col("day") + pl.duration(days=off)).alias("day"),
+                    pl.lit(1 if off == 0 else 0, dtype=pl.Int8).alias(
+                        "is_dau"
+                    ),
+                )
+            )
+        return (
+            pl.concat(outs)
+            .unique(["user_id", "day", "is_dau"])
+            .to_arrow()
+            .cast(_PAIR)
+        )
+
+    def _count(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).unique()
+        # a user active ON day d also reaches d from earlier days'
+        # trailing windows — WAU must count the (user, day) pair once,
+        # so dedup ignoring the is_dau tag before counting
+        wau = (
+            df.unique(["user_id", "day"])
+            .group_by("day")
+            .agg(pl.len().cast(pl.Int64).alias("wau_partial"))
+        )
+        dau = (
+            df.filter(pl.col("is_dau") == 1)
+            .group_by("day")
+            .agg(pl.len().cast(pl.Int64).alias("dau_partial"))
+        )
+        out = wau.join(dau, on="day", how="left").with_columns(
+            pl.col("dau_partial").fill_null(0)
+        ).select(["day", "dau_partial", "wau_partial"])
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("day", pa.timestamp("us")),
+                    ("dau_partial", pa.int64()),
+                    ("wau_partial", pa.int64()),
+                ]
+            )
+        )
+
+    partial = partitioned_group_map(
+        ds.map_batches(_expand, batch_format="pyarrow"), "user_id", _count,
+        arrow=True,
+    )
+    agg = partial.groupby("day").aggregate(
+        Sum("dau_partial", alias_name="dau"),
+        Sum("wau_partial", alias_name="wau"),
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            # trailing-window days past the last real activity day get
+            # wau-only rows; report only days with activity (dau >= 1)
+            .filter(pl.col("dau") > 0)
+            .select(["day", "dau", "wau"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("day", pa.timestamp("us")),
+                    ("dau", pa.int64()),
+                    ("wau", pa.int64()),
+                ]
+            )
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def dau_wau_oracle_sql() -> str:
+    """DuckDB twin of `events_dau_wau`."""
+    return """
+        WITH pairs AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM pairs),
+        dau AS (
+            SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM pairs GROUP BY day
+        ),
+        wau AS (
+            SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+            FROM days d
+            JOIN pairs p ON p.day <= d.day
+                        AND p.day >= d.day - INTERVAL 6 DAY
+            GROUP BY d.day
+        )
+        SELECT dau.day, dau.dau, wau.wau
+        FROM dau JOIN wau ON wau.day = dau.day
+    """

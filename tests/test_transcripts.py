@@ -332,3 +332,52 @@ class TestQuestionsPerConversation:
         assert out.loc["a", "n_question_turns"] == 3
         assert out.loc["a", "n_user_question_turns"] == 2
         assert out.loc["b", "n_question_turns"] == 0
+
+
+class TestDauWau:
+    def test_rolling_distinct(self, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.relational import events_dau_wau
+
+        base = dt.datetime(2026, 1, 1)
+        # user 1 active day 0 and day 3; user 2 active day 0 only;
+        # user 3 active day 8 (outside user 1/2's 7-day windows)
+        rows = [
+            (1, base),
+            (1, base),  # duplicate event, same day
+            (2, base),
+            (1, base + dt.timedelta(days=3)),
+            (3, base + dt.timedelta(days=8)),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array(["x"] * len(rows), pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        out = (
+            events_dau_wau(str(tmp_path))
+            .to_pandas()
+            .set_index("day")
+            .sort_index()
+        )
+        d0, d3, d8 = (base, base + dt.timedelta(days=3), base + dt.timedelta(days=8))
+        assert out.loc[d0, "dau"] == 2 and out.loc[d0, "wau"] == 2
+        # day 3: user 1 active; WAU = users 1 and 2 (both within 7 days),
+        # and user 1 counted ONCE despite day-0 + day-3 activity
+        assert out.loc[d3, "dau"] == 1 and out.loc[d3, "wau"] == 2
+        # day 8: only user 3 (days 0/3 are > 6 days back... day 3 is
+        # 5 days back -> user 1 still in the window)
+        assert out.loc[d8, "dau"] == 1 and out.loc[d8, "wau"] == 2
+        # only activity days appear
+        assert len(out) == 3
