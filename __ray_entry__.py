@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": rel.events_window_dedup,
         # per-day trending event types (windowed leaderboard top-k)
         "events_trending_types": rel.events_trending_types,
+        # robust per-source p05/p95 winsorization (histogram cutoffs)
+        "winsorize_lengths_by_source": docs.winsorize_lengths_by_source,
         # EXISTS semi-join rollup (TPC-H Q4 shape)
         "returned_orders_by_priority": rel.returned_orders_by_priority,
         # predicate-pushdown scan aggregate (TPC-H Q6 shape)
@@ -893,6 +895,9 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.pipelines.incremental import (
         snapshot_diff_oracle_sql as _snapshot_diff_oracle_sql,
         vocab_drift_oracle_sql as _vocab_drift_oracle_sql,
+    )
+    from quarrycore_ray.pipelines.documents import (
+        winsorize_oracle_sql as _winsorize_oracle_sql,
     )
     from quarrycore_ray.pipelines.relational import (
         dau_wau_oracle_sql as _dau_wau_oracle_sql,
@@ -3789,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # --- per-group quantiles (documents.py:length_quantiles_by_source) ---
+        "winsorize_lengths_by_source": _winsorize_oracle_sql(),
         "length_quantiles_by_source": """
             WITH s AS (
                 SELECT source, n_chars,

@@ -2257,7 +2257,9 @@ def length_quantiles(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def length_quantiles_by_source(sf_dir: str) -> "rd.Dataset":
+def length_quantiles_by_source(
+    sf_dir: str, qs: "tuple[float, ...] | None" = None
+) -> "rd.Dataset":
     """Exact per-group quantiles: for each source, the n_chars value at
     0-indexed position floor((n-1)*q) of that source's ascending length
     order, q in {0.25, 0.5, 0.75, 0.9}. Output: (source, q, n_chars).
@@ -2271,7 +2273,7 @@ def length_quantiles_by_source(sf_dir: str) -> "rd.Dataset":
     """
     from ..stages.grouped import partitioned_group_map
 
-    QS = (0.25, 0.5, 0.75, 0.9)
+    QS = qs if qs is not None else (0.25, 0.5, 0.75, 0.9)
 
     hist = (
         _docs(sf_dir, ["source", "n_chars"])
@@ -2307,6 +2309,104 @@ def length_quantiles_by_source(sf_dir: str) -> "rd.Dataset":
         ).cast(out_schema)
 
     return partitioned_group_map(hist, "source", _walk, arrow=True)
+
+
+def winsorize_lengths_by_source(sf_dir: str) -> "rd.Dataset":
+    """Robust per-source winsorization: clip every document's length at
+    its source's exact p05/p95 rank values (the same
+    value-at-floor((n-1)*q) rule as `length_quantiles_by_source`) —
+    the outlier-taming transform applied before computing
+    length-sensitive statistics or sampling weights.
+
+    Scale shape: per-source cutoffs come from the existing histogram
+    quantile walk (one (source, n_chars) groupby — never a sort), land
+    as a tiny (source, lo, hi) table, and attach back via ONE broadcast
+    lookup; clipping is a stateless vectorized map.
+    Output (doc_id, n_chars, n_chars_winsorized)."""
+    from ..stages.grouped import attach_lookup
+
+    cuts = length_quantiles_by_source(sf_dir, qs=(0.05, 0.95))
+
+    def _pivot(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .with_columns((pl.col("q") * 100).round().cast(pl.Int64).alias("qi"))
+            .pivot(on="qi", index="source", values="n_chars")
+            .rename({"5": "lo", "95": "hi"})
+            # pack lo/hi into one int64 so a single attach resolves both
+            .with_columns((pl.col("lo") * 10_000_000 + pl.col("hi")).alias("lohi"))
+            .select(["source", "lohi"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("source", pa.string()), ("lohi", pa.int64())])
+        )
+
+    cut_tbl = cuts.map_batches(_pivot, batch_format="pyarrow")
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    _D_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    attached = attach_lookup(
+        docs, _D_SCHEMA, ["source"], cut_tbl, "source", "lohi",
+        pa.int64(), ["lohi"],
+    )
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        lohi = np.asarray(batch["lohi"], dtype=np.int64)
+        lo = lohi // 10_000_000
+        hi = lohi % 10_000_000
+        n = np.asarray(batch["n_chars"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_chars": pa.array(n, pa.int64()),
+                "n_chars_winsorized": pa.array(
+                    np.minimum(np.maximum(n, lo), hi), pa.int64()
+                ),
+            }
+        )
+
+    return attached.map_batches(_clip, batch_format="pyarrow")
+
+
+def winsorize_oracle_sql() -> str:
+    """DuckDB twin of `winsorize_lengths_by_source` (same
+    value-at-floor((n-1)*q) rank rule, same clip)."""
+    return """
+        WITH h AS (
+            SELECT source, n_chars, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT source, n_chars,
+                   SUM(n) OVER (PARTITION BY source ORDER BY n_chars
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(n) OVER (PARTITION BY source) AS tot
+            FROM h
+        ),
+        lo AS (
+            SELECT source, MIN(n_chars) AS v FROM c
+            WHERE cum >= floor((tot - 1) * 0.05) + 1 GROUP BY source
+        ),
+        hi AS (
+            SELECT source, MIN(n_chars) AS v FROM c
+            WHERE cum >= floor((tot - 1) * 0.95) + 1 GROUP BY source
+        )
+        SELECT d.doc_id,
+               CAST(d.n_chars AS BIGINT) AS n_chars,
+               CAST(least(greatest(d.n_chars, lo.v), hi.v) AS BIGINT)
+                   AS n_chars_winsorized
+        FROM documents d
+        JOIN lo ON lo.source = d.source
+        JOIN hi ON hi.source = d.source
+    """
 
 
 def length_outliers(sf_dir: str, k_mad: int = 3) -> "rd.Dataset":
