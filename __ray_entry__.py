@@ -85,6 +85,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         )
 
+    def _role_verbosity_stats(sf_dir: str):
+        """Per-conversation user/assistant word split
+        (`pipelines/transcripts.role_verbosity`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import role_verbosity
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return role_verbosity(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def conversation_windows_stats(sf_dir: str):
         """Sliding 4-turn / stride-2 training windows per conversation
         (`pipelines/transcripts.conversation_windows`)."""
@@ -340,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_vocab_drift": _snapshot_vocab_drift,
         # turn-content analytics: question turns per conversation
         "questions_per_conversation": _questions_per_conversation,
+        # per-conversation role verbosity split (division-free)
+        "role_verbosity_stats": _role_verbosity_stats,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -889,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.transcripts import (
         questions_oracle_sql as _questions_oracle_sql,
+        verbosity_oracle_sql as _verbosity_oracle_sql,
         truncate_oracle_sql as _truncate_oracle_sql,
         windows_oracle_sql as _windows_oracle_sql,
     )
@@ -2864,6 +2879,7 @@ def oracle_sql() -> dict[str, str]:
         # --- turn-content questions (generated: rebuilds each turn's
         #     12-word slice and replays contains('?')) ---
         "questions_per_conversation": _questions_oracle_sql(),
+        "role_verbosity_stats": _verbosity_oracle_sql(),
         # --- agent tool-call analytics (synth plants tool='search'/'code'
         #     on assistant turns as (doc_id + turn_idx) % 4 == 1 / 3) ---
         "tool_usage_stats": r"""

@@ -423,3 +423,97 @@ def questions_oracle_sql() -> str:
         FROM turns
         GROUP BY conv_id
     """
+
+
+_VERB_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("user_words", pa.int64()),
+        ("assistant_words", pa.int64()),
+        ("n_turns", pa.int64()),
+    ]
+)
+
+
+def role_verbosity(ds: "rd.Dataset") -> "rd.Dataset":
+    """Per-conversation verbosity split: total words spoken by each
+    role — the assistant/user balance signal used to filter
+    monologue-heavy or echo-style conversations from chat training
+    data. Division-free: the ratio's exact numerator/denominator pair
+    is returned, not a float.
+
+    One vectorized pass + one conv_id hash partition.
+    Output (conv_id, user_words, assistant_words, n_turns)."""
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.count_matches(r"\S+")
+                .cast(pl.Int64)
+                .alias("wc"),
+                (pl.col("role") == "user").cast(pl.Int64).alias("u"),
+            )
+            .group_by("conv_id")
+            .agg(
+                (pl.col("wc") * pl.col("u")).sum().alias("user_words"),
+                (pl.col("wc") * (1 - pl.col("u"))).sum().alias(
+                    "assistant_words"
+                ),
+                pl.len().cast(pl.Int64).alias("n_turns"),
+            )
+        )
+        return out.to_arrow().cast(_VERB_SCHEMA)
+
+    return partitioned_group_map(
+        ds.select_columns(["conv_id", "role", "text"]),
+        "conv_id",
+        _part,
+        arrow=True,
+    )
+
+
+def verbosity_oracle_sql() -> str:
+    """DuckDB twin of `role_verbosity`: user turns are the even chunk
+    indices; every turn has 12 words except the last (remainder)."""
+    return """
+        WITH w AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '')) AS nw
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, nw,
+                   'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   CASE WHEN nw = 0 THEN 1
+                        ELSE CAST(ceil(nw / 12.0) AS BIGINT) END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT conv_id, n_turns, nw FROM t
+            UNION ALL
+            SELECT conv_id || '-dup', n_turns, nw FROM t WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT conv_id || '-ws', n_turns, nw FROM t WHERE doc_id % 10 = 5
+        ),
+        turns AS (
+            SELECT conv_id, n_turns, gs.ti AS ti,
+                   CASE WHEN nw = 0 THEN 0
+                        WHEN gs.ti < n_turns - 1 THEN 12
+                        ELSE nw - 12 * (n_turns - 1) END AS wc
+            FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
+        )
+        SELECT conv_id,
+               CAST(SUM(CASE WHEN ti % 2 = 0 THEN wc ELSE 0 END) AS BIGINT)
+                   AS user_words,
+               CAST(SUM(CASE WHEN ti % 2 = 1 THEN wc ELSE 0 END) AS BIGINT)
+                   AS assistant_words,
+               CAST(MAX(n_turns) AS BIGINT) AS n_turns
+        FROM turns
+        GROUP BY conv_id
+    """
