@@ -1991,3 +1991,144 @@ def dau_wau_oracle_sql() -> str:
         SELECT dau.day, dau.dau, wau.wau
         FROM dau JOIN wau ON wau.day = dau.day
     """
+
+
+def part_supplier_diversity(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q16 shape on the available tables: per (p_brand, size
+    band), how many parts and how many DISTINCT suppliers ship them —
+    the supplier-diversity report, with lineitem as the part-supplier
+    link (no partsupp table in this corpus). Size bands are
+    p_size // 10.
+
+    Plan: lineitem reduces to per-batch-distinct (partkey, suppkey)
+    pairs; `attach_lookup` stitches brand+band onto the pairs
+    (part is the small side — broadcast under the byte threshold);
+    ONE hash partition on suppkey makes per-partition distinct
+    (brand, band, supp) counts disjoint, and parts-per-group is a
+    separate distinct on partkey counted the same way. Output
+    (p_brand, size_band, n_parts, n_suppliers).
+    """
+    from ..stages.grouped import attach_lookup, partitioned_group_map
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .unique()
+            .rename({"l_partkey": "pk", "l_suppkey": "sk"})
+            .to_arrow()
+            .cast(pa.schema([("pk", pa.int64()), ("sk", pa.int64())]))
+        )
+
+    pairs = li.map_batches(_pairs, batch_format="pyarrow")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .with_columns(
+                (
+                    pl.col("p_brand")
+                    + pl.lit("|")
+                    + (pl.col("p_size") // 10).cast(pl.String)
+                ).alias("bb")
+            )
+            .select(
+                pl.col("p_partkey").cast(pl.Int64).alias("pk"),
+                pl.col("bb"),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema([("pk", pa.int64()), ("bb", pa.string())])
+        )
+
+    keyed = part.map_batches(_key, batch_format="pyarrow")
+    _PAIR_SCHEMA = pa.schema([("pk", pa.int64()), ("sk", pa.int64())])
+    attached = attach_lookup(
+        pairs, _PAIR_SCHEMA, ["pk"], keyed, "pk", "bb", pa.string(), ["bb"]
+    )
+
+    _CNT = pa.schema(
+        [("bb", pa.string()), ("np_", pa.int64()), ("ns", pa.int64())]
+    )
+
+    def _supp_partials(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).unique(["bb", "sk"])
+        out = df.group_by("bb").agg(
+            pl.lit(0, dtype=pl.Int64).alias("np_"),
+            pl.len().cast(pl.Int64).alias("ns"),
+        )
+        return out.to_arrow().cast(_CNT)
+
+    def _part_partials(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).unique(["bb", "pk"])
+        out = df.group_by("bb").agg(
+            pl.len().cast(pl.Int64).alias("np_"),
+            pl.lit(0, dtype=pl.Int64).alias("ns"),
+        )
+        return out.to_arrow().cast(_CNT)
+
+    supp = partitioned_group_map(
+        attached.select_columns(["bb", "sk"]), "sk", _supp_partials, arrow=True
+    )
+    prt = partitioned_group_map(
+        attached.select_columns(["bb", "pk"]), "pk", _part_partials, arrow=True
+    )
+    agg = supp.union(prt).groupby("bb").aggregate(
+        Sum("np_", alias_name="n_parts"), Sum("ns", alias_name="n_suppliers")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.col("bb").str.split("|").alias("parts_")
+            )
+            .with_columns(
+                pl.col("parts_").list.get(0).alias("p_brand"),
+                pl.col("parts_").list.get(1).cast(pl.Int64).alias("size_band"),
+            )
+            .select(["p_brand", "size_band", "n_parts", "n_suppliers"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("p_brand", pa.string()),
+                    ("size_band", pa.int64()),
+                    ("n_parts", pa.int64()),
+                    ("n_suppliers", pa.int64()),
+                ]
+            )
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def part_supplier_diversity_oracle_sql() -> str:
+    """DuckDB twin of `part_supplier_diversity`."""
+    return """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+        ),
+        j AS (
+            SELECT p.p_brand, p.p_size // 10 AS size_band, pr.pk, pr.sk
+            FROM pairs pr JOIN part p ON p.p_partkey = pr.pk
+        )
+        SELECT p_brand, CAST(size_band AS BIGINT) AS size_band,
+               CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_suppliers
+        FROM j
+        GROUP BY p_brand, size_band
+    """
