@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau": rel.events_dau_wau,
         # supplier-diversity report (TPC-H Q16 shape, dual distinct)
         "part_supplier_diversity": rel.part_supplier_diversity,
+        # robust hourly volume-anomaly flags (median/MAD, all-integer)
+        "events_hourly_anomalies": rel.events_hourly_anomalies,
         # link-graph PageRank (iterative BSP, exact fixed-point)
         "link_pagerank_docs": grf.link_pagerank_docs,
         # deterministic md5-order shuffle + shard assignment
@@ -918,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.relational import (
         dau_wau_oracle_sql as _dau_wau_oracle_sql,
+        anomalies_oracle_sql as _anomalies_oracle_sql,
         part_supplier_diversity_oracle_sql as _psd_oracle_sql,
         q6_oracle_sql as _q6_oracle_sql,
         returned_orders_oracle_sql as _returned_orders_oracle_sql,
@@ -4167,6 +4170,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm_segments": _rfm_oracle_sql(),
         "events_dau_wau": _dau_wau_oracle_sql(),
         "part_supplier_diversity": _psd_oracle_sql(),
+        "events_hourly_anomalies": _anomalies_oracle_sql(),
         "events_window_dedup": """
             SELECT user_id, event_type,
                    date_trunc('hour', ts) AS window_start,

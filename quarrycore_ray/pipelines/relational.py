@@ -2132,3 +2132,146 @@ def part_supplier_diversity_oracle_sql() -> str:
         FROM j
         GROUP BY p_brand, size_band
     """
+
+
+def events_hourly_anomalies(sf_dir: str, k_mad: int = 3) -> "rd.Dataset":
+    """Robust stream-monitoring anomaly flags: per (event_type, hour),
+    mark hours whose event count deviates from the type's median hourly
+    count by more than `k_mad` x MAD (median absolute deviation) — the
+    volume-spike / outage detector an ingest pipeline runs per window.
+    All-integer exact: medians use the value-at-floor((n-1)/2) rank
+    rule (`length_outliers` discipline), the flag test is an integer
+    compare, no division anywhere.
+
+    Scale shape: per-batch (type, hour) combiner partials -> one
+    groupby sum builds the hourly-count table (rows = types x hours,
+    tiny vs events); ONE hash partition on event_type computes each
+    type's median/MAD with a vectorized sort over its own hours.
+    Output (event_type, hour, n_events, med, mad, is_anomaly).
+    """
+    from ..stages.grouped import partitioned_group_map
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "event_type": batch["event_type"],
+                        "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+                    }
+                )
+            )
+            .group_by(["event_type", "hour"])
+            .agg(pl.len().cast(pl.Int64).alias("_part"))
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("hour", pa.timestamp("us")),
+                    ("_part", pa.int64()),
+                ]
+            )
+        )
+
+    hourly = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("_part", alias_name="n_events"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("med", pa.int64()),
+            ("mad", pa.int64()),
+            ("is_anomaly", pa.int64()),
+        ]
+    )
+
+    def _flag(tb: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl
+
+        df = pl.from_arrow(tb)
+        outs = []
+        for (et,), g in df.group_by("event_type", maintain_order=False):
+            c = np.sort(g["n_events"].to_numpy())
+            n = len(c)
+            med = int(c[int(np.floor((n - 1) * 0.5))])
+            dev = np.sort(np.abs(g["n_events"].to_numpy() - med))
+            mad = int(dev[int(np.floor((n - 1) * 0.5))])
+            outs.append(
+                g.with_columns(
+                    pl.lit(med, dtype=pl.Int64).alias("med"),
+                    pl.lit(mad, dtype=pl.Int64).alias("mad"),
+                    (
+                        (pl.col("n_events") - med).abs() > k_mad * mad
+                    )
+                    .cast(pl.Int64)
+                    .alias("is_anomaly"),
+                )
+            )
+        if not outs:
+            return out_schema.empty_table()
+        return (
+            pl.concat(outs)
+            .select(
+                ["event_type", "hour", "n_events", "med", "mad", "is_anomaly"]
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return partitioned_group_map(hourly, "event_type", _flag, arrow=True)
+
+
+def anomalies_oracle_sql(k_mad: int = 3) -> str:
+    """DuckDB twin of `events_hourly_anomalies` (same rank rules)."""
+    return f"""
+        WITH hc AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        st AS (
+            SELECT event_type, c,
+                   row_number() OVER (PARTITION BY event_type ORDER BY c) - 1
+                       AS r,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM hc
+        ),
+        med AS MATERIALIZED (
+            SELECT event_type, MIN(c) AS m FROM st
+            WHERE r >= floor((n - 1) * 0.5) GROUP BY event_type
+        ),
+        dev AS (
+            SELECT hc.event_type, abs(hc.c - med.m) AS d
+            FROM hc JOIN med USING (event_type)
+        ),
+        sd AS (
+            SELECT event_type, d,
+                   row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+                       AS r,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ),
+        mad AS MATERIALIZED (
+            SELECT event_type, MIN(d) AS mad FROM sd
+            WHERE r >= floor((n - 1) * 0.5) GROUP BY event_type
+        )
+        SELECT hc.event_type, hc.hour, hc.c AS n_events,
+               CAST(med.m AS BIGINT) AS med,
+               CAST(mad.mad AS BIGINT) AS mad,
+               CAST(CASE WHEN abs(hc.c - med.m) > {k_mad} * mad.mad
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM hc
+        JOIN med USING (event_type)
+        JOIN mad USING (event_type)
+    """
