@@ -216,6 +216,14 @@ def run_bench() -> dict:
             rd.from_arrow(transcripts_from_documents(sf))
         ),
     )
+    timed("image_dhash_dedup", docs.image_dhash_dedup)
+    timed("audio_fingerprint_dedup", docs.audio_fingerprint_dedup)
+    timed("video_scene_changes", docs.video_scene_changes)
+    timed("events_dau_wau", rel.events_dau_wau)
+    timed("events_hourly_anomalies", rel.events_hourly_anomalies)
+    timed("part_supplier_diversity", rel.part_supplier_diversity)
+    timed("source_quality_audit", trn.source_quality_audit)
+    timed("winsorize_lengths_by_source", docs.winsorize_lengths_by_source)
 
     ray.shutdown()
     return {
