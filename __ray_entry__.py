@@ -504,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats": docs.vocab_stats,
         "weighted_sample_docs": dset.weighted_sample_docs,
         "curriculum_sample": dset.curriculum_sample,
+        # exact Hamilton-apportionment stratified sampling
+        "stratified_sample_docs": dset.stratified_sample_docs,
         "rejection_sample": dset.rejection_sample,
         "format_instruction": dset.format_instruction,
         "events_props_extract": rel.events_props_extract,
@@ -917,6 +919,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.documents import (
         winsorize_oracle_sql as _winsorize_oracle_sql,
+    )
+    from quarrycore_ray.pipelines.dataset import (
+        stratified_oracle_sql as _stratified_oracle_sql,
     )
     from quarrycore_ray.pipelines.relational import (
         dau_wau_oracle_sql as _dau_wau_oracle_sql,
@@ -4171,6 +4176,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_wau": _dau_wau_oracle_sql(),
         "part_supplier_diversity": _psd_oracle_sql(),
         "events_hourly_anomalies": _anomalies_oracle_sql(),
+        "stratified_sample_docs": _stratified_oracle_sql(),
         "events_window_dedup": """
             SELECT user_id, event_type,
                    date_trunc('hour', ts) AS window_start,

@@ -581,3 +581,130 @@ def construct_dataset(
     with open(_os.path.join(out_dir, "job.json"), "w") as f:
         _json.dump(manifest, f, indent=2)
     return manifest
+
+
+def stratified_sample_docs(sf_dir: str, total_k: int = 100) -> "rd.Dataset":
+    """Proportional stratified sampling with EXACT largest-remainder
+    (Hamilton) apportionment: allocate `total_k` sample slots across
+    sources proportional to size — base_i = floor(K*n_i/N), the
+    leftover slots go to the largest integer remainders (K*n_i) mod N,
+    ties by source name — then pick each source's slots
+    deterministically by md5(doc_id) order (the same
+    deterministic-random order as `shard_docs_deterministic`).
+    All-integer: the apportionment is reproducible in SQL with no
+    float division anywhere.
+
+    Scale shape: ONE tiny per-source count groupby drives the
+    driver-side apportionment (O(#sources)); selection is one hash
+    partition on source with a vectorized rank-and-head per partition.
+    Output (source, doc_id, pick_rank).
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from ..stages.grouped import partitioned_group_map
+    from .documents import _docs
+
+    cnt = (
+        _docs(sf_dir, ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("doc_id", pa.int64()),
+            ("pick_rank", pa.int64()),
+        ]
+    )
+    if cnt.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    total_n = int(cnt["n"].sum())
+    base = {
+        s: (total_k * int(n)) // total_n
+        for s, n in zip(cnt["source"], cnt["n"])
+    }
+    rem = {
+        s: (total_k * int(n)) % total_n
+        for s, n in zip(cnt["source"], cnt["n"])
+    }
+    leftover = total_k - sum(base.values())
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    alloc = base  # source -> k_i, exact ints
+
+    def _pick(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).with_columns(
+            pl.col("doc_id")
+            .cast(pl.String)
+            .map_elements(
+                lambda s: hashlib.md5(s.encode()).hexdigest(),
+                return_dtype=pl.String,
+            )
+            .alias("h")
+        )
+        out = (
+            df.sort(["source", "h", "doc_id"])
+            .with_columns(
+                (pl.int_range(pl.len()).over("source") + 1).alias("pick_rank")
+            )
+            .with_columns(
+                pl.col("source")
+                .map_elements(
+                    lambda s: alloc.get(s, 0), return_dtype=pl.Int64
+                )
+                .alias("_k")
+            )
+            .filter(pl.col("pick_rank") <= pl.col("_k"))
+            .select(["source", "doc_id", "pick_rank"])
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return partitioned_group_map(
+        _docs(sf_dir, ["source", "doc_id"]), "source", _pick, arrow=True
+    )
+
+
+def stratified_oracle_sql(total_k: int = 100) -> str:
+    """DuckDB twin of `stratified_sample_docs` (same integer Hamilton
+    apportionment, same md5 pick order)."""
+    return f"""
+        WITH cnt AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM cnt),
+        quota AS (
+            SELECT source, n,
+                   ({total_k} * n) // (SELECT N FROM tot) AS base,
+                   ({total_k} * n) % (SELECT N FROM tot) AS rem
+            FROM cnt
+        ),
+        lr AS (
+            SELECT source, base, rem,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rr
+            FROM quota
+        ),
+        alloc AS MATERIALIZED (
+            SELECT source,
+                   base + CASE WHEN rr <= {total_k} -
+                       (SELECT CAST(SUM(base) AS BIGINT) FROM lr)
+                       THEN 1 ELSE 0 END AS k
+            FROM lr
+        ),
+        ranked AS (
+            SELECT d.source, d.doc_id,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS pick_rank
+            FROM documents d
+        )
+        SELECT r.source, r.doc_id, CAST(r.pick_rank AS BIGINT) AS pick_rank
+        FROM ranked r JOIN alloc a ON a.source = r.source
+        WHERE r.pick_rank <= a.k
+    """

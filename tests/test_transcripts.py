@@ -381,3 +381,35 @@ class TestDauWau:
         assert out.loc[d8, "dau"] == 1 and out.loc[d8, "wau"] == 2
         # only activity days appear
         assert len(out) == 3
+
+
+class TestStratifiedSample:
+    def test_hamilton_allocation_sums_to_k(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.dataset import stratified_sample_docs
+
+        # sizes 7 / 2 / 1 with K = 5: quotas 3.5 / 1.0 / 0.5 ->
+        # base 3/1/0, remainders .5/.0/.5 -> leftover 1 goes to the
+        # tied-largest remainder with the LEXICALLY SMALLER source
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(10)), pa.int64()),
+                    "text": pa.array(["t"] * 10, pa.string()),
+                    "lang": pa.array(["en"] * 10, pa.string()),
+                    "source": pa.array(
+                        ["a"] * 7 + ["b"] * 2 + ["c"], pa.string()
+                    ),
+                    "n_chars": pa.array([1] * 10, pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = stratified_sample_docs(str(tmp_path), total_k=5).to_pandas()
+        got = out.groupby("source")["doc_id"].count().to_dict()
+        assert got == {"a": 4, "b": 1}  # c's 0.5 loses the a/c tie? no:
+        # rem(a) = (5*7) % 10 = 5, rem(b) = 0, rem(c) = 5; leftover =
+        # 5 - (3+1+0) = 1 -> goes to 'a' (tie with c, source asc)
+        assert len(out) == 5
+        assert (out["pick_rank"] >= 1).all()
