@@ -408,8 +408,8 @@ class TestStratifiedSample:
         )
         out = stratified_sample_docs(str(tmp_path), total_k=5).to_pandas()
         got = out.groupby("source")["doc_id"].count().to_dict()
-        assert got == {"a": 4, "b": 1}  # c's 0.5 loses the a/c tie? no:
         # rem(a) = (5*7) % 10 = 5, rem(b) = 0, rem(c) = 5; leftover =
-        # 5 - (3+1+0) = 1 -> goes to 'a' (tie with c, source asc)
+        # 5 - (3+1+0) = 1 -> the a/c remainder tie breaks source-asc
+        assert got == {"a": 4, "b": 1}
         assert len(out) == 5
         assert (out["pick_rank"] >= 1).all()
