@@ -85,6 +85,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         )
 
+    def _reply_length_moments(sf_dir: str):
+        """Exact Pearson moments between user-turn length and the next
+        assistant reply's length
+        (`pipelines/transcripts.reply_length_moments`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import reply_length_moments
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return reply_length_moments(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def _role_verbosity_stats(sf_dir: str):
         """Per-conversation user/assistant word split
         (`pipelines/transcripts.role_verbosity`)."""
@@ -354,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "questions_per_conversation": _questions_per_conversation,
         # per-conversation role verbosity split (division-free)
         "role_verbosity_stats": _role_verbosity_stats,
+        # adjacent-turn question->reply length correlation moments
+        "reply_length_moments": _reply_length_moments,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -909,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.transcripts import (
         questions_oracle_sql as _questions_oracle_sql,
+        reply_moments_oracle_sql as _reply_moments_oracle_sql,
         verbosity_oracle_sql as _verbosity_oracle_sql,
         truncate_oracle_sql as _truncate_oracle_sql,
         windows_oracle_sql as _windows_oracle_sql,
@@ -2891,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
         #     12-word slice and replays contains('?')) ---
         "questions_per_conversation": _questions_oracle_sql(),
         "role_verbosity_stats": _verbosity_oracle_sql(),
+        "reply_length_moments": _reply_moments_oracle_sql(),
         # --- agent tool-call analytics (synth plants tool='search'/'code'
         #     on assistant turns as (doc_id + turn_idx) % 4 == 1 / 3) ---
         "tool_usage_stats": r"""

@@ -517,3 +517,117 @@ def verbosity_oracle_sql() -> str:
         FROM turns
         GROUP BY conv_id
     """
+
+
+_CORR_SCHEMA = pa.schema(
+    [
+        ("n_pairs", pa.int64()),
+        ("sx", pa.int64()),
+        ("sy", pa.int64()),
+        ("sxy", pa.int64()),
+        ("sxx", pa.int64()),
+        ("syy", pa.int64()),
+    ]
+)
+
+
+def reply_length_moments(ds: "rd.Dataset") -> "pd.DataFrame":
+    """Adjacent-turn interaction: exact Pearson moments between each
+    user turn's word count (x) and the IMMEDIATELY following assistant
+    reply's word count (y) — do longer questions get longer answers?
+    Division-free (`link_assortativity_docs` discipline): one row of
+    integer sums (n, Sx, Sy, Sxy, Sxx, Syy); the correlation is
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) for consumers.
+
+    Pairing is conversation-local (turn t even, reply t+1), so ONE
+    conv_id hash partition forms all pairs; the moment fold is an exact
+    int64 sum over partitions.
+    """
+    import pandas as pd
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.count_matches(r"\S+")
+                .cast(pl.Int64)
+                .alias("wc")
+            )
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(
+                pl.col("wc").shift(-1).over("conv_id").alias("y"),
+                pl.col("turn_idx").cast(pl.Int64),
+            )
+            .filter((pl.col("turn_idx") % 2 == 0) & pl.col("y").is_not_null())
+        )
+        x = df["wc"]
+        y = df["y"]
+        out = pl.DataFrame(
+            {
+                "n_pairs": [df.height],
+                "sx": [int(x.sum() or 0)],
+                "sy": [int(y.sum() or 0)],
+                "sxy": [int((x * y).sum() or 0)],
+                "sxx": [int((x * x).sum() or 0)],
+                "syy": [int((y * y).sum() or 0)],
+            }
+        )
+        return out.to_arrow().cast(_CORR_SCHEMA)
+
+    parts = partitioned_group_map(
+        ds.select_columns(["conv_id", "turn_idx", "text"]),
+        "conv_id",
+        _part,
+        arrow=True,
+    ).to_pandas()
+    if parts.empty:
+        return _CORR_SCHEMA.empty_table().to_pandas()
+    return pd.DataFrame(
+        {c: pd.array([int(parts[c].sum())], dtype="int64") for c in parts.columns}
+    )
+
+
+def reply_moments_oracle_sql() -> str:
+    """DuckDB twin of `reply_length_moments`: pairs (even turn t,
+    t+1) with closed-form word counts from the 12-word chunking."""
+    return """
+        WITH w AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '')) AS nw
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, nw,
+                   CASE WHEN nw = 0 THEN 1
+                        ELSE CAST(ceil(nw / 12.0) AS BIGINT) END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT doc_id * 3 AS cid, n_turns, nw FROM t
+            UNION ALL
+            SELECT doc_id * 3 + 1, n_turns, nw FROM t WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id * 3 + 2, n_turns, nw FROM t WHERE doc_id % 10 = 5
+        ),
+        pairs AS (
+            SELECT CASE WHEN gs.ti < n_turns - 1 THEN 12
+                        WHEN nw = 0 THEN 0
+                        ELSE nw - 12 * (n_turns - 1) END AS x,
+                   CASE WHEN gs.ti + 1 < n_turns - 1 THEN 12
+                        ELSE nw - 12 * (n_turns - 1) END AS y
+            FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
+            WHERE gs.ti % 2 = 0 AND gs.ti + 1 < n_turns
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx,
+               CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sy,
+               CAST(COALESCE(SUM(x * y), 0) AS BIGINT) AS sxy,
+               CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sxx,
+               CAST(COALESCE(SUM(y * y), 0) AS BIGINT) AS syy
+        FROM pairs
+    """
