@@ -1001,6 +1001,50 @@ _SETSIM_PAIR_SCHEMA = pa.schema(
 )
 
 
+#: vocab-size bound for the dense-id fast path of setsim_join_docs.
+#: Under it, the (token, df) table is assembled into ONE zero-copy
+#: Arrow broadcast inside a Ray task (never a Python dict on the
+#: driver — same discipline as stages/lsh.attach_signatures); above
+#: it, the string-keyed partitioned path runs instead.
+SETSIM_VOCAB_BROADCAST_LIMIT = 1_000_000
+
+_SETSIM_SETS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n", pa.int64()),
+        ("ids", pa.list_(pa.int64())),
+        ("prefix", pa.list_(pa.int64())),
+        ("set_key", pa.string()),
+    ]
+)
+_SETSIM_GROUP_SCHEMA = pa.schema(
+    [
+        ("rep_id", pa.int64()),
+        ("n", pa.int64()),
+        ("ids", pa.list_(pa.int64())),
+        ("prefix", pa.list_(pa.int64())),
+        ("members", pa.list_(pa.int64())),
+    ]
+)
+_SETSIM_REP_PAIR_SCHEMA = pa.schema(
+    [
+        ("a_id", pa.int64()),
+        ("b_id", pa.int64()),
+        ("inter_size", pa.int64()),
+        ("union_size", pa.int64()),
+    ]
+)
+_SETSIM_OUT_SCHEMA = pa.schema(
+    [
+        ("a_id", pa.int64()),
+        ("b_id", pa.int64()),
+        ("inter_size", pa.int64()),
+        ("union_size", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
 def setsim_join_docs(sf_dir: str) -> pd.DataFrame:
     """Set-similarity self-join at token-set Jaccard >= 9/10 via
     PPJoin-style prefix filtering (Xiao, Wang, Lin, Yu: "Efficient
@@ -1016,6 +1060,342 @@ def setsim_join_docs(sf_dir: str) -> pd.DataFrame:
     before verification, and the verify predicate is integer-exact
     (``10*inter >= 9*union``); the prefix filter is lossless by the
     PPJoin theorem, so a brute-force SQL join is an exact oracle.
+
+    Two execution paths, switched on corpus vocabulary size (counted by
+    the df combiner aggregate that both paths need anyway):
+
+    **Dense-id path** (vocab <= SETSIM_VOCAB_BROADCAST_LIMIT): the
+    (token, df) table is sorted by (df, token) inside a Ray task and
+    broadcast as a token -> dense-id Arrow map, so global frequency
+    order becomes integer order. One stateless pass re-tokenizes each
+    doc into a SORTED int64 id list whose head IS the PPJoin prefix —
+    no df-attach join and no doc_id shuffle of the exploded posting
+    table. Docs with IDENTICAL token sets are then grouped (one
+    partitioned pass on the exact id-list key) and only group
+    REPRESENTATIVES enter candidate generation and verification;
+    verified rep pairs expand back to member pairs at the end
+    (intersection/union sizes depend only on the token sets, so the
+    expansion is exact), and intra-group pairs are emitted directly
+    with Jaccard 1. Near-duplicate-heavy corpora — the only corpora
+    where a 0.9-Jaccard self-join produces meaningful output — collapse
+    quadratic clique verification into linear expansion this way.
+
+    **Partitioned path** (unbounded vocab, the 100-TB shape): the
+    original string-keyed plan; see _setsim_join_partitioned.
+    """
+    canonical = canonical_docs(sf_dir).materialize()
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch.select(["doc_id", "canonical"]))
+            .with_columns(
+                pl.col("canonical").str.split(" ").list.unique().alias("token")
+            )
+            .drop("canonical")
+            .explode("token")
+            .group_by("token")
+            .len()
+            .with_columns(pl.col("len").cast(pl.Int64).alias("_part"))
+            .select(["token", "_part"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("_part", pa.int64())])
+        )
+
+    dfs = (
+        canonical.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("_part", alias_name="df"))
+        .materialize()
+    )
+    if dfs.count() > SETSIM_VOCAB_BROADCAST_LIMIT:
+        return _setsim_join_partitioned(canonical)
+    return _setsim_join_dense(canonical, dfs)
+
+
+def _setsim_join_dense(
+    canonical: "rd.Dataset", dfs: "rd.Dataset"
+) -> pd.DataFrame:
+    """Dense-id fast path of setsim_join_docs (see its docstring)."""
+    import ray
+
+    from ..stages.grouped import attach_lookup, partitioned_group_map, run_bounds
+
+    _VOCAB_SCHEMA = pa.schema([("token", pa.string()), ("tid", pa.int64())])
+
+    @ray.remote(num_returns=1)
+    def _build_vocab(*tbls) -> pa.Table:
+        import polars as pl
+
+        parts = [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+            for t in tbls
+        ]
+        parts = [t for t in parts if t.num_rows]
+        if not parts:
+            return _VOCAB_SCHEMA.empty_table()
+        cat = pa.concat_tables(
+            [t.select(["token", "df"]).cast(
+                pa.schema([("token", pa.string()), ("df", pa.int64())])
+            ) for t in parts]
+        )
+        return (
+            pl.from_arrow(cat)
+            .sort(["df", "token"])
+            .with_row_index("tid")
+            .select(["token", pl.col("tid").cast(pl.Int64)])
+            .to_arrow()
+            .cast(_VOCAB_SCHEMA)
+        )
+
+    vocab_ref = _build_vocab.remote(*dfs.to_arrow_refs())
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vocab = pl.from_arrow(ray.get(vocab_ref))
+        df = pl.from_arrow(batch.select(["doc_id", "canonical"]))
+        toks = (
+            df.with_columns(
+                pl.col("canonical").str.split(" ").list.unique().alias("token")
+            )
+            .drop("canonical")
+            .explode("token")
+            .join(vocab, on="token", how="inner")
+        )
+        out = (
+            toks.group_by("doc_id")
+            .agg(pl.col("tid").sort().alias("ids"))
+            .with_columns(pl.col("ids").list.len().cast(pl.Int64).alias("n"))
+            .with_columns(
+                (
+                    pl.col("n")
+                    - (SETSIM_T_NUM * pl.col("n") + SETSIM_T_DEN - 1)
+                    // SETSIM_T_DEN
+                    + 1
+                ).alias("_p")
+            )
+            .with_columns(
+                pl.col("ids").list.head(pl.col("_p")).alias("prefix"),
+                pl.col("ids")
+                .cast(pl.List(pl.String))
+                .list.join(",")
+                .alias("set_key"),
+            )
+            .select(["doc_id", "n", "ids", "prefix", "set_key"])
+        )
+        return out.to_arrow().cast(_SETSIM_SETS_SCHEMA)
+
+    sets = canonical.map_batches(_encode, batch_format="pyarrow")
+
+    def _group(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["set_key", "doc_id"])
+            .group_by("set_key", maintain_order=True)
+            .agg(
+                pl.col("doc_id").first().alias("rep_id"),
+                pl.col("n").first(),
+                pl.col("ids").first(),
+                pl.col("prefix").first(),
+                pl.col("doc_id").alias("members"),
+            )
+            .select(["rep_id", "n", "ids", "prefix", "members"])
+        )
+        return out.to_arrow().cast(_SETSIM_GROUP_SCHEMA)
+
+    groups = partitioned_group_map(sets, "set_key", _group, arrow=True).materialize()
+
+    _POST_SCHEMA = pa.schema(
+        [("tid", pa.int64()), ("rep_id", pa.int64()), ("n", pa.int64())]
+    )
+
+    def _post(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch.select(["rep_id", "n", "prefix"]))
+            .rename({"prefix": "tid"})
+            .explode("tid")
+            .drop_nulls("tid")  # zero-token docs have an empty prefix
+            .select(["tid", "rep_id", "n"])
+        )
+        return out.to_arrow().cast(_POST_SCHEMA)
+
+    post = groups.map_batches(_post, batch_format="pyarrow")
+
+    def _pairs_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tb).sort(["tid", "rep_id"])
+        ids = df["rep_id"].to_numpy()
+        ns = df["n"].to_numpy()
+        bounds = run_bounds(df["tid"].to_numpy())
+        all_cols: list[tuple[np.ndarray, ...]] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = int(e - s)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            a, b = ids[ai + s], ids[bi + s]
+            na, nb = ns[ai + s], ns[bi + s]
+            # Jaccard >= 9/10 requires 10*min(n) >= 9*max(n)
+            lo = np.minimum(na, nb)
+            hi = np.maximum(na, nb)
+            keep = SETSIM_T_DEN * lo >= SETSIM_T_NUM * hi
+            all_cols.append((a[keep], b[keep], na[keep], nb[keep]))
+        if not all_cols:
+            return _SETSIM_PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate([c[0] for c in all_cols]), pa.int64()),
+                "b_id": pa.array(np.concatenate([c[1] for c in all_cols]), pa.int64()),
+                "na": pa.array(np.concatenate([c[2] for c in all_cols]), pa.int64()),
+                "nb": pa.array(np.concatenate([c[3] for c in all_cols]), pa.int64()),
+            }
+        )
+
+    raw_pairs = partitioned_group_map(post, "tid", _pairs_part, arrow=True)
+
+    def _distinct(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        # all rows of a given a_id land in this partition, so a
+        # per-partition unique is globally distinct
+        return (
+            pl.from_arrow(tb)
+            .unique(["a_id", "b_id"], keep="any")
+            .to_arrow()
+            .cast(_SETSIM_PAIR_SCHEMA)
+        )
+
+    cand = partitioned_group_map(raw_pairs, "a_id", _distinct, arrow=True)
+
+    with_ids = attach_lookup(
+        cand,
+        _SETSIM_PAIR_SCHEMA,
+        ["a_id", "b_id"],
+        groups.select_columns(["rep_id", "ids"]),
+        "rep_id",
+        "ids",
+        pa.list_(pa.int64()),
+        ["ids_a", "ids_b"],
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.col("ids_a")
+                .list.set_intersection(pl.col("ids_b"))
+                .list.len()
+                .cast(pl.Int64)
+                .alias("inter_size")
+            )
+            .with_columns(
+                (pl.col("na") + pl.col("nb") - pl.col("inter_size")).alias(
+                    "union_size"
+                )
+            )
+            .filter(
+                SETSIM_T_DEN * pl.col("inter_size")
+                >= SETSIM_T_NUM * pl.col("union_size")
+            )
+            .select(["a_id", "b_id", "inter_size", "union_size"])
+        )
+        return out.to_arrow().cast(_SETSIM_REP_PAIR_SCHEMA)
+
+    rep_pairs = with_ids.map_batches(_verify, batch_format="pyarrow")
+
+    expanded = attach_lookup(
+        rep_pairs,
+        _SETSIM_REP_PAIR_SCHEMA,
+        ["a_id", "b_id"],
+        groups.select_columns(["rep_id", "members"]),
+        "rep_id",
+        "members",
+        pa.list_(pa.int64()),
+        ["ma", "mb"],
+    )
+
+    def _cross(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        # identical-set groups are disjoint, so each member pair appears
+        # exactly once; sizes carry over because they depend only on the
+        # two token sets
+        out = (
+            pl.from_arrow(batch)
+            .explode("ma")
+            .explode("mb")
+            .select(
+                pl.min_horizontal("ma", "mb").alias("a_id"),
+                pl.max_horizontal("ma", "mb").alias("b_id"),
+                "inter_size",
+                "union_size",
+                (
+                    pl.col("inter_size").cast(pl.Float64)
+                    / pl.col("union_size").cast(pl.Float64)
+                ).alias("jaccard"),
+            )
+        )
+        return out.to_arrow().cast(_SETSIM_OUT_SCHEMA)
+
+    cross = expanded.map_batches(_cross, batch_format="pyarrow")
+
+    def _intra(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["n", "members"])).filter(
+            pl.col("members").list.len() > 1
+        )
+        if df.height == 0:
+            return _SETSIM_OUT_SCHEMA.empty_table()
+        a_all, b_all, n_all = [], [], []
+        for m, n in zip(df["members"].to_list(), df["n"].to_numpy()):
+            arr = np.sort(np.asarray(m, dtype=np.int64))
+            ai, bi = np.triu_indices(len(arr), k=1)
+            a_all.append(arr[ai])
+            b_all.append(arr[bi])
+            n_all.append(np.full(len(ai), n, dtype=np.int64))
+        ns = np.concatenate(n_all)
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(a_all), pa.int64()),
+                "b_id": pa.array(np.concatenate(b_all), pa.int64()),
+                "inter_size": pa.array(ns, pa.int64()),
+                "union_size": pa.array(ns, pa.int64()),
+                "jaccard": pa.array(np.ones(len(ns)), pa.float64()),
+            }
+        )
+
+    intra = groups.map_batches(_intra, batch_format="pyarrow")
+
+    return (
+        typed_pandas(
+            cross.union(intra),
+            {
+                "a_id": "int64",
+                "b_id": "int64",
+                "inter_size": "int64",
+                "union_size": "int64",
+                "jaccard": "float64",
+            },
+        )
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _setsim_join_partitioned(canonical: "rd.Dataset") -> pd.DataFrame:
+    """String-keyed partitioned path of setsim_join_docs — the
+    unbounded-vocab (100-TB) shape.
 
     Scale shape (coarse partitioned passes, stages/grouped.py):
 
@@ -1049,8 +1429,7 @@ def setsim_join_docs(sf_dir: str) -> pd.DataFrame:
         return out.to_arrow().cast(_SETSIM_TOK_SCHEMA)
 
     toks = (
-        canonical_docs(sf_dir)
-        .map_batches(_toksets, batch_format="pyarrow")
+        canonical.map_batches(_toksets, batch_format="pyarrow")
         .materialize()  # feeds df aggregate, prefix pass, and verify lists
     )
 

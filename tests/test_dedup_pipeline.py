@@ -617,3 +617,46 @@ class TestSetSimJoin:
         expect = self._brute(texts)
         assert got == [(int(a), int(b), int(i), int(u)) for a, b, i, u in expect]
         assert len(expect) >= 10  # the fixture genuinely plants joins
+
+    def test_dense_matches_partitioned(self, tmp_path):
+        """The dense-id rep-grouped fast path and the string-keyed
+        partitioned scale path produce identical pair tables on a corpus
+        with identical-set cliques (where the expansion logic is live)."""
+        import random
+
+        from quarrycore_ray.pipelines.documents import (
+            _setsim_join_partitioned,
+            canonical_docs,
+            setsim_join_docs,
+        )
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(40)]
+        texts: dict[int, str] = {}
+        for d in range(20):
+            texts[d] = " ".join(rng.choice(vocab) for _ in range(15))
+        # a 4-doc identical-set clique and a 3-doc one, set-similar to
+        # each other: exercises intra-clique emission AND cross expansion
+        base = texts[0].split(" ")
+        for d in range(20, 24):
+            w = list(base)
+            rng.shuffle(w)
+            texts[d] = " ".join(w)
+        near = list(dict.fromkeys(base))  # distinct tokens of the clique
+        near[0] = "y0"
+        for d in range(24, 27):
+            w = list(near)
+            rng.shuffle(w)
+            texts[d] = " ".join(w)
+
+        sf = self._write(tmp_path, texts)
+        dense = setsim_join_docs(sf)  # vocab far below the limit
+        part = (
+            _setsim_join_partitioned(canonical_docs(sf).materialize())
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        assert dense.equals(part)
+        # the planted cliques are actually present in the output
+        pairs = set(zip(dense["a_id"], dense["b_id"]))
+        assert (20, 21) in pairs and (0, 20) in pairs
