@@ -98,6 +98,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         )
 
+    def _turn_stutter_stats(sf_dir: str):
+        """Agent-loop detection: adjacent-turn token-set Jaccard >= 4/5
+        counts per conversation (`pipelines/transcripts.turn_stutter_stats`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import turn_stutter_stats
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return turn_stutter_stats(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
+    def _tool_chain_stats(sf_dir: str):
+        """Ordered tool-call chain inventory over the agent transcripts
+        (`pipelines/transcripts.tool_chain_stats`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import tool_chain_stats
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return tool_chain_stats(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
+    def _conversation_opening_groups(sf_dir: str):
+        """Template-opening groups: conversations sharing identical
+        first-two-turn word content
+        (`pipelines/transcripts.conversation_opening_groups`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import (
+            conversation_opening_groups,
+        )
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return conversation_opening_groups(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def _role_verbosity_stats(sf_dir: str):
         """Per-conversation user/assistant word split
         (`pipelines/transcripts.role_verbosity`)."""
@@ -369,6 +408,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_verbosity_stats": _role_verbosity_stats,
         # adjacent-turn question->reply length correlation moments
         "reply_length_moments": _reply_length_moments,
+        # agent-loop detection: adjacent-turn near-identical token sets
+        "turn_stutter_stats": _turn_stutter_stats,
+        # ordered tool-call chain inventory
+        "tool_chain_stats": _tool_chain_stats,
+        # template-opening groups (shared first-two-turn content)
+        "conversation_opening_groups": _conversation_opening_groups,
         # text analysis (§2.3, §2.9)
         "doc_stats": docs.doc_stats,
         "token_count_regex": docs.token_count_regex,
@@ -925,6 +970,9 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.pipelines.transcripts import (
         questions_oracle_sql as _questions_oracle_sql,
         reply_moments_oracle_sql as _reply_moments_oracle_sql,
+        stutter_oracle_sql as _stutter_oracle_sql,
+        tool_chain_oracle_sql as _tool_chain_oracle_sql,
+        opening_oracle_sql as _opening_oracle_sql,
         verbosity_oracle_sql as _verbosity_oracle_sql,
         truncate_oracle_sql as _truncate_oracle_sql,
         windows_oracle_sql as _windows_oracle_sql,
@@ -2908,6 +2956,15 @@ def oracle_sql() -> dict[str, str]:
         "questions_per_conversation": _questions_oracle_sql(),
         "role_verbosity_stats": _verbosity_oracle_sql(),
         "reply_length_moments": _reply_moments_oracle_sql(),
+        # --- agent-loop stutter detection (generated: list_distinct of
+        #     consecutive 12-word slices, integer 5*inter >= 4*union) ---
+        "turn_stutter_stats": _stutter_oracle_sql(),
+        # --- ordered tool-call chains (generated: replays the synth
+        #     tool rule, string_agg ORDER BY turn idx) ---
+        "tool_chain_stats": _tool_chain_oracle_sql(),
+        # --- template-opening groups (generated: first two slices
+        #     joined ' | '; -dup AND -ws normalize to the base key) ---
+        "conversation_opening_groups": _opening_oracle_sql(),
         # --- agent tool-call analytics (synth plants tool='search'/'code'
         #     on assistant turns as (doc_id + turn_idx) % 4 == 1 / 3) ---
         "tool_usage_stats": r"""

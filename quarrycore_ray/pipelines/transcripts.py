@@ -631,3 +631,373 @@ def reply_moments_oracle_sql() -> str:
                CAST(COALESCE(SUM(y * y), 0) AS BIGINT) AS syy
         FROM pairs
     """
+
+
+#: adjacent-turn token-set Jaccard threshold for stutter detection as
+#: an EXACT rational (4/5): engine and oracle compare the same integers
+#: (5*inter >= 4*union), so no float boundary exists.
+STUTTER_T_NUM = 4
+STUTTER_T_DEN = 5
+
+_STUTTER_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_pairs", pa.int64()),
+        ("n_stutter", pa.int64()),
+    ]
+)
+
+
+def turn_stutter_stats(ds: "rd.Dataset") -> "rd.Dataset":
+    """Agent-loop (stutter) detection: per conversation, count adjacent
+    turn pairs whose token SETS have Jaccard >= 4/5 — the signature of
+    an agent repeating itself or a user re-pasting the same prompt,
+    one of the highest-yield row-level gates when curating agent
+    transcripts for training (near-identical consecutive turns add no
+    signal and over-weight the repeated text).
+
+    Tokens are `\\S+` runs (whitespace-variant turns compare equal);
+    the predicate is all-integer (``5*inter >= 4*union``), and a pair
+    of two EMPTY turns does not count (union 0). One vectorized polars
+    pass per conv_id hash partition: token sets via `extract_all` +
+    `list.unique`, the previous turn via `shift(1).over(conv_id)`, the
+    intersection via `list.set_intersection` — no per-turn Python.
+
+    Output (conv_id, n_pairs, n_stutter), n_pairs = n_turns - 1.
+    """
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.extract_all(r"\S+")
+                .list.unique()
+                .alias("tok")
+            )
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(pl.col("tok").shift(1).over("conv_id").alias("prev"))
+            .with_columns(
+                pl.col("tok")
+                .list.set_intersection(pl.col("prev"))
+                .list.len()
+                .cast(pl.Int64)
+                .alias("inter"),
+                (
+                    pl.col("tok").list.len() + pl.col("prev").list.len()
+                ).cast(pl.Int64).alias("nsum"),
+            )
+            .with_columns((pl.col("nsum") - pl.col("inter")).alias("union"))
+            .with_columns(
+                (
+                    pl.col("prev").is_not_null()
+                    & (pl.col("union") > 0)
+                    & (
+                        STUTTER_T_DEN * pl.col("inter")
+                        >= STUTTER_T_NUM * pl.col("union")
+                    )
+                )
+                .cast(pl.Int64)
+                .alias("st"),
+                pl.col("prev").is_not_null().cast(pl.Int64).alias("pr"),
+            )
+            .group_by("conv_id")
+            .agg(
+                pl.col("pr").sum().alias("n_pairs"),
+                pl.col("st").sum().alias("n_stutter"),
+            )
+        )
+        return d.to_arrow().cast(_STUTTER_SCHEMA)
+
+    return partitioned_group_map(
+        ds.select_columns(["conv_id", "turn_idx", "text"]),
+        "conv_id",
+        _part,
+        arrow=True,
+    )
+
+
+def stutter_oracle_sql() -> str:
+    """DuckDB twin of `turn_stutter_stats`: rebuilds each turn's 12-word
+    slice, takes `list_distinct` token sets, and replays the integer
+    Jaccard predicate on consecutive slices."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS words
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, words,
+                   'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   CASE WHEN len(words) = 0 THEN 1
+                        ELSE CAST(ceil(len(words) / 12.0) AS BIGINT)
+                   END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT conv_id, words, n_turns FROM t
+            UNION ALL
+            SELECT conv_id || '-dup', words, n_turns FROM t
+            WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT conv_id || '-ws', words, n_turns FROM t
+            WHERE doc_id % 10 = 5
+        ),
+        pairs AS (
+            SELECT conv_id, n_turns,
+                   list_distinct(list_slice(words, gs.ti * 12 + 1,
+                                            gs.ti * 12 + 12)) AS a,
+                   list_distinct(list_slice(words, gs.ti * 12 + 13,
+                                            gs.ti * 12 + 24)) AS b
+            FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
+            WHERE gs.ti + 1 < n_turns
+        ),
+        j AS (
+            SELECT conv_id, n_turns,
+                   len(list_intersect(a, b)) AS i,
+                   len(a) + len(b) - len(list_intersect(a, b)) AS u
+            FROM pairs
+        )
+        SELECT ac.conv_id,
+               CAST(ac.n_turns - 1 AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(CASE WHEN j.u > 0
+                          AND {STUTTER_T_DEN} * j.i >= {STUTTER_T_NUM} * j.u
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stutter
+        FROM all_convs ac LEFT JOIN j USING (conv_id)
+        GROUP BY ac.conv_id, ac.n_turns
+    """
+
+
+_CHAIN_SCHEMA = pa.schema([("chain", pa.string()), ("n_convs", pa.int64())])
+
+
+def tool_chain_stats(ds: "rd.Dataset") -> "rd.Dataset":
+    """Tool-call chain mining: each conversation's ORDERED sequence of
+    non-empty tool invocations joined with '>' (e.g. ``search>code``,
+    '' for tool-free conversations), rolled up to (chain, n_convs) —
+    the workflow-pattern inventory an agent-data curator uses to
+    balance tool-use behaviors in a training mix.
+
+    Two stages, both shuffles keyed small: the per-conversation chain
+    needs one conv_id hash partition (order matters within the chain);
+    the rollup is a per-batch combiner count + one groupby(chain)
+    aggregate over the already-tiny (chain, partial) table.
+    """
+
+    def _chains(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["conv_id", "turn_idx"])
+            .group_by("conv_id", maintain_order=True)
+            .agg(
+                pl.col("tool")
+                .filter(pl.col("tool").fill_null("") != "")
+                .str.join(">")
+                .alias("chain")
+            )
+            # per-partition combiner: count convs per chain before the
+            # global aggregate ever sees a row
+            .group_by("chain")
+            .len()
+            .with_columns(pl.col("len").cast(pl.Int64).alias("_cnt"))
+            .select(["chain", "_cnt"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("chain", pa.string()), ("_cnt", pa.int64())])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        partitioned_group_map(
+            ds.select_columns(["conv_id", "turn_idx", "tool"]),
+            "conv_id",
+            _chains,
+            arrow=True,
+        )
+        .groupby("chain")
+        .aggregate(Sum("_cnt", alias_name="n_convs"))
+    )
+
+
+def tool_chain_oracle_sql() -> str:
+    """DuckDB twin of `tool_chain_stats`: replays the synth tool rule
+    (assistant turns, (doc_id + ti) % 4 == 1 -> search, == 3 -> code)
+    and aggregates ordered chains."""
+    return """
+        WITH w AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '')) AS nw
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id,
+                   'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   CASE WHEN nw = 0 THEN 1
+                        ELSE CAST(ceil(nw / 12.0) AS BIGINT) END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT doc_id, conv_id, n_turns FROM t
+            UNION ALL
+            SELECT doc_id, conv_id || '-dup', n_turns FROM t
+            WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, conv_id || '-ws', n_turns FROM t
+            WHERE doc_id % 10 = 5
+        ),
+        calls AS (
+            SELECT conv_id, gs.ti AS ti,
+                   CASE WHEN (doc_id + gs.ti) % 4 = 1 THEN 'search'
+                        WHEN (doc_id + gs.ti) % 4 = 3 THEN 'code'
+                   END AS tool
+            FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
+            WHERE gs.ti % 2 = 1 AND (doc_id + gs.ti) % 4 IN (1, 3)
+        ),
+        chains AS (
+            SELECT ac.conv_id,
+                   COALESCE(string_agg(c.tool, '>' ORDER BY c.ti), '')
+                       AS chain
+            FROM all_convs ac LEFT JOIN calls c USING (conv_id)
+            GROUP BY ac.conv_id
+        )
+        SELECT chain, CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM chains GROUP BY chain
+    """
+
+
+_OPENING_SCHEMA = pa.schema(
+    [
+        ("opening", pa.string()),
+        ("n_convs", pa.int64()),
+        ("rep_conv_id", pa.string()),
+    ]
+)
+
+
+def conversation_opening_groups(ds: "rd.Dataset") -> "rd.Dataset":
+    """Template-opening detection: group conversations whose first TWO
+    turns have identical word content (the canonical key is the turns'
+    `\\S+` words joined with single spaces, ' | ' between turns), and
+    return groups with more than one conversation — the boilerplate
+    system-prompt / scripted-intro detector that runs before dedup so
+    shared openings don't fan out LSH candidate pairs.
+
+    Stage 1 builds each conversation's opening key in one conv_id hash
+    partition (turns 0-1 only are read: the input is pre-filtered to
+    `turn_idx <= 1` so the shuffle carries two rows per conversation,
+    not the corpus). Stage 2 is a combiner count + one groupby(opening)
+    keep-min rollup. Output (opening, n_convs, rep_conv_id), groups
+    with n_convs >= 2 only.
+    """
+
+    def _keys(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.extract_all(r"\S+")
+                .list.join(" ")
+                .alias("norm")
+            )
+            .sort(["conv_id", "turn_idx"])
+            .group_by("conv_id", maintain_order=True)
+            .agg(pl.col("norm").str.join(" | ").alias("opening"))
+            # per-partition combiner before the opening-keyed shuffle
+            .group_by("opening")
+            .agg(
+                pl.len().cast(pl.Int64).alias("_cnt"),
+                pl.col("conv_id").min().alias("_rep"),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("opening", pa.string()),
+                    ("_cnt", pa.int64()),
+                    ("_rep", pa.string()),
+                ]
+            )
+        )
+
+    def _rollup(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .group_by("opening")
+            .agg(
+                pl.col("_cnt").sum().alias("n_convs"),
+                pl.col("_rep").min().alias("rep_conv_id"),
+            )
+            .filter(pl.col("n_convs") >= 2)
+        )
+        return out.to_arrow().cast(_OPENING_SCHEMA)
+
+    keyed = partitioned_group_map(
+        ds.filter(expr="turn_idx <= 1").select_columns(
+            ["conv_id", "turn_idx", "text"]
+        ),
+        "conv_id",
+        _keys,
+        arrow=True,
+    )
+    return partitioned_group_map(keyed, "opening", _rollup, arrow=True)
+
+
+def opening_oracle_sql() -> str:
+    """DuckDB twin of `conversation_opening_groups`: the opening key is
+    the first two 12-word slices joined ' ' within and ' | ' between;
+    `-dup` AND `-ws` variants normalize to their base opening."""
+    return """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS words
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, words,
+                   'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   CASE WHEN len(words) = 0 THEN 1
+                        ELSE CAST(ceil(len(words) / 12.0) AS BIGINT)
+                   END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT conv_id, words, n_turns FROM t
+            UNION ALL
+            SELECT conv_id || '-dup', words, n_turns FROM t
+            WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT conv_id || '-ws', words, n_turns FROM t
+            WHERE doc_id % 10 = 5
+        ),
+        keys AS (
+            SELECT conv_id,
+                   CASE WHEN n_turns >= 2
+                        THEN array_to_string(list_slice(words, 1, 12), ' ')
+                             || ' | '
+                             || array_to_string(list_slice(words, 13, 24), ' ')
+                        ELSE array_to_string(list_slice(words, 1, 12), ' ')
+                   END AS opening
+            FROM all_convs
+        )
+        SELECT opening,
+               CAST(COUNT(*) AS BIGINT) AS n_convs,
+               MIN(conv_id) AS rep_conv_id
+        FROM keys
+        GROUP BY opening
+        HAVING COUNT(*) >= 2
+    """

@@ -413,3 +413,116 @@ class TestStratifiedSample:
         assert got == {"a": 4, "b": 1}
         assert len(out) == 5
         assert (out["pick_rank"] >= 1).all()
+
+
+class TestTurnStutter:
+    """Agent-loop detection (transcripts.turn_stutter_stats): adjacent
+    turns with near-identical token SETS count as stutter; distinct
+    turns, whitespace variants, and empty-vs-empty pairs behave per
+    the integer 5*inter >= 4*union predicate."""
+
+    def _run(self, rows):
+        from quarrycore_ray.pipelines.transcripts import turn_stutter_stats
+
+        out = turn_stutter_stats(_ds(rows)).to_pandas()
+        return {
+            r.conv_id: (int(r.n_pairs), int(r.n_stutter))
+            for r in out.itertuples()
+        }
+
+    def test_exact_repeat_and_reorder(self):
+        got = self._run(
+            [
+                # turn 1 repeats turn 0 (reordered, extra whitespace):
+                # identical token set -> stutter; turn 2 is disjoint
+                ("a", 0, "alpha beta gamma delta epsilon"),
+                ("a", 1, "delta  epsilon alpha\tbeta gamma"),
+                ("a", 2, "zeta eta theta iota kappa"),
+            ]
+        )
+        assert got["a"] == (2, 1)
+
+    def test_four_fifths_boundary(self):
+        # |a|=|b|=9, inter=8 -> union=10, 5*8 >= 4*10 holds (J=0.8)
+        a = " ".join(f"t{i}" for i in range(9))
+        b = " ".join(f"t{i}" for i in range(8)) + " zzz"
+        # |c|=9 vs |d|=9, inter=7 -> union=11, 35 < 44 fails
+        d = " ".join(f"t{i}" for i in range(7)) + " y1 y2"
+        got = self._run([("p", 0, a), ("p", 1, b), ("q", 0, a), ("q", 1, d)])
+        assert got["p"] == (1, 1)
+        assert got["q"] == (1, 0)
+
+    def test_empty_pairs_do_not_count(self):
+        got = self._run([("e", 0, ""), ("e", 1, "  "), ("e", 2, "word word")])
+        # empty-vs-empty union is 0 (excluded); repeated WORD within one
+        # turn is one token, vs empty -> union 1, inter 0
+        assert got["e"] == (2, 0)
+
+    def test_single_turn_conversation(self):
+        got = self._run([("s", 0, "only turn")])
+        assert got["s"] == (0, 0)
+
+
+class TestToolChains:
+    """Ordered tool-chain inventory (transcripts.tool_chain_stats)."""
+
+    def test_chains_and_empty(self):
+        import pyarrow as pa
+
+        from quarrycore_ray.pipelines.transcripts import tool_chain_stats
+
+        tb = pa.table(
+            {
+                "conv_id": pa.array(
+                    ["a", "a", "a", "a", "b", "b", "c"], pa.string()
+                ),
+                "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 0], pa.int32()),
+                "tool": pa.array(
+                    ["", "search", "", "code", "", "search", ""], pa.string()
+                ),
+            }
+        )
+        out = tool_chain_stats(rd.from_arrow(tb)).to_pandas()
+        got = dict(zip(out["chain"], out["n_convs"]))
+        assert got == {"search>code": 1, "search": 1, "": 1}
+
+    def test_order_is_turn_order_not_input_order(self):
+        import pyarrow as pa
+
+        from quarrycore_ray.pipelines.transcripts import tool_chain_stats
+
+        # rows arrive turn-reversed; the chain must follow turn_idx
+        tb = pa.table(
+            {
+                "conv_id": pa.array(["r", "r"], pa.string()),
+                "turn_idx": pa.array([3, 1], pa.int32()),
+                "tool": pa.array(["code", "search"], pa.string()),
+            }
+        )
+        out = tool_chain_stats(rd.from_arrow(tb)).to_pandas()
+        assert dict(zip(out["chain"], out["n_convs"])) == {"search>code": 1}
+
+
+class TestOpeningGroups:
+    """Template-opening groups (transcripts.conversation_opening_groups)."""
+
+    def test_groups_and_normalization(self):
+        from quarrycore_ray.pipelines.transcripts import (
+            conversation_opening_groups,
+        )
+
+        rows = [
+            # three convs sharing the same first-two-turn content, one
+            # with messy whitespace; later turns differ and are ignored
+            ("a", 0, "hello world"), ("a", 1, "hi there"), ("a", 2, "x"),
+            ("b", 0, " hello \t world"), ("b", 1, "hi  there\n"),
+            ("c", 0, "hello world"), ("c", 1, "hi there"), ("c", 2, "zz"),
+            # singleton opening: excluded
+            ("d", 0, "unique opening"), ("d", 1, "hi there"),
+        ]
+        out = conversation_opening_groups(_ds(rows)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["opening"] == "hello world | hi there"
+        assert int(r["n_convs"]) == 3
+        assert r["rep_conv_id"] == "a"
