@@ -446,6 +446,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_lengths_by_source": docs.winsorize_lengths_by_source,
         # EXISTS semi-join rollup (TPC-H Q4 shape)
         "returned_orders_by_priority": rel.returned_orders_by_priority,
+        # TPC-H Q13 shape: per-customer order-count histogram (zeros kept)
+        "customer_order_count_distribution": rel.customer_order_count_distribution,
+        # TPC-H Q18 shape: large-volume orders, micro-unit qty sums
+        "large_volume_orders": rel.large_volume_orders,
         # predicate-pushdown scan aggregate (TPC-H Q6 shape)
         "discount_revenue_q6": rel.discount_revenue_q6,
         # RFM customer segmentation (recency/frequency/monetary)
@@ -988,6 +992,8 @@ def oracle_sql() -> dict[str, str]:
         stratified_oracle_sql as _stratified_oracle_sql,
     )
     from quarrycore_ray.pipelines.relational import (
+        q13_oracle_sql as _q13_oracle_sql,
+        q18_oracle_sql as _q18_oracle_sql,
         dau_wau_oracle_sql as _dau_wau_oracle_sql,
         anomalies_oracle_sql as _anomalies_oracle_sql,
         part_supplier_diversity_oracle_sql as _psd_oracle_sql,
@@ -4245,6 +4251,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_trending_types": _trending_oracle_sql(),
         "returned_orders_by_priority": _returned_orders_oracle_sql(),
+        "customer_order_count_distribution": _q13_oracle_sql(),
+        "large_volume_orders": _q18_oracle_sql(),
         "discount_revenue_q6": _q6_oracle_sql(),
         "customer_rfm_segments": _rfm_oracle_sql(),
         "events_dau_wau": _dau_wau_oracle_sql(),

@@ -2275,3 +2275,207 @@ def anomalies_oracle_sql(k_mad: int = 3) -> str:
         JOIN med USING (event_type)
         JOIN mad USING (event_type)
     """
+
+
+def customer_order_count_distribution(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING the zero bucket — composed directly on the tagged-union
+    LEFT OUTER join of `customer_order_totals_full` (every customer,
+    zeros preserved), plus one per-batch combiner count and a tiny
+    groupby over the (n_orders, partial) table. The count-of-counts
+    histogram a curator reads to spot power users / dead accounts.
+
+    Output (n_orders, n_customers), both int64.
+    """
+    import polars as pl
+
+    base = customer_order_totals_full(sf_dir)
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch.select(["n_orders"]))
+            .group_by("n_orders")
+            .len()
+            .with_columns(pl.col("len").cast(pl.Int64).alias("_cnt"))
+            .select(["n_orders", "_cnt"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("n_orders", pa.int64()), ("_cnt", pa.int64())])
+        )
+
+    return (
+        base.map_batches(_hist, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("_cnt", alias_name="n_customers"))
+    )
+
+
+#: TPC-H Q18 parameters: orders whose total line quantity exceeds the
+#: threshold, top-k by order value. The quantity sum rides exact
+#: integer micro-units; the threshold compare is integer on both sides.
+Q18_QTY_THRESHOLD = 300
+Q18_TOP_K = 100
+
+
+def large_volume_orders(
+    sf_dir: str,
+    qty_threshold: int = Q18_QTY_THRESHOLD,
+    k: int = Q18_TOP_K,
+) -> pd.DataFrame:
+    """TPC-H Q18 shape: large-volume orders — orders whose summed line
+    quantity exceeds `qty_threshold`, joined to order value and customer
+    name, top `k` by (o_totalprice DESC, o_orderdate, o_orderkey).
+
+    Scale shape: lineitem collapses through a per-batch combiner into
+    (orderkey, qty-micros) partials before ONE groupby; the filtered
+    heavy-order keys (selective by construction — the threshold sits in
+    the distribution tail) broadcast onto a streaming pass over orders
+    (semi-join; orders never shuffles), and customer names attach via
+    `attach_lookup`'s broadcast/partitioned auto-switch. Only the
+    filtered top candidates reach the driver for the final k-sort.
+    """
+    import polars as pl
+
+    from ..stages.grouped import attach_lookup
+
+    thr_u = qty_threshold * 1_000_000
+
+    def _qty_part(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "o_orderkey": batch["l_orderkey"],
+                        "_qu": _micros(batch["l_quantity"]),
+                    }
+                )
+            )
+            .group_by("o_orderkey")
+            .agg(pl.col("_qu").sum())
+        )
+        return out.to_arrow().cast(
+            pa.schema([("o_orderkey", pa.int64()), ("_qu", pa.int64())])
+        )
+
+    heavy = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(_qty_part, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("_qu", alias_name="qty_u"))
+        .filter(expr=f"qty_u > {thr_u}")
+    )
+
+    _ORD_SCHEMA = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+
+    def _cast_orders(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        ).cast(_ORD_SCHEMA)
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(_cast_orders, batch_format="pyarrow")
+
+    with_qty = attach_lookup(
+        orders, _ORD_SCHEMA, ["o_orderkey"], heavy, "o_orderkey", "qty_u",
+        pa.int64(), ["qty_u"],
+    )
+
+    def _semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["qty_u"]))
+
+    hits = with_qty.map_batches(_semi, batch_format="pyarrow")
+
+    s2 = pa.schema(list(_ORD_SCHEMA) + [pa.field("qty_u", pa.int64())])
+    with_name = attach_lookup(
+        hits, s2, ["o_custkey"],
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_custkey", "c_name", pa.string(), ["c_name"],
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        # inner-join semantics: drop orders whose customer is missing
+        batch = batch.filter(pc.is_valid(batch["c_name"]))
+        return pa.table(
+            {
+                "c_name": batch["c_name"],
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "o_totalprice": batch["o_totalprice"],
+                "sum_qty": pc.divide(
+                    pc.cast(batch["qty_u"], pa.float64()), 1_000_000.0
+                ),
+            }
+        )
+
+    out = typed_pandas(
+        with_name.map_batches(_final, batch_format="pyarrow"),
+        {
+            "c_name": "string",
+            "o_custkey": "int64",
+            "o_orderkey": "int64",
+            "o_orderdate": "datetime64[us]",
+            "o_totalprice": "float64",
+            "sum_qty": "float64",
+        },
+    )
+    return (
+        out.sort_values(
+            ["o_totalprice", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def q13_oracle_sql() -> str:
+    """DuckDB twin of `customer_order_count_distribution`."""
+    return """
+        WITH o AS (
+            SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+        ),
+        j AS (
+            SELECT c.c_custkey, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+        )
+        SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        FROM j GROUP BY n_orders
+    """
+
+
+def q18_oracle_sql(
+    qty_threshold: int = Q18_QTY_THRESHOLD, k: int = Q18_TOP_K
+) -> str:
+    """DuckDB twin of `large_volume_orders`: the quantity sum uses the
+    same micro-unit rounding, the threshold compare is the same integer
+    test, and sum_qty is the same float division of that integer."""
+    return f"""
+        WITH s AS (
+            SELECT l_orderkey,
+                   SUM({_MICROS_SQL.format(x="l_quantity")}) AS qu
+            FROM lineitem GROUP BY 1
+        ),
+        f AS (SELECT * FROM s WHERE qu > {qty_threshold * 1_000_000})
+        SELECT c.c_name,
+               o.o_custkey,
+               o.o_orderkey,
+               o.o_orderdate,
+               o.o_totalprice,
+               f.qu / 1000000.0 AS sum_qty
+        FROM f
+        JOIN orders o ON o.o_orderkey = f.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT {k}
+    """

@@ -748,3 +748,138 @@ class TestEventsWindowDedup:
         assert out["event_id"].tolist() == [1, 3, 4, 5, 6]
         kept = out[out["event_id"] == 1].iloc[0]
         assert kept["window_start"] == h5
+
+
+class TestOrderCountDistribution:
+    """TPC-H-Q13-shaped count-of-counts histogram
+    (relational.customer_order_count_distribution): zero bucket kept."""
+
+    def test_zero_bucket_and_counts(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import (
+            customer_order_count_distribution,
+        )
+
+        _write(
+            tmp_path,
+            "customer",
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "c_name": pa.array(list("abcde"), pa.string()),
+                }
+            ),
+        )
+        # cust 1: 3 orders, cust 2: 1, cust 3: 1, cust 4/5: none
+        _write(
+            tmp_path,
+            "orders",
+            pa.table(
+                {
+                    "o_custkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                    "o_totalprice": pa.array([10.0] * 5, pa.float64()),
+                }
+            ),
+        )
+        out = (
+            customer_order_count_distribution(str(tmp_path))
+            .to_pandas()
+            .sort_values("n_orders")
+            .reset_index(drop=True)
+        )
+        assert dict(zip(out["n_orders"], out["n_customers"])) == {
+            0: 2,
+            1: 2,
+            3: 1,
+        }
+
+
+class TestLargeVolumeOrders:
+    """TPC-H-Q18-shaped large-volume orders
+    (relational.large_volume_orders): integer micro-unit threshold,
+    deterministic (price DESC, date, orderkey) top-k."""
+
+    def test_threshold_join_and_order(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import large_volume_orders
+
+        d = dt.datetime(2001, 3, 1)
+        _write(
+            tmp_path,
+            "lineitem",
+            pa.table(
+                {
+                    # order 10: qty 7 (> 5); order 20: qty 5 (== 5,
+                    # excluded: strict >); order 30: qty 6 (> 5)
+                    "l_orderkey": pa.array([10, 10, 20, 30], pa.int64()),
+                    "l_quantity": pa.array([3.0, 4.0, 5.0, 6.0], pa.float64()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "orders",
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+                    "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                    "o_orderdate": pa.array([d, d, d], pa.timestamp("us")),
+                    # order 30 outranks order 10 by price
+                    "o_totalprice": pa.array([100.0, 500.0, 200.0],
+                                             pa.float64()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "customer",
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2], pa.int64()),
+                    "c_name": pa.array(["alice", "bob"], pa.string()),
+                }
+            ),
+        )
+        out = large_volume_orders(str(tmp_path), qty_threshold=5, k=10)
+        assert out["o_orderkey"].tolist() == [30, 10]
+        assert out["c_name"].tolist() == ["bob", "alice"]
+        assert out["sum_qty"].tolist() == [6.0, 7.0]
+
+    def test_top_k_truncation(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import large_volume_orders
+
+        d = dt.datetime(2001, 3, 1)
+        n = 7
+        _write(
+            tmp_path,
+            "lineitem",
+            pa.table(
+                {
+                    "l_orderkey": pa.array(list(range(n)), pa.int64()),
+                    "l_quantity": pa.array([9.0] * n, pa.float64()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "orders",
+            pa.table(
+                {
+                    "o_orderkey": pa.array(list(range(n)), pa.int64()),
+                    "o_custkey": pa.array([1] * n, pa.int64()),
+                    "o_orderdate": pa.array([d] * n, pa.timestamp("us")),
+                    # equal prices: the orderkey tie-break decides
+                    "o_totalprice": pa.array([50.0] * n, pa.float64()),
+                }
+            ),
+        )
+        _write(
+            tmp_path,
+            "customer",
+            pa.table(
+                {
+                    "c_custkey": pa.array([1], pa.int64()),
+                    "c_name": pa.array(["c"], pa.string()),
+                }
+            ),
+        )
+        out = large_volume_orders(str(tmp_path), qty_threshold=5, k=3)
+        assert out["o_orderkey"].tolist() == [0, 1, 2]
