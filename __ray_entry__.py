@@ -493,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_triangles_docs": grf.link_triangles_docs,
         # BFS shortest-hop layers from the smallest doc_id
         "link_bfs_layers": grf.link_bfs_layers,
+        # R-round k-core peel of the undirected link graph
+        "link_kcore_docs": grf.link_kcore_docs,
         # hybrid BM25 + vector retrieval with reciprocal-rank fusion
         "hybrid_search_docs": docs.hybrid_search_docs,
         # MMR diverse re-rank over the semantic top-50 (integer greedy)
@@ -962,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         assortativity_oracle_sql as _assort_oracle_sql,
         components_oracle_sql as _components_oracle_sql,
         bfs_oracle_sql as _bfs_oracle_sql,
+        kcore_oracle_sql as _kcore_oracle_sql,
         hits_oracle_sql as _hits_oracle_sql,
         pagerank_oracle_sql as _pagerank_oracle_sql,
         triangles_oracle_sql as _triangles_oracle_sql,
@@ -4278,6 +4281,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits_docs": _hits_oracle_sql(),
         "link_triangles_docs": _triangles_oracle_sql(),
         "link_bfs_layers": _bfs_oracle_sql(),
+        "link_kcore_docs": _kcore_oracle_sql(),
         "hybrid_search_docs": _hybrid_search_sql(),
         "mmr_rerank_docs": _mmr_oracle_sql(),
         "label_medoids": _medoids_oracle_sql(),

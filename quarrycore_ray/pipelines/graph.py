@@ -1380,3 +1380,265 @@ def bfs_oracle_sql(max_depth: int = BFS_DEPTH) -> str:
         FROM fin f JOIN documents d2 ON d2.doc_id = f.node"""
     )
     return "\n".join(parts)
+
+
+#: k-core parameters: degree threshold and the FIXED number of peel
+#: rounds. Like PR_ITERS/HITS_ITERS, the operator is defined as the
+#: R-round prefix of the peel (deterministic, unrollable in SQL); run
+#: with a larger `rounds` for full convergence — each round only
+#: removes nodes, so the sequence is monotone.
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+_KCORE_AB_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+_KCORE_ALIVE_SCHEMA = pa.schema([("node", pa.int64()), ("one", pa.int64())])
+_KCORE_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("core_deg", pa.int64())]
+)
+
+
+@ray.remote(num_returns=1)
+def _local_kcore_task(k: int, rounds: int, *tbls) -> pa.Table:
+    """All peel rounds in one task — identical semantics to the BSP
+    path: undirected deduped edges, self-loops dropped, both endpoints
+    real docs; a node survives a round iff its degree among surviving
+    edges is >= k."""
+    import polars as pl
+
+    ids, src, dst, _ = _local_graph_arrays(*tbls)
+    if len(ids) == 0:
+        return _KCORE_OUT_SCHEMA.empty_table()
+    ids_sorted = np.sort(ids)
+
+    def _real(x: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(ids_sorted, x)
+        pos_c = np.minimum(pos, len(ids_sorted) - 1)
+        return ids_sorted[pos_c] == x
+
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    keep = (a != b) & _real(a) & _real(b)
+    und = pl.DataFrame({"a": a[keep], "b": b[keep]}).unique(["a", "b"])
+    ai = np.searchsorted(ids_sorted, und["a"].to_numpy())
+    bi = np.searchsorted(ids_sorted, und["b"].to_numpy())
+    n = len(ids_sorted)
+    alive = np.ones(n, dtype=bool)
+    for _ in range(rounds):
+        m = alive[ai] & alive[bi]
+        deg = np.bincount(ai[m], minlength=n) + np.bincount(bi[m], minlength=n)
+        alive = deg >= k
+    m = alive[ai] & alive[bi]
+    deg = np.bincount(ai[m], minlength=n) + np.bincount(bi[m], minlength=n)
+    out = alive & (deg >= 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_sorted[out], pa.int64()),
+            "core_deg": pa.array(deg[out].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def link_kcore_docs(
+    sf_dir: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    local_max: int = GRAPH_LOCAL_MAX,
+) -> "rd.Dataset":
+    """(doc_id, core_deg): the R-round k-core peel of the UNDIRECTED
+    link graph — iteratively remove nodes with fewer than `k` surviving
+    neighbors, the dense-subgraph extraction web curators use to find
+    tightly-linked hub communities (and the fourth iterative BSP class
+    here: monotone set shrinkage, next to power iteration, label
+    propagation and frontier expansion).
+
+    Edges are the deterministic link edges, made undirected (min, max),
+    self-loops dropped, both endpoints restricted to real docs, then
+    deduped — materialized ONCE. Each round: attach the alive flag to
+    both edge endpoints (broadcast under `attach_lookup`'s limit,
+    partitioned above), keep both-alive edges, count degrees with a
+    per-batch combiner + one hash-partitioned sum, and keep nodes with
+    degree >= k. After the final round the surviving subgraph's degrees
+    are recomputed the same way and returned (nodes that end isolated
+    drop out — inner-join semantics, same on both engine paths and in
+    the unrolled oracle). Small graphs auto-switch to the single-task
+    path (`_local_kcore_task`, parity-tested with local_max=0)."""
+    ds_ids = _docs_ids(sf_dir)
+    n = ds_ids.count()
+    if n == 0:
+        return rd.from_arrow(_KCORE_OUT_SCHEMA.empty_table())
+    if n <= local_max:
+        return rd.from_arrow(
+            ray.get(_local_kcore_task.remote(k, rounds, *ds_ids.to_arrow_refs()))
+        )
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["doc_id"].cast(pa.int64()),
+                "one": pa.array(np.ones(m, dtype=np.int64)),
+            }
+        )
+
+    marks = ds_ids.map_batches(_mark, batch_format="pyarrow")
+
+    def _und(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch.select(["src", "dst"]))
+            .select(
+                pl.min_horizontal("src", "dst").alias("a"),
+                pl.max_horizontal("src", "dst").alias("b"),
+            )
+            .filter(pl.col("a") != pl.col("b"))
+        )
+        return out.to_arrow().cast(_KCORE_AB_SCHEMA)
+
+    raw = link_edges(ds_ids, n).map_batches(_und, batch_format="pyarrow")
+    s_real = pa.schema(
+        list(_KCORE_AB_SCHEMA)
+        + [pa.field("ra", pa.int64()), pa.field("rb", pa.int64())]
+    )
+    realed = attach_lookup(
+        raw, _KCORE_AB_SCHEMA, ["a", "b"], marks, "node", "one",
+        pa.int64(), ["ra", "rb"],
+    )
+
+    def _keep_real(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.is_valid(batch["ra"]), pc.is_valid(batch["rb"]))
+        return batch.filter(m).select(["a", "b"]).cast(_KCORE_AB_SCHEMA)
+
+    def _uniq(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(tb)
+            .unique(["a", "b"])
+            .to_arrow()
+            .cast(_KCORE_AB_SCHEMA)
+        )
+
+    edges = partitioned_group_map(
+        realed.map_batches(_keep_real, batch_format="pyarrow"),
+        "a",
+        _uniq,
+        _graph_parts(n),
+        arrow=True,
+    ).materialize()
+
+    alive = marks
+    from ray.data.aggregate import Sum
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.is_valid(batch["xa"]), pc.is_valid(batch["xb"]))
+        kept = batch.filter(m)
+        df = pl.concat(
+            [
+                pl.from_arrow(kept.select(["a"])).rename({"a": "node"}),
+                pl.from_arrow(kept.select(["b"])).rename({"b": "node"}),
+            ]
+        )
+        out = (
+            df.group_by("node")
+            .len()
+            .with_columns(pl.col("len").cast(pl.Int64).alias("_cnt"))
+            .select(["node", "_cnt"])
+        )
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("_cnt", pa.int64())])
+        )
+
+    def _degrees(alive_ds: "rd.Dataset") -> "rd.Dataset":
+        att = attach_lookup(
+            edges, _KCORE_AB_SCHEMA, ["a", "b"], alive_ds, "node", "one",
+            pa.int64(), ["xa", "xb"],
+        )
+        return (
+            att.map_batches(_deg_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("_cnt", alias_name="deg"))
+        )
+
+    def _alive_next(batch: pa.Table, _k=k) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.greater_equal(batch["deg"], _k))
+        m = kept.num_rows
+        return pa.table(
+            {
+                "node": kept["node"].cast(pa.int64()),
+                "one": pa.array(np.ones(m, dtype=np.int64)),
+            }
+        )
+
+    for _ in range(rounds):
+        alive = (
+            _degrees(alive)
+            .map_batches(_alive_next, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["node"].cast(pa.int64()),
+                "core_deg": batch["deg"].cast(pa.int64()),
+            }
+        )
+
+    return _degrees(alive).map_batches(_final, batch_format="pyarrow")
+
+
+def kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled R-round peel: DuckDB twin of `link_kcore_docs`."""
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),",
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * 31 + j.j * 17 + 1) % (SELECT c FROM nn)
+                           AS dst
+                FROM documents d
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+                WHERE j.j <= d.doc_id % 3
+            )
+            WHERE src != dst
+              AND dst IN (SELECT doc_id FROM documents)
+        ),
+        a0 AS (SELECT doc_id AS node FROM documents),""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""d{t} AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT e.a AS node FROM e0 e
+                JOIN a{t - 1} x ON x.node = e.a JOIN a{t - 1} y ON y.node = e.b
+                UNION ALL
+                SELECT e.b FROM e0 e
+                JOIN a{t - 1} x ON x.node = e.a JOIN a{t - 1} y ON y.node = e.b
+            ) GROUP BY node
+        ),
+        a{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE deg >= {k}),"""
+        )
+    parts.append(
+        f"""dfin AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT e.a AS node FROM e0 e
+                JOIN a{rounds} x ON x.node = e.a
+                JOIN a{rounds} y ON y.node = e.b
+                UNION ALL
+                SELECT e.b FROM e0 e
+                JOIN a{rounds} x ON x.node = e.a
+                JOIN a{rounds} y ON y.node = e.b
+            ) GROUP BY node
+        )
+        SELECT node AS doc_id, deg AS core_deg FROM dfin"""
+    )
+    return "\n".join(parts)

@@ -406,3 +406,74 @@ class TestBfsLayers:
             .sort_values("doc_id").reset_index(drop=True)
         )
         assert local.equals(bsp)
+
+
+class TestKCore:
+    """R-round k-core peel (graph.link_kcore_docs): local/BSP parity,
+    convergence against a brute-force peel, and monotone shrinkage."""
+
+    @staticmethod
+    def _brute(ids, k, rounds):
+        n = len(ids)
+        idset = set(ids)
+        edges = set()
+        for d in ids:
+            for j in range(d % 3 + 1):
+                t = (d * 31 + j * 17 + 1) % n
+                if t in idset and t != d:
+                    edges.add((min(d, t), max(d, t)))
+        alive = set(ids)
+        for _ in range(rounds):
+            deg = {}
+            for a, b in edges:
+                if a in alive and b in alive:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+            alive = {v for v in alive if deg.get(v, 0) >= k}
+        deg = {}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        return {v: c for v, c in deg.items() if v in alive}
+
+    def test_local_matches_bruteforce(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_kcore_docs
+
+        ids = list(range(80))
+        sf = _write_ids(tmp_path, ids)
+        out = link_kcore_docs(sf, k=3, rounds=4).to_pandas()
+        got = dict(zip(out["doc_id"], out["core_deg"]))
+        assert got == self._brute(ids, 3, 4)
+
+    def test_paths_identical(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_kcore_docs
+
+        sf = _write_ids(tmp_path, list(range(53)))
+        local = (
+            link_kcore_docs(sf).to_pandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        bsp = (
+            link_kcore_docs(sf, local_max=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert local.equals(bsp)
+
+    def test_monotone_and_converged(self, tmp_path):
+        from quarrycore_ray.pipelines.graph import link_kcore_docs
+
+        ids = list(range(120))
+        sf = _write_ids(tmp_path, ids)
+        sizes = [
+            len(link_kcore_docs(sf, k=3, rounds=r).to_pandas())
+            for r in (1, 3, 6)
+        ]
+        assert sizes[0] >= sizes[1] >= sizes[2]
+        # a generous round budget reaches the true (converged) k-core
+        deep = link_kcore_docs(sf, k=3, rounds=40).to_pandas()
+        got = dict(zip(deep["doc_id"], deep["core_deg"]))
+        assert got == self._brute(ids, 3, 40)
+        # converged: one more round changes nothing
+        again = link_kcore_docs(sf, k=3, rounds=41).to_pandas()
+        assert dict(zip(again["doc_id"], again["core_deg"])) == got
