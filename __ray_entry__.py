@@ -501,6 +501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank_docs": similarity.mmr_rerank_docs,
         # Zipf rank-frequency profile (exact integer regression)
         "zipf_profile_docs": trn.zipf_profile_docs,
+        # vocabulary coverage curve at top-N budget points
+        "vocab_coverage_curve": trn.vocab_coverage_curve,
         # JL sign projection (md5-derived signs, int64-exact matmul)
         "random_projection_embeddings": similarity.random_projection_embeddings,
         # BPE vocabulary training (iterative pair-count rounds; rows-only
@@ -936,6 +938,10 @@ def _domain_classify_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from quarrycore_ray.pipelines.training import (
+        coverage_oracle_sql as _coverage_oracle_sql,
+    )
+
     canon_docs = f"SELECT doc_id, {_CANON} AS canonical FROM documents"
 
     from quarrycore_ray.functions.textstats import STOPWORDS
@@ -3071,6 +3077,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS n FROM w
             GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
+        # --- vocabulary coverage curve (generated; same tokenization) ---
+        "vocab_coverage_curve": _coverage_oracle_sql().format(canon=_CANON),
         # --- corpus lexical profile (pipelines/training.py:zipf_profile_docs) ---
         "zipf_profile_docs": f"""
             WITH c AS (SELECT {_CANON} AS canonical FROM documents),

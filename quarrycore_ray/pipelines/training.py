@@ -2594,3 +2594,118 @@ def source_quality_audit(sf_dir: str) -> "rd.Dataset":
             Sum("n_quality_pass", alias_name="n_quality_pass"),
         )
     )
+
+
+#: top-N checkpoints for the vocabulary coverage curve
+COVERAGE_NS = (100, 1000, 10000)
+
+
+def vocab_coverage_curve(
+    sf_dir: str, ns: tuple[int, ...] = COVERAGE_NS
+) -> pd.DataFrame:
+    """Vocabulary coverage curve: for each N, the fraction of corpus
+    token MASS covered by the top-N tokens (count desc, token asc) —
+    the question a tokenizer/vocab designer asks before fixing a vocab
+    size, and the head-heaviness check that complements
+    `zipf_profile_docs`'s slope with actual budget points.
+
+    Output (n_top, covered_tokens, total_tokens), one row per N, all
+    int64 — the coverage ratio is the caller's division, so the oracle
+    comparison is exact. A vocab smaller than N yields full coverage.
+
+    Scale shape: per-batch token-count combiner -> ONE token-keyed
+    groupby (shuffle volume = distinct tokens per block); after the
+    groupby every token appears exactly once globally, so per-block
+    top-max(N) combiners contain the global top-N (same containment
+    argument as `documents.top_terms`), and only O(blocks * maxN) rows
+    plus two scalar partials per block reach the driver.
+    """
+    import polars as pl
+
+    max_n = max(ns)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch.select(["canonical"]))
+            .filter(pl.col("canonical") != "")
+            .select(pl.col("canonical").str.split(" ").alias("token"))
+            .explode("token")
+            .group_by("token")
+            .agg(pl.len().cast(pl.Int64).alias("n_partial"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("token", pa.string()), ("n_partial", pa.int64())])
+        )
+
+    counts = (
+        canonical_docs(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .materialize()  # reused: total partials + top-k combiner
+    )
+
+    def _total(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return pa.table({"tt": pa.array([0], pa.int64())})
+        n = np.asarray(batch["n"], dtype=np.int64)
+        return pa.table({"tt": pa.array([int(n.sum())], pa.int64())})
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return pa.schema(
+                [("token", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        df = pl.from_arrow(batch.select(["token", "n"]))
+        return (
+            df.sort(["n", "token"], descending=[True, False])
+            .head(max_n)
+            .to_arrow()
+            .cast(pa.schema([("token", pa.string()), ("n", pa.int64())]))
+        )
+
+    total = int(
+        counts.map_batches(_total, batch_format="pyarrow").to_pandas()["tt"].sum()
+    )
+    head = (
+        counts.map_batches(_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(max_n)
+        .reset_index(drop=True)
+    )
+    cum = head["n"].cumsum()
+    rows = []
+    for n_top in sorted(ns):
+        covered = int(cum.iloc[min(n_top, len(cum)) - 1]) if len(cum) else 0
+        rows.append((n_top, covered, total))
+    return pd.DataFrame(
+        rows, columns=["n_top", "covered_tokens", "total_tokens"]
+    ).astype("int64")
+
+
+def coverage_oracle_sql(ns: tuple[int, ...] = COVERAGE_NS) -> str:
+    """DuckDB twin of `vocab_coverage_curve` (same tokenization as
+    top_terms; rank by count desc, token asc)."""
+    from . import documents as _docs  # noqa: F401  (same _CANON contract)
+
+    selects = "\n            UNION ALL\n".join(
+        f"""            SELECT {n} AS n_top,
+                   CAST(COALESCE(SUM(n) FILTER (rk <= {n}), 0) AS BIGINT)
+                       AS covered_tokens,
+                   CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total_tokens
+            FROM ranked"""
+        for n in sorted(ns)
+    )
+    return f"""
+        WITH c AS (SELECT {{canon}} AS canonical FROM documents),
+        w AS (SELECT unnest(string_split(canonical, ' ')) AS token FROM c
+              WHERE canonical != ''),
+        cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM w
+                GROUP BY token),
+        ranked AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk
+            FROM cnt
+        )
+{selects}
+    """

@@ -1676,3 +1676,52 @@ class TestSourceQualityRegression:
             assert row["sum_q_micro"] == sy
             assert row["slope_num"] == n * sxy - sx * sy
             assert row["slope_den"] == n * sxx - sx * sx
+
+
+class TestVocabCoverage:
+    """Coverage-curve semantics (training.vocab_coverage_curve):
+    deterministic (count DESC, token) head, small-vocab saturation."""
+
+    def test_hand_counts(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.training import vocab_coverage_curve
+
+        # counts: a=4, b=3, c=2, d=1 -> total 10
+        texts = ["a a b c", "a b d", "a b c"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = vocab_coverage_curve(str(tmp_path), ns=(1, 2, 3, 10))
+        got = {
+            int(r.n_top): (int(r.covered_tokens), int(r.total_tokens))
+            for r in out.itertuples()
+        }
+        assert got == {1: (4, 10), 2: (7, 10), 3: (9, 10), 10: (10, 10)}
+
+    def test_tie_break_by_token(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.training import vocab_coverage_curve
+
+        # all counts equal: top-1 must be the lexicographically smallest
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["zz aa mm"], pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = vocab_coverage_curve(str(tmp_path), ns=(1,))
+        assert out.iloc[0]["covered_tokens"] == 1  # exactly one token's mass
+        assert out.iloc[0]["total_tokens"] == 3
