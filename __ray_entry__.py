@@ -548,6 +548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_rep_by_quality": docs.cluster_rep_by_quality,
         # threshold-sensitivity sweep over fixed LSH candidates
         "dedup_threshold_sweep": docs.dedup_threshold_sweep,
+        # stratified dup-pair review sample (md5-deterministic deciles)
+        "dedup_review_sample": docs.dedup_review_sample,
         "audio_decode_stats": docs.audio_decode_stats,
         "video_frame_stats": docs.video_frame_stats,
         # fourth real image codec (gif.py); sits with the other codec
@@ -1375,6 +1377,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY cluster_id
             ) s GROUP BY size
         """,
+        "dedup_review_sample": sqlgen.review_sample_sql(
+            sqlgen.DOCS_CONVS_BODY
+        ),
         "dedup_threshold_sweep": sqlgen.threshold_sweep_sql(
             sqlgen.DOCS_CONVS_BODY
         ),

@@ -224,6 +224,29 @@ def run_bench() -> dict:
     timed("part_supplier_diversity", rel.part_supplier_diversity)
     timed("source_quality_audit", trn.source_quality_audit)
     timed("winsorize_lengths_by_source", docs.winsorize_lengths_by_source)
+    # session-3 operators
+    timed("link_kcore_docs", grf.link_kcore_docs)
+    timed("large_volume_orders", rel.large_volume_orders)
+    timed("customer_order_count_distribution", rel.customer_order_count_distribution)
+    timed("vocab_coverage_curve", trn.vocab_coverage_curve)
+
+    from quarrycore_ray.pipelines.transcripts import (
+        tool_chain_stats,
+        turn_stutter_stats,
+    )
+
+    timed(
+        "turn_stutter_stats",
+        lambda sf: turn_stutter_stats(
+            rd.from_arrow(transcripts_from_documents(sf))
+        ),
+    )
+    timed(
+        "tool_chain_stats",
+        lambda sf: tool_chain_stats(
+            rd.from_arrow(transcripts_from_documents(sf))
+        ),
+    )
 
     ray.shutdown()
     return {

@@ -4232,3 +4232,103 @@ def hybrid_search_docs(
         .reset_index(drop=True)
     )
     return out.astype("int64")
+
+
+#: review-sample size per Jaccard-estimate decile bucket
+REVIEW_PER_BUCKET = 5
+
+_REVIEW_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("rank", pa.int64()),
+        ("a_id", pa.string()),
+        ("b_id", pa.string()),
+        ("jaccard", pa.float64()),
+        ("hamming", pa.int64()),
+    ]
+)
+
+
+def dedup_review_sample(
+    sf_dir: str, per_bucket: int = REVIEW_PER_BUCKET
+) -> "rd.Dataset":
+    """Stratified dup-pair review sample: the flagship's VERIFIED
+    near-dup edges bucketed by Jaccard-estimate decile, `per_bucket`
+    pairs per bucket picked by deterministic md5 order — the
+    human-review slate a dedup operator pulls before trusting a
+    threshold on a new corpus (borderline deciles get eyes, not just
+    the easy 0.9+ pairs).
+
+    Determinism: the decile is all-integer (eq recovered exactly from
+    the power-of-two jaccard = eq/num_perm), and md5(a_id|'|'|b_id)
+    ordering is reproducible across engines, block layouts and reruns —
+    the same sample every time, unlike a random_sample. The edge table
+    is already tiny relative to the corpus; bucketing is one
+    `partitioned_group_map` on the <= 10 bucket keys.
+    """
+    import hashlib
+
+    from ..config import DedupConfig
+    from ..stages.grouped import partitioned_group_map
+
+    num_perm = DedupConfig().num_perm
+    res = dedup_conversations(_docs_as_conversations(sf_dir))
+    edges = res.edges
+    if isinstance(edges, pa.Table):
+        edges_ds = rd.from_arrow(edges)
+    else:
+        edges_ds = edges
+    if edges_ds.count() == 0:
+        return rd.from_arrow(_REVIEW_SCHEMA.empty_table())
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["a_id", "b_id", "jaccard", "hamming"]))
+        df = df.with_columns(
+            (
+                (pl.col("jaccard") * num_perm).round(0).cast(pl.Int64) * 10
+                // num_perm
+            ).alias("bucket"),
+            (pl.col("a_id") + "|" + pl.col("b_id"))
+            .map_elements(
+                lambda s: hashlib.md5(s.encode()).hexdigest(),
+                return_dtype=pl.String,
+            )
+            .alias("mk"),
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("a_id", pa.string()),
+                    ("b_id", pa.string()),
+                    ("jaccard", pa.float64()),
+                    ("hamming", pa.int64()),
+                    ("bucket", pa.int64()),
+                    ("mk", pa.string()),
+                ]
+            )
+        )
+
+    def _topk(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["bucket", "mk", "a_id", "b_id"])
+            .with_columns(
+                (pl.int_range(pl.len()).over("bucket") + 1)
+                .cast(pl.Int64)
+                .alias("rank")
+            )
+            .filter(pl.col("rank") <= per_bucket)
+            .select(["bucket", "rank", "a_id", "b_id", "jaccard", "hamming"])
+        )
+        return out.to_arrow().cast(_REVIEW_SCHEMA)
+
+    return partitioned_group_map(
+        edges_ds.map_batches(_bucketize, batch_format="pyarrow"),
+        "bucket",
+        _topk,
+        arrow=True,
+    )

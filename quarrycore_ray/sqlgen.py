@@ -548,3 +548,59 @@ FROM ths
 LEFT JOIN edge_cnt ON edge_cnt.t = ths.t
 LEFT JOIN merged ON merged.t = ths.t
 """
+
+
+def review_sample_sql(
+    convs_body: str,
+    per_bucket: int = 5,
+    threshold: float = 0.85,
+    strict_hamming: int = 3,
+    rows_per_band: int = 16,
+    num_perm: int = 128,
+    seed: int = 1,
+    shingle_size: int = 7,
+) -> str:
+    """Oracle for the stratified dup-pair review sample
+    (pipelines/documents.dedup_review_sample): the flagship's verified
+    edges (same signatures / banding / verify predicate as
+    dedup_clusters_sql), bucketed by Jaccard-estimate decile and ranked
+    inside each bucket by md5(a_id || '|' || b_id). The decile is
+    all-integer — eq is recovered exactly from jaccard (eq/num_perm is
+    a power-of-two division, so round(jaccard * num_perm) == eq) — and
+    the md5 rank is deterministic, so the sample is reproducible across
+    engines, block layouts and reruns."""
+    return f"""
+WITH convs AS ({convs_body}),
+groups AS MATERIALIZED (
+  SELECT conv_id, canonical, min(conv_id) OVER (PARTITION BY canonical) AS rep
+  FROM convs
+),
+reps AS (SELECT conv_id, canonical FROM groups WHERE conv_id = rep),
+{_signature_ctes("reps", num_perm, seed, shingle_size)},
+bands AS (
+  SELECT conv_id, i // {rows_per_band} AS band,
+         string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+  FROM sigs GROUP BY conv_id, i // {rows_per_band}
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT x.conv_id AS a_id, y.conv_id AS b_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.conv_id < y.conv_id
+),
+{_pair_verify_ctes("pairs", threshold, strict_hamming, num_perm)},
+bk AS (
+  SELECT a_id, b_id, jaccard, hamming,
+         (CAST(round(jaccard * {num_perm}) AS BIGINT) * 10) // {num_perm}
+             AS bucket,
+         md5(a_id || '|' || b_id) AS mk
+  FROM edges
+),
+rk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY bucket ORDER BY mk, a_id, b_id) AS rank
+  FROM bk
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rank AS BIGINT) AS rank,
+       a_id, b_id, jaccard, hamming
+FROM rk WHERE rank <= {per_bucket}
+"""

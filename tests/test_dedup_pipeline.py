@@ -660,3 +660,57 @@ class TestSetSimJoin:
         # the planted cliques are actually present in the output
         pairs = set(zip(dense["a_id"], dense["b_id"]))
         assert (20, 21) in pairs and (0, 20) in pairs
+
+
+class TestReviewSample:
+    """Stratified dup-pair review sample
+    (documents.dedup_review_sample): deterministic md5-ordered deciles,
+    per_bucket cap, bucket = integer decile of the Jaccard estimate."""
+
+    def test_buckets_and_determinism(self, tmp_path):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.pipelines.documents import dedup_review_sample
+
+        base = " ".join(f"w{i:03d}" for i in range(60))
+        texts = {0: base}
+        # near variants at staggered similarity: flip k words each
+        for k, d in ((1, 1), (2, 2), (3, 3)):
+            words = base.split(" ")
+            for i in range(k):
+                words[5 + i * 7] = f"x{d}{i}"
+            texts[d] = " ".join(words)
+        for d in range(4, 10):
+            texts[d] = " ".join(f"z{d}{i}" for i in range(40))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(sorted(texts), pa.int64()),
+                    "text": pa.array(
+                        [texts[k] for k in sorted(texts)], pa.string()
+                    ),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = dedup_review_sample(str(tmp_path), per_bucket=2).to_pandas()
+        assert len(out) > 0
+        # decile math: bucket == floor(eq*10/128) for every row
+        for r in out.itertuples():
+            eq = round(r.jaccard * 128)
+            assert r.bucket == eq * 10 // 128
+            assert 1 <= r.rank <= 2
+        # md5 ordering within each bucket
+        for _, grp in out.groupby("bucket"):
+            mks = [
+                hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+                for a, b in zip(grp["a_id"], grp["b_id"])
+            ]
+            assert mks == sorted(mks)
+        # rerun: identical sample
+        again = dedup_review_sample(str(tmp_path), per_bucket=2).to_pandas()
+        pdsort = lambda d: d.sort_values(["bucket", "rank"]).reset_index(drop=True)  # noqa: E731
+        assert pdsort(out).equals(pdsort(again))
