@@ -347,7 +347,7 @@ def run_sig_stage_scaling(lo: int, hi: int) -> dict:
 
     s_lo, s_hi = leg(lo), leg(hi)
     eff = (s_lo["sec"] / s_hi["sec"]) / (hi / lo)
-    return {
+    out = {
         "stage": "minhash_simhash_signatures",
         "rows": s_lo["rows"],
         f"sec_{lo}": s_lo["sec"],
@@ -355,6 +355,30 @@ def run_sig_stage_scaling(lo: int, hi: int) -> dict:
         "efficiency": round(eff, 3),
         "host_first_touch_gbps": host_first_touch_gbps(),
     }
+
+    # the bus-bound counterpart: one isolated all-to-all exchange of
+    # the same table (no signature arithmetic) — documents WHICH half
+    # of the pipeline stops scaling on a single box (BASELINE.md)
+    def shuffle_leg(ncpu: int) -> dict:
+        r = subprocess.run(
+            [sys.executable, probe, "shuffle", str(ncpu), inp],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    sh_lo, sh_hi = shuffle_leg(lo), shuffle_leg(hi)
+    sh_eff = (sh_lo["sec"] / sh_hi["sec"]) / (hi / lo)
+    out["shuffle_stage"] = {
+        "stage": "hash_partition_shuffle",
+        "rows": sh_lo["rows"],
+        f"sec_{lo}": sh_lo["sec"],
+        f"sec_{hi}": sh_hi["sec"],
+        "efficiency": round(sh_eff, 3),
+        "host_first_touch_gbps": host_first_touch_gbps(),
+    }
+    return out
 
 
 if __name__ == "__main__":

@@ -89,12 +89,60 @@ def run(num_cpus: int, inp: str) -> None:
     )
 
 
+def run_shuffle(num_cpus: int, inp: str) -> None:
+    """The bus-bound counterpart to `run`: times ONLY one all-to-all
+    hash-partitioned exchange of the same prepped (conv_id, text) table
+    — no signature arithmetic in the timed region. On a single box this
+    leg rides the shared DRAM bus (the flat region of the whole-pipeline
+    ratio); on a real N -> 4N cluster each node brings its own memory
+    and NIC, so the pair (compute leg ~linear, shuffle leg flat-on-one-
+    box) is the decomposition BASELINE.md documents."""
+    _init(num_cpus)
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from quarrycore_ray.stages.grouped import partitioned_group_map
+
+    ds = rd.read_parquet(inp).materialize()  # warm, untimed
+    n = ds.count()
+
+    def _count(tb: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([tb.num_rows], pa.int64())})
+
+    t0 = time.perf_counter()
+    out_n = int(
+        sum(
+            sum(b["n"].to_pylist())
+            for b in partitioned_group_map(
+                ds, "conv_id", _count, arrow=True
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "stage": "hash_partition_shuffle",
+                "num_cpus": num_cpus,
+                "rows": int(out_n),
+                "sec": round(dt, 2),
+                "rows_per_sec": round(n / dt, 1),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "prep":
         tdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/qc_bench_corpus/n300000_s42/transcripts"
         out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sig_probe_input"
         prep(tdir, out)
+    elif mode == "shuffle":
+        ncpu = int(sys.argv[2])
+        inp = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sig_probe_input"
+        run_shuffle(ncpu, inp)
     else:
         ncpu = int(sys.argv[2])
         inp = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sig_probe_input"
