@@ -2664,13 +2664,14 @@ def vocab_coverage_curve(
             .cast(pa.schema([("token", pa.string()), ("n", pa.int64())]))
         )
 
-    total = int(
-        counts.map_batches(_total, batch_format="pyarrow").to_pandas()["tt"].sum()
-    )
+    tt = counts.map_batches(_total, batch_format="pyarrow").to_pandas()
+    total = int(tt["tt"].sum()) if "tt" in tt.columns else 0
+    hd = counts.map_batches(_topk, batch_format="pyarrow").to_pandas()
+    if "n" not in hd.columns:  # fully-empty corpus: 0-column frame
+        hd = pd.DataFrame({"token": pd.Series(dtype="string"),
+                           "n": pd.Series(dtype="int64")})
     head = (
-        counts.map_batches(_topk, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        hd.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
         .head(max_n)
         .reset_index(drop=True)
     )
