@@ -446,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_lengths_by_source": docs.winsorize_lengths_by_source,
         # EXISTS semi-join rollup (TPC-H Q4 shape)
         "returned_orders_by_priority": rel.returned_orders_by_priority,
+        # 3-step ordered funnel (view -> click -> purchase within 60 min)
+        "events_funnel3": rel.events_funnel3,
         # TPC-H Q13 shape: per-customer order-count histogram (zeros kept)
         "customer_order_count_distribution": rel.customer_order_count_distribution,
         # TPC-H Q18 shape: large-volume orders, micro-unit qty sums
@@ -1004,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.relational import (
         q13_oracle_sql as _q13_oracle_sql,
+        funnel3_oracle_sql as _funnel3_oracle_sql,
         q18_oracle_sql as _q18_oracle_sql,
         dau_wau_oracle_sql as _dau_wau_oracle_sql,
         anomalies_oracle_sql as _anomalies_oracle_sql,
@@ -4267,6 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_trending_types": _trending_oracle_sql(),
         "returned_orders_by_priority": _returned_orders_oracle_sql(),
+        "events_funnel3": _funnel3_oracle_sql(),
         "customer_order_count_distribution": _q13_oracle_sql(),
         "large_volume_orders": _q18_oracle_sql(),
         "discount_revenue_q6": _q6_oracle_sql(),

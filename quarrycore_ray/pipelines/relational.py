@@ -2479,3 +2479,150 @@ def q18_oracle_sql(
         ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         LIMIT {k}
     """
+
+
+#: completion window for the 3-step funnel (view -> click -> purchase)
+FUNNEL3_WINDOW_MIN = 60
+
+
+def events_funnel3(
+    sf_dir: str, window_minutes: int = FUNNEL3_WINDOW_MIN
+) -> pd.DataFrame:
+    """Three-step ordered funnel: per user, does a view -> click ->
+    purchase chain exist with ts_view <= ts_click <= ts_purchase and
+    ts_purchase - ts_view <= window? The sequential-pattern report one
+    step deeper than `funnel_conversions`' pairwise version.
+
+    EXISTS semantics vectorize as two forward fills per user (events
+    sorted by ts, event_id): the latest view time at each row, and —
+    carried forward from click rows only — the latest view time at the
+    latest click so far. Both are monotone, so a chain through the
+    latest qualifying predecessor exists iff ANY chain exists; a
+    purchase completes the funnel iff its carried view time is within
+    the window. All time arithmetic is exact int64 microseconds; ties
+    at identical timestamps resolve by event_id in BOTH engines.
+
+    Scale shape: one user_id hash partition + a vectorized polars pass
+    per partition producing three per-partition flag-count partials;
+    only (3 ints x partitions) reach the driver. Output
+    (step, n_users), steps 'view' / 'view>click' / 'view>click>purchase'.
+    """
+    import polars as pl
+
+    from ..stages.grouped import partitioned_group_map
+
+    w_us = window_minutes * 60 * 1_000_000
+
+    def _part(tb: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(tb)
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                pl.col("ts").cast(pl.Int64).alias("t")  # exact µs
+            )
+            .with_columns(
+                pl.when(pl.col("event_type") == "view")
+                .then(pl.col("t"))
+                .otherwise(None)
+                .forward_fill()
+                .over("user_id")
+                .alias("v")
+            )
+            .with_columns(
+                pl.when(pl.col("event_type") == "click")
+                .then(pl.col("v"))
+                .otherwise(None)
+                .forward_fill()
+                .over("user_id")
+                .alias("cv")
+            )
+            .with_columns(
+                (pl.col("event_type") == "view").alias("is_v"),
+                (
+                    (pl.col("event_type") == "click")
+                    & pl.col("v").is_not_null()
+                    & ((pl.col("t") - pl.col("v")) <= w_us)
+                ).alias("is_vc"),
+                (
+                    (pl.col("event_type") == "purchase")
+                    & pl.col("cv").is_not_null()
+                    & ((pl.col("t") - pl.col("cv")) <= w_us)
+                ).alias("is_vcp"),
+            )
+            .group_by("user_id")
+            .agg(
+                pl.col("is_v").any().alias("hv"),
+                pl.col("is_vc").any().alias("hvc"),
+                pl.col("is_vcp").any().alias("hvcp"),
+            )
+        )
+        return pa.table(
+            {
+                "n_view": pa.array([int(df["hv"].sum())], pa.int64()),
+                "n_view_click": pa.array([int(df["hvc"].sum())], pa.int64()),
+                "n_full": pa.array([int(df["hvcp"].sum())], pa.int64()),
+            }
+        )
+
+    parts = typed_pandas(
+        partitioned_group_map(
+            _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+            "user_id",
+            _part,
+            arrow=True,
+        ),
+        {"n_view": "int64", "n_view_click": "int64", "n_full": "int64"},
+    )
+    return pd.DataFrame(
+        {
+            "step": ["view", "view>click", "view>click>purchase"],
+            "n_users": [
+                int(parts["n_view"].sum()),
+                int(parts["n_view_click"].sum()),
+                int(parts["n_full"].sum()),
+            ],
+        }
+    ).astype({"step": "string", "n_users": "int64"})
+
+
+def funnel3_oracle_sql(window_minutes: int = FUNNEL3_WINDOW_MIN) -> str:
+    """DuckDB twin of `events_funnel3` (same forward-fill construction
+    via running MAX windows; epoch_us for the exact µs arithmetic)."""
+    w_us = window_minutes * 60 * 1_000_000
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+            FROM events
+        ),
+        f1 AS (
+            SELECT user_id, event_type, event_id, t,
+                   MAX(CASE WHEN event_type = 'view' THEN t END) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS v
+            FROM e
+        ),
+        f2 AS (
+            SELECT user_id, event_type, t, v,
+                   MAX(CASE WHEN event_type = 'click' THEN v END) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cv
+            FROM f1
+        ),
+        u AS (
+            SELECT user_id,
+                   bool_or(event_type = 'view') AS hv,
+                   bool_or(event_type = 'click' AND v IS NOT NULL
+                           AND t - v <= {w_us}) AS hvc,
+                   bool_or(event_type = 'purchase' AND cv IS NOT NULL
+                           AND t - cv <= {w_us}) AS hvcp
+            FROM f2 GROUP BY user_id
+        )
+        SELECT 'view' AS step,
+               CAST(count(*) FILTER (hv) AS BIGINT) AS n_users FROM u
+        UNION ALL
+        SELECT 'view>click',
+               CAST(count(*) FILTER (hvc) AS BIGINT) FROM u
+        UNION ALL
+        SELECT 'view>click>purchase',
+               CAST(count(*) FILTER (hvcp) AS BIGINT) FROM u
+    """

@@ -883,3 +883,71 @@ class TestLargeVolumeOrders:
         )
         out = large_volume_orders(str(tmp_path), qty_threshold=5, k=3)
         assert out["o_orderkey"].tolist() == [0, 1, 2]
+
+
+class TestFunnel3:
+    """Three-step ordered funnel (relational.events_funnel3): EXISTS
+    chain semantics through latest qualifying predecessors."""
+
+    @staticmethod
+    def _events(tmp_path, rows):
+        _write(
+            tmp_path,
+            "events",
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        list(range(len(rows))), pa.int64()
+                    ),
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            ),
+        )
+        return str(tmp_path)
+
+    def test_chains_and_window(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import events_funnel3
+
+        t0 = dt.datetime(2001, 5, 1, 12, 0, 0)
+        m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+        rows = [
+            # user 1: clean chain within the hour
+            (1, "view", m(0)), (1, "click", m(10)), (1, "purchase", m(30)),
+            # user 2: chain exists ONLY through the later view
+            # (view@0 -> click@50 -> purchase@70 misses the 60-min window,
+            # but view@45 -> click@50 -> purchase@70 completes)
+            (2, "view", m(0)), (2, "view", m(45)),
+            (2, "click", m(50)), (2, "purchase", m(70)),
+            # user 3: purchase BEFORE the click -> pair only
+            (3, "view", m(0)), (3, "purchase", m(5)), (3, "click", m(10)),
+            # user 4: click before any view -> view step only
+            (4, "click", m(0)), (4, "view", m(5)),
+            # user 5: no view at all
+            (5, "click", m(0)), (5, "purchase", m(1)),
+        ]
+        out = events_funnel3(self._events(tmp_path, rows), window_minutes=60)
+        got = dict(zip(out["step"], out["n_users"]))
+        assert got == {
+            "view": 4,
+            "view>click": 3,
+            "view>click>purchase": 2,
+        }
+
+    def test_window_boundary_inclusive(self, tmp_path):
+        from quarrycore_ray.pipelines.relational import events_funnel3
+
+        t0 = dt.datetime(2001, 5, 1)
+        rows = [
+            (1, "view", t0),
+            (1, "click", t0 + dt.timedelta(minutes=30)),
+            # exactly at the window edge: <= keeps it
+            (1, "purchase", t0 + dt.timedelta(minutes=60)),
+            (2, "view", t0),
+            (2, "click", t0 + dt.timedelta(minutes=30)),
+            (2, "purchase", t0 + dt.timedelta(minutes=60, microseconds=1)),
+        ]
+        out = events_funnel3(self._events(tmp_path, rows), window_minutes=60)
+        got = dict(zip(out["step"], out["n_users"]))
+        assert got["view>click>purchase"] == 1
