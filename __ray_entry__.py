@@ -98,6 +98,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         )
 
+    def _curate_conversations(sf_dir: str):
+        """Conversation-level curation gate with total reject lineage
+        (`pipelines/transcripts.curate_conversations`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import curate_conversations
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return curate_conversations(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def _turn_stutter_stats(sf_dir: str):
         """Agent-loop detection: adjacent-turn token-set Jaccard >= 4/5
         counts per conversation (`pipelines/transcripts.turn_stutter_stats`)."""
@@ -408,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_verbosity_stats": _role_verbosity_stats,
         # adjacent-turn question->reply length correlation moments
         "reply_length_moments": _reply_length_moments,
+        # conversation curation gate with total reject lineage
+        "curate_conversations": _curate_conversations,
         # agent-loop detection: adjacent-turn near-identical token sets
         "turn_stutter_stats": _turn_stutter_stats,
         # ordered tool-call chain inventory
@@ -988,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         questions_oracle_sql as _questions_oracle_sql,
         reply_moments_oracle_sql as _reply_moments_oracle_sql,
         stutter_oracle_sql as _stutter_oracle_sql,
+        curate_oracle_sql as _curate_oracle_sql,
         tool_chain_oracle_sql as _tool_chain_oracle_sql,
         opening_oracle_sql as _opening_oracle_sql,
         verbosity_oracle_sql as _verbosity_oracle_sql,
@@ -2982,6 +2997,7 @@ def oracle_sql() -> dict[str, str]:
         # --- agent-loop stutter detection (generated: list_distinct of
         #     consecutive 12-word slices, integer 5*inter >= 4*union) ---
         "turn_stutter_stats": _stutter_oracle_sql(),
+        "curate_conversations": _curate_oracle_sql(),
         # --- ordered tool-call chains (generated: replays the synth
         #     tool rule, string_agg ORDER BY turn idx) ---
         "tool_chain_stats": _tool_chain_oracle_sql(),

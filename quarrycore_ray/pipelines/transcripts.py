@@ -1001,3 +1001,178 @@ def opening_oracle_sql() -> str:
         GROUP BY opening
         HAVING COUNT(*) >= 2
     """
+
+
+_CURATE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("keep", pa.int64()),
+        ("reject_stage", pa.string()),
+    ]
+)
+
+
+def curate_conversations(ds: "rd.Dataset") -> "rd.Dataset":
+    """Conversation-level curation gate with TOTAL per-conversation
+    reject lineage — the transcript twin of
+    `curation.curation_pipeline_docs`: every conversation gets exactly
+    one row attributing it to the FIRST rule that rejects it, so a
+    100 TB run can account for every dropped conversation:
+
+      too_short   fewer than 2 turns (no exchange to learn from)
+      empty_turn  any turn with zero words
+      stutter     any adjacent turn pair with token-set Jaccard >= 4/5
+                  (the `turn_stutter_stats` predicate — agent loops)
+      unbalanced  assistant contribution too thin:
+                  3 * assistant_words < user_words (all-integer)
+      kept        survivors
+
+    One conv_id hash partition computes every signal in a single
+    vectorized polars pass (word counts, token sets + shifted
+    intersections, role sums) — the corpus is read once and nothing
+    per-conversation runs in Python.
+    """
+
+    def _part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.count_matches(r"\S+")
+                .cast(pl.Int64)
+                .alias("wc"),
+                pl.col("text")
+                .fill_null("")
+                .str.extract_all(r"\S+")
+                .list.unique()
+                .alias("tok"),
+                (pl.col("role") == "user").cast(pl.Int64).alias("u"),
+            )
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(pl.col("tok").shift(1).over("conv_id").alias("prev"))
+            .with_columns(
+                pl.col("tok")
+                .list.set_intersection(pl.col("prev"))
+                .list.len()
+                .cast(pl.Int64)
+                .alias("inter"),
+                (pl.col("tok").list.len() + pl.col("prev").list.len())
+                .cast(pl.Int64)
+                .alias("nsum"),
+            )
+            .with_columns(
+                (
+                    pl.col("prev").is_not_null()
+                    & ((pl.col("nsum") - pl.col("inter")) > 0)
+                    & (
+                        STUTTER_T_DEN * pl.col("inter")
+                        >= STUTTER_T_NUM * (pl.col("nsum") - pl.col("inter"))
+                    )
+                )
+                .cast(pl.Int64)
+                .alias("st")
+            )
+            .group_by("conv_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_turns"),
+                (pl.col("wc") == 0).any().alias("has_empty"),
+                (pl.col("st").sum() > 0).alias("has_stutter"),
+                (pl.col("wc") * pl.col("u")).sum().alias("uw"),
+                (pl.col("wc") * (1 - pl.col("u"))).sum().alias("aw"),
+            )
+            .with_columns(
+                pl.when(pl.col("n_turns") < 2)
+                .then(pl.lit("too_short"))
+                .when(pl.col("has_empty"))
+                .then(pl.lit("empty_turn"))
+                .when(pl.col("has_stutter"))
+                .then(pl.lit("stutter"))
+                .when(3 * pl.col("aw") < pl.col("uw"))
+                .then(pl.lit("unbalanced"))
+                .otherwise(pl.lit(None, dtype=pl.String))
+                .alias("reject_stage")
+            )
+            .with_columns(
+                pl.col("reject_stage").is_null().cast(pl.Int64).alias("keep")
+            )
+            .select(["conv_id", "keep", "reject_stage"])
+        )
+        return d.to_arrow().cast(_CURATE_SCHEMA)
+
+    return partitioned_group_map(
+        ds.select_columns(["conv_id", "turn_idx", "role", "text"]),
+        "conv_id",
+        _part,
+        arrow=True,
+    )
+
+
+def curate_oracle_sql() -> str:
+    """DuckDB twin of `curate_conversations`: rebuilds per-turn word
+    counts and token sets from the synth expansion, replays the stutter
+    predicate on consecutive slices and the first-reject attribution."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS words
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, words,
+                   'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+                   CASE WHEN len(words) = 0 THEN 1
+                        ELSE CAST(ceil(len(words) / 12.0) AS BIGINT)
+                   END AS n_turns
+            FROM w
+        ),
+        all_convs AS (
+            SELECT conv_id, words, n_turns FROM t
+            UNION ALL
+            SELECT conv_id || '-dup', words, n_turns FROM t
+            WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT conv_id || '-ws', words, n_turns FROM t
+            WHERE doc_id % 10 = 5
+        ),
+        turns AS (
+            SELECT conv_id, n_turns, gs.ti AS ti,
+                   CASE WHEN len(words) = 0 THEN 0
+                        WHEN gs.ti < n_turns - 1 THEN 12
+                        ELSE len(words) - 12 * (n_turns - 1) END AS wc,
+                   list_distinct(list_slice(words, gs.ti * 12 + 1,
+                                            gs.ti * 12 + 12)) AS a,
+                   CASE WHEN gs.ti + 1 < n_turns
+                        THEN list_distinct(list_slice(words, gs.ti * 12 + 13,
+                                                      gs.ti * 12 + 24))
+                   END AS b
+            FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
+        ),
+        sig AS (
+            SELECT conv_id, MAX(n_turns) AS n_turns,
+                   bool_or(wc = 0) AS has_empty,
+                   bool_or(
+                       b IS NOT NULL
+                       AND len(a) + len(b) - len(list_intersect(a, b)) > 0
+                       AND {STUTTER_T_DEN} * len(list_intersect(a, b))
+                           >= {STUTTER_T_NUM} *
+                              (len(a) + len(b) - len(list_intersect(a, b)))
+                   ) AS has_stutter,
+                   SUM(CASE WHEN ti % 2 = 0 THEN wc ELSE 0 END) AS uw,
+                   SUM(CASE WHEN ti % 2 = 1 THEN wc ELSE 0 END) AS aw
+            FROM turns GROUP BY conv_id
+        )
+        SELECT conv_id,
+               CAST(CASE WHEN n_turns >= 2 AND NOT has_empty
+                          AND NOT has_stutter AND 3 * aw >= uw
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep,
+               CASE WHEN n_turns < 2 THEN 'too_short'
+                    WHEN has_empty THEN 'empty_turn'
+                    WHEN has_stutter THEN 'stutter'
+                    WHEN 3 * aw < uw THEN 'unbalanced'
+               END AS reject_stage
+        FROM sig
+    """

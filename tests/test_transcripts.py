@@ -526,3 +526,42 @@ class TestOpeningGroups:
         assert r["opening"] == "hello world | hi there"
         assert int(r["n_convs"]) == 3
         assert r["rep_conv_id"] == "a"
+
+
+class TestCurateConversations:
+    """Conversation curation gate (transcripts.curate_conversations):
+    first-reject attribution across the four rules, total lineage."""
+
+    def test_rules_and_first_reject(self, tmp_path):
+        from quarrycore_ray.pipelines.transcripts import curate_conversations
+
+        rows = [
+            # kept: two balanced turns
+            ("keep", 0, "hello there friend"), ("keep", 1, "hi yourself pal"),
+            # too_short wins even though the turn is also empty
+            ("short", 0, ""),
+            # empty turn mid-conversation
+            ("empty", 0, "something here"), ("empty", 1, ""),
+            ("empty", 2, "more words now"),
+            # stutter: near-identical adjacent turns (also unbalanced-ish,
+            # but stutter is attributed first)
+            ("loop", 0, "alpha beta gamma delta epsilon"),
+            ("loop", 1, "epsilon delta gamma beta alpha"),
+            # unbalanced: assistant says one word to the user's twelve
+            ("mono", 0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+            ("mono", 1, "ok"),
+        ]
+        out = curate_conversations(_ds(rows)).to_pandas()
+        got = {
+            r.conv_id: (int(r.keep), r.reject_stage)
+            for r in out.itertuples()
+        }
+        assert got == {
+            "keep": (1, None),
+            "short": (0, "too_short"),
+            "empty": (0, "empty_turn"),
+            "loop": (0, "stutter"),
+            "mono": (0, "unbalanced"),
+        }
+        # total lineage: one row per conversation
+        assert len(out) == 5
