@@ -98,6 +98,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         )
 
+    def _curated_dedup_transcripts(sf_dir: str):
+        """Composed transcript pipeline: curation gate -> flagship dedup
+        on the survivors (`pipelines/transcripts.curate_then_dedup`)."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import curate_then_dedup
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return curate_then_dedup(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def _curate_conversations(sf_dir: str):
         """Conversation-level curation gate with total reject lineage
         (`pipelines/transcripts.curate_conversations`)."""
@@ -422,6 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reply_length_moments": _reply_length_moments,
         # conversation curation gate with total reject lineage
         "curate_conversations": _curate_conversations,
+        # curation gate -> flagship dedup on survivors (composed)
+        "curated_dedup_transcripts": _curated_dedup_transcripts,
         # agent-loop detection: adjacent-turn near-identical token sets
         "turn_stutter_stats": _turn_stutter_stats,
         # ordered tool-call chain inventory
@@ -1003,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         reply_moments_oracle_sql as _reply_moments_oracle_sql,
         stutter_oracle_sql as _stutter_oracle_sql,
         curate_oracle_sql as _curate_oracle_sql,
+        curated_dedup_oracle_sql as _curated_dedup_oracle_sql,
         tool_chain_oracle_sql as _tool_chain_oracle_sql,
         opening_oracle_sql as _opening_oracle_sql,
         verbosity_oracle_sql as _verbosity_oracle_sql,
@@ -2998,6 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         #     consecutive 12-word slices, integer 5*inter >= 4*union) ---
         "turn_stutter_stats": _stutter_oracle_sql(),
         "curate_conversations": _curate_oracle_sql(),
+        "curated_dedup_transcripts": _curated_dedup_oracle_sql(),
         # --- ordered tool-call chains (generated: replays the synth
         #     tool rule, string_agg ORDER BY turn idx) ---
         "tool_chain_stats": _tool_chain_oracle_sql(),

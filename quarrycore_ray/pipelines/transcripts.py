@@ -1176,3 +1176,79 @@ def curate_oracle_sql() -> str:
                END AS reject_stage
         FROM sig
     """
+
+
+_TS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def curate_then_dedup(ds: "rd.Dataset") -> "rd.Dataset":
+    """The composed transcript pipeline: `curate_conversations` gate
+    first, flagship dedup on the SURVIVORS — the order a real curation
+    run uses (broken conversations out before they burn signature
+    compute or pollute near-dup clusters). Returns the clusters table
+    over kept conversations.
+
+    The kept conv_id set attaches back to the turns table through
+    `attach_lookup`'s broadcast/partitioned auto-switch (conv_id keys
+    only — never the text), so the gate adds no text shuffle on top of
+    dedup's own. Oracle: the generated flagship SQL with the curate
+    twin nested into its convs body (sqlgen composes; DuckDB allows
+    CTEs in subqueries)."""
+    from ..stages.grouped import attach_lookup
+    from .dedup import dedup_transcripts
+
+    gate = curate_conversations(ds)
+
+    def _kept(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.equal(batch["keep"], 1))
+        return pa.table(
+            {
+                "conv_id": kept["conv_id"],
+                "one": pa.array(
+                    np.ones(kept.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    import numpy as np  # noqa: F811  (local to keep module header slim)
+
+    marks = gate.map_batches(_kept, batch_format="pyarrow")
+    flagged = attach_lookup(
+        ds, _TS_SCHEMA, ["conv_id"], marks, "conv_id", "one",
+        pa.int64(), ["_keep"],
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch["_keep"])).drop_columns(
+            ["_keep"]
+        )
+
+    survivors = flagged.map_batches(_filter, batch_format="pyarrow")
+    return dedup_transcripts(survivors).clusters
+
+
+def curated_dedup_oracle_sql() -> str:
+    """Generated flagship dedup SQL over the curate-kept conversations:
+    the curate twin nests into the convs body."""
+    from ..sqlgen import TRANSCRIPT_CONVS_BODY, dedup_clusters_sql
+
+    body = f"""
+  SELECT * FROM ({TRANSCRIPT_CONVS_BODY}) tc
+  WHERE tc.conv_id IN (
+      SELECT conv_id FROM ({curate_oracle_sql()}) g WHERE g.keep = 1
+  )
+"""
+    return dedup_clusters_sql(body)

@@ -565,3 +565,31 @@ class TestCurateConversations:
         }
         # total lineage: one row per conversation
         assert len(out) == 5
+
+
+class TestCurateThenDedup:
+    """Composed gate -> dedup (transcripts.curate_then_dedup): rejected
+    conversations never reach dedup; survivors cluster as usual."""
+
+    def test_gate_filters_before_dedup(self):
+        from quarrycore_ray.pipelines.transcripts import curate_then_dedup
+
+        rows = [
+            # two exact-dup conversations that pass the gate
+            ("a", 0, "hello there friend of mine"),
+            ("a", 1, "hi yourself my good pal"),
+            ("b", 0, "hello there friend of mine"),
+            ("b", 1, "hi yourself my good pal"),
+            # a stuttering conversation that would ALSO be an exact dup
+            # of a/b if it reached dedup — the gate drops it first
+            ("c", 0, "hello there friend of mine"),
+            ("c", 1, "hello there friend of mine"),
+            # too short
+            ("d", 0, "lonely"),
+        ]
+        out = curate_then_dedup(_ds(rows)).to_pandas()
+        assert sorted(out["conv_id"]) == ["a", "b"]
+        got = out.set_index("conv_id")
+        assert got.loc["b", "cluster_id"] == "a"
+        assert got.loc["b", "dup_kind"] == "exact"
+        assert bool(got.loc["a", "is_representative"])
