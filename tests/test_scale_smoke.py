@@ -69,3 +69,50 @@ def test_cohort_retention_accounting():
     # retention never exceeds the cohort size
     m = z.set_index("cohort_week").n_users
     assert (out.n_users <= out.cohort_week.map(m)).all()
+
+
+def test_setsim_dense_invariants_at_sf01():
+    from quarrycore_ray.pipelines.documents import (
+        SETSIM_T_DEN,
+        SETSIM_T_NUM,
+        setsim_join_docs,
+    )
+
+    out = setsim_join_docs(SF_DIR)
+    assert (out.a_id < out.b_id).all()
+    assert not out.duplicated(["a_id", "b_id"]).any()
+    # the integer predicate holds on every emitted pair
+    assert (
+        SETSIM_T_DEN * out.inter_size >= SETSIM_T_NUM * out.union_size
+    ).all()
+    assert (out.inter_size <= out.union_size).all()
+    # jaccard is exactly the advertised division
+    assert (out.jaccard == out.inter_size / out.union_size).all()
+
+
+def test_kcore_monotone_at_sf01():
+    from quarrycore_ray.pipelines.graph import link_kcore_docs
+
+    deep = link_kcore_docs(SF_DIR, k=3, rounds=8).to_pandas()
+    shallow = link_kcore_docs(SF_DIR, k=3, rounds=2).to_pandas()
+    assert set(deep.doc_id) <= set(shallow.doc_id)  # peeling only removes
+    assert (deep.core_deg >= 1).all()
+
+
+def test_curate_then_dedup_accounting_at_sf01():
+    import ray.data as rd
+
+    from quarrycore_ray.pipelines.transcripts import (
+        curate_conversations,
+        curate_then_dedup,
+    )
+    from quarrycore_ray.synth import transcripts_from_documents
+
+    ts = transcripts_from_documents(SF_DIR)
+    gate = curate_conversations(rd.from_arrow(ts)).to_pandas()
+    clusters = curate_then_dedup(rd.from_arrow(ts)).to_pandas()
+    kept = set(gate[gate.keep == 1].conv_id)
+    assert set(clusters.conv_id) == kept  # total: every survivor clustered
+    # representatives are cluster minima
+    reps = clusters[clusters.is_representative]
+    assert (reps.conv_id == reps.cluster_id).all()
