@@ -140,12 +140,18 @@ def dedup_conversations(
 
     # S3: signatures on unique texts only (actor pool, stateful caches).
     # Repartition first: the exact-dedup groupby emits few fat blocks,
-    # which would starve the actor pool (1 task per block).
+    # which would starve the actor pool (1 task per block). The block
+    # count adapts to the known rep count — a small corpus gets a few
+    # batch-sized blocks instead of mh_conc*4 near-empty ones (each
+    # empty block still costs a scheduled task against the pool).
     mh_conc = cfg.resolved_minhash_concurrency()
+    n_sig_blocks = max(
+        1, min(mh_conc * 4, metrics["distinct_texts"] // cfg.sig_batch_size + 1)
+    )
     reps_schema = reps.schema()  # None when the corpus is empty
     has_domain = reps_schema is not None and "domain" in reps_schema.names
     sig_cols = ["conv_id", "canonical_text"] + (["domain"] if has_domain else [])
-    sig_input = reps.select_columns(sig_cols).repartition(mh_conc * 4)
+    sig_input = reps.select_columns(sig_cols).repartition(n_sig_blocks)
     with_sigs = sig_input.map_batches(
         MinHashSimHashStage,
         fn_constructor_kwargs={"config": cfg, "lineage": lineage},
