@@ -1178,16 +1178,15 @@ def curate_oracle_sql() -> str:
     """
 
 
-_TS_SCHEMA = pa.schema(
-    [
-        ("conv_id", pa.string()),
-        ("turn_idx", pa.int32()),
-        ("role", pa.string()),
-        ("text", pa.string()),
-        ("tool", pa.string()),
-        ("ts", pa.timestamp("us")),
-    ]
-)
+def _ds_arrow_schema(ds: "rd.Dataset") -> pa.Schema:
+    """The dataset's pyarrow schema (attach_lookup needs it exact for
+    its partitioned path; the transcript surface accepts any column
+    superset of (conv_id, turn_idx, role, text))."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(sch.names, sch.types)))
 
 
 def curate_then_dedup(ds: "rd.Dataset") -> "rd.Dataset":
@@ -1225,7 +1224,7 @@ def curate_then_dedup(ds: "rd.Dataset") -> "rd.Dataset":
 
     marks = gate.map_batches(_kept, batch_format="pyarrow")
     flagged = attach_lookup(
-        ds, _TS_SCHEMA, ["conv_id"], marks, "conv_id", "one",
+        ds, _ds_arrow_schema(ds), ["conv_id"], marks, "conv_id", "one",
         pa.int64(), ["_keep"],
     )
 
@@ -1252,3 +1251,41 @@ def curated_dedup_oracle_sql() -> str:
   )
 """
     return dedup_clusters_sql(body)
+
+
+def apply_curation(ds: "rd.Dataset") -> "rd.Dataset":
+    """The row-level twin of `curate_conversations` (same pattern as
+    `apply_truncation` next to `truncate_conversations`): return the
+    turn rows of KEPT conversations, for pipelines that feed survivors
+    onward without re-deriving the gate. The gate's lineage table fully
+    determines this output, so the SQL oracle on the stats covers it;
+    `curate_then_dedup` uses the same attach-and-filter shape."""
+    import numpy as np
+
+    from ..stages.grouped import attach_lookup
+
+    gate = curate_conversations(ds)
+
+    def _kept(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.equal(batch["keep"], 1))
+        return pa.table(
+            {
+                "conv_id": kept["conv_id"],
+                "one": pa.array(np.ones(kept.num_rows, dtype=np.int64)),
+            }
+        )
+
+    flagged = attach_lookup(
+        ds, _ds_arrow_schema(ds), ["conv_id"],
+        gate.map_batches(_kept, batch_format="pyarrow"),
+        "conv_id", "one", pa.int64(), ["_keep"],
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch["_keep"])).drop_columns(["_keep"])
+
+    return flagged.map_batches(_filter, batch_format="pyarrow")

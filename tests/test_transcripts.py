@@ -593,3 +593,27 @@ class TestCurateThenDedup:
         assert got.loc["b", "cluster_id"] == "a"
         assert got.loc["b", "dup_kind"] == "exact"
         assert bool(got.loc["a", "is_representative"])
+
+
+class TestApplyCuration:
+    def test_surviving_rows_match_gate(self):
+        from quarrycore_ray.pipelines.transcripts import (
+            apply_curation,
+            curate_conversations,
+        )
+
+        rows = [
+            ("keep", 0, "hello there friend"), ("keep", 1, "hi yourself pal"),
+            ("short", 0, "alone"),
+            ("mono", 0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+            ("mono", 1, "ok"),
+        ]
+        ds = _ds(rows)
+        gate = curate_conversations(ds).to_pandas()
+        out = apply_curation(ds).to_pandas()
+        kept = set(gate[gate.keep == 1].conv_id)
+        assert set(out.conv_id) == kept
+        # every turn of every kept conversation survives, none others
+        assert len(out) == sum(1 for r in rows if r[0] in kept)
+        # schema passes through untouched (whatever columns came in)
+        assert set(out.columns) == set(ds.schema().names)
