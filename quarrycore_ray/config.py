@@ -102,6 +102,22 @@ class DedupConfig:
     def resolved_minhash_concurrency(self) -> int:
         return self.minhash_concurrency or _cpu_fraction(0.5)
 
+    def sig_pool_size(self, n_rows: int | None = None) -> int:
+        """FIXED signature-stage actor-pool size.
+
+        An autoscaling ``(1, N)`` pool ramps one actor at a time, so a
+        burst of signature blocks runs half-idle for most of its life —
+        measured 2.2x wall (14.3 s vs 6.5 s) on the 116,830-rep sf0.1
+        corpus at 32 CPUs. A fixed pool starts every actor up front.
+        When the input row count is known, small inputs get only as
+        many actors as their batch count can feed (one batch per actor
+        minimum), so tiny corpora keep fast startup.
+        """
+        conc = self.resolved_minhash_concurrency()
+        if n_rows is None:
+            return conc
+        return max(1, min(conc, n_rows // self.sig_batch_size + 1))
+
     def resolved_verify_concurrency(self) -> int:
         return self.verify_concurrency or _cpu_fraction(0.125)
 

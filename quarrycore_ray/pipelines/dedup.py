@@ -157,9 +157,10 @@ def dedup_conversations(
         fn_constructor_kwargs={"config": cfg, "lineage": lineage},
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        # autoscaling pool: small inputs use one actor (fast startup),
-        # large inputs scale out to the CPU-proportional pool size.
-        concurrency=(1, mh_conc),
+        # fixed pool sized to the known rep count: an autoscaling (1, N)
+        # pool ramps one actor at a time and measured 2.2x the wall of a
+        # pre-started pool on this stage (config.sig_pool_size)
+        concurrency=cfg.sig_pool_size(metrics["distinct_texts"]),
     )
     sig_ds = with_sigs.drop_columns(["canonical_text"])
 
@@ -197,7 +198,8 @@ def dedup_conversations(
         fn_constructor_kwargs={"config": cfg, "lineage": lineage},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.resolved_verify_concurrency()),
+        # small fixed pool (CPU/8): pre-started, no autoscale ramp
+        concurrency=cfg.resolved_verify_concurrency(),
     ).materialize()
     n_edges = edges_ds.count()
     metrics["verified_edges"] = n_edges

@@ -326,7 +326,8 @@ def dedup_threshold_sweep(
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=(1, mh_conc),
+        # fixed pool sized to the known rep count (config.sig_pool_size)
+        concurrency=cfg.sig_pool_size(n_reps),
     )
     est = (
         candidate_pairs(with_sigs.drop_columns(["canonical_text"]), cfg)
@@ -335,7 +336,7 @@ def dedup_threshold_sweep(
             fn_constructor_kwargs={"config": cfg},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=(1, cfg.resolved_verify_concurrency()),
+            concurrency=cfg.resolved_verify_concurrency(),
         )
         .materialize()
     )

@@ -207,7 +207,10 @@ def write_signature_index(
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=(1, conc),
+        # fixed pre-started pool (see config.sig_pool_size): the input
+        # may be lazy so its row count is unknown — use the full
+        # CPU-proportional size rather than an autoscale ramp
+        concurrency=conc,
     )
 
     def _thr(batch: pa.Table) -> pa.Table:
@@ -285,7 +288,7 @@ def incremental_near_dup(
             fn_constructor_kwargs={"config": cfg},
             batch_format="pyarrow",
             batch_size=cfg.sig_batch_size,
-            concurrency=(1, conc),
+            concurrency=conc,
         )
         .drop_columns(["canonical_text"])
     )
@@ -323,7 +326,7 @@ def incremental_near_dup(
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.resolved_verify_concurrency()),
+        concurrency=cfg.resolved_verify_concurrency(),
     )
 
     def _strip(batch: pa.Table) -> pa.Table:

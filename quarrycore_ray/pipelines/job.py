@@ -71,7 +71,9 @@ def run_dedup_job(
             fn_constructor_kwargs={"config": cfg, "lineage": lineage},
             batch_format="pyarrow",
             batch_size=cfg.sig_batch_size,
-            concurrency=(1, mh_conc),
+            # fixed pool sized to the checkpointed rep count — reps is
+            # parquet-backed here so count() is metadata-cheap
+            concurrency=cfg.sig_pool_size(reps.count()),
         ).drop_columns(["canonical_text"])
         pairs = candidate_pairs(sig_ds, cfg, lineage=lineage)
         return pairs.map_batches(
@@ -79,7 +81,7 @@ def run_dedup_job(
             fn_constructor_kwargs={"config": cfg, "lineage": lineage},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=(1, cfg.resolved_verify_concurrency()),
+            concurrency=cfg.resolved_verify_concurrency(),
         )
 
     edges = ckpt.stage("edges", _edges)
