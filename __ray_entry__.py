@@ -208,6 +208,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         ).clusters
 
+    def _warc_ingest_stats(sf_dir: str):
+        """Per-record ingestion fidelity through real .warc.gz archives
+        (`sources/warc.warc_ingest_stats`)."""
+        from quarrycore_ray.sources.warc import warc_ingest_stats
+
+        return warc_ingest_stats(sf_dir)
+
     def _turn_simhash_dup_pairs(sf_dir: str):
         """Cross-conversation near-duplicate TURN pairs (SimHash
         Hamming <= 3, 16-bit-band LSH) — the segment tier of the dedup
@@ -418,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OG/Twitter/author/date metadata extraction over deterministic
         # pages (both meta attribute orders exercised)
         "extract_metadata_docs": docs.extract_metadata_docs,
+        # WARC/WET crawl-archive ingestion through the real container
+        # (sources/warc.py: gzip-member framing, HTTP split, WET records)
+        "warc_ingest_stats": _warc_ingest_stats,
         # semantic dedup / similarity search (§2.1 D12)
         "knn_cosine": similarity.knn_cosine,
         "ann_lsh_knn": similarity.ann_lsh_knn,
@@ -988,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.pipelines.training import (
         coverage_oracle_sql as _coverage_oracle_sql,
     )
+    from quarrycore_ray.sources.warc import warc_oracle_sql as _warc_oracle_sql
 
     canon_docs = f"SELECT doc_id, {_CANON} AS canonical FROM documents"
 
@@ -1955,6 +1966,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
         """,
+        "warc_ingest_stats": _warc_oracle_sql(),
         "turn_simhash_dup_pairs": """
             -- mirrors pipelines/transcripts.turn_simhash_dup_pairs:
             -- 64-bit SimHash per TURN (MD5 feature hash over 7-char

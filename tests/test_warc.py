@@ -1,0 +1,111 @@
+"""WARC/WET container roundtrip + Ray source (sources/warc.py)."""
+
+import gzip
+
+import pyarrow as pa
+import pytest
+
+
+def _rec(did, body=b"hello world", wtype="response", status=200):
+    return {
+        "warc_type": wtype,
+        "url": f"https://s.example.org/doc/{did}",
+        "date": f"2026-01-01T00:00:{did:02d}Z",
+        "record_id": f"doc-{did}",
+        "body": body,
+        "status": status,
+    }
+
+
+class TestWarcRoundtrip:
+    def test_response_roundtrip(self):
+        from quarrycore_ray.sources.warc import build_warc_gz, parse_warc
+
+        out = parse_warc(build_warc_gz([_rec(1, "héllo\nworld".encode())]))
+        assert len(out) == 1
+        r = out[0]
+        assert r["url"].endswith("/doc/1")
+        assert r["http_status"] == 200
+        assert r["payload"] == "héllo\nworld".encode()
+        assert r["warc_date"] == "2026-01-01T00:00:01Z"
+
+    def test_conversion_and_empty_body(self):
+        from quarrycore_ray.sources.warc import build_warc_gz, parse_warc
+
+        out = parse_warc(
+            build_warc_gz([_rec(2, b"", wtype="conversion"), _rec(3, b"x")])
+        )
+        assert [r["warc_type"] for r in out] == ["conversion", "response"]
+        assert out[0]["payload"] == b"" and out[0]["http_status"] == 0
+        assert out[1]["payload"] == b"x"
+
+    def test_body_containing_crlfcrlf_is_framed_by_length(self):
+        # the payload contains the separator sequence; Content-Length
+        # framing must not split on it
+        from quarrycore_ray.sources.warc import build_warc_gz, parse_warc
+
+        body = b"a\r\n\r\nb\r\n\r\nWARC/1.0\r\n\r\nc"
+        out = parse_warc(build_warc_gz([_rec(4, body)]))
+        assert out[0]["payload"] == body
+
+    def test_warcinfo_skipped(self):
+        from quarrycore_ray.sources.warc import (
+            _gzip_member,
+            build_warc_gz,
+            build_warc_record,
+            parse_warc,
+        )
+
+        info = _gzip_member(
+            build_warc_record(
+                "warcinfo", "", "2026-01-01T00:00:00Z", b"robots: classic\r\n",
+                "info-0", content_type="application/warc-fields",
+            )
+        )
+        blob = info + build_warc_gz([_rec(5)])
+        out = parse_warc(blob)
+        assert len(out) == 1 and out[0]["url"].endswith("/doc/5")
+
+    def test_deterministic_bytes(self):
+        from quarrycore_ray.sources.warc import build_warc_gz
+
+        assert build_warc_gz([_rec(6)]) == build_warc_gz([_rec(6)])
+
+    def test_bad_header_raises(self):
+        from quarrycore_ray.sources.warc import parse_warc
+
+        with pytest.raises(ValueError):
+            parse_warc(gzip.compress(b"NOT-A-WARC\r\n\r\n"))
+
+    def test_non_200_status(self):
+        from quarrycore_ray.sources.warc import build_warc_gz, parse_warc
+
+        out = parse_warc(build_warc_gz([_rec(7, b"gone", status=404)]))
+        assert out[0]["http_status"] == 404
+
+
+class TestWarcRaySource:
+    def test_read_warc_files(self, tmp_path):
+        from quarrycore_ray.sources.warc import build_warc_gz, read_warc
+
+        for shard in range(3):
+            recs = [_rec(shard * 10 + i) for i in range(4)]
+            (tmp_path / f"shard{shard}.warc.gz").write_bytes(
+                build_warc_gz(recs)
+            )
+        ds = read_warc(str(tmp_path))
+        df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        assert len(df) == 12
+        assert set(df["http_status"]) == {200}
+        assert all(p == b"hello world" for p in df["payload"])
+
+    def test_ingest_stats_schema(self):
+        from quarrycore_ray.sources.warc import warc_ingest_stats
+
+        df = warc_ingest_stats("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 500
+        assert (df["warc_type"] == "conversion").sum() > 0
+        assert set(df.columns) == {
+            "doc_id", "url", "warc_type", "warc_date", "http_status",
+            "payload_bytes", "payload_md5",
+        }
