@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": cur.segment_dedup_docs,
         "c4_line_filter_docs": cur.c4_line_filter_docs,
         "dedup_lines_docs": cur.dedup_lines_docs,
+        # corpus-level boilerplate-line removal (CCNet high-DF paragraphs)
+        "boilerplate_lines_docs": cur.boilerplate_lines_docs,
         # ExactSubstr duplicated-span detection + removal (Lee et al. 2022)
         "exact_substr_spans": cur.exact_substr_spans,
         "exact_substr_dedup_docs": cur.exact_substr_dedup_docs,
@@ -997,6 +999,9 @@ def _domain_classify_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from quarrycore_ray.pipelines.training import (
         coverage_oracle_sql as _coverage_oracle_sql,
+    )
+    from quarrycore_ray.pipelines.curation import (
+        boilerplate_oracle_sql as _boiler_oracle_sql,
     )
     from quarrycore_ray.sources.warc import warc_oracle_sql as _warc_oracle_sql
 
@@ -2935,6 +2940,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_total_lines
             FROM ranked GROUP BY doc_id
         """,
+        "boilerplate_lines_docs": _boiler_oracle_sql(),
         "segment_dedup_docs": f"""
             WITH c AS (SELECT doc_id, string_split({_CANON}, ' ') AS words
                        FROM documents),

@@ -1113,3 +1113,241 @@ def ngram_novelty_docs(sf_dir: str, n: int = 3) -> "rd.Dataset":
             agg, {"doc_id": "int64", "n_grams": "int64", "n_novel": "int64"}
         )
     )
+
+
+# --- corpus-level boilerplate-line removal (CCNet / MassiveText) -------------
+
+#: a line is boilerplate within its source when it appears in at least
+#: this many distinct documents (CCNet removes high-DF paragraphs by
+#: hash, Wenzek et al. 2020 arXiv:1911.00359 §3.1; MassiveText's
+#: repetition filters are the within-doc complement, already covered by
+#: `repetition_stats_docs`)
+BOILER_MIN_DF = 8
+
+
+def _boiler_line(src: str) -> str:
+    return f"subscribe to the {src} newsletter for daily updates"
+
+
+def boilerplate_lines_docs(
+    sf_dir: str, min_df: int = BOILER_MIN_DF
+) -> "rd.Dataset":
+    """Remove ALL occurrences of lines that repeat across >= `min_df`
+    distinct documents of the same source — site-level nav/footer
+    boilerplate that first-occurrence line dedup (`dedup_lines_docs`)
+    deliberately keeps once. Fixture: every line with j % 4 == 0 is
+    deterministically replaced by a per-source footer (mirrored by the
+    oracle), so each source's footer has DF = docs-in-source >> min_df
+    while genuine lines stay below it.
+
+    Output: (doc_id, n_total_lines, n_removed_lines, cleaned_md5) —
+    the md5 of the newline-reassembled surviving text proves the
+    reassembly is byte-exact, not just the counts.
+
+    Scale shape (the CCNet plan): pass 1 computes per-(source, line)
+    document frequency with per-batch distinct + combiner partials —
+    the shuffle carries (source, md5, partial_count) rows, never line
+    text; the over-threshold set is assembled into ONE Arrow table
+    inside a Ray task (driver holds refs only) and broadcast; pass 2
+    re-derives lines per batch and filters by hash membership — no
+    second shuffle, no driver loop. The boiler set is bounded by
+    total_lines / min_df and in practice by distinct *repeated* lines;
+    at 100 TB the same pass shards the broadcast by source if a single
+    table outgrows a worker heap.
+    """
+    import hashlib
+
+    import polars as pl
+
+    import ray as _ray
+
+    def _read(sf: str) -> "rd.Dataset":
+        ds = rd.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        )
+
+        def _f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "source": batch["source"],
+                    "canonical": normalize_whitespace_array(batch["text"]),
+                }
+            )
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    def _lines_with_source(batch: pa.Table) -> "pl.DataFrame":
+        src = pl.from_arrow(batch.select(["doc_id", "source"]))
+        lines = _lines_frame(batch).join(src, on="doc_id", how="left")
+        return lines.with_columns(
+            pl.when(pl.col("j") % 4 == 0)
+            .then(
+                pl.lit("subscribe to the ") + pl.col("source")
+                + pl.lit(" newsletter for daily updates")
+            )
+            .otherwise(pl.col("body"))
+            .alias("line")
+        ).drop("body")
+
+    _PART_SCHEMA = pa.schema(
+        [
+            ("source", pa.string()),
+            ("h", pa.string()),
+            ("df_part", pa.int64()),
+        ]
+    )
+
+    def _df_partials(batch: pa.Table) -> pa.Table:
+        lines = _lines_with_source(batch)
+        out = (
+            lines.with_columns(
+                pl.col("line")
+                .map_elements(
+                    lambda s: hashlib.md5(s.encode()).hexdigest(),
+                    return_dtype=pl.Utf8,
+                )
+                .alias("h")
+            )
+            .unique(["source", "h", "doc_id"])
+            .group_by(["source", "h"])
+            .agg(pl.len().cast(pl.Int64).alias("df_part"))
+        )
+        return out.to_arrow().cast(_PART_SCHEMA)
+
+    _BOILER_SCHEMA = pa.schema([("key", pa.string())])
+
+    def _over_threshold(tb: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(tb)
+            .group_by(["source", "h"])
+            .agg(pl.col("df_part").sum().alias("df"))
+            .filter(pl.col("df") >= min_df)
+            .select((pl.col("source") + pl.lit("|") + pl.col("h")).alias("key"))
+        )
+        return out.to_arrow().cast(_BOILER_SCHEMA)
+
+    docs = _read(sf_dir)
+    partials = docs.map_batches(_df_partials, batch_format="pyarrow")
+    boiler = partitioned_group_map(partials, "h", _over_threshold, arrow=True)
+
+    def _concat_keys(blocks) -> pa.Table:
+        # schemaless zero-row blocks (aggregate tails) carry no columns
+        tables = [
+            t for t in _ray.get(list(blocks)) if "key" in t.column_names
+        ]
+        if not tables:
+            return _BOILER_SCHEMA.empty_table()
+        return pa.concat_tables([t.select(["key"]) for t in tables])
+
+    build = _ray.remote(num_cpus=1)(_concat_keys)
+    boiler_ref = build.remote(boiler.materialize().to_arrow_refs())
+
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_total_lines", pa.int64()),
+            ("n_removed_lines", pa.int64()),
+            ("cleaned_md5", pa.string()),
+        ]
+    )
+
+    class _Clean:
+        def __init__(self, ref):
+            self.keys = set(_ray.get(ref)["key"].to_pylist())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = self.keys
+            lines = _lines_with_source(batch).with_columns(
+                (
+                    pl.col("source") + pl.lit("|")
+                    + pl.col("line").map_elements(
+                        lambda s: hashlib.md5(s.encode()).hexdigest(),
+                        return_dtype=pl.Utf8,
+                    )
+                )
+                .map_elements(lambda k: k in keys, return_dtype=pl.Boolean)
+                .alias("boiler")
+            )
+            out = (
+                lines.sort(["doc_id", "j"])
+                .group_by("doc_id", maintain_order=True)
+                .agg(
+                    pl.len().cast(pl.Int64).alias("n_total_lines"),
+                    pl.col("boiler").sum().cast(pl.Int64).alias(
+                        "n_removed_lines"
+                    ),
+                    pl.col("line").filter(~pl.col("boiler")).str.join("\n")
+                    .alias("cleaned"),
+                )
+                .with_columns(
+                    pl.col("cleaned")
+                    .map_elements(
+                        lambda s: hashlib.md5(s.encode()).hexdigest(),
+                        return_dtype=pl.Utf8,
+                    )
+                    .alias("cleaned_md5")
+                )
+                .select(
+                    ["doc_id", "n_total_lines", "n_removed_lines", "cleaned_md5"]
+                )
+            )
+            return out.to_arrow().cast(_OUT_SCHEMA)
+
+    return docs.map_batches(
+        _Clean,
+        fn_constructor_kwargs={"ref": boiler_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def boilerplate_oracle_sql(min_df: int = BOILER_MIN_DF) -> str:
+    """DuckDB twin of `boilerplate_lines_docs`: same synthesized lines,
+    same footer injection, DF per (source, line) over distinct docs,
+    md5 of the newline-joined surviving lines."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS words
+            FROM documents
+        ),
+        ln AS (
+            SELECT doc_id, source, gs.j AS j,
+                   array_to_string(
+                       list_slice(words, gs.j * {LINE_WORDS} + 1,
+                                  gs.j * {LINE_WORDS} + {LINE_WORDS}), ' ')
+                       AS body
+            FROM w, unnest(range(CASE WHEN len(words) = 0 THEN 1
+                                      ELSE CAST(ceil(len(words) / {LINE_WORDS}.0)
+                                                AS BIGINT) END)) AS gs(j)
+        ),
+        lines AS MATERIALIZED (
+            SELECT doc_id, source, j,
+                   CASE WHEN j % 4 = 0
+                        THEN 'subscribe to the ' || source ||
+                             ' newsletter for daily updates'
+                        ELSE body END AS line
+            FROM ln
+        ),
+        df AS (
+            SELECT source, line, count(DISTINCT doc_id) AS df
+            FROM lines GROUP BY source, line
+        ),
+        flagged AS (
+            SELECT l.doc_id, l.j, l.line,
+                   (df.df >= {min_df}) AS boiler
+            FROM lines l JOIN df ON df.source = l.source AND df.line = l.line
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_total_lines,
+               CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed_lines,
+               md5(COALESCE(string_agg(line, chr(10) ORDER BY j)
+                                FILTER (WHERE NOT boiler), ''))
+                   AS cleaned_md5
+        FROM flagged
+        GROUP BY doc_id
+    """

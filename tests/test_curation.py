@@ -692,3 +692,61 @@ class TestNgramNovelty:
         assert (out.loc[0, "n_grams"], out.loc[0, "n_novel"]) == (2, 2)
         assert (out.loc[1, "n_grams"], out.loc[1, "n_novel"]) == (2, 1)
         assert (out.loc[3, "n_grams"], out.loc[3, "n_novel"]) == (2, 0)
+
+
+class TestBoilerplateLines:
+    """Corpus-level boilerplate-line removal (curation.boilerplate_lines_docs):
+    lines repeated across >= min_df docs of one source are removed
+    everywhere; low-DF lines (and low-DF footers in small sources)
+    survive. LINE_WORDS=8: 16-word docs -> 2 lines, j=0 footer-injected."""
+
+    def _write(self, tmp_path, rows):
+        tb = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tb, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_high_df_removed_low_df_kept(self, tmp_path):
+        import hashlib
+
+        from quarrycore_ray.pipelines.curation import boilerplate_lines_docs
+
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-word line
+        filler = "f1 f2 f3 f4 f5 f6 f7 f8"
+        rows = [(i, f"{filler} {shared}", "sA") for i in range(10)]
+        rows += [(10 + i, f"{filler} {shared}", "sB") for i in range(2)]
+        sf = self._write(tmp_path, rows)
+        df = (
+            boilerplate_lines_docs(sf, min_df=8)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # sA: footer (j=0, df=10) and shared line (j=1, df=10) both removed
+        for i in range(10):
+            assert df.loc[i, "n_total_lines"] == 2
+            assert df.loc[i, "n_removed_lines"] == 2
+            assert df.loc[i, "cleaned_md5"] == hashlib.md5(b"").hexdigest()
+        # sB: df=2 < 8 for both its footer and the shared line -> all kept
+        footer_b = "subscribe to the sB newsletter for daily updates"
+        kept = f"{footer_b}\n{shared}"
+        for i in (10, 11):
+            assert df.loc[i, "n_removed_lines"] == 0
+            assert (
+                df.loc[i, "cleaned_md5"]
+                == hashlib.md5(kept.encode()).hexdigest()
+            )
+
+    def test_deterministic(self, tmp_path):
+        from quarrycore_ray.pipelines.curation import boilerplate_lines_docs
+
+        rows = [(i, f"word{i} a b c d e f g h i j k l m n o", "s") for i in range(6)]
+        sf = self._write(tmp_path, rows)
+        a = boilerplate_lines_docs(sf).to_pandas().sort_values("doc_id")
+        b = boilerplate_lines_docs(sf).to_pandas().sort_values("doc_id")
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
