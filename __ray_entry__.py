@@ -427,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OG/Twitter/author/date metadata extraction over deterministic
         # pages (both meta attribute orders exercised)
         "extract_metadata_docs": docs.extract_metadata_docs,
+        # URL-level dedup through the real RFC 3986 canonicalizer
+        "url_canonical_dedup": docs.url_canonical_dedup,
         # WARC/WET crawl-archive ingestion through the real container
         # (sources/warc.py: gzip-member framing, HTTP split, WET records)
         "warc_ingest_stats": _warc_ingest_stats,
@@ -1002,6 +1004,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from quarrycore_ray.pipelines.curation import (
         boilerplate_oracle_sql as _boiler_oracle_sql,
+    )
+    from quarrycore_ray.pipelines.documents import (
+        url_dedup_oracle_sql as _url_dedup_oracle_sql,
     )
     from quarrycore_ray.sources.warc import warc_oracle_sql as _warc_oracle_sql
 
@@ -1972,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
         """,
         "warc_ingest_stats": _warc_oracle_sql(),
+        "url_canonical_dedup": _url_dedup_oracle_sql(),
         "turn_simhash_dup_pairs": """
             -- mirrors pipelines/transcripts.turn_simhash_dup_pairs:
             -- 64-bit SimHash per TURN (MD5 feature hash over 7-char

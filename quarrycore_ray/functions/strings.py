@@ -95,3 +95,56 @@ def url_parts_columns(batch: pa.Table, col: str, prefix: str = "url_") -> pa.Tab
             f"{prefix}{key}", pa.array([p[key] for p in parts], pa.string())
         )
     return batch
+
+
+# --- URL canonicalization (crawl-dedup normalization) -------------------------
+
+#: tracking parameters dropped during canonicalization (the public
+#: crawl-dedup set: Google/Facebook/Mailchimp click identifiers)
+TRACKING_PARAMS = {"fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref"}
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Normalize a URL for duplicate detection (RFC 3986 §6 syntax-based
+    normalization + the crawl-pipeline conventions Common-Crawl-style
+    dedup uses): lowercase scheme and host, strip the default port,
+    drop the fragment, drop tracking parameters (``utm_*`` and
+    `TRACKING_PARAMS`), sort surviving query parameters bytewise, and
+    strip one trailing slash from non-root paths (empty path becomes
+    ``/``). Pure stdlib parse; userinfo is preserved verbatim.
+    """
+    p = urlparse(url or "")
+    scheme = p.scheme.lower()
+    netloc = p.netloc
+    userinfo = ""
+    hostport = netloc
+    if "@" in netloc:
+        userinfo, hostport = netloc.rsplit("@", 1)
+        userinfo += "@"
+    host, _, port = hostport.partition(":")
+    host = host.lower()
+    if port and port == _DEFAULT_PORTS.get(scheme, ""):
+        port = ""
+    netloc = userinfo + host + (f":{port}" if port else "")
+    path = p.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    kept = []
+    for kv in p.query.split("&"):
+        if not kv:
+            continue
+        k = kv.split("=", 1)[0]
+        if k.startswith("utm_") or k in TRACKING_PARAMS:
+            continue
+        kept.append(kv)
+    query = "&".join(sorted(kept))
+    return f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
+
+
+def canonicalize_url_column(
+    batch: pa.Table, col: str, out_col: str = "canon_url"
+) -> pa.Table:
+    vals = [canonicalize_url(v or "") for v in batch[col].to_pylist()]
+    return batch.append_column(out_col, pa.array(vals, pa.string()))

@@ -4333,3 +4333,98 @@ def dedup_review_sample(
         _topk,
         arrow=True,
     )
+
+
+# --- URL canonicalization dedup (crawl-frontier / recrawl dedup) --------------
+
+
+def url_canonical_dedup(sf_dir: str) -> "rd.Dataset":
+    """URL-level duplicate grouping through the REAL canonicalizer
+    (`functions/strings.canonicalize_url` — RFC 3986 §6 normalization +
+    tracking-param stripping): every document gets a deterministically
+    NOISY raw URL (scheme/host case, default port, trailing slash,
+    utm/fbclid params, fragments — all as doc_id functions, mirrored by
+    the oracle), the engine normalizes it by parsing, and documents are
+    grouped by canonical URL. The crawl-side dedup tier: at 100 TB this
+    is the recrawl/frontier filter that runs BEFORE any content hash.
+
+    Planted group structure: the path item id is doc_id % 50, so ~10
+    docs per (source, item, has-query) share a canonical URL.
+
+    Output: (doc_id, canon_url, rep_id, group_size); one hash shuffle
+    keyed by the canonical URL string (bounded: URLs, not documents).
+    """
+    from ..functions.strings import canonicalize_url
+    from ..stages.grouped import partitioned_group_map
+
+    def _noisy(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        raw = []
+        for d, s in zip(ids, srcs):
+            scheme = "HTTPS" if d % 4 == 0 else "https"
+            host = (s.upper() if d % 4 == 0 else s) + (
+                ".EXAMPLE.ORG" if d % 4 == 0 else ".example.org"
+            )
+            port = ":443" if d % 2 == 0 else ""
+            path = f"/articles/item-{d % 50}" + ("/" if d % 6 == 0 else "")
+            query = (
+                f"?utm_source=feed&lang=en&fbclid=x{d}" if d % 3 == 0 else ""
+            )
+            frag = f"#sec-{d % 5}" if d % 5 == 0 else ""
+            raw.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+        canon = [canonicalize_url(u) for u in raw]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canon_url": pa.array(canon, pa.string()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("canon_url", pa.string()),
+            ("rep_id", pa.int64()),
+            ("group_size", pa.int64()),
+        ]
+    )
+
+    def _group(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .with_columns(
+                pl.col("doc_id").min().over("canon_url").alias("rep_id"),
+                pl.len().over("canon_url").cast(pl.Int64).alias("group_size"),
+            )
+            .select(["doc_id", "canon_url", "rep_id", "group_size"])
+        )
+        return out.to_arrow().cast(out_schema)
+
+    keyed = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        _noisy, batch_format="pyarrow"
+    )
+    return partitioned_group_map(keyed, "canon_url", _group, arrow=True)
+
+
+def url_dedup_oracle_sql() -> str:
+    """DuckDB twin of `url_canonical_dedup`: recomputes the EXPECTED
+    canonical URL directly from the noise construction (the engine must
+    parse its way back to this) and replays the grouping."""
+    return """
+        WITH c AS (
+            SELECT doc_id,
+                   'https://' || lower(source) || '.example.org/articles/item-'
+                   || (doc_id % 50)
+                   || CASE WHEN doc_id % 3 = 0 THEN '?lang=en' ELSE '' END
+                       AS canon_url
+            FROM documents
+        )
+        SELECT doc_id, canon_url,
+               min(doc_id) OVER (PARTITION BY canon_url) AS rep_id,
+               CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+                   AS group_size
+        FROM c
+    """
