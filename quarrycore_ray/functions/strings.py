@@ -100,8 +100,11 @@ def url_parts_columns(batch: pa.Table, col: str, prefix: str = "url_") -> pa.Tab
 # --- URL canonicalization (crawl-dedup normalization) -------------------------
 
 #: tracking parameters dropped during canonicalization (the public
-#: crawl-dedup set: Google/Facebook/Mailchimp click identifiers)
-TRACKING_PARAMS = {"fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref"}
+#: crawl-dedup set: unambiguous Google/Facebook/Mailchimp click
+#: identifiers only — bare ``ref`` is a semantic routing parameter on
+#: many real sites, e.g. GitHub ``?ref=branch``, so dropping it would
+#: merge genuinely distinct pages)
+TRACKING_PARAMS = {"fbclid", "gclid", "msclkid", "mc_cid", "mc_eid"}
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -119,14 +122,22 @@ def canonicalize_url(url: str) -> str:
     scheme = p.scheme.lower()
     netloc = p.netloc
     userinfo = ""
-    hostport = netloc
     if "@" in netloc:
-        userinfo, hostport = netloc.rsplit("@", 1)
-        userinfo += "@"
-    host, _, port = hostport.partition(":")
-    host = host.lower()
+        userinfo = netloc.rsplit("@", 1)[0] + "@"
+    # urlparse's .hostname/.port handle bracketed IPv6 literals
+    # ("[::1]:8080" -> host "::1", port 8080), which a naive
+    # partition(":") on the netloc would mangle.
+    try:
+        host = (p.hostname or "").lower()
+        port = "" if p.port is None else str(p.port)
+    except ValueError:  # non-integer port: keep the raw netloc tail
+        hostport = netloc.rsplit("@", 1)[-1]
+        host, _, port = hostport.partition(":")
+        host = host.lower()
     if port and port == _DEFAULT_PORTS.get(scheme, ""):
         port = ""
+    if ":" in host:  # IPv6 literal must stay bracketed in the authority
+        host = f"[{host}]"
     netloc = userinfo + host + (f":{port}" if port else "")
     path = p.path or "/"
     if len(path) > 1 and path.endswith("/"):

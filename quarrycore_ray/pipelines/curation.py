@@ -1191,10 +1191,19 @@ def boilerplate_lines_docs(
             .alias("line")
         ).drop("body")
 
+    # Internal line identity is a VECTORIZED 64-bit struct hash of
+    # (source, line) — polars' native hash kernel, no per-line Python.
+    # The hash never leaves the engine (the oracle groups by the line
+    # string itself), so the choice is free; 64 bits over the distinct
+    # boilerplate-candidate lines of a shard keeps collision odds
+    # negligible, and a collision at worst misflags one line.
+    _line_key = (
+        pl.struct(["source", "line"]).hash(seed=0).reinterpret(signed=True)
+    )
+
     _PART_SCHEMA = pa.schema(
         [
-            ("source", pa.string()),
-            ("h", pa.string()),
+            ("h", pa.int64()),
             ("df_part", pa.int64()),
         ]
     )
@@ -1202,29 +1211,22 @@ def boilerplate_lines_docs(
     def _df_partials(batch: pa.Table) -> pa.Table:
         lines = _lines_with_source(batch)
         out = (
-            lines.with_columns(
-                pl.col("line")
-                .map_elements(
-                    lambda s: hashlib.md5(s.encode()).hexdigest(),
-                    return_dtype=pl.Utf8,
-                )
-                .alias("h")
-            )
-            .unique(["source", "h", "doc_id"])
-            .group_by(["source", "h"])
+            lines.with_columns(_line_key.alias("h"))
+            .unique(["h", "doc_id"])
+            .group_by("h")
             .agg(pl.len().cast(pl.Int64).alias("df_part"))
         )
-        return out.to_arrow().cast(_PART_SCHEMA)
+        return out.select(["h", "df_part"]).to_arrow().cast(_PART_SCHEMA)
 
-    _BOILER_SCHEMA = pa.schema([("key", pa.string())])
+    _BOILER_SCHEMA = pa.schema([("key", pa.int64())])
 
     def _over_threshold(tb: pa.Table) -> pa.Table:
         out = (
             pl.from_arrow(tb)
-            .group_by(["source", "h"])
+            .group_by("h")
             .agg(pl.col("df_part").sum().alias("df"))
             .filter(pl.col("df") >= min_df)
-            .select((pl.col("source") + pl.lit("|") + pl.col("h")).alias("key"))
+            .select(pl.col("h").alias("key"))
         )
         return out.to_arrow().cast(_BOILER_SCHEMA)
 
@@ -1255,20 +1257,14 @@ def boilerplate_lines_docs(
 
     class _Clean:
         def __init__(self, ref):
-            self.keys = set(_ray.get(ref)["key"].to_pylist())
+            # zero-copy: the boiler-key arrow column becomes a polars
+            # Series once per actor; membership below is a vectorized
+            # is_in, not a per-line Python set probe
+            self.keys = pl.from_arrow(_ray.get(ref)["key"]).rename("key")
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = self.keys
             lines = _lines_with_source(batch).with_columns(
-                (
-                    pl.col("source") + pl.lit("|")
-                    + pl.col("line").map_elements(
-                        lambda s: hashlib.md5(s.encode()).hexdigest(),
-                        return_dtype=pl.Utf8,
-                    )
-                )
-                .map_elements(lambda k: k in keys, return_dtype=pl.Boolean)
-                .alias("boiler")
+                _line_key.is_in(self.keys).alias("boiler")
             )
             out = (
                 lines.sort(["doc_id", "j"])
@@ -1281,14 +1277,15 @@ def boilerplate_lines_docs(
                     pl.col("line").filter(~pl.col("boiler")).str.join("\n")
                     .alias("cleaned"),
                 )
-                .with_columns(
-                    pl.col("cleaned")
-                    .map_elements(
-                        lambda s: hashlib.md5(s.encode()).hexdigest(),
-                        return_dtype=pl.Utf8,
-                    )
-                    .alias("cleaned_md5")
-                )
+            )
+            # cleaned_md5 is oracle-facing (DuckDB md5), so it stays
+            # md5 — but per DOC, not per line, off the hot path
+            md5s = [
+                hashlib.md5((s or "").encode()).hexdigest()
+                for s in out["cleaned"].to_list()
+            ]
+            out = (
+                out.with_columns(pl.Series("cleaned_md5", md5s, pl.Utf8))
                 .select(
                     ["doc_id", "n_total_lines", "n_removed_lines", "cleaned_md5"]
                 )

@@ -136,7 +136,11 @@ def _gunzip_all(blob: bytes) -> bytes:
         return gz.read()
 
 
-def parse_warc(blob: bytes, gzipped: bool | None = None) -> list[dict]:
+def parse_warc(
+    blob: bytes,
+    gzipped: bool | None = None,
+    rejects: list[dict] | None = None,
+) -> list[dict]:
     """Parse a WARC byte stream into record dicts.
 
     Framing is Content-Length-only (bodies are arbitrary bytes, so
@@ -144,6 +148,17 @@ def parse_warc(blob: bytes, gzipped: bool | None = None) -> list[dict]:
     the HTTP message at the first CRLFCRLF and expose the status line
     and entity body. Unknown record types (warcinfo, request,
     metadata) are framed and skipped.
+
+    Real crawl archives routinely contain truncated or odd records, so
+    per-record damage is FAIL-OPEN: a record whose Content-Length frames
+    correctly but whose body fails to parse (response block missing the
+    CRLFCRLF header split, a non-integer HTTP status) is skipped — and
+    recorded into ``rejects`` (offset, url, error) when a list is
+    passed, so callers can route it to the dead-letter tier. Only a
+    true framing desync aborts the archive: a non-WARC/ record start,
+    a header block with no terminating CRLFCRLF, or a missing /
+    non-integer Content-Length — past any of those the byte offsets of
+    every later record are unknowable.
 
     ``gzipped=None`` sniffs the gzip magic — file readers (Arrow's
     ``open_input_stream`` under ``read_binary_files``) decompress
@@ -163,46 +178,68 @@ def parse_warc(blob: bytes, gzipped: bool | None = None) -> list[dict]:
             break
         if data[i : i + 5] != b"WARC/":
             raise ValueError(f"bad WARC record header at offset {i}")
-        he = data.index(_CRLF2, i)
+        try:
+            he = data.index(_CRLF2, i)
+        except ValueError:
+            raise ValueError(
+                f"unterminated WARC header block at offset {i}"
+            ) from None
         headers: dict[str, str] = {}
         lines = data[i:he].decode("utf-8", errors="replace").split("\r\n")
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers["content-length"])
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"missing/invalid Content-Length at offset {i} — framing desync"
+            ) from None
+        rec_off = i
         block = data[he + 4 : he + 4 + clen]
         i = he + 4 + clen
         wtype = headers.get("warc-type", "")
         url = headers.get("warc-target-uri", "")
         date = headers.get("warc-date", "")
-        if wtype == "response":
-            be = block.index(_CRLF2)
-            http_head = block[:be].decode("utf-8", errors="replace")
-            body = block[be + 4 :]
-            status_line = http_head.split("\r\n")[0]
-            status = int(status_line.split(" ")[1])
-            ctype = ""
-            for hl in http_head.split("\r\n")[1:]:
-                hk, _, hv = hl.partition(":")
-                if hk.strip().lower() == "content-type":
-                    ctype = hv.strip()
-            out.append(
-                {
-                    "url": url, "warc_type": wtype, "warc_date": date,
-                    "http_status": status, "content_type": ctype,
-                    "payload": body,
-                }
-            )
-        elif wtype == "conversion":
-            out.append(
-                {
-                    "url": url, "warc_type": wtype, "warc_date": date,
-                    "http_status": 0,
-                    "content_type": headers.get("content-type", ""),
-                    "payload": block,
-                }
-            )
-        # warcinfo / request / metadata records: framed and skipped
+        try:
+            if wtype == "response":
+                be = block.index(_CRLF2)
+                http_head = block[:be].decode("utf-8", errors="replace")
+                body = block[be + 4 :]
+                status_line = http_head.split("\r\n")[0]
+                status = int(status_line.split(" ")[1])
+                ctype = ""
+                for hl in http_head.split("\r\n")[1:]:
+                    hk, _, hv = hl.partition(":")
+                    if hk.strip().lower() == "content-type":
+                        ctype = hv.strip()
+                out.append(
+                    {
+                        "url": url, "warc_type": wtype, "warc_date": date,
+                        "http_status": status, "content_type": ctype,
+                        "payload": body,
+                    }
+                )
+            elif wtype == "conversion":
+                out.append(
+                    {
+                        "url": url, "warc_type": wtype, "warc_date": date,
+                        "http_status": 0,
+                        "content_type": headers.get("content-type", ""),
+                        "payload": block,
+                    }
+                )
+            # warcinfo / request / metadata records: framed and skipped
+        except (ValueError, IndexError) as e:
+            if rejects is not None:
+                rejects.append(
+                    {
+                        "offset": rec_off,
+                        "url": url,
+                        "warc_type": wtype,
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+                )
     return out
 
 
@@ -224,28 +261,81 @@ def records_table(recs: list[dict]) -> pa.Table:
 
 
 class WarcParseStage:
-    """Actor-pool stage: (bytes blob per row) -> parsed record rows."""
+    """Actor-pool stage: (bytes blob per row) -> parsed record rows.
+
+    ``tag_errors=True`` appends the repo's dead-letter ``_error``
+    column (`stages/deadletter.ERROR_COL`): good records carry a null
+    error, per-record parse rejects become rows with the reject
+    metadata in (url, warc_type) and the message in ``_error``, ready
+    for `split_dead_letter`. The default keeps the plain WARC_SCHEMA
+    for existing consumers.
+    """
+
+    def __init__(self, tag_errors: bool = False):
+        self.tag_errors = tag_errors
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.deadletter import ERROR_COL
+
         tables = []
         for blob in batch["bytes"]:
-            recs = parse_warc(blob.as_py())
-            if recs:
-                tables.append(records_table(recs))
-        if not tables:
-            return WARC_SCHEMA.empty_table()
-        return pa.concat_tables(tables)
+            rejects: list[dict] | None = [] if self.tag_errors else None
+            recs = parse_warc(blob.as_py(), rejects=rejects)
+            tb = records_table(recs) if recs else WARC_SCHEMA.empty_table()
+            if self.tag_errors:
+                tb = tb.append_column(
+                    ERROR_COL, pa.array([None] * tb.num_rows, pa.string())
+                )
+                if rejects:
+                    dead = pa.table(
+                        {
+                            "url": pa.array(
+                                [r["url"] for r in rejects], pa.string()
+                            ),
+                            "warc_type": pa.array(
+                                [r["warc_type"] for r in rejects], pa.string()
+                            ),
+                            "warc_date": pa.array(
+                                [""] * len(rejects), pa.string()
+                            ),
+                            "http_status": pa.array(
+                                [0] * len(rejects), pa.int64()
+                            ),
+                            "content_type": pa.array(
+                                [""] * len(rejects), pa.string()
+                            ),
+                            "payload": pa.array(
+                                [b""] * len(rejects), pa.binary()
+                            ),
+                            ERROR_COL: pa.array(
+                                [
+                                    f"offset {r['offset']}: {r['error']}"
+                                    for r in rejects
+                                ],
+                                pa.string(),
+                            ),
+                        }
+                    )
+                    tb = pa.concat_tables([tb, dead])
+            if tb.num_rows or not tables:
+                tables.append(tb)
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
 
-def read_warc(paths: str | list[str]) -> "rd.Dataset":
+def read_warc(
+    paths: str | list[str], tag_errors: bool = False
+) -> "rd.Dataset":
     """Read .warc.gz archives into a (url, warc_type, warc_date,
     http_status, content_type, payload) Dataset. One archive = one
     parse unit; ray.data assigns archives to read tasks, the actor
     pool parses. ``batch_size=1`` keeps one ~1 GB archive per task
-    heap at production archive sizes."""
+    heap at production archive sizes. With ``tag_errors=True`` the
+    output carries the dead-letter ``_error`` column; fork it with
+    `stages.deadletter.split_dead_letter`."""
     files = rd.read_binary_files(paths)
     return files.map_batches(
         WarcParseStage,
+        fn_constructor_kwargs={"tag_errors": tag_errors},
         batch_format="pyarrow",
         batch_size=1,
         concurrency=(1, 8),

@@ -99,6 +99,26 @@ class TestStrings:
         assert p["query"] == "q=1"
         assert url_parts("")["domain"] == ""
 
+    def test_canonicalize_url(self):
+        from quarrycore_ray.functions.strings import canonicalize_url
+
+        assert (
+            canonicalize_url("HTTPS://Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag")
+            == "https://example.com/a/b?a=2&z=1"
+        )
+        # IPv6 literals keep their brackets; default port still stripped
+        assert canonicalize_url("https://[::1]:8080/") == "https://[::1]:8080/"
+        assert canonicalize_url("https://[2001:DB8::1]:443/x/") == "https://[2001:db8::1]/x"
+        # userinfo preserved verbatim, host lowercased
+        assert canonicalize_url("http://u:p@Host.Org:80/q") == "http://u:p@host.org/q"
+        # 'ref' is a semantic routing param and must survive
+        assert (
+            canonicalize_url("https://github.com/a/b?ref=main&fbclid=xyz")
+            == "https://github.com/a/b?ref=main"
+        )
+        # non-integer port: raw netloc tail kept rather than crashing
+        assert canonicalize_url("https://h:bad/p").startswith("https://h:bad")
+
     def test_batch_wrappers(self):
         import pyarrow as pa
 

@@ -83,6 +83,50 @@ class TestWarcRoundtrip:
         out = parse_warc(build_warc_gz([_rec(7, b"gone", status=404)]))
         assert out[0]["http_status"] == 404
 
+    def test_malformed_records_fail_open(self):
+        """Per-record damage (well-framed Content-Length, broken body)
+        skips that record and records a reject; later records survive."""
+        from quarrycore_ray.sources.warc import (
+            build_warc_gz, build_warc_record, _gzip_member, parse_warc,
+        )
+
+        good = build_warc_gz([_rec(1)])
+        # response block with NO CRLFCRLF header/body split
+        bad1 = _gzip_member(
+            build_warc_record(
+                "response", "https://s.example.org/bad/1",
+                "2026-01-01T00:00:00Z", b"HTTP/1.1 200 OK\r\nTruncated",
+                "bad-1",
+            )
+        )
+        # non-integer HTTP status line
+        bad2 = _gzip_member(
+            build_warc_record(
+                "response", "https://s.example.org/bad/2",
+                "2026-01-01T00:00:00Z",
+                b"HTTP/1.1 ?? Weird\r\n\r\nbody", "bad-2",
+            )
+        )
+        tail = build_warc_gz([_rec(9, b"tail")])
+        rejects: list = []
+        out = parse_warc(bad1 + good + bad2 + tail, rejects=rejects)
+        assert [r["url"].rsplit("/", 1)[1] for r in out] == ["1", "9"]
+        assert len(rejects) == 2
+        assert "bad/1" in rejects[0]["url"] and "bad/2" in rejects[1]["url"]
+        # without a rejects list, damage is still skipped silently
+        assert len(parse_warc(bad1 + good)) == 1
+
+    def test_framing_desync_still_raises(self):
+        from quarrycore_ray.sources.warc import _gzip_member, parse_warc
+
+        # missing Content-Length: offsets past this point are unknowable
+        raw = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody\r\n\r\n"
+        with pytest.raises(ValueError, match="Content-Length"):
+            parse_warc(_gzip_member(raw))
+        # unterminated header block
+        with pytest.raises(ValueError, match="unterminated"):
+            parse_warc(_gzip_member(b"WARC/1.0\r\nWARC-Type: x"))
+
 
 class TestWarcRaySource:
     def test_read_warc_files(self, tmp_path):
@@ -98,6 +142,32 @@ class TestWarcRaySource:
         assert len(df) == 12
         assert set(df["http_status"]) == {200}
         assert all(p == b"hello world" for p in df["payload"])
+
+    def test_read_warc_dead_letter_split(self, tmp_path):
+        from quarrycore_ray.sources.warc import (
+            build_warc_gz, build_warc_record, _gzip_member, read_warc,
+        )
+        from quarrycore_ray.stages.deadletter import split_dead_letter
+
+        bad = _gzip_member(
+            build_warc_record(
+                "response", "https://s.example.org/bad/7",
+                "2026-01-01T00:00:00Z", b"HTTP/1.1 200 OK\r\nno-split",
+                "bad-7",
+            )
+        )
+        (tmp_path / "mixed.warc.gz").write_bytes(
+            build_warc_gz([_rec(1), _rec(2)]) + bad
+        )
+        clean, dead = split_dead_letter(
+            read_warc(str(tmp_path), tag_errors=True)
+        )
+        cdf = clean.to_pandas()
+        ddf = dead.to_pandas()
+        assert len(cdf) == 2 and "_error" not in cdf.columns
+        assert len(ddf) == 1
+        assert ddf["url"].iloc[0].endswith("/bad/7")
+        assert "offset" in ddf["_error"].iloc[0]
 
     def test_ingest_stats_schema(self):
         from quarrycore_ray.sources.warc import warc_ingest_stats
