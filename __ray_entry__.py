@@ -1983,8 +1983,9 @@ def oracle_sql() -> dict[str, str]:
             -- 64-bit SimHash per TURN (MD5 feature hash over 7-char
             -- shingles of the canonical turn text), 4x16-bit band LSH,
             -- cross-conversation pairs at Hamming <= 3; band buckets
-            -- over 256 rows emit the k-sorted consecutive-pair chain
-            -- instead of all pairs (the engine's boilerplate cap)
+            -- over 256 rows emit the conversation-distinct chain (row ->
+            -- head of the next conversation's k-run) instead of all
+            -- pairs (the engine's boilerplate cap)
             WITH RECURSIVE pw(j, p) AS (
                 SELECT 0, CAST(1 AS HUGEINT)
                 UNION ALL SELECT j + 1, p * 2 FROM pw WHERE j < 63
@@ -2067,9 +2068,13 @@ def oracle_sql() -> dict[str, str]:
             rk AS MATERIALIZED (
                 SELECT conv_id, ti, k, fp, bd.b,
                        CAST((u // bd.d) % 65536 AS BIGINT) AS bv,
-                       row_number() OVER (
+                       dense_rank() OVER (
                            PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT)
-                           ORDER BY k) AS r,
+                           ORDER BY conv_id) AS cr,
+                       row_number() OVER (
+                           PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT),
+                                        conv_id
+                           ORDER BY k) AS rr,
                        count(*) OVER (
                            PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT)
                            ) AS g
@@ -2079,11 +2084,16 @@ def oracle_sql() -> dict[str, str]:
                        (2, CAST(4294967296 AS HUGEINT)),
                        (3, CAST(281474976710656 AS HUGEINT))) AS bd(b, d)
             )
+            -- over-cap chain: every row pairs with the HEAD (rr = 1) of
+            -- the next distinct conversation in k-order (cr + 1), so the
+            -- bucket stays one connected component even when an
+            -- intra-conversation repeat sits between two conversations
             SELECT DISTINCT a.conv_id AS a_conv, CAST(a.ti AS BIGINT) AS a_turn,
                    b.conv_id AS b_conv, CAST(b.ti AS BIGINT) AS b_turn,
                    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
             FROM rk a JOIN rk b ON a.b = b.b AND a.bv = b.bv
-             AND ((a.g <= 256 AND a.k < b.k) OR (a.g > 256 AND b.r = a.r + 1))
+             AND ((a.g <= 256 AND a.k < b.k)
+                  OR (a.g > 256 AND b.cr = a.cr + 1 AND b.rr = 1))
             WHERE a.conv_id != b.conv_id
               AND bit_count(xor(a.fp, b.fp)) <= 3
         """,

@@ -1295,10 +1295,13 @@ def apply_curation(ds: "rd.Dataset") -> "rd.Dataset":
 # Turn-level SimHash near-dedup (the segment tier of the dedup stack)
 # ---------------------------------------------------------------------------
 
-#: band buckets larger than this emit a consecutive-pair chain instead of
-#: all O(g^2) pairs — the boilerplate-turn guard ("You are a helpful
-#: assistant" repeated across millions of conversations). Identical turns
-#: stay connected through the chain; the SQL oracle applies the same rule.
+#: band buckets larger than this emit a conversation-distinct chain
+#: (each row -> head of the next conversation's k-run) instead of all
+#: O(g^2) pairs — the boilerplate-turn guard ("You are a helpful
+#: assistant" repeated across millions of conversations). Every row
+#: reaches the next distinct conversation, so the bucket stays one
+#: connected component even when intra-conversation repeats sit between
+#: conversations in k-order; the SQL oracle applies the same rule.
 TURN_SIMHASH_BUCKET_CAP = 256
 
 _TURN_PAIR_SCHEMA = pa.schema(
@@ -1332,10 +1335,12 @@ def turn_simhash_dup_pairs(
     per-actor state), a 4x16-bit band explode (pigeonhole: Hamming <= 3
     leaves >= 1 of 4 bands intact, Manku et al. WWW 2007), ONE hash
     partition on band_key with a vectorized triu scan per bucket, and a
-    pair-keyed dedup partition. Buckets over `bucket_cap` rows emit the
-    sorted consecutive-pair chain instead of the full O(g^2) fan-out —
-    identical turns remain mutually reachable, and the cap rule is
-    deterministic so the DuckDB oracle reproduces it exactly.
+    pair-keyed dedup partition. Buckets over `bucket_cap` rows emit a
+    conversation-distinct chain (every row -> the head of the next
+    conversation's k-sorted run) instead of the full O(g^2) fan-out —
+    the bucket remains one connected component across conversations,
+    and the cap rule is deterministic so the DuckDB oracle reproduces
+    it exactly.
 
     Output: (a_conv, a_turn, b_conv, b_turn, hamming), pairs ordered by
     the composite key `conv_id || '#' || zfill4(turn_idx)` with
@@ -1413,6 +1418,7 @@ def turn_simhash_dup_pairs(
         )
         keys = df["band_key"].to_numpy()
         fps = df["simhash"].to_numpy().view(np.uint64)
+        convs = df["conv_id"].to_numpy()
         bounds = run_bounds(keys)
         ai_all: list[np.ndarray] = []
         bi_all: list[np.ndarray] = []
@@ -1421,9 +1427,27 @@ def turn_simhash_dup_pairs(
             if m < 2:
                 continue
             if m > bucket_cap:
-                # chain: rows are already k-sorted within the run
-                ai = np.arange(s, e - 1)
-                bi = ai + 1
+                # chain over CONVERSATION-DISTINCT neighbors: k-order
+                # groups a conversation's rows contiguously (k starts
+                # with conv_id), so each row links to the head of the
+                # next conversation's run. A naive row-consecutive
+                # chain would lose its edge wherever an
+                # intra-conversation repeat sits between two
+                # conversations (the a!=b filter drops it), splitting
+                # the cross-conversation group; linking every row to
+                # the next distinct conversation keeps the bucket one
+                # connected component at O(m) edges.
+                run_convs = convs[s:e]
+                heads = (
+                    np.nonzero(run_convs[1:] != run_convs[:-1])[0] + 1 + s
+                )
+                if heads.size == 0:
+                    continue  # whole bucket is one conversation
+                rows = np.arange(s, e)
+                pos = np.searchsorted(heads, rows, side="right")
+                valid = pos < heads.size
+                ai = rows[valid]
+                bi = heads[pos[valid]]
             else:
                 ai, bi = np.triu_indices(m, k=1)
                 ai = ai + s

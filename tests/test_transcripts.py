@@ -680,6 +680,20 @@ class TestTurnSimhashDupPairs:
         }
         assert got == expect
 
+    def test_bucket_cap_chain_survives_intra_conv_repeat(self):
+        # an intra-conversation repeat sitting between two conversations
+        # in k-order must NOT split the group: each row links to the
+        # head of the NEXT conversation's run, so a0 and a1 both reach
+        # b0 and the bucket stays one connected component
+        text = "you are a helpful assistant that answers questions clearly"
+        rows = [("a", 0, text), ("a", 1, text), ("b", 0, text), ("c", 0, text)]
+        got = self._run(rows, bucket_cap=2)
+        assert got == {
+            ("a", 0, "b", 0): 0,
+            ("a", 1, "b", 0): 0,
+            ("b", 0, "c", 0): 0,
+        }
+
     def test_full_pairs_under_cap(self):
         text = "you are a helpful assistant that answers questions clearly"
         rows = [(f"c{i}", 0, text) for i in range(4)]
