@@ -51,25 +51,14 @@ def log(msg: str) -> None:
 
 def _filter_empty_schema_warnings() -> None:
     """Silence Ray's 'RefBundle with a different schema ... new schema: .'
-    warning — and ONLY that one. The zero-column bundle it complains
-    about is produced by Ray's own sort machinery for EMPTY sort
-    partitions, not by user code: a minimal `rd.range(200)
-    .repartition(64).map_batches(typed).groupby(k).aggregate(...)`
-    with fully-typed batches reproduces it (every map fn in this repo
-    returns typed empty tables — the stages/lsh.py:_EMPTY_* discipline;
-    grep shows no untyped `pa.table({})` anywhere). Harmless for
-    aggregates; filtered here so bench tails carry signal only."""
-    import logging
+    warning — and ONLY that one. Ray 2.49's map operators skip the UDF
+    for zero-row input blocks and emit a schemaless empty bundle, so
+    even fully-typed empty tables (the stages/lsh.py:_EMPTY_* discipline
+    used by every map fn in this repo) trigger it. Framework noise;
+    filtered so bench tails carry signal only."""
+    from quarrycore_ray.util import silence_empty_bundle_warnings
 
-    class _F(logging.Filter):
-        def filter(self, record: logging.LogRecord) -> bool:
-            return "new schema: ." not in record.getMessage()
-
-    # logger-level filters only see records logged directly to that
-    # logger, so attach to the emitting module's logger by name
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).addFilter(_F())
+    silence_empty_bundle_warnings()
 
 
 def host_first_touch_gbps(mb: int = 128) -> float:

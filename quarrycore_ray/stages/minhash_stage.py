@@ -24,15 +24,33 @@ import pyarrow as pa
 from ..config import DedupConfig
 
 
+#: untouched-slot init value for an empty shingle set (minhash._HASH_INIT)
+_EMPTY_SENTINEL = np.uint64(1 << 32)
+
+
 def sig_to_bytes(sig: np.ndarray) -> bytes:
     """Serialize a signature as little-endian uint32 (num_perm * 4 bytes).
 
     MinHash slot values are < 2^32 by construction (bitwise_and with
-    0xFFFFFFFF); only the empty-text sentinel 2^32 exceeds it and is
+    0xFFFFFFFF); only the empty-text sentinel 2^32 (the untouched
+    `_HASH_INIT` slot of an empty shingle set) may exceed it, and is
     clamped — the exact layer guarantees at most one empty-text rep, so
-    the clamp cannot create spurious slot equalities in practice. Half
-    the bytes of a u8 encoding = half the shuffle volume.
+    the clamp cannot create spurious slot equalities. Any OTHER
+    out-of-range value would mean a corrupted signature whose clamp
+    could silently alias distinct texts, so it raises instead of
+    clamping. Half the bytes of a u8 encoding = half the shuffle
+    volume.
     """
+    over = sig > 0xFFFFFFFF
+    if over.any():
+        bad = np.unique(sig[over])
+        if bad.size > 1 or bad[0] != _EMPTY_SENTINEL:
+            raise ValueError(
+                "out-of-range MinHash slot values "
+                f"{bad[:8].tolist()} != empty-text sentinel "
+                f"{int(_EMPTY_SENTINEL)}; refusing to clamp a corrupted "
+                "signature"
+            )
     return np.minimum(sig, 0xFFFFFFFF).astype("<u4").tobytes()
 
 

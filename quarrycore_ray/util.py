@@ -1,0 +1,43 @@
+"""Small runtime utilities shared by scripts and entry points."""
+
+from __future__ import annotations
+
+import logging
+import re
+
+#: matches ONLY the benign variant of Ray's schema-divergence warning:
+#: a zero-row bundle whose schema the framework stripped ("new schema: .").
+#: Ray 2.49's map operators skip the UDF entirely for zero-row input
+#: blocks and emit a schemaless empty bundle, so even stages that
+#: return correctly TYPED empty tables trigger the message — it is
+#: framework noise, not a schema bug in the pipeline. Real divergences
+#: (a non-empty "new schema:") are left alone.
+_EMPTY_BUNDLE_RE = re.compile(
+    r"RefBundle with a different schema.*new schema: \. This", re.DOTALL
+)
+
+
+class _EmptyBundleFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        try:
+            msg = record.getMessage()
+        except Exception:  # pragma: no cover - defensive
+            return True
+        return not _EMPTY_BUNDLE_RE.search(msg)
+
+
+def silence_empty_bundle_warnings() -> None:
+    """Install a log filter dropping Ray's schema-divergence warning for
+    ZERO-ROW schemaless bundles only (see `_EMPTY_BUNDLE_RE`). Called by
+    the CLI scripts (`bench.py`, `scripts/recall_check.py`); the library
+    itself never touches logging config.
+
+    The filter goes on the EMITTING module logger (filters on ancestor
+    loggers don't apply to propagated records) and, belt-and-braces, on
+    any handlers already attached to the ``ray.data`` ancestor."""
+    flt = _EmptyBundleFilter()
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(flt)
+    for h in logging.getLogger("ray.data").handlers:
+        h.addFilter(flt)

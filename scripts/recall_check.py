@@ -24,6 +24,9 @@ def main() -> None:
 
     import ray
 
+    from quarrycore_ray.util import silence_empty_bundle_warnings
+
+    silence_empty_bundle_warnings()
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -75,6 +75,27 @@ class TestSignatures:
         mh = MinHasher()
         assert jaccard_estimate(mh.signature("same text here"), mh.signature("same text here")) == 1.0
 
+    def test_sig_to_bytes_sentinel_invariant(self):
+        import numpy as np
+        import pytest
+
+        from quarrycore_ray.stages.minhash_stage import (
+            bytes_to_sigs, sig_to_bytes,
+        )
+
+        # the legitimate empty-text sentinel (all slots untouched) clamps
+        empty = np.full(8, np.uint64(1 << 32), dtype=np.uint64)
+        out = bytes_to_sigs([sig_to_bytes(empty)], 8)
+        assert (out == 0xFFFFFFFF).all()
+        # any other out-of-range value is a corrupted signature: raise
+        with pytest.raises(ValueError, match="sentinel"):
+            sig_to_bytes(np.array([1, (1 << 32) + 5, 2], dtype=np.uint64))
+        # sentinel mixed with a second distinct out-of-range value: raise
+        with pytest.raises(ValueError, match="sentinel"):
+            sig_to_bytes(
+                np.array([1 << 32, (1 << 32) + 1, 2], dtype=np.uint64)
+            )
+
 
 class TestBanding:
     def test_band_plan_covers_all_perms_reasonably(self):
