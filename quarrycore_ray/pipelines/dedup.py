@@ -269,13 +269,13 @@ def dedup_conversations(
     metrics["n_clusters"] = metrics["distinct_texts"] - n_merged
 
     unique_conversations = reps.map_batches(
-        _filter_unique_reps(near_assign), batch_format="pyarrow"
+        _filter_unique_reps(near_ref), batch_format="pyarrow"
     )
 
     sub = None
     if with_substring:
         text_by_rep = reps.select_columns(["conv_id", "canonical_text"])
-        joined = _attach_cluster(text_by_rep, near_assign)
+        joined = _attach_cluster(text_by_rep, near_ref)
         sub = substring_matches(joined, cfg.min_substring_overlap)
 
     metrics["wall_s"] = time.perf_counter() - t0
@@ -378,13 +378,13 @@ def _finish_distributed(
     metrics["n_clusters"] = metrics["distinct_texts"] - n_merged
 
     def _uniq(batch: pa.Table) -> pa.Table:
-        keep = [
-            lab is None or lab == cid
-            for cid, lab in zip(
-                batch["conv_id"].to_pylist(), batch["near_label"].to_pylist()
-            )
-        ]
-        return batch.filter(pa.array(keep)).drop_columns(["near_label"])
+        import pyarrow.compute as pc
+
+        keep = pc.or_kleene(
+            pc.is_null(batch["near_label"]),
+            pc.equal(batch["near_label"], batch["conv_id"]),
+        )
+        return batch.filter(keep).drop_columns(["near_label"])
 
     unique_conversations = with_label.map_batches(_uniq, batch_format="pyarrow")
 
@@ -392,15 +392,14 @@ def _finish_distributed(
     if with_substring:
 
         def _with_cluster(batch: pa.Table) -> pa.Table:
-            ids = batch["conv_id"].to_pylist()
-            labs = batch["near_label"].to_pylist()
+            import pyarrow.compute as pc
+
             return pa.table(
                 {
                     "conv_id": batch["conv_id"],
                     "canonical_text": batch["canonical_text"],
-                    "cluster_id": pa.array(
-                        [l if l is not None else c for c, l in zip(ids, labs)],
-                        pa.string(),
+                    "cluster_id": pc.coalesce(
+                        batch["near_label"], batch["conv_id"]
                     ),
                 }
             )
@@ -420,27 +419,46 @@ def _finish_distributed(
     )
 
 
-def _filter_unique_reps(near_assign: dict[str, str]):
-    """Keep only cluster representatives (conv_id == its cluster label)."""
-    ref = ray.put(near_assign)
+def _label_column(batch: pa.Table, near_ref) -> "pa.ChunkedArray":
+    """Vectorized per-row label lookup: left-join the broadcast
+    (conv_id, near_label) table and coalesce misses to the row's own
+    conv_id. Row-index sort pins the join back to batch order (polars
+    left joins don't guarantee it)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    assign = pl.from_arrow(ray.get(near_ref))
+    joined = (
+        pl.from_arrow(batch.select(["conv_id"]))
+        .with_row_index("_i")
+        .join(assign, on="conv_id", how="left")
+        .sort("_i")
+        .to_arrow()
+    )
+    return pc.coalesce(joined["near_label"], joined["conv_id"])
+
+
+def _filter_unique_reps(near_ref):
+    """Keep only cluster representatives (conv_id == its cluster label).
+    `near_ref` is the ray.put (conv_id, near_label) Arrow table."""
 
     def _f(batch: pa.Table) -> pa.Table:
-        assign = ray.get(ref)
-        ids = batch["conv_id"].to_pylist()
-        keep = [assign.get(i, i) == i for i in ids]
-        return batch.filter(pa.array(keep))
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(_label_column(batch, near_ref), batch["conv_id"])
+        )
 
     return _f
 
 
-def _attach_cluster(text_ds: "ray.data.Dataset", near_assign: dict[str, str]):
-    ref = ray.put(near_assign)
+def _attach_cluster(text_ds: "ray.data.Dataset", near_ref):
+    """Append cluster_id = assigned label (own conv_id when unassigned);
+    `near_ref` is the ray.put (conv_id, near_label) Arrow table."""
 
     def _f(batch: pa.Table) -> pa.Table:
-        assign = ray.get(ref)
-        ids = batch["conv_id"].to_pylist()
         return batch.append_column(
-            "cluster_id", pa.array([assign.get(i, i) for i in ids], pa.string())
+            "cluster_id", _label_column(batch, near_ref)
         )
 
     return text_ds.map_batches(_f, batch_format="pyarrow")

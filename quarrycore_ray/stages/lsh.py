@@ -418,20 +418,24 @@ def _concat_sig_blocks(blocks) -> pa.Table:
 
 class _BroadcastAttach:
     """Actor-pool attach stage: the shared signature table stays one
-    zero-copy Arrow object; each actor builds a conv_id -> row-index
-    dict ONCE in __init__ (ints only — the ~1 KiB signature payloads
-    never leave the Arrow buffers) and gathers rows per batch with
-    vectorized `Table.take`."""
+    zero-copy Arrow object; each actor keeps a (conv_id, row-index)
+    polars frame built ONCE in __init__ — zero-copy from the Arrow id
+    column, ints only; the ~1 KiB signature payloads never leave the
+    Arrow buffers — and resolves pair ids to row indices per batch with
+    two vectorized joins, then gathers rows with `Table.take`."""
 
     def __init__(self, sig_ref):
+        import polars as pl
+
         import ray as _ray
 
         self.tbl = _ray.get(sig_ref)
-        self.idx = {
-            cid: i for i, cid in enumerate(self.tbl["conv_id"].to_pylist())
-        }
+        self.lut = pl.from_arrow(
+            self.tbl.select(["conv_id"])
+        ).with_row_index("_ri")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
         import polars as pl
 
         df = pl.from_arrow(batch)
@@ -439,9 +443,23 @@ class _BroadcastAttach:
             ["a_id", "b_id"], keep="first", maintain_order=True
         )
         out = df.to_arrow().cast(_EMPTY_PAIRS.schema)
-        idx = self.idx
-        ai = pa.array([idx[x] for x in df["a_id"].to_list()], pa.int64())
-        bi = pa.array([idx[x] for x in df["b_id"].to_list()], pa.int64())
+        # row-index sort pins the joined indices back to df order
+        # (polars left joins don't guarantee it)
+        j = (
+            df.select(["a_id", "b_id"])
+            .with_row_index("_i")
+            .join(
+                self.lut.rename({"conv_id": "a_id", "_ri": "_ai"}),
+                on="a_id", how="left",
+            )
+            .join(
+                self.lut.rename({"conv_id": "b_id", "_ri": "_bi"}),
+                on="b_id", how="left",
+            )
+            .sort("_i")
+        )
+        ai = pa.array(j["_ai"].to_numpy().astype(np.int64))
+        bi = pa.array(j["_bi"].to_numpy().astype(np.int64))
         rows_a = self.tbl.take(ai)
         rows_b = self.tbl.take(bi)
         out = out.append_column("a_sig", rows_a["minhash_sig"])
