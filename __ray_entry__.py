@@ -437,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_knn": similarity.ann_lsh_knn,
         # recall@k of LSH ANN vs exact top-k (index-quality eval)
         "ann_recall_eval": similarity.ann_recall_eval,
+        # IVF assign/probe/top-k with a FIXED quantizer (exact-oracled);
+        # only the k-means training of ann_ivf_knn stays rows-only
+        "ivf_assign_knn": similarity.ivf_assign_knn,
         "ann_ivf_knn": similarity.ann_ivf_knn,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
         "semdedup_prune": similarity.semdedup_prune,
@@ -854,6 +857,94 @@ def _ann_lsh_sql(n_queries: int = 5, k: int = 5) -> str:
           SELECT DISTINCT kq.vec_id AS q_id, kx.vec_id AS n_id
           FROM keys kq JOIN keys kx ON kq.bucket = kx.bucket
           WHERE kq.vec_id < {n_queries} AND kx.vec_id != kq.vec_id
+        ),
+        dots AS (
+          SELECT c.q_id, c.n_id, sum(a.xu * b.xu) AS du
+          FROM cand c
+          JOIN comp a ON a.vec_id = c.q_id
+          JOIN comp b ON b.vec_id = c.n_id AND b.j = a.j
+          GROUP BY c.q_id, c.n_id
+        ),
+        cosv AS (
+          SELECT d.q_id, d.n_id,
+                 CAST(d.du AS DOUBLE)
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS c
+          FROM dots d
+          JOIN n2 na ON na.vec_id = d.q_id
+          JOIN n2 nb ON nb.vec_id = d.n_id
+        ),
+        ranked AS (
+          SELECT q_id, n_id, c,
+                 row_number() OVER (
+                   PARTITION BY q_id ORDER BY c DESC, n_id
+                 ) AS rank
+          FROM cosv
+        )
+        SELECT q_id, n_id, rank,
+               floor(c * 1000000 + 0.5) / 1000000.0 AS cosine
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_assign_sql(
+    n_queries: int = 5, k: int = 5, nlist: int = 100, nprobe: int = 10
+) -> str:
+    """DuckDB replica of functions/similarity.ivf_assign_knn: the fixed
+    quantizer centroids are embedded as integer literals, every vector
+    is assigned to the cell maximizing the integer inner product (ties:
+    lowest cell), queries probe their nprobe best cells by the same
+    rule, and candidates are scored by exact cosine from integer
+    dots/norms — bit-identical to the engine by construction."""
+    from quarrycore_ray.functions.similarity import ivf_centroids_u
+
+    cu = ivf_centroids_u(dim=64, nlist=nlist)
+    rows = ",".join(
+        f"({c},{j},{int(cu[c, j])})"
+        for c in range(cu.shape[0])
+        for j in range(cu.shape[1])
+    )
+    return f"""
+        WITH comp AS MATERIALIZED (
+          SELECT vec_id, i - 1 AS j,
+                 CAST(floor(e * 1000000 + 0.5) AS BIGINT) AS xu
+          FROM (
+            SELECT vec_id,
+                   unnest(CAST(embedding AS DOUBLE[])) AS e,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+            FROM embeddings
+          )
+        ),
+        n2 AS MATERIALIZED (
+          SELECT vec_id, sum(xu * xu) AS n2 FROM comp GROUP BY vec_id
+        ),
+        cent AS (SELECT * FROM (VALUES {rows}) AS c(cell, j, w)),
+        ad AS MATERIALIZED (
+          SELECT comp.vec_id, cent.cell, sum(comp.xu * cent.w) AS d
+          FROM comp JOIN cent ON cent.j = comp.j
+          GROUP BY comp.vec_id, cent.cell
+        ),
+        acell AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d DESC, cell
+                   ) AS rn
+            FROM ad
+          ) WHERE rn = 1
+        ),
+        qprobe AS (
+          SELECT vec_id AS q_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d DESC, cell
+                   ) AS rn
+            FROM ad WHERE vec_id < {n_queries}
+          ) WHERE rn <= {nprobe}
+        ),
+        cand AS (
+          SELECT DISTINCT qp.q_id, a.vec_id AS n_id
+          FROM qprobe qp JOIN acell a ON a.cell = qp.cell
+          WHERE a.vec_id != qp.q_id
         ),
         dots AS (
           SELECT c.q_id, c.n_id, sum(a.xu * b.xu) AS du
@@ -1666,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         # hyperplane-LSH ANN in exact integer arithmetic: planes
         # embedded as literals, buckets = integer dot signs
         "ann_lsh_knn": _ann_lsh_sql(),
+        "ivf_assign_knn": _ivf_assign_sql(),
         "ann_recall_eval": f"""
             WITH ex AS MATERIALIZED ({_V_knn_cosine}),
             ap AS MATERIALIZED ({_ann_lsh_sql()}),

@@ -234,6 +234,18 @@ def _quantize_u(emb: np.ndarray) -> np.ndarray:
     return np.floor(emb * _LSH_Q + 0.5).astype(np.int64)
 
 
+def ivf_centroids_u(dim: int, nlist: int = 100, seed: int = 29) -> np.ndarray:
+    """(nlist, dim) int64 fixed coarse-quantizer centroids: standard
+    normal draws quantized to micro-units, same discipline as
+    `lsh_planes_u`. Used by `ivf_assign_knn`, whose DuckDB oracle embeds
+    the same integers as literals — the IVF assign/probe/top-k step is
+    then EXACT on both sides; only centroid *training* (spherical
+    k-means, `ann_ivf_knn`) stays iterative and rows-only."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((nlist, dim))
+    return np.floor(cents * _LSH_Q + 0.5).astype(np.int64)
+
+
 def ann_lsh_knn(
     sf_dir: str,
     n_queries: int = 5,
@@ -529,6 +541,134 @@ def ann_ivf_knn(
 
     scored = partitioned_group_map(celled, "cell", _cell_scores_part, arrow=True)
     pdf = scored.to_pandas().drop_duplicates(["q_id", "n_id"])
+    return _finalize_topk(pdf, k)
+
+
+def ivf_assign_knn(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    nlist: int = 100,
+    nprobe: int = 10,
+    seed: int = 29,
+) -> pd.DataFrame:
+    """IVF assign + probe + top-k with a FIXED coarse quantizer
+    (`ivf_centroids_u`), in exact integer arithmetic.
+
+    The non-iterative 90% of `ann_ivf_knn` (reference FAISS config
+    semantic_dedup.py:74-76, nlist=100 / nprobe=10), split out so it can
+    be bit-exactly SQL-oracled: given the quantizer, every corpus vector
+    is assigned to the cell maximizing the integer inner product (ties:
+    lowest cell — a maximum-inner-product quantizer, faiss
+    METRIC_INNER_PRODUCT), each query probes its `nprobe` best cells by
+    the same rule, and candidates are scored by exact cosine from
+    integer dots/norms (float ops limited to one correctly-rounded
+    multiply/sqrt/divide, as in `ann_lsh_knn`). Only the k-means
+    *training* of `ann_ivf_knn` remains iterative / rows-only.
+
+    Scale shape matches `ann_ivf_knn`: centroids broadcast once
+    (`ray.put`), ONE cell per corpus vector (1x shuffle volume), scoring
+    inside a partitioned group map over cells.
+    """
+    probe = _embeddings(sf_dir).take(1)
+    if not probe:  # empty corpus
+        return _EMPTY_TOPK.copy()
+    dim = len(probe[0]["embedding"])
+    cent_u = ivf_centroids_u(dim, nlist, seed)
+    cent_ref = ray.put(cent_u)
+
+    qdf = (
+        _embeddings(sf_dir)
+        .filter(expr=f"vec_id < {n_queries}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    q_u = _quantize_u(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
+    n_probe = min(nprobe, nlist)
+    # stable argsort on -dot keeps ascending cell order among ties —
+    # the SQL's ORDER BY d DESC, cell
+    q_cells = np.argsort(-(q_u @ cent_u.T), axis=1, kind="stable")[:, :n_probe]
+    q_ref = ray.put((q_ids, q_u, q_cells))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids, emb = _to_matrix(batch)
+        emb_u = _quantize_u(emb)
+        # argmax returns the FIRST maximum -> lowest cell on ties
+        cell = np.argmax(emb_u @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    celled = _embeddings(sf_dir).map_batches(_assign, batch_format="pyarrow")
+
+    def _cell_scores_part(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..stages.grouped import run_bounds
+
+        qids, qmat_u, qcells = ray.get(q_ref)
+        probing: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for c in qcells[qi]:
+                probing.setdefault(int(c), []).append(qi)
+        df = pl.from_arrow(tb).sort(["cell", "vec_id"])
+        keys = df["cell"].to_numpy()
+        ids = df["vec_id"].to_numpy()
+        bounds = run_bounds(keys)
+        emb_all: np.ndarray | None = None
+        n2_all: np.ndarray | None = None
+        rows_q: list[np.ndarray] = []
+        rows_n: list[np.ndarray] = []
+        rows_c: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            qrows = probing.get(int(keys[s]))
+            if not qrows:
+                continue
+            if emb_all is None:  # decode + quantize lazily, once
+                emb_all = _quantize_u(
+                    np.asarray(df["embedding"].to_list(), dtype=np.float64)
+                )
+                n2_all = (emb_all * emb_all).sum(axis=1)  # exact int64
+            emb = emb_all[s:e]
+            n2 = n2_all[s:e]
+            bucket_ids = ids[s:e]
+            for qi in qrows:
+                qv = qmat_u[qi]
+                qn2 = float((qv * qv).sum())
+                dots = (emb @ qv).astype(np.float64)
+                cos = dots / np.sqrt(n2.astype(np.float64) * qn2)
+                mask = bucket_ids != qids[qi]
+                rows_q.append(
+                    np.full(int(mask.sum()), qids[qi], dtype=np.int64)
+                )
+                rows_n.append(bucket_ids[mask])
+                rows_c.append(cos[mask])
+        if not rows_q:
+            return pa.table(
+                {
+                    "q_id": pa.array([], pa.int64()),
+                    "n_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(rows_q), pa.int64()),
+                "n_id": pa.array(np.concatenate(rows_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(rows_c), pa.float64()),
+            }
+        )
+
+    from ..stages.grouped import partitioned_group_map
+
+    scored = partitioned_group_map(celled, "cell", _cell_scores_part, arrow=True)
+    pdf = scored.to_pandas()  # one cell per vector -> (q, n) already unique
     return _finalize_topk(pdf, k)
 
 

@@ -270,6 +270,26 @@ class TestIvfAnn:
         assert list(approx.columns) == ["q_id", "n_id", "rank", "cosine"]
         assert (approx.groupby("q_id")["rank"].min() == 1).all()
 
+    def test_ivf_assign_fixed_quantizer(self):
+        """ivf_assign_knn (fixed seeded quantizer, exact-oracled split
+        of the IVF path): deterministic, contract-shaped, and a probe
+        over ALL cells degenerates to exact brute-force top-k."""
+        from quarrycore_ray.functions.similarity import (
+            ivf_assign_knn, knn_cosine,
+        )
+
+        a = ivf_assign_knn(SF, n_queries=3, k=5)
+        b = ivf_assign_knn(SF, n_queries=3, k=5)
+        assert a.equals(b)
+        assert list(a.columns) == ["q_id", "n_id", "rank", "cosine"]
+        assert (a["q_id"] != a["n_id"]).all()
+        assert (a.groupby("q_id")["rank"].max() <= 5).all()
+        # nprobe = nlist probes every cell -> identical to exact knn
+        full = ivf_assign_knn(SF, n_queries=3, k=5, nprobe=100)
+        exact = knn_cosine(SF, n_queries=3, k=5)
+        assert list(full["n_id"]) == list(exact["n_id"])
+        assert np.allclose(full["cosine"], exact["cosine"], atol=2e-6)
+
 
 class TestWarmStore:
     def test_partitioned_roundtrip(self, tmp_path):
