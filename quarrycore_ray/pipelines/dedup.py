@@ -31,8 +31,8 @@ import ray
 import ray.data
 
 from ..config import DedupConfig
+from ..oracle import UnionFind
 from ..stages.canonical import assemble_conversations
-from ..stages.cluster import driver_union_find
 from ..stages.exact import exact_dedup
 from ..stages.lsh import candidate_pairs
 from ..stages.minhash_stage import MinHashSimHashStage
@@ -192,34 +192,62 @@ def dedup_conversations(
     # from the signature stage — one execution covers S3-S5.
     pairs = candidate_pairs(sig_ds, cfg, lineage=lineage)
 
-    # S5: verification actor pool.
-    edges_ds = pairs.map_batches(
+    # S5: verification actor pool. NOT materialized: the S3->S5 stream
+    # feeds union-find incrementally below, so the whole signature ->
+    # LSH -> verify pipeline executes as ONE streaming pass with no
+    # edge barrier (verified edges are O(duplicates), tiny next to the
+    # corpus — the driver folds each block into the component map as it
+    # arrives and the executor keeps all stages busy concurrently).
+    edges_stream = pairs.map_batches(
         PairVerifier,
         fn_constructor_kwargs={"config": cfg, "lineage": lineage},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         # small fixed pool (CPU/8): pre-started, no autoscale ramp
         concurrency=cfg.resolved_verify_concurrency(),
-    ).materialize()
-    n_edges = edges_ds.count()
-    metrics["verified_edges"] = n_edges
+    )
 
     # S6: connected components. Auto-switch: edge sets up to the
     # threshold are union-found on the driver (O(duplicate-pairs),
     # the fast path); an adversarially huge edge set (high-duplication
     # corpus, the 100 TB north case) takes the distributed label-
     # propagation path with partitioned-join cluster assignment —
-    # nothing edge- or label-shaped ever lands on the driver.
-    if n_edges > cfg.labelprop_edge_threshold:
+    # nothing edge- or label-shaped ever lands on the driver. The
+    # switch is decided MID-STREAM: if the edge count passes the
+    # threshold the driver abandons union-find (discarding the partial
+    # component map) and re-executes S3->S5 into the distributed path —
+    # one extra pass paid only on adversarially duplicate-heavy
+    # corpora, in exchange for a barrier-free fast path everywhere else.
+    uf = UnionFind()
+    edge_tables: list[pa.Table] = []
+    n_edges = 0
+    overflow = False
+    for tb in edges_stream.iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        if tb.num_rows == 0:
+            continue
+        edge_tables.append(tb)
+        n_edges += tb.num_rows
+        if n_edges > cfg.labelprop_edge_threshold:
+            overflow = True
+            break
+        for a, b in zip(tb["a_id"].to_pylist(), tb["b_id"].to_pylist()):
+            uf.union(a, b)
+
+    if overflow:
+        del uf, edge_tables
+        edges_ds = edges_stream.materialize()
+        metrics["verified_edges"] = edges_ds.count()
         metrics["cluster_path"] = "label_propagation"
         return _finish_distributed(
             reps, edges_ds, cfg, with_substring, metrics, t0
         )
+    metrics["verified_edges"] = n_edges
     metrics["cluster_path"] = "driver_union_find"
 
-    edge_batches = list(edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    if edge_batches:
-        edges = pa.concat_tables(edge_batches)
+    if edge_tables:
+        edges = pa.concat_tables(edge_tables)
     else:
         edges = pa.table(
             {
@@ -230,11 +258,7 @@ def dedup_conversations(
             }
         )
 
-    near_assign = driver_union_find(
-        list(
-            zip(edges["a_id"].to_pylist(), edges["b_id"].to_pylist())
-        )
-    )
+    near_assign = uf.components()
     # ship the assignment as an Arrow table: zero-copy for workers, and
     # the per-batch explode below joins against it vectorized
     near_ref = ray.put(
@@ -261,8 +285,13 @@ def dedup_conversations(
         )
         return explode_members_with_label(joined)
 
-    clusters = reps.map_batches(assign_clusters, batch_format="pyarrow").materialize()
-    metrics["total_conversations"] = clusters.count()
+    # NOT materialized: callers that only write stream straight from the
+    # already-materialized reps through the assign map; repeat consumers
+    # re-run one cheap vectorized map over cached blocks
+    clusters = reps.map_batches(assign_clusters, batch_format="pyarrow")
+    # total conversations = sum of exact-group sizes over reps — an
+    # aggregate over the materialized reps blocks, not a clusters barrier
+    metrics["total_conversations"] = int(reps.sum("exact_group_size") or 0)
     # distinct cluster labels among reps = distinct_texts minus the reps
     # merged into another rep's component (no extra shuffle needed)
     n_merged = len(near_assign) - len(set(near_assign.values()))
@@ -371,10 +400,11 @@ def _finish_distributed(
         pa.string(), ["near_label"],
     ).materialize()
 
+    # lazy: consumers stream from the materialized with_label table
     clusters = with_label.map_batches(
         explode_members_with_label, batch_format="pyarrow"
-    ).materialize()
-    metrics["total_conversations"] = clusters.count()
+    )
+    metrics["total_conversations"] = int(reps.sum("exact_group_size") or 0)
     metrics["n_clusters"] = metrics["distinct_texts"] - n_merged
 
     def _uniq(batch: pa.Table) -> pa.Table:
