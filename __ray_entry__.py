@@ -1774,11 +1774,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # md5-hash HLL sketch: registers + estimate reproduced exactly
         "vocab_size_approx": _hll_vocab_sql(),
-        # extraction cascade: readability must strip the planted page
-        # boilerplate, recovering exactly the normalized document text
+        # extraction cascade: the DOM-tree readability strategy must
+        # strip the planted page boilerplate, recovering exactly the
+        # normalized document text
         "extract_html_docs": f"""
             SELECT doc_id, {_CANON} AS text, 'doc ' || doc_id AS title,
-                   'readability' AS extractor, '' AS reject_reason
+                   'dom' AS extractor, '' AS reject_reason
             FROM documents
         """,
         "ngram_jaccard_pairs": f"""

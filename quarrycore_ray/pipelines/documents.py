@@ -433,7 +433,7 @@ def extract_html_docs(sf_dir: str) -> "rd.Dataset":
     """Extraction-cascade driver query: wrap each document in a
     deterministic page template with REAL boilerplate (nav, breadcrumbs,
     ad block, footer) and run the full cascade (stages/extract.py).
-    The readability strategy must win and strip every planted
+    The DOM-tree strategy must win and strip every planted
     boilerplate fragment, leaving exactly the document's normalized
     text — which makes the result SQL-expressible: the oracle asserts
     extractor/title/reject_reason AND the recovered text against the

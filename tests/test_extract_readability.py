@@ -107,11 +107,111 @@ class TestReadabilityStripsBoilerplate:
 
 
 class TestCascadeIntegration:
-    def test_stage_prefers_readability_and_strips(self):
+    def test_stage_prefers_dom_and_strips(self):
         out = HtmlExtractStage()(
             pa.table({"doc_id": pa.array([1]), "html": pa.array([REAL_PAGE])})
         )
-        assert out["extractor"].to_pylist() == ["readability"]
+        assert out["extractor"].to_pylist() == ["dom"]
         text = out["text"].to_pylist()[0]
         assert "Copyright" not in text and "backpressure" in text
         assert out["title"].to_pylist() == ["Ray Data Guide"]
+        # on well-formed markup the tree and linear strategies agree
+        from quarrycore_ray.stages.extract import (
+            _extract_dom, _extract_readability,
+        )
+
+        assert _extract_dom(REAL_PAGE) == _extract_readability(REAL_PAGE)
+
+
+class TestDomTreeAdversarial:
+    """Malformed-markup fixtures where candidate scoring must walk REAL
+    nesting: the tree strategy (`_extract_dom`) recovers the article
+    while the linear tag-counter (`_extract_readability`) demonstrably
+    loses it (VERDICT r3 "What's missing" #2)."""
+
+    ARTICLE = (
+        "The actual article body goes here with plenty of prose about "
+        "streaming execution, block budgets and backpressure in Ray Data "
+        "pipelines at cluster scale."
+    )
+
+    def test_unclosed_link_inline_nav(self):
+        # the nav's last <a> is never closed; the linear scanner's link
+        # depth sticks at 1 so every later block scores as pure link
+        # text and is dropped — the tree ends the <a>'s scope at the
+        # next block-level open (implied end tags)
+        from quarrycore_ray.stages.extract import (
+            _extract_dom, _extract_readability,
+        )
+
+        html = (
+            "<body><span><a href='/'>Home</a> <a href='/docs'>Docs"
+            f"<p>{self.ARTICLE}</p>"
+            f"<p>{self.ARTICLE}</p></body>"
+        )
+        dom = _extract_dom(html)
+        assert dom is not None and "backpressure" in dom
+        assert "Home" not in dom  # the link island stays link-classified
+        linear = _extract_readability(html)
+        assert linear is None or "backpressure" not in linear
+
+    def test_misnested_layout_tables(self):
+        # layout table holds an UNCLOSED class-marked nav table in its
+        # first cell; the linear scanner's same-name drop counter only
+        # exits at the OUTER </table>, swallowing the article cell — the
+        # tree implicitly closes the nav table at its parent cell's </td>
+        from quarrycore_ray.stages.extract import (
+            _extract_dom, _extract_readability,
+        )
+
+        html = (
+            "<body><table><tr>"
+            "<td><table class='sidebar'><tr><td>Links Home About "
+            "Contact Blog</td></tr></td>"
+            f"<td>{self.ARTICLE}</td>"
+            "</tr></table></body>"
+        )
+        dom = _extract_dom(html)
+        assert dom is not None and "backpressure" in dom
+        assert "Links Home" not in dom
+        linear = _extract_readability(html)
+        assert linear is None or "backpressure" not in linear
+
+    def test_mismatched_close_tags_unwound(self):
+        # </div> arriving while a <p> is open must implicitly close the
+        # paragraph (stack unwinding), not corrupt later block bounds
+        from quarrycore_ray.stages.extract import _extract_dom
+
+        html = (
+            f"<body><div><p>{self.ARTICLE}</div>"
+            f"<p>{self.ARTICLE}</p></body>"
+        )
+        dom = _extract_dom(html)
+        assert dom is not None and dom.count("backpressure") == 2
+
+    def test_rawtext_script_with_fake_markup(self):
+        from quarrycore_ray.stages.extract import _extract_dom
+
+        html = (
+            "<body><script>var s = \"<div class='x'>fake</div>\";"
+            f"if (a < b) {{}}</script><p>{self.ARTICLE}</p></body>"
+        )
+        dom = _extract_dom(html)
+        assert dom is not None and "fake" not in dom and "backpressure" in dom
+
+    def test_void_elements_do_not_nest(self):
+        from quarrycore_ray.stages.extract import _extract_dom
+
+        html = (
+            f"<body><p>{self.ARTICLE}<br><img src='x.png'>"
+            f"{self.ARTICLE}</p></body>"
+        )
+        dom = _extract_dom(html)
+        assert dom is not None and dom.count("backpressure") == 2
+
+    def test_deep_nesting_no_recursion_limit(self):
+        from quarrycore_ray.stages.extract import _extract_dom
+
+        html = "<body>" + "<div>" * 5000 + f"<p>{self.ARTICLE}</p>" + "</div>" * 5000 + "</body>"
+        dom = _extract_dom(html)
+        assert dom is not None and "backpressure" in dom

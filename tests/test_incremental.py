@@ -117,10 +117,10 @@ class TestHtmlExtract:
             ]
         )
         out = extract_html(docs).to_pandas().set_index("doc_id")
-        assert out.loc[1, "extractor"] == "readability"
+        assert out.loc[1, "extractor"] == "dom"
         assert out.loc[1, "title"] == "T1"
         assert "Body content" in out.loc[1, "text"]
-        assert out.loc[2, "extractor"] == "readability"
+        assert out.loc[2, "extractor"] == "dom"
         assert out.loc[3, "extractor"] == "" and out.loc[3, "reject_reason"] == "below_min_length"
 
     def test_strategy2_reached_when_readability_empty(self):
@@ -160,7 +160,7 @@ class TestHtmlExtract:
         )
         stage = HtmlExtractStage(domain_overrides={"technical": ("lenient",)})
         out = stage(batch)
-        assert out["extractor"].to_pylist() == ["lenient", "readability"]
+        assert out["extractor"].to_pylist() == ["lenient", "dom"]
 
     def test_unknown_strategy_rejected(self):
         import pytest as _pytest
