@@ -57,3 +57,29 @@ def try_gpt2_tokenizer():
         return AutoTokenizer.from_pretrained("gpt2")
     except Exception:
         return None
+
+
+def try_tokenizer_json(path: str | None = None):
+    """Tokenizer from a real HF-format tokenizer.json, or None.
+
+    Path from `$QC_TOKENIZER_JSON`. Prefers the actual `tokenizers`
+    library; falls back to the from-spec reader
+    (`functions/tokenizer_json.JsonBpeTokenizer`) so the hook leg runs
+    on real bytes even where the library is absent — the SAME file
+    loads in either implementation, and the consumer call surface
+    (`encode(text).ids`, `decode(ids)`) is identical."""
+    path = path or os.environ.get("QC_TOKENIZER_JSON", "")
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        from tokenizers import Tokenizer  # type: ignore
+
+        return Tokenizer.from_file(path)
+    except Exception:
+        pass
+    try:
+        from .tokenizer_json import JsonBpeTokenizer
+
+        return JsonBpeTokenizer.from_file(path)
+    except Exception:
+        return None

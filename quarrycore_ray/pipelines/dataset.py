@@ -50,15 +50,18 @@ class TokenChunker:
     """
 
     def __init__(self, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP):
-        from ..functions.models import try_gpt2_tokenizer
+        from ..functions.models import try_gpt2_tokenizer, try_tokenizer_json
 
         self.chunk_tokens = chunk_tokens
         self.overlap = overlap
         self.step = chunk_tokens - overlap
         # real-model hook: with HF tokenizers installed the actor
         # tokenizes with actual gpt2 BPE (reference chunker.py:15-54);
-        # whitespace tokens are the deterministic fallback
-        self._tokenizer = try_gpt2_tokenizer()
+        # next preference is a real tokenizer.json artifact
+        # ($QC_TOKENIZER_JSON, e.g. trained from the corpus by
+        # bpe_train_merges); whitespace tokens are the deterministic
+        # fallback
+        self._tokenizer = try_gpt2_tokenizer() or try_tokenizer_json()
 
     def _tokens_and_joiner(self, text: str):
         """(token sequence, window -> chunk_text) for real or fallback path."""
