@@ -91,6 +91,14 @@ class DedupConfig:
     # partitioned joins — no driver-side edge or label materialization.
     labelprop_edge_threshold: int = 50_000_000
 
+    # --- fault injection (tests only) ---
+    # When set, the FIRST PairVerifier actor to observe the flag file
+    # absent creates it and kills its own process (os._exit) mid-batch,
+    # exercising Ray's actor-restart + task-retry path end-to-end
+    # (reference e2e analog: tests/e2e/test_resume.py). Production runs
+    # leave this None.
+    fault_kill_verify_once: str | None = None
+
     def threshold_for(self, domain: str | None) -> float:
         """MinHash verification threshold for a content domain."""
         if domain:

@@ -50,14 +50,51 @@ def run_dedup_job(
     out_root: str,
     config: DedupConfig | None = None,
     lineage: bool = True,
+    dead_letter: bool = True,
 ) -> dict[str, Any]:
     cfg = config or DedupConfig()
     ckpt = CheckpointManager(out_root)
     t0 = time.perf_counter()
 
+    n_dead = 0
+    if dead_letter and not ckpt.is_complete("conversations"):
+        # input hygiene tier (reference DeadLetterQueue, recovery/
+        # dead_letter.py, enqueue at pipeline.py:859-877): structurally
+        # broken turn rows — null conv_id / null turn_idx, which the
+        # sort-within-group assembly cannot place — are routed to a
+        # queryable parquet side table instead of poisoning or crashing
+        # the run. Decided once, before the conversations checkpoint.
+        import pyarrow.compute as pc
+
+        def _split(keep: bool):
+            def _f(batch: pa.Table) -> pa.Table:
+                bad = pc.or_kleene(
+                    pc.is_null(batch["conv_id"]), pc.is_null(batch["turn_idx"])
+                )
+                if keep:
+                    return batch.filter(pc.invert(bad))
+                dead = batch.filter(bad)
+                why = pc.if_else(
+                    pc.is_null(dead["conv_id"]),
+                    pa.scalar("null_conv_id"),
+                    pa.scalar("null_turn_idx"),
+                )
+                return dead.append_column("_error", why)
+
+            return _f
+
+        raw = rd.read_parquet(input_path)
+        dead_ds = raw.map_batches(_split(False), batch_format="pyarrow")
+        n_dead = dead_ds.count()
+        if n_dead:
+            dead_ds.write_parquet(os.path.join(out_root, "dead_letter"))
+        clean = raw.map_batches(_split(True), batch_format="pyarrow")
+    else:
+        clean = rd.read_parquet(input_path)
+
     conversations = ckpt.stage(
         "conversations",
-        lambda: assemble_conversations(rd.read_parquet(input_path), lineage=lineage),
+        lambda: assemble_conversations(clean, lineage=lineage),
     )
     reps = ckpt.stage("reps", lambda: exact_dedup(conversations, lineage=lineage))
 
@@ -201,6 +238,7 @@ def run_dedup_job(
         "cluster_path": "label_propagation" if labels is not None else "driver_union_find",
         "cluster_rows": clusters.count(),
         "deduped": deduped.count(),
+        "dead_letter_rows": n_dead,
         "stages_run": ckpt.stages_run,
         "stages_skipped": ckpt.stages_skipped,
         "wall_s": round(time.perf_counter() - t0, 3),

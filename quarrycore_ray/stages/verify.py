@@ -47,6 +47,19 @@ class PairVerifier:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time
 
+        if self.cfg.fault_kill_verify_once:
+            import os as _os
+
+            try:  # exclusive create = at-most-once across the pool
+                fd = _os.open(
+                    self.cfg.fault_kill_verify_once,
+                    _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
+                )
+                _os.close(fd)
+                _os._exit(1)  # simulated hard actor death mid-run
+            except FileExistsError:
+                pass
+
         t0 = _time.perf_counter()
         out = self._verify(batch)
         if self.lineage:
