@@ -728,8 +728,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substr_spans", "exact_substr_dedup_docs",
         "domain_classify_docs", "dedup_docs_domain_thresholds",
         "dedup_docs_hotband", "extract_html_docs",
-        # semantic / ANN tier + this round's MMR re-rank
-        "knn_cosine", "ann_lsh_knn", "ann_ivf_knn", "embedding_dup_pairs",
+        # semantic / ANN tier + this round's MMR re-rank (ivf_assign_knn
+        # is the exact-oracled fixed-quantizer split of the IVF path;
+        # the iterative-training ann_ivf_knn stays rows-only behind the
+        # window)
+        "knn_cosine", "ann_lsh_knn", "ivf_assign_knn", "embedding_dup_pairs",
         "semdedup_prune", "mmr_rerank_docs",
         # transcripts axis (north-rule payload)
         "transcript_turn_stats", "tool_usage_stats",
