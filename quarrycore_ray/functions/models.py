@@ -31,14 +31,27 @@ def try_sentence_transformer(model_name: str = "all-MiniLM-L6-v2"):
 
 
 def try_fasttext_langid(model_path: str | None = None):
-    """fasttext lid model or None. Path from $FASTTEXT_LID_PATH."""
+    """fasttext lid model or None. Path from $FASTTEXT_LID_PATH.
+
+    Prefers the actual `fasttext` library; falls back to the from-spec
+    reader (`functions/fasttext_bin.FastTextModel`) for the
+    supervised/softmax/no-subword corner of the format, so the hook leg
+    runs on real .bin bytes even where the library is absent — the SAME
+    file loads in either implementation, with the same batch `predict`
+    surface."""
+    path = model_path or os.environ.get("FASTTEXT_LID_PATH", "")
+    if not path or not os.path.exists(path):
+        return None
     try:
         import fasttext  # type: ignore
 
-        path = model_path or os.environ.get("FASTTEXT_LID_PATH", "")
-        if not path or not os.path.exists(path):
-            return None
         return fasttext.load_model(path)
+    except Exception:
+        pass
+    try:
+        from .fasttext_bin import FastTextModel
+
+        return FastTextModel.load(path)
     except Exception:
         return None
 
