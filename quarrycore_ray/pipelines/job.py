@@ -250,6 +250,13 @@ def run_dedup_job(
         mt = drain_metrics()
         pq.write_table(mt, os.path.join(mdir, "metrics.parquet"))
         summary["lineage_rows"] = mt.num_rows
+        # Prometheus textfile-collector export of the same rows
+        # (reference observability/metrics.py parity; state/observability)
+        from ..state.observability import export_prometheus_textfile
+
+        export_prometheus_textfile(
+            os.path.join(mdir, "quarrycore.prom"), mt
+        )
 
     with open(os.path.join(out_root, "job.json.tmp"), "w") as f:
         json.dump(summary, f, indent=2)

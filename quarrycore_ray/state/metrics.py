@@ -49,6 +49,11 @@ class MetricsActor:
         rows, self.rows = self.rows, []
         return rows
 
+    def peek(self) -> list[tuple]:
+        """Copy without clearing — live scrapes must not steal rows
+        from the end-of-job lineage export."""
+        return list(self.rows)
+
 
 def get_metrics_actor():
     """Get or create the named metrics actor for this Ray session."""
