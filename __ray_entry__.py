@@ -429,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metadata_docs": docs.extract_metadata_docs,
         # URL-level dedup through the real RFC 3986 canonicalizer
         "url_canonical_dedup": docs.url_canonical_dedup,
+        # word-level suffix-array + Kasai LCP longest repeated sequence
+        "longest_repeat_docs": docs.longest_repeat_docs,
         # WARC/WET crawl-archive ingestion through the real container
         # (sources/warc.py: gzip-member framing, HTTP split, WET records)
         "warc_ingest_stats": _warc_ingest_stats,
@@ -2074,6 +2076,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_ingest_stats": _warc_oracle_sql(),
         "url_canonical_dedup": _url_dedup_oracle_sql(),
+        # first-principles quadratic replay of the SA+LCP answer:
+        # recursive extension of equal-word position pairs
+        "longest_repeat_docs": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS words
+                FROM documents
+            ),
+            pos AS MATERIALIZED (
+                SELECT doc_id, unnest(words) AS wd,
+                       generate_subscripts(words, 1) AS i
+                FROM w
+            ),
+            ext(doc_id, i, j, l) AS (
+                SELECT a.doc_id, a.i, b.i, 1
+                FROM pos a JOIN pos b
+                  ON b.doc_id = a.doc_id AND b.wd = a.wd AND b.i > a.i
+                UNION ALL
+                SELECT e.doc_id, e.i, e.j, e.l + 1
+                FROM ext e
+                JOIN pos pa ON pa.doc_id = e.doc_id AND pa.i = e.i + e.l
+                JOIN pos pb ON pb.doc_id = e.doc_id AND pb.i = e.j + e.l
+                           AND pb.wd = pa.wd
+            ),
+            best AS (
+                SELECT doc_id, max(l) AS repeat_len FROM ext GROUP BY doc_id
+            ),
+            bp AS (
+                SELECT e.doc_id, b.repeat_len,
+                       CAST(min(e.i) - 1 AS BIGINT) AS repeat_pos
+                FROM ext e JOIN best b
+                  ON b.doc_id = e.doc_id AND e.l = b.repeat_len
+                GROUP BY e.doc_id, b.repeat_len
+            )
+            SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+                   CAST(COALESCE(bp.repeat_len, 0) AS BIGINT) AS repeat_len,
+                   CAST(COALESCE(bp.repeat_pos, -1) AS BIGINT) AS repeat_pos
+            FROM w LEFT JOIN bp USING (doc_id)
+        """,
         "turn_simhash_dup_pairs": """
             -- mirrors pipelines/transcripts.turn_simhash_dup_pairs:
             -- 64-bit SimHash per TURN (MD5 feature hash over 7-char

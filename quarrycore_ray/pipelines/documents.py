@@ -4335,6 +4335,74 @@ def dedup_review_sample(
     )
 
 
+# --- suffix-array longest repeat (north-rule substring-dedup machinery) -------
+
+
+def longest_repeat_docs(sf_dir: str) -> "rd.Dataset":
+    """Per-document longest repeated word-sequence via a WORD-LEVEL
+    suffix array + Kasai LCP (`functions/suffix.py` — Manber-Myers
+    prefix doubling; the max LCP over all suffix pairs is attained by
+    an SA-adjacent pair). The suffix-array machinery the north rule's
+    substring-dedup tier names; the repeated-span curation ops
+    (`curation.exact_substr_*`) consume the same signal at fixed gram
+    length — this operator finds the MAXIMAL repeat length exactly.
+
+    Output: (doc_id, n_words, repeat_len, repeat_pos) — repeat_pos is
+    the minimal 0-based word index starting a maximal repeat, -1 when
+    every word is unique. The DuckDB oracle replays it with a
+    recursive-CTE extension of equal-word position pairs, so the
+    exotic-algorithm side (SA + LCP) is checked against a first-
+    principles quadratic definition.
+
+    Scale shape: one stateless map_batches pass; per-doc work is
+    O(n log n) numpy (docs are KB-sized — the per-doc loop is the same
+    discipline as the codecs). No shuffle at all.
+    """
+    import numpy as np
+
+    from ..functions.suffix import longest_repeat
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_words", pa.int64()),
+            ("repeat_len", pa.int64()),
+            ("repeat_pos", pa.int64()),
+        ]
+    )
+
+    def _f(batch: pa.Table) -> pa.Table:
+        from ..text import normalize_whitespace_array
+
+        canon = normalize_whitespace_array(batch["text"]).to_pylist()
+        n_words: list[int] = []
+        lens: list[int] = []
+        poss: list[int] = []
+        for text in canon:
+            words = text.split(" ") if text else []
+            n_words.append(len(words))
+            if not words:
+                lens.append(0)
+                poss.append(-1)
+                continue
+            _, tokens = np.unique(np.asarray(words, object), return_inverse=True)
+            ln, pos = longest_repeat(tokens.astype(np.int64))
+            lens.append(ln)
+            poss.append(pos)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "repeat_len": pa.array(lens, pa.int64()),
+                "repeat_pos": pa.array(poss, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
 # --- URL canonicalization dedup (crawl-frontier / recrawl dedup) --------------
 
 

@@ -750,3 +750,77 @@ class TestBoilerplateLines:
         a = boilerplate_lines_docs(sf).to_pandas().sort_values("doc_id")
         b = boilerplate_lines_docs(sf).to_pandas().sort_values("doc_id")
         assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+class TestSuffixArray:
+    """Suffix-array machinery (functions/suffix.py) against naive
+    first-principles implementations on random inputs."""
+
+    def test_sa_matches_naive_sort(self):
+        import numpy as np
+
+        from quarrycore_ray.functions.suffix import suffix_array
+
+        rng = np.random.default_rng(5)
+        for n, alpha in [(1, 2), (7, 2), (40, 3), (200, 5), (500, 26)]:
+            toks = rng.integers(0, alpha, size=n).astype(np.int64)
+            sa = suffix_array(toks)
+            naive = sorted(range(n), key=lambda i: tuple(toks[i:]))
+            assert sa.tolist() == naive, (n, alpha)
+
+    def test_lcp_matches_naive(self):
+        import numpy as np
+
+        from quarrycore_ray.functions.suffix import lcp_array, suffix_array
+
+        rng = np.random.default_rng(6)
+        toks = rng.integers(0, 3, size=300).astype(np.int64)
+        sa = suffix_array(toks)
+        lcp = lcp_array(toks, sa)
+        assert lcp[0] == 0
+        for r in range(1, len(toks)):
+            a, b = toks[sa[r - 1] :], toks[sa[r] :]
+            m = 0
+            while m < len(a) and m < len(b) and a[m] == b[m]:
+                m += 1
+            assert lcp[r] == m, r
+
+    def test_longest_repeat_planted(self):
+        import numpy as np
+
+        from quarrycore_ray.functions.suffix import longest_repeat
+
+        # unique tokens: no repeat
+        assert longest_repeat(np.arange(10, dtype=np.int64)) == (0, -1)
+        # planted repeated run of length 4 at positions 2 and 9
+        t = np.array([9, 8, 1, 2, 3, 4, 7, 6, 5, 1, 2, 3, 4, 0], dtype=np.int64)
+        assert longest_repeat(t) == (4, 2)
+        # overlapping repeat (aaaa): longest repeat aaa at pos 0
+        t2 = np.zeros(4, dtype=np.int64)
+        assert longest_repeat(t2) == (3, 0)
+        # brute-force cross-check on random strings
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            toks = rng.integers(0, 4, size=60).astype(np.int64)
+            ln, pos = longest_repeat(toks)
+            best, bpos = 0, -1
+            n = len(toks)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    m = 0
+                    while j + m < n and toks[i + m] == toks[j + m]:
+                        m += 1
+                    if m > best:
+                        best, bpos = m, i
+            assert ln == best
+            if best:
+                assert pos == bpos
+
+    def test_docs_query_shape(self):
+        from quarrycore_ray.pipelines.documents import longest_repeat_docs
+
+        df = longest_repeat_docs("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 500
+        assert (df["repeat_len"] >= 0).all()
+        assert ((df["repeat_len"] > 0) == (df["repeat_pos"] >= 0)).all()
+        assert (df["repeat_len"] <= df["n_words"] // 1).all()
