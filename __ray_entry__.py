@@ -2111,7 +2111,8 @@ def oracle_sql() -> dict[str, str]:
                   ON b.doc_id = e.doc_id AND e.l = b.repeat_len
                 GROUP BY e.doc_id, b.repeat_len
             )
-            SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+            SELECT w.doc_id,
+                   CAST(COALESCE(len(w.words), 0) AS BIGINT) AS n_words,
                    CAST(COALESCE(bp.repeat_len, 0) AS BIGINT) AS repeat_len,
                    CAST(COALESCE(bp.repeat_pos, -1) AS BIGINT) AS repeat_pos
             FROM w LEFT JOIN bp USING (doc_id)

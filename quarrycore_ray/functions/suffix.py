@@ -5,8 +5,10 @@ intra-cluster exact-substring removal; the reference's substring tier
 is `deduplicator/fuzzy_matcher` partial-overlap scanning. This module
 supplies the classic machinery from the published algorithms:
 
-- `suffix_array`: Manber–Myers prefix doubling, O(n log n) with
-  vectorized numpy rank updates (no per-character Python in the loop).
+- `suffix_array`: Manber–Myers prefix doubling with vectorized numpy
+  rank updates — O(n log^2 n) overall (each of the O(log n) doubling
+  rounds pays one comparison-based np.lexsort; the O(n log n) variant
+  needs a radix sort per round, not worth it at KB-document scale).
 - `lcp_array`: Kasai et al. 2001 linear-time LCP from the SA.
 - `longest_repeat`: length + minimal starting position of the longest
   repeated subsequence — max over adjacent-pair LCPs (the textbook
@@ -29,17 +31,17 @@ def suffix_array(tokens: np.ndarray) -> np.ndarray:
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
     # initial ranks: dense-encode token values
     rank = np.unique(tokens, return_inverse=True)[1].astype(np.int64)
-    sa = np.argsort(rank, kind="stable").astype(np.int64)
+    sa = np.empty(0, dtype=np.int64)
     k = 1
-    idx = np.arange(n, dtype=np.int64)
     while k < n:
         # sort key: (rank[i], rank[i+k] or -1)
         second = np.full(n, -1, dtype=np.int64)
         second[: n - k] = rank[k:]
-        order = np.lexsort((second, rank))
-        sa = idx[order]
+        sa = np.lexsort((second, rank)).astype(np.int64)
         # new ranks: increment where the (pair) key changes
         r1 = rank[sa]
         r2 = second[sa]

@@ -4371,15 +4371,22 @@ def longest_repeat_docs(sf_dir: str) -> "rd.Dataset":
         ]
     )
 
-    def _f(batch: pa.Table) -> pa.Table:
-        from ..text import normalize_whitespace_array
+    import re as _re
 
-        canon = normalize_whitespace_array(batch["text"]).to_pylist()
+    # RE2-equivalent ASCII whitespace split, matching the oracle's
+    # string_split_regex(text, '\s+') exactly: DuckDB's RE2 \s is
+    # [\t\n\f\r\v ] only, while Python str.split()/\s are
+    # Unicode-aware — NBSP/U+2028-bounded words must tokenize the
+    # same way on both sides
+    ascii_ws = _re.compile(r"[ \t\n\r\f\v]+")
+
+    def _f(batch: pa.Table) -> pa.Table:
         n_words: list[int] = []
         lens: list[int] = []
         poss: list[int] = []
-        for text in canon:
-            words = text.split(" ") if text else []
+        for text in batch["text"].to_pylist():
+            words = [w for w in ascii_ws.split(text)] if text else []
+            words = [w for w in words if w]
             n_words.append(len(words))
             if not words:
                 lens.append(0)

@@ -823,4 +823,5 @@ class TestSuffixArray:
         assert len(df) == 500
         assert (df["repeat_len"] >= 0).all()
         assert ((df["repeat_len"] > 0) == (df["repeat_pos"] >= 0)).all()
-        assert (df["repeat_len"] <= df["n_words"] // 1).all()
+        nz = df[df["n_words"] > 0]
+        assert (nz["repeat_len"] <= nz["n_words"] - 1).all()
