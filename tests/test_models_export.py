@@ -349,3 +349,63 @@ class TestFasttextBinHook:
         # model confidences are softmax probabilities, not hit ratios —
         # the swap changes outputs the reference way (real model conf)
         assert hooked["lang_conf"].to_pylist()[0] > 0.25
+
+
+class TestArtifactRoundtripProperties:
+    """Format-fidelity properties of the real-artifact writers/readers."""
+
+    def test_tokenizer_json_reconstruction_invariant(self):
+        import numpy as np
+
+        from quarrycore_ray.functions.tokenizer_json import (
+            JsonBpeTokenizer, build_vocab,
+        )
+
+        rng = np.random.default_rng(11)
+        alphabet = list("abcdef")
+        merges = [("a", "b"), ("ab", "c"), ("d", "e"), ("de", "f"), ("b", "c")]
+        tok = JsonBpeTokenizer(build_vocab(merges, alphabet), merges)
+        for _ in range(200):
+            word = "".join(rng.choice(alphabet, size=rng.integers(1, 12)))
+            pieces = tok._bpe(word)
+            # tokens partition the word exactly, in order
+            assert "".join(pieces) == word
+            # every piece is in the vocab (alphabet + merges closure)
+            enc = tok.encode(word)
+            assert all(t != "<unk>" for t in enc.tokens)
+            # greedy lowest-rank property: no adjacent pair in the final
+            # sequence is mergeable
+            ranks = tok.ranks
+            assert all(
+                (pieces[i], pieces[i + 1]) not in ranks
+                for i in range(len(pieces) - 1)
+            )
+
+    def test_fasttext_bin_matrix_roundtrip_exact(self, tmp_path):
+        import numpy as np
+
+        from quarrycore_ray.functions.fasttext_bin import (
+            FastTextModel, write_fasttext_bin,
+        )
+
+        rng = np.random.default_rng(12)
+        words = [f"w{i}" for i in range(30)] + ["</s>"]
+        labels = ["x", "y"]
+        inp = rng.standard_normal((31, 8)).astype(np.float32)
+        out = rng.standard_normal((2, 8)).astype(np.float32)
+        path = str(tmp_path / "m.bin")
+        write_fasttext_bin(path, words, labels, [1] * 33, inp, out)
+        m = FastTextModel.load(path)
+        # float32 bytes survive bit-exactly
+        assert np.array_equal(m.input, inp)
+        assert np.array_equal(m.output, out)
+        assert m.labels == ["__label__x", "__label__y"]
+        # unsupported corners refuse rather than mis-parse
+        blob = bytearray(open(path, "rb").read())
+        blob[0] ^= 0xFF  # corrupt magic
+        bad = str(tmp_path / "bad.bin")
+        open(bad, "wb").write(bytes(blob))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="magic"):
+            FastTextModel.load(bad)
