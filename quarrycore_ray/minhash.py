@@ -168,6 +168,8 @@ class CombinedMinSimHasher:
         self.shingle_size = shingle_size
         self.a, self.b = permutations(num_perm, seed)
         self._cache: dict[str, int] = {}  # shingle -> h64 (SHA-1 amortization)
+        # packed-uint64 shingle -> h64, for the vectorized ASCII path
+        self._ucache: dict[int, int] = {}
         self._cache_limit = cache_limit
 
     def compute(
@@ -208,35 +210,93 @@ class CombinedMinSimHasher:
         sixty_one = np.uint64(61)
         cache = self._cache
         limit = self._cache_limit
+        k_sh = self.shingle_size
+        ucache = self._ucache
+        fast_ok = k_sh <= 8  # packed shingles must fit one uint64
         for c0 in range(0, n, chunk_docs):
             chunk = texts[c0 : c0 + chunk_docs]
-            uniq: dict[str, int] = {}
-            doc_idx: list[np.ndarray] = []
-            for t in chunk:
-                ss = shingle_set(t, self.shingle_size)
+            n_chunk = len(chunk)
+            # --- shingle universe -------------------------------------
+            # Vectorized ASCII fast path: a normalized ASCII text's
+            # 7-char shingles are exactly its 7-BYTE windows, packed
+            # into little-endian uint64s (high byte zero) and deduped
+            # with one np.unique — no per-occurrence Python. Non-ASCII
+            # / short / empty texts take the per-doc set path with ids
+            # offset past the packed universe; a shingle present in
+            # both universes gets two ids, which is harmless (same
+            # SHA-1, same permuted row; column-min and vote-sum ignore
+            # duplicates across DIFFERENT docs, and one doc's ids stay
+            # distinct).
+            doc_idx: list[np.ndarray | None] = [None] * n_chunk
+            packed_parts: list[np.ndarray] = []
+            fast_pos: list[int] = []
+            fast_bounds = [0]
+            slow_sets: list[tuple[int, set]] = []
+            for i, t in enumerate(chunk):
+                if not t or len(t) < k_sh:
+                    slow_sets.append((i, shingle_set(t, k_sh)))
+                    continue
+                norm = " ".join(t.lower().split())
+                if not fast_ok or len(norm) < k_sh or not norm.isascii():
+                    slow_sets.append((i, shingle_set(t, k_sh)))
+                    continue
+                bts = np.frombuffer(norm.encode("ascii"), dtype=np.uint8)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    bts, k_sh
+                ).astype(np.uint64)
+                v = win[:, 0].copy()
+                for j in range(1, k_sh):
+                    v |= win[:, j] << np.uint64(8 * j)
+                packed_parts.append(v)
+                fast_pos.append(i)
+                fast_bounds.append(fast_bounds[-1] + len(v))
+            if packed_parts:
+                allv = np.concatenate(packed_parts)
+                uniq_vals, inverse = np.unique(allv, return_inverse=True)
+                for fi, i in enumerate(fast_pos):
+                    doc_idx[i] = np.unique(
+                        inverse[fast_bounds[fi] : fast_bounds[fi + 1]]
+                    )
+            else:
+                uniq_vals = np.empty(0, dtype=np.uint64)
+            uf = len(uniq_vals)
+            slow_uniq: dict[str, int] = {}
+            for i, ss in slow_sets:
                 arr = np.empty(len(ss), dtype=np.int64)
                 j = 0
                 for s in ss:
-                    k = uniq.setdefault(s, len(uniq))
-                    arr[j] = k
+                    kk = slow_uniq.setdefault(s, uf + len(slow_uniq))
+                    arr[j] = kk
                     j += 1
-                doc_idx.append(arr)
-            U = len(uniq)
+                arr.sort()
+                doc_idx[i] = arr
+            U = uf + len(slow_uniq)
             if U == 0:
-                sigs[c0 : c0 + len(chunk)] = _HASH_INIT
-                fps[c0 : c0 + len(chunk)] = 0
+                sigs[c0 : c0 + n_chunk] = _HASH_INIT
+                fps[c0 : c0 + n_chunk] = 0
                 continue
+            # --- SHA-1 per UNIQUE shingle (actor-lifetime caches) -----
             h64 = np.empty(U, dtype=np.uint64)
-            for s, k in uniq.items():
+            if uf:
+                raw = uniq_vals.astype("<u8").tobytes()
+                for ui in range(uf):
+                    key = int(uniq_vals[ui])
+                    h = ucache.get(key)
+                    if h is None:
+                        h = from_bytes(
+                            sha1(raw[ui * 8 : ui * 8 + k_sh]).digest()[:8],
+                            "little",
+                        )
+                        if len(ucache) < limit:
+                            ucache[key] = h
+                    h64[ui] = h
+            for s, kk in slow_uniq.items():
                 h = cache.get(s)
                 if h is None:
                     h = from_bytes(sha1(s.encode("utf-8")).digest()[:8], "little")
                     if len(cache) < limit:
                         cache[s] = h
-                h64[k] = h
-            # sorted per-doc indices: each U-block then touches one
-            # contiguous slice per doc (min/vote-sum are order-free)
-            doc_idx = [np.sort(idx) for idx in doc_idx]
+                h64[kk] = h
             n_chunk = len(chunk)
             chunk_sigs = np.full((n_chunk, self.num_perm), _HASH_INIT, dtype=np.uint64)
             votes = np.zeros((n_chunk, 64), dtype=np.int64)
