@@ -179,3 +179,46 @@ class TestWarcRaySource:
             "doc_id", "url", "warc_type", "warc_date", "http_status",
             "payload_bytes", "payload_md5",
         }
+
+
+class TestWarcFuzzRoundtrip:
+    def test_random_binary_payloads_roundtrip(self):
+        """Property: build_warc_gz -> parse_warc is the identity on
+        payload bytes for arbitrary binary bodies (CRLFCRLF inside
+        bodies, empty bodies, high bytes) — Content-Length framing must
+        never scan content."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from quarrycore_ray.sources.warc import build_warc_gz, parse_warc
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.binary(max_size=300),
+                    st.sampled_from(["response", "conversion"]),
+                ),
+                min_size=1,
+                max_size=6,
+            )
+        )
+        def check(bodies):
+            recs = [
+                {
+                    "warc_type": wt,
+                    "url": f"https://x.org/{i}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "record_id": f"r-{i}",
+                    "body": body,
+                    "status": 200,
+                }
+                for i, (body, wt) in enumerate(bodies)
+            ]
+            out = parse_warc(build_warc_gz(recs))
+            assert len(out) == len(recs)
+            for r, o in zip(recs, out):
+                assert o["payload"] == r["body"]
+                assert o["warc_type"] == r["warc_type"]
+
+        check()
