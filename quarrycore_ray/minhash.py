@@ -35,6 +35,12 @@ _HASH_INIT = np.uint64(1 << 32)
 
 
 @lru_cache(maxsize=8)
+def _pack_mask(k: int) -> np.uint64:
+    """Low-k-bytes mask for the packed-shingle uint64 representation."""
+    return np.uint64((1 << (8 * k)) - 1 if k < 8 else 0xFFFFFFFFFFFFFFFF)
+
+
+@lru_cache(maxsize=8)
 def permutations(num_perm: int = 128, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """(a, b) arrays of shape (num_perm,), drawn exactly like datasketch.
 
@@ -233,20 +239,33 @@ class CombinedMinSimHasher:
             fast_bounds = [0]
             slow_sets: list[tuple[int, set]] = []
             for i, t in enumerate(chunk):
-                if not t or len(t) < k_sh:
+                if not t or len(t) < k_sh or not fast_ok:
                     slow_sets.append((i, shingle_set(t, k_sh)))
                     continue
                 norm = " ".join(t.lower().split())
-                if not fast_ok or len(norm) < k_sh or not norm.isascii():
-                    slow_sets.append((i, shingle_set(t, k_sh)))
+                if len(norm) < k_sh:
+                    slow_sets.append((i, {norm} if norm else set()))
+                    continue
+                if not norm.isascii():
+                    # reuse the normalization already done (shingle_set
+                    # would recompute it)
+                    slow_sets.append(
+                        (i, {norm[j : j + k_sh]
+                             for j in range(len(norm) - k_sh + 1)})
+                    )
                     continue
                 bts = np.frombuffer(norm.encode("ascii"), dtype=np.uint8)
-                win = np.lib.stride_tricks.sliding_window_view(
-                    bts, k_sh
-                ).astype(np.uint64)
-                v = win[:, 0].copy()
-                for j in range(1, k_sh):
-                    v |= win[:, j] << np.uint64(8 * j)
+                w_cnt = len(bts) - k_sh + 1
+                # overlapping little-endian uint64 loads at byte stride 1
+                # (x86 tolerates unaligned reads) + ONE mask keep the
+                # dominant temporary at (W,) uint64 — no (W, k)
+                # materialization of the whole text
+                pad = np.zeros(len(bts) + 8, dtype=np.uint8)
+                pad[: len(bts)] = bts
+                words = np.ndarray(
+                    buffer=pad, shape=(w_cnt,), dtype="<u8", strides=(1,)
+                )
+                v = words & _pack_mask(k_sh)
                 packed_parts.append(v)
                 fast_pos.append(i)
                 fast_bounds.append(fast_bounds[-1] + len(v))
@@ -287,17 +306,17 @@ class CombinedMinSimHasher:
                             sha1(raw[ui * 8 : ui * 8 + k_sh]).digest()[:8],
                             "little",
                         )
-                        if len(ucache) < limit:
+                        # the two caches share ONE residency budget
+                        if len(ucache) + len(cache) < limit:
                             ucache[key] = h
                     h64[ui] = h
             for s, kk in slow_uniq.items():
                 h = cache.get(s)
                 if h is None:
                     h = from_bytes(sha1(s.encode("utf-8")).digest()[:8], "little")
-                    if len(cache) < limit:
+                    if len(ucache) + len(cache) < limit:
                         cache[s] = h
                 h64[kk] = h
-            n_chunk = len(chunk)
             chunk_sigs = np.full((n_chunk, self.num_perm), _HASH_INIT, dtype=np.uint64)
             votes = np.zeros((n_chunk, 64), dtype=np.int64)
             for b0 in range(0, U, block_shingles):

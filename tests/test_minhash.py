@@ -75,6 +75,47 @@ class TestSignatures:
         mh = MinHasher()
         assert jaccard_estimate(mh.signature("same text here"), mh.signature("same text here")) == 1.0
 
+    def test_combined_hasher_mixed_paths_bit_parity(self):
+        """CombinedMinSimHasher's dual universe (packed ASCII fast path
+        + per-doc slow path with offset ids) must stay bit-identical to
+        the separate MinHasher/SimHasher reference when one CHUNK mixes
+        both paths — ASCII, unicode, short, empty, whitespace-only,
+        exactly-k, Kelvin-sign lowercasing, control chars."""
+        import numpy as np
+
+        from quarrycore_ray.minhash import CombinedMinSimHasher, MinHasher
+        from quarrycore_ray.simhash import SimHasher
+
+        docs = [
+            "plain ascii text with enough length to shingle repeatedly",
+            "héllo wörld ümlauts éverywhere in this non-ascii document",
+            "",
+            "   ",
+            "short",
+            "exactly",  # len == k
+            "KKelvin sign lowercases to a two-char sequence maybe",
+            "tab\tand\nnewline   runs\fcollapse\vhere exactly as one",
+            "control\x01chars\x02inside\x03ascii remain ascii shingles",
+            "ascii then héllo mixed so fast and slow share shingles",
+            "a" * 40,  # overlapping identical windows
+        ] * 3  # repeat so caches get hits on the second pass
+        combined = CombinedMinSimHasher()
+        # tiny chunk/block sizes force multi-chunk, multi-block paths
+        sigs, fps = combined.compute(docs, chunk_docs=4, block_shingles=8)
+        ref_sigs = MinHasher().signatures(docs)
+        ref_fps = SimHasher(7).fingerprints(docs)
+        assert np.array_equal(sigs, ref_sigs)
+        assert np.array_equal(fps, ref_fps)
+        # warm-cache pass is identical too
+        sigs2, fps2 = combined.compute(docs, chunk_docs=5, block_shingles=16)
+        assert np.array_equal(sigs2, ref_sigs)
+        assert np.array_equal(fps2, ref_fps)
+        # k > 8 disables the packed path entirely; parity must hold
+        c9 = CombinedMinSimHasher(shingle_size=9)
+        s9, f9 = c9.compute(docs, chunk_docs=4)
+        assert np.array_equal(s9, MinHasher(shingle_size=9).signatures(docs))
+        assert np.array_equal(f9, SimHasher(9).fingerprints(docs))
+
     def test_sig_to_bytes_sentinel_invariant(self):
         import numpy as np
         import pytest
