@@ -21,13 +21,27 @@ import os
 
 
 def try_sentence_transformer(model_name: str = "all-MiniLM-L6-v2"):
-    """SentenceTransformer(model_name) or None."""
+    """Embedding model with the SentenceTransformer `encode` surface,
+    or None. Preference order: the actual sentence-transformers
+    library; else a real safetensors encoder directory from
+    `$QC_ENCODER_SAFETENSORS` (model.safetensors + vocab.json, loaded
+    by the real `safetensors` lib when importable, the from-spec reader
+    otherwise — `functions/safetensors_np.py`)."""
     try:
         from sentence_transformers import SentenceTransformer  # type: ignore
 
         return SentenceTransformer(model_name)
     except Exception:
-        return None
+        pass
+    model_dir = os.environ.get("QC_ENCODER_SAFETENSORS", "")
+    if model_dir and os.path.isdir(model_dir):
+        try:
+            from .safetensors_np import NumpyMeanPoolEncoder
+
+            return NumpyMeanPoolEncoder.load(model_dir)
+        except Exception:
+            return None
+    return None
 
 
 def try_fasttext_langid(model_path: str | None = None):

@@ -409,3 +409,96 @@ class TestArtifactRoundtripProperties:
 
         with _pytest.raises(ValueError, match="magic"):
             FastTextModel.load(bad)
+
+
+class TestSafetensorsEncoderHook:
+    """Third real-artifact hook leg: a corpus-built mean-pool encoder
+    serialized as REAL safetensors + vocab.json and driven through the
+    ACTUAL hook (`models.try_sentence_transformer` via
+    $QC_ENCODER_SAFETENSORS) into EmbedderStage."""
+
+    def _model(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from quarrycore_ray.functions.safetensors_np import (
+            build_corpus_encoder,
+        )
+
+        texts = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        )["text"].to_pylist()[:300]
+        mdir = str(tmp_path / "encoder")
+        enc = build_corpus_encoder(texts, mdir)
+        return mdir, enc, texts
+
+    def test_format_roundtrip_bit_exact(self, tmp_path):
+        import numpy as np
+
+        from quarrycore_ray.functions.safetensors_np import (
+            load_safetensors, save_safetensors,
+        )
+
+        rng = np.random.default_rng(4)
+        tensors = {
+            "a": rng.standard_normal((5, 3)).astype(np.float32),
+            "b": rng.integers(0, 100, size=7).astype(np.int64),
+            "c": rng.standard_normal(4),  # float64
+        }
+        path = str(tmp_path / "t.safetensors")
+        save_safetensors(path, tensors, metadata={"k": "v"})
+        # header structure is the documented spec: u64 length + JSON
+        import json as _json
+        import struct as _struct
+
+        raw = open(path, "rb").read()
+        (hlen,) = _struct.unpack_from("<Q", raw, 0)
+        header = _json.loads(raw[8 : 8 + hlen])
+        assert header["__metadata__"] == {"k": "v"}
+        assert header["a"]["dtype"] == "F32" and header["a"]["shape"] == [5, 3]
+        back = load_safetensors(path)
+        for k, v in tensors.items():
+            assert np.array_equal(back[k], v) and back[k].dtype == v.dtype
+        # the real library loads the same file wherever installed
+        try:
+            from safetensors.numpy import load_file
+
+            lib = load_file(path)
+            for k, v in tensors.items():
+                assert np.array_equal(lib[k], v)
+        except ImportError:
+            pass
+
+    def test_embedder_stage_through_real_hook(self, tmp_path, monkeypatch):
+        import numpy as np
+        import pyarrow as pa
+
+        from quarrycore_ray.functions.embed import EmbedderStage
+
+        mdir, enc, texts = self._model(tmp_path)
+        batch = pa.table(
+            {
+                "conv_id": pa.array(["a", "b", "c"], pa.string()),
+                "canonical_text": pa.array(
+                    [texts[0], texts[1], ""], pa.string()
+                ),
+            }
+        )
+        proxy_stage = EmbedderStage()
+        assert proxy_stage._model is None
+        proxy = proxy_stage(batch)
+        monkeypatch.setenv("QC_ENCODER_SAFETENSORS", mdir)
+        hooked_stage = EmbedderStage()
+        assert hooked_stage._model is not None  # hook is live
+        hooked = hooked_stage(batch)
+        # interface contract: same schema, list<float32> embeddings
+        assert hooked.schema == proxy.schema
+        emb = np.asarray(hooked["embedding"].to_pylist(), dtype=np.float32)
+        # model output: 16-dim L2-normalized rows; empty text -> zeros
+        assert emb.shape == (3, 16)
+        assert np.allclose(np.linalg.norm(emb[:2], axis=1), 1.0, atol=1e-5)
+        assert np.allclose(emb[2], 0.0)
+        # deterministic and equal to calling the encoder directly
+        direct = enc.encode([texts[0], texts[1], ""])
+        assert np.allclose(emb, direct, atol=1e-6)
+        # and the proxy differs (64-dim feature hash vs 16-dim model)
+        assert len(proxy["embedding"][0].as_py()) == 64
