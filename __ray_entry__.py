@@ -642,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": dset.stratified_sample_docs,
         "rejection_sample": dset.rejection_sample,
         "format_instruction": dset.format_instruction,
+        # reference formatter trio's third member: document passthrough
+        "format_document": dset.format_document,
         "events_props_extract": rel.events_props_extract,
         "orders_by_status": rel.orders_by_status,
         "customer_order_totals": rel.customer_order_totals,
@@ -2694,6 +2696,9 @@ def oracle_sql() -> dict[str, str]:
                    source || ' document.' || chr(10) || '### Response:' || chr(10) ||
                    {_CANON} AS formatted
             FROM documents
+        """,
+        "format_document": f"""
+            SELECT doc_id, {_CANON} AS text FROM documents
         """,
         "filter_docs_by_length": f"""
             SELECT doc_id, n_tokens FROM (

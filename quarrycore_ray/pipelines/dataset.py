@@ -131,6 +131,26 @@ def format_instruction(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(_f, batch_format="pyarrow")
 
 
+def format_document(sf_dir: str) -> "rd.Dataset":
+    """Document-format passthrough (reference formatter.py:30-31:
+    ``format_type == "document"`` emits ``{"text": chunk}``): one row
+    per document with its whitespace-normalized text. Completes the
+    reference's formatter trio (instruction / document / conversation).
+    Output: (doc_id, text)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": normalize_whitespace_array(batch["text"]),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
 def filter_docs_by_length(sf_dir: str) -> "rd.Dataset":
     """Word-count gate (reference config min_word_count/max_word_count):
     docs with MIN_WORDS <= n_tokens <= MAX_WORDS -> (doc_id, n_tokens)."""
