@@ -56,14 +56,24 @@ def run_dedup_job(
     ckpt = CheckpointManager(out_root)
     t0 = time.perf_counter()
 
+    import shutil
+
+    from ..stages.deadletter import ERROR_COL
+
+    dead_dir = os.path.join(out_root, "dead_letter")
     n_dead = 0
     if dead_letter and not ckpt.is_complete("conversations"):
         # input hygiene tier (reference DeadLetterQueue, recovery/
         # dead_letter.py, enqueue at pipeline.py:859-877): structurally
         # broken turn rows — null conv_id / null turn_idx, which the
         # sort-within-group assembly cannot place — are routed to a
-        # queryable parquet side table instead of poisoning or crashing
-        # the run. Decided once, before the conversations checkpoint.
+        # queryable parquet side table (the stages/deadletter ERROR_COL
+        # convention) instead of poisoning or crashing the run. Decided
+        # once, before the conversations checkpoint. Cost: the DEAD pass
+        # is one extra column-pruned scan + filter (its survivors — the
+        # rare broken rows — are the only thing materialized); the clean
+        # stream then feeds assembly directly, so the input is never
+        # materialized whole.
         import pyarrow.compute as pc
 
         def _split(keep: bool):
@@ -79,17 +89,28 @@ def run_dedup_job(
                     pa.scalar("null_conv_id"),
                     pa.scalar("null_turn_idx"),
                 )
-                return dead.append_column("_error", why)
+                return dead.append_column(ERROR_COL, why)
 
             return _f
 
         raw = rd.read_parquet(input_path)
-        dead_ds = raw.map_batches(_split(False), batch_format="pyarrow")
-        n_dead = dead_ds.count()
+        dead_mat = raw.map_batches(
+            _split(False), batch_format="pyarrow"
+        ).materialize()  # dead rows only — tiny
+        n_dead = dead_mat.count()
+        # clean first (same contract as CheckpointManager.stage's
+        # rmtree): a resumed or reused out_root must never append
+        # duplicate dead-letter rows onto a previous attempt's
+        shutil.rmtree(dead_dir, ignore_errors=True)
         if n_dead:
-            dead_ds.write_parquet(os.path.join(out_root, "dead_letter"))
+            dead_mat.write_parquet(dead_dir)
         clean = raw.map_batches(_split(True), batch_format="pyarrow")
     else:
+        if dead_letter and os.path.isdir(dead_dir):
+            # resume past the conversations checkpoint: recover the
+            # counter from the routed table so job.json never
+            # contradicts the on-disk artifact
+            n_dead = rd.read_parquet(dead_dir).count()
         clean = rd.read_parquet(input_path)
 
     conversations = ckpt.stage(

@@ -102,11 +102,30 @@ def main() -> int:
         dict(zip(cl["conv_id"], cl["cluster_id"])),
     )
 
+    # scale factor vs the 1x bench corpus, derived from its parquet
+    # metadata when it exists on this host (never a hardcoded count —
+    # synth-generator changes would silently skew a frozen constant)
+    scale_vs_bench = None
+    bench_tdir = os.path.join(
+        os.environ.get("GRAFT_BENCH_CORPUS_DIR", "/tmp/qc_bench_corpus"),
+        "n100000_s42", "transcripts",
+    )
+    if os.path.isdir(bench_tdir):
+        import pyarrow.parquet as pq
+
+        base_turns = sum(
+            pq.read_metadata(os.path.join(bench_tdir, f)).num_rows
+            for f in os.listdir(bench_tdir)
+            if f.endswith(".parquet")
+        )
+        if base_turns:
+            scale_vs_bench = round(n_turns / base_turns, 2)
+
     out = {
         "metric": "scale_smoke",
         "n_convs": n_convs,
         "n_turns": int(n_turns),
-        "scale_vs_bench": round(n_turns / 1_103_591, 2),
+        "scale_vs_bench": scale_vs_bench,
         "object_store_gb": store_gb,
         "spilled_mib": spilled_mib,
         "wall_s": round(wall, 1),

@@ -141,8 +141,28 @@ class TestJobDeadLetter:
         assert summary["dead_letter_rows"] == 2
 
         dead = pd.read_parquet(os.path.join(out, "dead_letter"))
-        assert sorted(dead["_error"]) == ["null_conv_id", "null_turn_idx"]
+        from quarrycore_ray.stages.deadletter import ERROR_COL
+        assert sorted(dead[ERROR_COL]) == ["null_conv_id", "null_turn_idx"]
         assert set(dead["text"]) == {"orphan text", "unplaceable text"}
+
+        # resume after the conversations manifest: dead-letter rows are
+        # NOT duplicated (the routed table is replaced, never appended)
+        # and the resumed summary recovers the true counter instead of 0
+        from quarrycore_ray.state.checkpoint import CheckpointManager
+
+        CheckpointManager(out).invalidate("clusters")
+        CheckpointManager(out).invalidate("deduped")
+        resumed = run_dedup_job(broken_dir, out, lineage=False)
+        assert resumed["dead_letter_rows"] == 2
+        assert len(pd.read_parquet(os.path.join(out, "dead_letter"))) == 2
+
+        # a FULL rerun over the same out_root also replaces (not
+        # appends) the routed table
+        for st in ("conversations", "reps", "edges", "clusters", "deduped"):
+            CheckpointManager(out).invalidate(st)
+        rerun = run_dedup_job(broken_dir, out, lineage=False)
+        assert rerun["dead_letter_rows"] == 2
+        assert len(pd.read_parquet(os.path.join(out, "dead_letter"))) == 2
 
         # the clean side is unaffected: same clusters as the pristine run
         out_ref = str(tmp_path / "out_ref")
