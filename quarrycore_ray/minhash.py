@@ -179,7 +179,7 @@ class CombinedMinSimHasher:
         self._cache_limit = cache_limit
 
     def compute(
-        self, texts, chunk_docs: int = 256, block_shingles: int = 4096
+        self, texts, chunk_docs: int = 512, block_shingles: int = 4096
     ) -> tuple[np.ndarray, np.ndarray]:
         """(signatures (n, num_perm) uint64, fingerprints (n,) uint64).
 
