@@ -228,6 +228,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.from_arrow(transcripts_from_documents(sf_dir))
         )
 
+    def _turn_dedup_conversations(sf_dir: str):
+        """Segment-tier duplicate-turn REMOVAL + conversation
+        reassembly (`pipelines/transcripts.turn_dedup_conversations`):
+        cross-conversation near-dup turns clustered transitively, the
+        min-key representative kept, cleaned conversations md5'd."""
+        import ray.data as rd
+
+        from quarrycore_ray.pipelines.transcripts import (
+            turn_dedup_conversations,
+        )
+        from quarrycore_ray.synth import transcripts_from_documents
+
+        return turn_dedup_conversations(
+            rd.from_arrow(transcripts_from_documents(sf_dir))
+        )
+
     def incremental_near_dup_docs(sf_dir: str):
         """Continuous-crawl incremental near-dup: base conversations form
         the historical signature index; the planted -dup / -ws variants
@@ -405,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_turns": duplicate_turns_q,
         # turn-level NEAR dedup: SimHash band LSH across conversations
         "turn_simhash_dup_pairs": _turn_simhash_dup_pairs,
+        "turn_dedup_conversations": _turn_dedup_conversations,
         # soft dedup: keep duplicates, downweight by group multiplicity
         "soft_dedup_weights": cur.soft_dedup_weights,
         "segment_dedup_docs": cur.segment_dedup_docs,
@@ -1521,6 +1538,126 @@ def oracle_sql() -> dict[str, str]:
                    JOIN agg a ON a.doc_id = w.doc_id
         """
 
+    _turn_pairs_sql = """
+            -- mirrors pipelines/transcripts.turn_simhash_dup_pairs:
+            -- 64-bit SimHash per TURN (MD5 feature hash over 7-char
+            -- shingles of the canonical turn text), 4x16-bit band LSH,
+            -- cross-conversation pairs at Hamming <= 3; band buckets
+            -- over 256 rows emit the conversation-distinct chain (row ->
+            -- head of the next conversation's k-run) instead of all
+            -- pairs (the engine's boilerplate cap)
+            WITH RECURSIVE pw(j, p) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL SELECT j + 1, p * 2 FROM pw WHERE j < 63
+            ),
+            w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS words
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, words,
+                       'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                           AS conv_id,
+                       CASE WHEN len(words) = 0 THEN 1
+                            ELSE CAST(ceil(len(words) / 12.0) AS BIGINT)
+                       END AS n_turns
+                FROM w
+            ),
+            all_convs AS (
+                SELECT conv_id, words, n_turns FROM t
+                UNION ALL
+                SELECT conv_id || '-dup', words, n_turns FROM t
+                WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT conv_id || '-ws', words, n_turns FROM t
+                WHERE doc_id % 10 = 5
+            ),
+            sl AS (
+                SELECT conv_id, gs.ti AS ti,
+                       array_to_string(
+                           list_slice(words, gs.ti * 12 + 1, gs.ti * 12 + 12),
+                           ' ') AS c
+                FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
+            ),
+            base AS MATERIALIZED (
+                SELECT conv_id, ti,
+                       conv_id || '#' || lpad(CAST(ti AS VARCHAR), 4, '0') AS k,
+                       CASE WHEN length(c) < 7 THEN c ELSE lower(c) END AS t,
+                       length(c) AS lc
+                FROM sl WHERE length(c) > 0
+            ),
+            sh AS (
+                SELECT DISTINCT k,
+                       CASE WHEN lc < 7 THEN t
+                            ELSE substring(t, CAST(i AS INT), 7) END AS s
+                FROM (SELECT k, t, lc,
+                             unnest(generate_series(1, GREATEST(lc - 6, 1))) AS i
+                      FROM base)
+            ),
+            hv AS (
+                SELECT k,
+                       CAST(CAST(('0x' || substring(hx, 15, 2) || substring(hx, 13, 2)
+                                  || substring(hx, 11, 2) || substring(hx, 9, 2))
+                                 AS BIGINT) AS HUGEINT) * 4294967296
+                       + CAST(('0x' || substring(hx, 7, 2) || substring(hx, 5, 2)
+                               || substring(hx, 3, 2) || substring(hx, 1, 2))
+                              AS BIGINT) AS h
+                FROM (SELECT k, md5(s) AS hx FROM sh)
+            ),
+            votes AS (
+                SELECT k, j, p,
+                       count(*) FILTER (WHERE (h // p) % 2 = 1) AS v,
+                       count(*) AS ns
+                FROM hv CROSS JOIN pw GROUP BY k, j, p
+            ),
+            fpx AS (
+                SELECT k,
+                       sum(CASE WHEN 2 * v > ns THEN p ELSE CAST(0 AS HUGEINT) END)
+                           AS u
+                FROM votes GROUP BY k
+            ),
+            fp AS MATERIALIZED (
+                SELECT base.conv_id, base.ti, base.k, fpx.u,
+                       CASE WHEN u >= 9223372036854775808
+                            THEN CAST(u - 18446744073709551616 AS BIGINT)
+                            ELSE CAST(u AS BIGINT) END AS fp
+                FROM base JOIN fpx USING (k)
+            ),
+            rk AS MATERIALIZED (
+                SELECT conv_id, ti, k, fp, bd.b,
+                       CAST((u // bd.d) % 65536 AS BIGINT) AS bv,
+                       dense_rank() OVER (
+                           PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT)
+                           ORDER BY conv_id) AS cr,
+                       row_number() OVER (
+                           PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT),
+                                        conv_id
+                           ORDER BY k) AS rr,
+                       count(*) OVER (
+                           PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT)
+                           ) AS g
+                FROM fp, (VALUES
+                       (0, CAST(1 AS HUGEINT)),
+                       (1, CAST(65536 AS HUGEINT)),
+                       (2, CAST(4294967296 AS HUGEINT)),
+                       (3, CAST(281474976710656 AS HUGEINT))) AS bd(b, d)
+            )
+            -- over-cap chain: every row pairs with the HEAD (rr = 1) of
+            -- the next distinct conversation in k-order (cr + 1), so the
+            -- bucket stays one connected component even when an
+            -- intra-conversation repeat sits between two conversations
+            SELECT DISTINCT a.conv_id AS a_conv, CAST(a.ti AS BIGINT) AS a_turn,
+                   b.conv_id AS b_conv, CAST(b.ti AS BIGINT) AS b_turn,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM rk a JOIN rk b ON a.b = b.b AND a.bv = b.bv
+             AND ((a.g <= 256 AND a.k < b.k)
+                  OR (a.g > 256 AND b.cr = a.cr + 1 AND b.rr = 1))
+            WHERE a.conv_id != b.conv_id
+              AND bit_count(xor(a.fp, b.fp)) <= 3
+        """
+
     return {
         "exact_dedup_docs": (
             f"SELECT min(doc_id) AS doc_id, canonical FROM ({canon_docs}) "
@@ -2119,18 +2256,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(bp.repeat_pos, -1) AS BIGINT) AS repeat_pos
             FROM w LEFT JOIN bp USING (doc_id)
         """,
-        "turn_simhash_dup_pairs": """
-            -- mirrors pipelines/transcripts.turn_simhash_dup_pairs:
-            -- 64-bit SimHash per TURN (MD5 feature hash over 7-char
-            -- shingles of the canonical turn text), 4x16-bit band LSH,
-            -- cross-conversation pairs at Hamming <= 3; band buckets
-            -- over 256 rows emit the conversation-distinct chain (row ->
-            -- head of the next conversation's k-run) instead of all
-            -- pairs (the engine's boilerplate cap)
-            WITH RECURSIVE pw(j, p) AS (
-                SELECT 0, CAST(1 AS HUGEINT)
-                UNION ALL SELECT j + 1, p * 2 FROM pw WHERE j < 63
+        "turn_simhash_dup_pairs": _turn_pairs_sql,
+        # acting counterpart of the pairs tier: transitive closure over
+        # the SAME pair SQL, keep the min-k representative per group,
+        # reassemble conversations from surviving turns
+        "turn_dedup_conversations": f"""
+            WITH RECURSIVE p AS MATERIALIZED (
+                SELECT a_conv || '#' || lpad(CAST(a_turn AS VARCHAR), 4, '0')
+                           AS ak,
+                       b_conv || '#' || lpad(CAST(b_turn AS VARCHAR), 4, '0')
+                           AS bk
+                FROM ({_turn_pairs_sql}) q
             ),
+            und AS (SELECT ak AS s, bk AS d FROM p
+                    UNION SELECT bk, ak FROM p),
+            nodes AS (SELECT DISTINCT s AS k FROM und),
+            reach(k, r) AS (
+                SELECT k, k FROM nodes
+                UNION
+                SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.k
+            ),
+            labels AS (SELECT k, min(r) AS label FROM reach GROUP BY k),
+            removed AS (SELECT k FROM labels WHERE k != label),
             w AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(text, '\\s+'),
@@ -2155,88 +2302,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT conv_id || '-ws', words, n_turns FROM t
                 WHERE doc_id % 10 = 5
             ),
-            sl AS (
+            turns AS (
                 SELECT conv_id, gs.ti AS ti,
                        array_to_string(
                            list_slice(words, gs.ti * 12 + 1, gs.ti * 12 + 12),
-                           ' ') AS c
+                           ' ') AS c,
+                       conv_id || '#' || lpad(CAST(gs.ti AS VARCHAR), 4, '0')
+                           AS k
                 FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
             ),
-            base AS MATERIALIZED (
-                SELECT conv_id, ti,
-                       conv_id || '#' || lpad(CAST(ti AS VARCHAR), 4, '0') AS k,
-                       CASE WHEN length(c) < 7 THEN c ELSE lower(c) END AS t,
-                       length(c) AS lc
-                FROM sl WHERE length(c) > 0
-            ),
-            sh AS (
-                SELECT DISTINCT k,
-                       CASE WHEN lc < 7 THEN t
-                            ELSE substring(t, CAST(i AS INT), 7) END AS s
-                FROM (SELECT k, t, lc,
-                             unnest(generate_series(1, GREATEST(lc - 6, 1))) AS i
-                      FROM base)
-            ),
-            hv AS (
-                SELECT k,
-                       CAST(CAST(('0x' || substring(hx, 15, 2) || substring(hx, 13, 2)
-                                  || substring(hx, 11, 2) || substring(hx, 9, 2))
-                                 AS BIGINT) AS HUGEINT) * 4294967296
-                       + CAST(('0x' || substring(hx, 7, 2) || substring(hx, 5, 2)
-                               || substring(hx, 3, 2) || substring(hx, 1, 2))
-                              AS BIGINT) AS h
-                FROM (SELECT k, md5(s) AS hx FROM sh)
-            ),
-            votes AS (
-                SELECT k, j, p,
-                       count(*) FILTER (WHERE (h // p) % 2 = 1) AS v,
-                       count(*) AS ns
-                FROM hv CROSS JOIN pw GROUP BY k, j, p
-            ),
-            fpx AS (
-                SELECT k,
-                       sum(CASE WHEN 2 * v > ns THEN p ELSE CAST(0 AS HUGEINT) END)
-                           AS u
-                FROM votes GROUP BY k
-            ),
-            fp AS MATERIALIZED (
-                SELECT base.conv_id, base.ti, base.k, fpx.u,
-                       CASE WHEN u >= 9223372036854775808
-                            THEN CAST(u - 18446744073709551616 AS BIGINT)
-                            ELSE CAST(u AS BIGINT) END AS fp
-                FROM base JOIN fpx USING (k)
-            ),
-            rk AS MATERIALIZED (
-                SELECT conv_id, ti, k, fp, bd.b,
-                       CAST((u // bd.d) % 65536 AS BIGINT) AS bv,
-                       dense_rank() OVER (
-                           PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT)
-                           ORDER BY conv_id) AS cr,
-                       row_number() OVER (
-                           PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT),
-                                        conv_id
-                           ORDER BY k) AS rr,
-                       count(*) OVER (
-                           PARTITION BY bd.b, CAST((u // bd.d) % 65536 AS BIGINT)
-                           ) AS g
-                FROM fp, (VALUES
-                       (0, CAST(1 AS HUGEINT)),
-                       (1, CAST(65536 AS HUGEINT)),
-                       (2, CAST(4294967296 AS HUGEINT)),
-                       (3, CAST(281474976710656 AS HUGEINT))) AS bd(b, d)
+            marked AS (
+                SELECT turns.*, (removed.k IS NOT NULL) AS rm
+                FROM turns LEFT JOIN removed ON removed.k = turns.k
             )
-            -- over-cap chain: every row pairs with the HEAD (rr = 1) of
-            -- the next distinct conversation in k-order (cr + 1), so the
-            -- bucket stays one connected component even when an
-            -- intra-conversation repeat sits between two conversations
-            SELECT DISTINCT a.conv_id AS a_conv, CAST(a.ti AS BIGINT) AS a_turn,
-                   b.conv_id AS b_conv, CAST(b.ti AS BIGINT) AS b_turn,
-                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-            FROM rk a JOIN rk b ON a.b = b.b AND a.bv = b.bv
-             AND ((a.g <= 256 AND a.k < b.k)
-                  OR (a.g > 256 AND b.cr = a.cr + 1 AND b.rr = 1))
-            WHERE a.conv_id != b.conv_id
-              AND bit_count(xor(a.fp, b.fp)) <= 3
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   md5(COALESCE(string_agg(c, ' ' ORDER BY ti)
+                                    FILTER (WHERE NOT rm AND c != ''), ''))
+                       AS cleaned_md5
+            FROM marked GROUP BY conv_id
         """,
         "extract_structured": """
             -- expected structured-extraction output, recomputed from the

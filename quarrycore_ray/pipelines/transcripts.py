@@ -1518,3 +1518,125 @@ _TURN_PAIR_WIDE = pa.schema(
         ("hamming", pa.int64()),
     ]
 )
+
+
+def turn_dedup_conversations(
+    ds: "rd.Dataset",
+    max_hamming: int = 3,
+    bucket_cap: int = TURN_SIMHASH_BUCKET_CAP,
+) -> "rd.Dataset":
+    """Segment-tier REMOVAL: cross-conversation near-duplicate turns are
+    clustered transitively and every non-representative copy is dropped,
+    then conversations are reassembled from the surviving turns — the
+    acting counterpart of the `turn_simhash_dup_pairs` analytics tier
+    (the per-segment dedup a chat-corpus curation pass runs between
+    exact turn dedup and conversation-level near dedup; the reference
+    removes whole documents only, hybrid_dedup.py:131-187).
+
+    Rules (mirrored exactly by the DuckDB oracle):
+    - duplicate groups = connected components over the SimHash turn
+      pairs (Hamming <= `max_hamming`); representative = the minimal
+      composite key ``conv_id#zfill4(turn_idx)`` in the component;
+    - a removed turn is any group member that is not its group's
+      representative; turns in no pair survive untouched;
+    - cleaned conversation text = surviving turns' canonical texts
+      (whitespace-normalized, original case), joined with single
+      spaces in turn order, skipping empty turns.
+
+    Output: (conv_id, n_turns, n_removed, cleaned_md5).
+
+    Scale shape: the pair set is O(duplicate turns) — collected to the
+    driver for union-find exactly like the flagship's verified-edge
+    path; the removal set broadcasts as one Arrow array probed with a
+    vectorized is_in; reassembly is ONE conv_id-keyed partition pass.
+    """
+    import hashlib
+
+    import numpy as np
+
+    import ray as _ray
+
+    from ..oracle import UnionFind
+
+    pairs = turn_simhash_dup_pairs(ds, max_hamming, bucket_cap)
+    uf = UnionFind()
+    for tb in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        a = [
+            f"{c}#{t:04d}"
+            for c, t in zip(tb["a_conv"].to_pylist(), tb["a_turn"].to_pylist())
+        ]
+        b = [
+            f"{c}#{t:04d}"
+            for c, t in zip(tb["b_conv"].to_pylist(), tb["b_turn"].to_pylist())
+        ]
+        for x, y in zip(a, b):
+            uf.union(x, y)
+    removed = [k for k, label in uf.components().items() if k != label]
+    removed_ref = _ray.put(pa.array(sorted(removed), pa.string()))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("cleaned_md5", pa.string()),
+        ]
+    )
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(batch.select(["conv_id", "turn_idx", "text"]))
+            .with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.replace_all(r"\s+", " ")
+                .str.strip_chars(" ")
+                .alias("canon"),
+                (
+                    pl.col("conv_id")
+                    + pl.lit("#")
+                    + pl.col("turn_idx").cast(pl.Utf8).str.zfill(4)
+                ).alias("k"),
+            )
+            .with_columns(
+                pl.col("k")
+                .is_in(pl.from_arrow(_ray.get(removed_ref)))
+                .alias("removed")
+            )
+            .select(["conv_id", "turn_idx", "canon", "removed"])
+        )
+        return df.to_arrow()
+
+    def _assemble(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(tb)
+            .sort(["conv_id", "turn_idx"])
+            .group_by("conv_id", maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_turns"),
+                pl.col("removed").sum().cast(pl.Int64).alias("n_removed"),
+                pl.col("canon")
+                .filter(~pl.col("removed") & (pl.col("canon") != ""))
+                .str.join(" ")
+                .alias("cleaned"),
+            )
+        )
+        md5s = [
+            hashlib.md5((s or "").encode()).hexdigest()
+            for s in out["cleaned"].to_list()
+        ]
+        return (
+            out.with_columns(pl.Series("cleaned_md5", md5s, pl.Utf8))
+            .select(["conv_id", "n_turns", "n_removed", "cleaned_md5"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    marked = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        _mark, batch_format="pyarrow"
+    )
+    return partitioned_group_map(marked, "conv_id", _assemble, arrow=True)

@@ -700,3 +700,67 @@ class TestTurnSimhashDupPairs:
         got = self._run(rows)
         assert len(got) == 6  # C(4,2)
         assert all(h == 0 for h in got.values())
+
+
+class TestTurnDedupConversations:
+    """Segment-tier duplicate-turn REMOVAL
+    (transcripts.turn_dedup_conversations): transitive groups keep only
+    the min-composite-key representative; conversations reassemble from
+    surviving turns."""
+
+    def _run(self, rows, **kw):
+        import hashlib
+
+        from quarrycore_ray.pipelines.transcripts import (
+            turn_dedup_conversations,
+        )
+
+        df = (
+            turn_dedup_conversations(_ds(rows), **kw)
+            .to_pandas()
+            .set_index("conv_id")
+            .sort_index()
+        )
+        return df, hashlib
+
+    def test_representative_kept_others_removed(self):
+        boiler = "you are a helpful assistant that answers questions clearly"
+        rows = [
+            ("a", 0, boiler), ("a", 1, "unique alpha turn with enough words"),
+            ("b", 0, boiler), ("b", 1, "unique beta turn with enough words"),
+            ("c", 0, boiler),
+        ]
+        df, hashlib = self._run(rows)
+        # a#0000 is the min key -> kept; b#0000 and c#0000 removed
+        assert df.loc["a", "n_removed"] == 0
+        assert df.loc["b", "n_removed"] == 1
+        assert df.loc["c", "n_removed"] == 1
+        assert df.loc["a", "n_turns"] == 2 and df.loc["c", "n_turns"] == 1
+        # cleaned text drops the removed boilerplate turn
+        exp_b = hashlib.md5(
+            b"unique beta turn with enough words"
+        ).hexdigest()
+        assert df.loc["b", "cleaned_md5"] == exp_b
+        exp_c = hashlib.md5(b"").hexdigest()  # everything removed
+        assert df.loc["c", "cleaned_md5"] == exp_c
+        exp_a = hashlib.md5(
+            (boiler + " unique alpha turn with enough words").encode()
+        ).hexdigest()
+        assert df.loc["a", "cleaned_md5"] == exp_a
+
+    def test_non_duplicate_turns_untouched(self):
+        rows = [
+            ("x", 0, "completely distinct first conversation content here"),
+            ("y", 0, "another entirely different second conversation text"),
+        ]
+        df, _ = self._run(rows)
+        assert (df["n_removed"] == 0).all()
+
+    def test_transitive_group_single_representative(self):
+        # over-cap chain: c00..c05 identical turns form ONE component
+        # through chain edges; only c00's copy survives
+        text = "repeated boilerplate turn used across many conversations"
+        rows = [(f"c{i:02d}", 0, text) for i in range(6)]
+        df, _ = self._run(rows, bucket_cap=2)
+        assert df.loc["c00", "n_removed"] == 0
+        assert (df.drop(index="c00")["n_removed"] == 1).all()
