@@ -1640,3 +1640,50 @@ def turn_dedup_conversations(
         _mark, batch_format="pyarrow"
     )
     return partitioned_group_map(marked, "conv_id", _assemble, arrow=True)
+
+
+def apply_turn_dedup(
+    ds: "rd.Dataset",
+    max_hamming: int = 3,
+    bucket_cap: int = TURN_SIMHASH_BUCKET_CAP,
+) -> "rd.Dataset":
+    """The row-level twin of `turn_dedup_conversations` (same pattern as
+    `apply_truncation` / `apply_curation`): return the SURVIVING turn
+    rows themselves — every column passed through — for pipelines that
+    feed the segment-deduped transcripts onward. The stats table's
+    (n_removed, cleaned_md5) fully determine this output, so its SQL
+    oracle covers the keep rule."""
+    import ray as _ray
+
+    from ..oracle import UnionFind
+
+    pairs = turn_simhash_dup_pairs(ds, max_hamming, bucket_cap)
+    uf = UnionFind()
+    for tb in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for c_a, t_a, c_b, t_b in zip(
+            tb["a_conv"].to_pylist(), tb["a_turn"].to_pylist(),
+            tb["b_conv"].to_pylist(), tb["b_turn"].to_pylist(),
+        ):
+            uf.union(f"{c_a}#{t_a:04d}", f"{c_b}#{t_b:04d}")
+    removed = [k for k, label in uf.components().items() if k != label]
+    removed_ref = _ray.put(pa.array(sorted(removed), pa.string()))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        keys = (
+            pl.from_arrow(batch.select(["conv_id", "turn_idx"]))
+            .select(
+                (
+                    pl.col("conv_id")
+                    + pl.lit("#")
+                    + pl.col("turn_idx").cast(pl.Utf8).str.zfill(4)
+                ).alias("k")
+            )["k"]
+            .is_in(pl.from_arrow(_ray.get(removed_ref)))
+        )
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(pa.array(keys.to_list(), pa.bool_())))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -764,3 +764,26 @@ class TestTurnDedupConversations:
         df, _ = self._run(rows, bucket_cap=2)
         assert df.loc["c00", "n_removed"] == 0
         assert (df.drop(index="c00")["n_removed"] == 1).all()
+
+    def test_apply_matches_stats(self):
+        from quarrycore_ray.pipelines.transcripts import (
+            apply_turn_dedup, turn_dedup_conversations,
+        )
+
+        boiler = "you are a helpful assistant that answers questions clearly"
+        rows = [
+            ("a", 0, boiler), ("a", 1, "unique alpha turn with enough words"),
+            ("b", 0, boiler), ("b", 1, "unique beta turn with enough words"),
+            ("c", 0, boiler),
+        ]
+        stats = (
+            turn_dedup_conversations(_ds(rows)).to_pandas().set_index("conv_id")
+        )
+        kept = apply_turn_dedup(_ds(rows)).to_pandas()
+        for cid, grp in kept.groupby("conv_id"):
+            assert len(grp) == (
+                stats.loc[cid, "n_turns"] - stats.loc[cid, "n_removed"]
+            )
+        # schema passes through untouched; conv c lost its only turn
+        assert set(kept.columns) == {"conv_id", "turn_idx", "role", "text"}
+        assert "c" not in set(kept["conv_id"])
