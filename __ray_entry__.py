@@ -1583,7 +1583,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             base AS MATERIALIZED (
                 SELECT conv_id, ti,
-                       conv_id || '#' || lpad(CAST(ti AS VARCHAR), 4, '0') AS k,
+                       conv_id || '#' || lpad(CAST(ti AS VARCHAR), 6, '0') AS k,
                        CASE WHEN length(c) < 7 THEN c ELSE lower(c) END AS t,
                        length(c) AS lc
                 FROM sl WHERE length(c) > 0
@@ -2262,9 +2262,9 @@ def oracle_sql() -> dict[str, str]:
         # reassemble conversations from surviving turns
         "turn_dedup_conversations": f"""
             WITH RECURSIVE p AS MATERIALIZED (
-                SELECT a_conv || '#' || lpad(CAST(a_turn AS VARCHAR), 4, '0')
+                SELECT a_conv || '#' || lpad(CAST(a_turn AS VARCHAR), 6, '0')
                            AS ak,
-                       b_conv || '#' || lpad(CAST(b_turn AS VARCHAR), 4, '0')
+                       b_conv || '#' || lpad(CAST(b_turn AS VARCHAR), 6, '0')
                            AS bk
                 FROM ({_turn_pairs_sql}) q
             ),
@@ -2307,7 +2307,7 @@ def oracle_sql() -> dict[str, str]:
                        array_to_string(
                            list_slice(words, gs.ti * 12 + 1, gs.ti * 12 + 12),
                            ' ') AS c,
-                       conv_id || '#' || lpad(CAST(gs.ti AS VARCHAR), 4, '0')
+                       conv_id || '#' || lpad(CAST(gs.ti AS VARCHAR), 6, '0')
                            AS k
                 FROM all_convs, unnest(range(all_convs.n_turns)) AS gs(ti)
             ),

@@ -62,6 +62,11 @@ def run_dedup_job(
 
     dead_dir = os.path.join(out_root, "dead_letter")
     n_dead = 0
+    if not ckpt.is_complete("conversations"):
+        # a fresh conversations attempt invalidates any previous
+        # attempt's routed table REGARDLESS of the dead_letter flag —
+        # the on-disk artifact must never outlive the run that made it
+        shutil.rmtree(dead_dir, ignore_errors=True)
     if dead_letter and not ckpt.is_complete("conversations"):
         # input hygiene tier (reference DeadLetterQueue, recovery/
         # dead_letter.py, enqueue at pipeline.py:859-877): structurally
@@ -98,18 +103,15 @@ def run_dedup_job(
             _split(False), batch_format="pyarrow"
         ).materialize()  # dead rows only — tiny
         n_dead = dead_mat.count()
-        # clean first (same contract as CheckpointManager.stage's
-        # rmtree): a resumed or reused out_root must never append
-        # duplicate dead-letter rows onto a previous attempt's
-        shutil.rmtree(dead_dir, ignore_errors=True)
         if n_dead:
             dead_mat.write_parquet(dead_dir)
         clean = raw.map_batches(_split(True), batch_format="pyarrow")
     else:
-        if dead_letter and os.path.isdir(dead_dir):
+        if os.path.isdir(dead_dir):
             # resume past the conversations checkpoint: recover the
-            # counter from the routed table so job.json never
-            # contradicts the on-disk artifact
+            # counter from the routed table (regardless of this run's
+            # dead_letter flag) so job.json never contradicts the
+            # on-disk artifact
             n_dead = rd.read_parquet(dead_dir).count()
         clean = rd.read_parquet(input_path)
 

@@ -1295,6 +1295,13 @@ def apply_curation(ds: "rd.Dataset") -> "rd.Dataset":
 # Turn-level SimHash near-dedup (the segment tier of the dedup stack)
 # ---------------------------------------------------------------------------
 
+#: zero-padded digits for turn indices inside composite turn keys
+#: (``conv_id#zfill(turn_idx)``). Six digits keeps lexicographic key
+#: order aligned with numeric turn order for any realistic
+#: conversation (10^6 turns per conversation is far beyond the
+#: payload's bound); the SQL oracles lpad with the same width.
+TURN_KEY_WIDTH = 6
+
 #: band buckets larger than this emit a conversation-distinct chain
 #: (each row -> head of the next conversation's k-run) instead of all
 #: O(g^2) pairs — the boilerplate-turn guard ("You are a helpful
@@ -1343,7 +1350,7 @@ def turn_simhash_dup_pairs(
     it exactly.
 
     Output: (a_conv, a_turn, b_conv, b_turn, hamming), pairs ordered by
-    the composite key `conv_id || '#' || zfill4(turn_idx)` with
+    the composite key `conv_id || '#' || zfill(turn_idx, TURN_KEY_WIDTH)` with
     a_conv != b_conv (intra-conversation repeats are `turn_stutter`'s
     job, not dedup's).
     """
@@ -1374,7 +1381,7 @@ def turn_simhash_dup_pairs(
                     (
                         pl.col("conv_id")
                         + pl.lit("#")
-                        + pl.col("turn_idx").cast(pl.Utf8).str.zfill(4)
+                        + pl.col("turn_idx").cast(pl.Utf8).str.zfill(TURN_KEY_WIDTH)
                     ).alias("k")
                 )
             )
@@ -1520,6 +1527,97 @@ _TURN_PAIR_WIDE = pa.schema(
 )
 
 
+def _removed_turn_keys(
+    ds: "rd.Dataset", max_hamming: int, bucket_cap: int
+):
+    """Shared removal machinery for the segment-removal tier: SimHash
+    turn pairs -> driver union-find (pair set is O(duplicate turns),
+    same discipline as the flagship's verified edges) -> broadcast
+    Arrow array of the NON-representative composite keys."""
+    import ray as _ray
+
+    from ..oracle import UnionFind
+
+    pairs = turn_simhash_dup_pairs(ds, max_hamming, bucket_cap)
+    uf = UnionFind()
+    w = TURN_KEY_WIDTH
+    for tb in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for c_a, t_a, c_b, t_b in zip(
+            tb["a_conv"].to_pylist(), tb["a_turn"].to_pylist(),
+            tb["b_conv"].to_pylist(), tb["b_turn"].to_pylist(),
+        ):
+            uf.union(f"{c_a}#{t_a:0{w}d}", f"{c_b}#{t_b:0{w}d}")
+    removed = sorted(
+        k for k, label in uf.components().items() if k != label
+    )
+    return _ray.put(pa.array(removed, pa.string()))
+
+
+class _RemovedProbe:
+    """Per-ACTOR probe state: the broadcast removed-key array becomes a
+    polars Series once in __init__, not once per batch; the composite
+    key expression is shared by both consumers. Null conv_id/turn_idx
+    rows produce null keys whose membership is filled to False — such
+    rows can never be in a pair, so they survive untouched."""
+
+    def __init__(self, removed_ref):
+        import polars as pl
+
+        import ray as _ray
+
+        self.removed = pl.Series(
+            "k", _ray.get(removed_ref).to_pylist(), pl.Utf8
+        )
+
+    @staticmethod
+    def _key_expr():
+        import polars as pl
+
+        return (
+            pl.col("conv_id")
+            + pl.lit("#")
+            + pl.col("turn_idx").cast(pl.Utf8).str.zfill(TURN_KEY_WIDTH)
+        )
+
+
+class _MarkTurns(_RemovedProbe):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(batch.select(["conv_id", "turn_idx", "text"]))
+            .with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.replace_all(r"\s+", " ")
+                .str.strip_chars(" ")
+                .alias("canon"),
+                self._key_expr().alias("k"),
+            )
+            .with_columns(
+                pl.col("k")
+                .is_in(self.removed)
+                .fill_null(False)
+                .alias("removed")
+            )
+            .select(["conv_id", "turn_idx", "canon", "removed"])
+        )
+        return df.to_arrow()
+
+
+class _KeepTurns(_RemovedProbe):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        removed = (
+            pl.from_arrow(batch.select(["conv_id", "turn_idx"]))
+            .select(self._key_expr().alias("k"))["k"]
+            .is_in(self.removed)
+            .fill_null(False)  # null-key rows are kept, never dropped
+        )
+        return batch.filter((~removed).to_arrow())
+
+
 def turn_dedup_conversations(
     ds: "rd.Dataset",
     max_hamming: int = 3,
@@ -1536,7 +1634,7 @@ def turn_dedup_conversations(
     Rules (mirrored exactly by the DuckDB oracle):
     - duplicate groups = connected components over the SimHash turn
       pairs (Hamming <= `max_hamming`); representative = the minimal
-      composite key ``conv_id#zfill4(turn_idx)`` in the component;
+      composite key ``conv_id#zfill6(turn_idx)`` in the component;
     - a removed turn is any group member that is not its group's
       representative; turns in no pair survive untouched;
     - cleaned conversation text = surviving turns' canonical texts
@@ -1545,34 +1643,13 @@ def turn_dedup_conversations(
 
     Output: (conv_id, n_turns, n_removed, cleaned_md5).
 
-    Scale shape: the pair set is O(duplicate turns) — collected to the
-    driver for union-find exactly like the flagship's verified-edge
-    path; the removal set broadcasts as one Arrow array probed with a
-    vectorized is_in; reassembly is ONE conv_id-keyed partition pass.
+    Scale shape: see `_removed_turn_keys`; the removal set broadcasts
+    once and is probed per actor with a vectorized is_in; reassembly
+    is ONE conv_id-keyed partition pass.
     """
     import hashlib
 
-    import numpy as np
-
-    import ray as _ray
-
-    from ..oracle import UnionFind
-
-    pairs = turn_simhash_dup_pairs(ds, max_hamming, bucket_cap)
-    uf = UnionFind()
-    for tb in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        a = [
-            f"{c}#{t:04d}"
-            for c, t in zip(tb["a_conv"].to_pylist(), tb["a_turn"].to_pylist())
-        ]
-        b = [
-            f"{c}#{t:04d}"
-            for c, t in zip(tb["b_conv"].to_pylist(), tb["b_turn"].to_pylist())
-        ]
-        for x, y in zip(a, b):
-            uf.union(x, y)
-    removed = [k for k, label in uf.components().items() if k != label]
-    removed_ref = _ray.put(pa.array(sorted(removed), pa.string()))
+    removed_ref = _removed_turn_keys(ds, max_hamming, bucket_cap)
 
     out_schema = pa.schema(
         [
@@ -1582,32 +1659,6 @@ def turn_dedup_conversations(
             ("cleaned_md5", pa.string()),
         ]
     )
-
-    def _mark(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = (
-            pl.from_arrow(batch.select(["conv_id", "turn_idx", "text"]))
-            .with_columns(
-                pl.col("text")
-                .fill_null("")
-                .str.replace_all(r"\s+", " ")
-                .str.strip_chars(" ")
-                .alias("canon"),
-                (
-                    pl.col("conv_id")
-                    + pl.lit("#")
-                    + pl.col("turn_idx").cast(pl.Utf8).str.zfill(4)
-                ).alias("k"),
-            )
-            .with_columns(
-                pl.col("k")
-                .is_in(pl.from_arrow(_ray.get(removed_ref)))
-                .alias("removed")
-            )
-            .select(["conv_id", "turn_idx", "canon", "removed"])
-        )
-        return df.to_arrow()
 
     def _assemble(tb: pa.Table) -> pa.Table:
         import polars as pl
@@ -1637,7 +1688,10 @@ def turn_dedup_conversations(
         )
 
     marked = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
-        _mark, batch_format="pyarrow"
+        _MarkTurns,
+        fn_constructor_kwargs={"removed_ref": removed_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
     )
     return partitioned_group_map(marked, "conv_id", _assemble, arrow=True)
 
@@ -1649,41 +1703,15 @@ def apply_turn_dedup(
 ) -> "rd.Dataset":
     """The row-level twin of `turn_dedup_conversations` (same pattern as
     `apply_truncation` / `apply_curation`): return the SURVIVING turn
-    rows themselves — every column passed through — for pipelines that
-    feed the segment-deduped transcripts onward. The stats table's
+    rows themselves — every column passed through, including rows with
+    null keys (they can never be in a pair) — for pipelines that feed
+    the segment-deduped transcripts onward. The stats table's
     (n_removed, cleaned_md5) fully determine this output, so its SQL
     oracle covers the keep rule."""
-    import ray as _ray
-
-    from ..oracle import UnionFind
-
-    pairs = turn_simhash_dup_pairs(ds, max_hamming, bucket_cap)
-    uf = UnionFind()
-    for tb in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for c_a, t_a, c_b, t_b in zip(
-            tb["a_conv"].to_pylist(), tb["a_turn"].to_pylist(),
-            tb["b_conv"].to_pylist(), tb["b_turn"].to_pylist(),
-        ):
-            uf.union(f"{c_a}#{t_a:04d}", f"{c_b}#{t_b:04d}")
-    removed = [k for k, label in uf.components().items() if k != label]
-    removed_ref = _ray.put(pa.array(sorted(removed), pa.string()))
-
-    def _keep(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        keys = (
-            pl.from_arrow(batch.select(["conv_id", "turn_idx"]))
-            .select(
-                (
-                    pl.col("conv_id")
-                    + pl.lit("#")
-                    + pl.col("turn_idx").cast(pl.Utf8).str.zfill(4)
-                ).alias("k")
-            )["k"]
-            .is_in(pl.from_arrow(_ray.get(removed_ref)))
-        )
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.invert(pa.array(keys.to_list(), pa.bool_())))
-
-    return ds.map_batches(_keep, batch_format="pyarrow")
+    removed_ref = _removed_turn_keys(ds, max_hamming, bucket_cap)
+    return ds.map_batches(
+        _KeepTurns,
+        fn_constructor_kwargs={"removed_ref": removed_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

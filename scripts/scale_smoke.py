@@ -106,9 +106,10 @@ def main() -> int:
     # metadata when it exists on this host (never a hardcoded count —
     # synth-generator changes would silently skew a frozen constant)
     scale_vs_bench = None
+    bench_convs = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))
     bench_tdir = os.path.join(
         os.environ.get("GRAFT_BENCH_CORPUS_DIR", "/tmp/qc_bench_corpus"),
-        "n100000_s42", "transcripts",
+        f"n{bench_convs}_s42", "transcripts",
     )
     if os.path.isdir(bench_tdir):
         import pyarrow.parquet as pq

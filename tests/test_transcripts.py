@@ -787,3 +787,21 @@ class TestTurnDedupConversations:
         # schema passes through untouched; conv c lost its only turn
         assert set(kept.columns) == {"conv_id", "turn_idx", "role", "text"}
         assert "c" not in set(kept["conv_id"])
+
+    def test_null_key_rows_pass_through(self):
+        import pyarrow as pa
+
+        from quarrycore_ray.pipelines.transcripts import apply_turn_dedup
+
+        tb = pa.table(
+            {
+                "conv_id": pa.array(["a", None, "b"], pa.string()),
+                "turn_idx": pa.array([0, 1, None], pa.int32()),
+                "role": pa.array(["user"] * 3, pa.string()),
+                "text": pa.array(["alpha text", "orphan", "unplaceable"]),
+            }
+        )
+        kept = apply_turn_dedup(rd.from_arrow(tb)).to_pandas()
+        # null-key rows can never be in a pair -> they survive untouched
+        assert len(kept) == 3
+        assert kept["text"].tolist() == ["alpha text", "orphan", "unplaceable"]
