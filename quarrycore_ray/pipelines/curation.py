@@ -1197,6 +1197,13 @@ def boilerplate_lines_docs(
     # string itself), so the choice is free; 64 bits over the distinct
     # boilerplate-candidate lines of a shard keeps collision odds
     # negligible, and a collision at worst misflags one line.
+    # DEPLOYMENT ASSUMPTION: polars does NOT guarantee .hash() stability
+    # across polars versions, so the DF-counting pass and the cleaning
+    # pass must run under the SAME polars build on every worker (true
+    # for any homogeneous cluster image). If heterogeneous workers are
+    # ever possible, switch this key to a version-stable digest of the
+    # utf8 bytes (e.g. text.sha256_hex_array on source + '\x00' + line)
+    # at the cost of a wider shuffle key.
     _line_key = (
         pl.struct(["source", "line"]).hash(seed=0).reinterpret(signed=True)
     )

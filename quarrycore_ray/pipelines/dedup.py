@@ -237,6 +237,17 @@ def dedup_conversations(
 
     if overflow:
         del uf, edge_tables
+        if lineage:
+            # the partially-consumed first pass already reported
+            # minhash/verify lineage rows for its completed partitions;
+            # re-executing S3->S5 below would double-count them in
+            # metrics.parquet / the Prometheus export. Only those two
+            # stages report, so a drain here discards exactly the
+            # abandoned pass (earlier stages — canonical, exact — do
+            # not report lineage).
+            from ..state.metrics import drain_metrics as _drain
+
+            _drain()
         edges_ds = edges_stream.materialize()
         metrics["verified_edges"] = edges_ds.count()
         metrics["cluster_path"] = "label_propagation"

@@ -277,6 +277,16 @@ class WarcParseStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.deadletter import ERROR_COL
 
+        if batch.num_rows == 0:
+            # Ray 2.49 skips UDFs on zero-row blocks (util.py), but a
+            # direct caller — or a future Ray — must still get the
+            # typed empty table rather than an IndexError on tables[0]
+            empty = WARC_SCHEMA.empty_table()
+            if self.tag_errors:
+                empty = empty.append_column(
+                    ERROR_COL, pa.array([], pa.string())
+                )
+            return empty
         tables = []
         for blob in batch["bytes"]:
             rejects: list[dict] | None = [] if self.tag_errors else None

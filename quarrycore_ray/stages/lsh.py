@@ -458,6 +458,23 @@ class _BroadcastAttach:
             )
             .sort("_i")
         )
+        # a pair id absent from the signature table joins to null, and
+        # null -> to_numpy() NaN -> astype(int64) is an undefined index
+        # that fails much later inside Table.take — fail HERE with the
+        # offending ids instead (parity with the old dict KeyError)
+        if j["_ai"].null_count() or j["_bi"].null_count():
+            missing = (
+                j.filter(
+                    pl.col("_ai").is_null() | pl.col("_bi").is_null()
+                )
+                .select(["a_id", "b_id"])
+                .head(5)
+                .rows()
+            )
+            raise KeyError(
+                "pair ids missing from the broadcast signature table: "
+                f"{missing}"
+            )
         ai = pa.array(j["_ai"].to_numpy().astype(np.int64))
         bi = pa.array(j["_bi"].to_numpy().astype(np.int64))
         rows_a = self.tbl.take(ai)

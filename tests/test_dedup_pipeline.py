@@ -714,3 +714,46 @@ class TestReviewSample:
         again = dedup_review_sample(str(tmp_path), per_bucket=2).to_pandas()
         pdsort = lambda d: d.sort_values(["bucket", "rank"]).reset_index(drop=True)  # noqa: E731
         assert pdsort(out).equals(pdsort(again))
+
+
+class TestBroadcastAttachMissingId:
+    """A pair id absent from the broadcast signature table must raise a
+    descriptive KeyError naming the ids — not surface later as an
+    undefined NaN->int64 index inside Table.take (ADVICE r4)."""
+
+    def test_missing_id_raises_keyerror(self):
+        import numpy as np
+        import pytest
+        import ray
+
+        from quarrycore_ray.stages.lsh import _BroadcastAttach
+
+        sigs = pa.table(
+            {
+                "conv_id": pa.array(["a", "b"], pa.string()),
+                "minhash_sig": pa.array([b"\x00" * 512] * 2, pa.binary()),
+                "simhash": pa.array([0, 1], pa.int64()),
+                "thr": pa.array([0.85, 0.85], pa.float64()),
+            }
+        )
+        stage = _BroadcastAttach(ray.put(sigs))
+        good = pa.table(
+            {
+                "a_id": pa.array(["a"], pa.string()),
+                "b_id": pa.array(["b"], pa.string()),
+                "bucket_size": pa.array([2], pa.int64()),
+                "dropped_pairs": pa.array([0], pa.int64()),
+            }
+        )
+        out = stage(good)
+        assert out.num_rows == 1
+        bad = pa.table(
+            {
+                "a_id": pa.array(["a"], pa.string()),
+                "b_id": pa.array(["MISSING"], pa.string()),
+                "bucket_size": pa.array([2], pa.int64()),
+                "dropped_pairs": pa.array([0], pa.int64()),
+            }
+        )
+        with pytest.raises(KeyError, match="MISSING"):
+            stage(bad)

@@ -222,3 +222,26 @@ class TestWarcFuzzRoundtrip:
                 assert o["warc_type"] == r["warc_type"]
 
         check()
+
+
+class TestZeroRowBatch:
+    """A zero-row input batch must yield the typed empty table, not an
+    IndexError (Ray 2.49 happens to skip UDFs on empty blocks, but a
+    direct caller — or a future Ray — hits __call__ directly)."""
+
+    def test_plain(self):
+        from quarrycore_ray.sources.warc import WARC_SCHEMA, WarcParseStage
+
+        empty = pa.table({"bytes": pa.array([], pa.binary())})
+        out = WarcParseStage()(empty)
+        assert out.num_rows == 0
+        assert out.schema.equals(WARC_SCHEMA)
+
+    def test_tag_errors(self):
+        from quarrycore_ray.sources.warc import WARC_SCHEMA, WarcParseStage
+        from quarrycore_ray.stages.deadletter import ERROR_COL
+
+        empty = pa.table({"bytes": pa.array([], pa.binary())})
+        out = WarcParseStage(tag_errors=True)(empty)
+        assert out.num_rows == 0
+        assert out.column_names == WARC_SCHEMA.names + [ERROR_COL]
