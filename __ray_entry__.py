@@ -441,6 +441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_hotband": docs.dedup_docs_hotband,
         # extraction cascade over deterministic boilerplate-laden pages
         "extract_html_docs": docs.extract_html_docs,
+        # documents-axis end-to-end composition from HTML: extract
+        # cascade -> curation gate -> flagship dedup, total lineage
+        # (reference main loop pipeline.py:583-880)
+        "html_curate_dedup_docs": cur.html_curate_dedup_docs,
         # OG/Twitter/author/date metadata extraction over deterministic
         # pages (both meta attribute orders exercised)
         "extract_metadata_docs": docs.extract_metadata_docs,
@@ -461,6 +465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_assign_knn": similarity.ivf_assign_knn,
         "ann_ivf_knn": similarity.ann_ivf_knn,
         "embedding_dup_pairs": similarity.embedding_dup_pairs,
+        # ANN-prefiltered twin: LSH buckets -> exact cosine verify,
+        # all-pairs oracle over a planted near-copy corpus
+        "embedding_dup_pairs_ann": similarity.embedding_dup_pairs_ann_planted,
         "semdedup_prune": similarity.semdedup_prune,
         # per-label medoid (all-integer k-medoids representative step)
         "label_medoids": similarity.label_medoids,
@@ -749,15 +756,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substr_spans", "exact_substr_dedup_docs",
         "domain_classify_docs", "dedup_docs_domain_thresholds",
         "dedup_docs_hotband", "extract_html_docs",
+        # round-5: documents-axis end-to-end composition from HTML
+        "html_curate_dedup_docs",
         # semantic / ANN tier + this round's MMR re-rank (ivf_assign_knn
         # is the exact-oracled fixed-quantizer split of the IVF path;
         # the iterative-training ann_ivf_knn stays rows-only behind the
         # window)
         "knn_cosine", "ann_lsh_knn", "ivf_assign_knn", "embedding_dup_pairs",
-        "semdedup_prune", "mmr_rerank_docs",
-        # transcripts axis (north-rule payload)
+        "embedding_dup_pairs_ann", "semdedup_prune", "mmr_rerank_docs",
+        # transcripts axis (north-rule payload; windows/tool analytics
+        # sit behind the window since round 5 to make room for the two
+        # new composed/ANN flagships — still full-sweep checked)
         "transcript_turn_stats", "tool_usage_stats",
-        "truncate_conversations_stats", "conversation_windows_stats",
+        "truncate_conversations_stats",
         # versioned-ingest maintenance
         "corpus_snapshot_diff", "snapshot_vocab_drift",
         # text analysis / scalar functions
@@ -771,8 +782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_docs_deterministic",
         # streaming-shaped
         "events_window_dedup",
-        # link graph
-        "link_pagerank_docs", "link_triangles_docs",
+        # link graph (triangles demoted behind the window in round 5)
+        "link_pagerank_docs",
         # multimodal (real codecs)
         "media_decode_stats", "image_dhash_dedup",
     ]
@@ -1490,6 +1501,38 @@ def oracle_sql() -> dict[str, str]:
             FROM hits GROUP BY doc_id
         """
 
+    # --- html_curate_dedup_docs: the composed documents-axis pipeline.
+    # The extraction leg recovers EXACTLY the canonical text (pinned by
+    # the extract_html_docs oracle), so the curation gate computes over
+    # canonical; gopher's raw-text metrics therefore read the canonical
+    # form too — swap `text` for the canonical expression in its first
+    # CTE (canonical-of-canonical is the identity).
+    _V_gopher_canon = _V_gopher_quality_docs.replace(
+        "SELECT doc_id, text, ",
+        f"SELECT doc_id, {_CANON} AS text, ",
+        1,
+    )
+    _HTML_STAGED = f"""
+            SELECT b.doc_id,
+                   CASE WHEN b.doc_id % 50 = 0 THEN 'holdout'
+                        WHEN g.keep = 0 THEN 'gopher'
+                        WHEN cc.bucket = 'tail' THEN 'ccnet'
+                        WHEN dec.doc_id IS NOT NULL THEN 'decontaminate'
+                        ELSE NULL END AS rej
+            FROM (SELECT doc_id FROM documents) b
+            JOIN ({_V_gopher_canon}) g USING (doc_id)
+            JOIN ({_V_ccnet_bucket_docs}) cc USING (doc_id)
+            LEFT JOIN ({_V_decontaminate_docs}) dec USING (doc_id)
+    """
+    # survivor body for the nested flagship-dedup statement (DuckDB
+    # CTE scoping: `staged` is visible inside the nested WITH RECURSIVE)
+    _HTML_SURV_BODY = f"""
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         {_CANON} AS canonical
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM staged WHERE rej IS NULL)
+"""
+
     _V_knn_cosine = """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 5),
@@ -2104,6 +2147,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine
             FROM p WHERE cos >= 0.45
+        """,
+        # the ANN twin's oracle: derive the SAME planted corpus (pure
+        # IEEE-double ops: unchanged components, *1.1 on index%7==0 —
+        # 1-based (i-1)%7=0 here matches numpy's 0::7) and scan ALL
+        # pairs exactly; the engine side must reproduce this with its
+        # LSH-prefiltered + exact-verify path
+        "embedding_dup_pairs_ann": """
+            WITH orig AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ),
+            u AS (
+                SELECT vec_id, unnest(e) AS x,
+                       generate_subscripts(e, 1) AS i
+                FROM orig WHERE vec_id % 10 = 0
+            ),
+            pert AS (
+                SELECT vec_id + 1000000 AS vec_id,
+                       list(CASE WHEN (i - 1) % 7 = 0 THEN x * 1.1
+                                 ELSE x END ORDER BY i) AS e
+                FROM u GROUP BY vec_id
+            ),
+            base AS (
+                SELECT * FROM orig UNION ALL SELECT * FROM pert
+            ),
+            p AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       list_cosine_similarity(a.e, b.e) AS cos
+                FROM base a JOIN base b ON a.vec_id < b.vec_id
+            )
+            SELECT a_id, b_id,
+                   floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine
+            FROM p WHERE cos >= 0.9
         """,
         "langid_docs": _V_langid_docs,
         "fingerprint_docs": f"""
@@ -3245,6 +3321,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN r.rep != s.doc_id THEN 'exact_dup'
                         ELSE 'kept' END AS reject_stage
             FROM staged s LEFT JOIN withrep r USING (doc_id)
+        """,
+        "html_curate_dedup_docs": f"""
+            WITH staged AS MATERIALIZED ({_HTML_STAGED}),
+            clusters AS MATERIALIZED (
+                SELECT * FROM ({sqlgen.dedup_clusters_sql(_HTML_SURV_BODY)}) t
+            )
+            SELECT s.doc_id,
+                   CAST(CASE WHEN c.conv_id IS NOT NULL
+                                  AND c.is_representative
+                             THEN 1 ELSE 0 END AS BIGINT) AS kept,
+                   CASE WHEN s.rej IS NOT NULL THEN s.rej
+                        WHEN c.dup_kind = 'exact' THEN 'exact_dup'
+                        WHEN NOT c.is_representative THEN 'near_dup'
+                        ELSE 'kept' END AS reject_stage,
+                   c.cluster_id
+            FROM staged s
+            LEFT JOIN clusters c
+              ON c.conv_id = 'doc-' || lpad(CAST(s.doc_id AS VARCHAR), 8, '0')
         """,
         "pii_redact_docs": f"""
             WITH inj AS (

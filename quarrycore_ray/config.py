@@ -152,6 +152,23 @@ class DedupConfig:
         )
 
 
+def fixed_probe_pool(frac: float = 0.125, lo: int = 1, hi: int = 16) -> int:
+    """Pre-started FIXED actor-pool size for light broadcast-probe and
+    media-decode stages (turn-dedup probes, dHash/audio fingerprints).
+
+    Same rationale as `DedupConfig.sig_pool_size`: an autoscaling
+    ``(1, N)`` pool ramps one actor at a time and measured 2.2x the wall
+    of a pre-started pool on bursty stages; these stages are light per
+    batch, so an eighth of the cluster (capped) keeps them off the
+    critical path without starving the heavy pools. ``lo=1``: fixed
+    actors hold their CPU for the pipeline's lifetime, and a pipeline
+    stacks several pools — on a tiny cluster (the 4-CPU test fixture)
+    a 2-actor floor per probe stage can pin every CPU under actors and
+    deadlock the task operators between them.
+    """
+    return _cpu_fraction(frac, lo, hi)
+
+
 def _cpu_fraction(frac: float, lo: int = 2, hi: int = 64) -> int:
     try:
         import ray

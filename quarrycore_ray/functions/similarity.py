@@ -211,6 +211,162 @@ def embedding_dup_pairs(
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+def embedding_dup_pairs_ann(
+    emb_ds: "rd.Dataset",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 13,
+    bucket_cap: int = 1024,
+) -> pd.DataFrame:
+    """Scale-safe twin of `embedding_dup_pairs`: hyperplane-LSH buckets
+    prefilter the candidate pairs, then each candidate is verified with
+    the EXACT cosine — output-identical to the all-pairs scan whenever
+    every >=threshold pair collides in at least one table (for the
+    high-similarity dedup regime this operator targets, a cosine-0.999
+    near-copy misses an 8-plane bucket in all 8 tables with probability
+    ~5e-9; the all-pairs `embedding_dup_pairs` remains the oracle and
+    the low-threshold fallback).
+
+    Scale shape: ONE bucket-keyed shuffle (n_tables copies of each
+    normalized vector ride it, exactly like `ann_lsh_knn`); per-bucket
+    pairing is a triangular index + chunked row-wise einsum — the same
+    pair always scores from the same two float64 rows, so cross-table
+    duplicates are bit-identical and dedup by value is safe. Degenerate
+    buckets (everything identical) are truncated at `bucket_cap`
+    vectors (deterministic vec_id order); the sf corpora never bind the
+    cap (asserted in tests).
+    """
+    import polars as _pl
+
+    from ..stages.grouped import partitioned_group_map, run_bounds
+
+    empty = pd.DataFrame(
+        {
+            "a_id": pd.Series([], dtype="int64"),
+            "b_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+    probe = emb_ds.take(1)
+    if not probe:
+        return empty
+    dim = len(probe[0]["embedding"])
+    planes_ref = ray.put(lsh_planes_u(dim, n_planes, n_tables, seed))
+
+    def _buckets(batch: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        ids, emb = _to_matrix(batch)
+        emb_u = _quantize_u(emb)
+        nemb = _normalize(emb)
+        keys: list[np.ndarray] = []
+        for t in range(n_tables):
+            proj = emb_u @ planes[t].T
+            bits = (proj > 0).astype(np.int64)
+            key = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            keys.append(key | (t << 32))
+        norm_col = pa.array(list(nemb), pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(keys), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                "embedding": pa.concat_arrays([norm_col] * n_tables),
+            }
+        )
+
+    bucketed = emb_ds.map_batches(_buckets, batch_format="pyarrow")
+
+    _PAIR_SCHEMA = pa.schema(
+        [
+            ("a_id", pa.int64()),
+            ("b_id", pa.int64()),
+            ("cosine", pa.float64()),
+        ]
+    )
+
+    def _pairs_part(tb: pa.Table) -> pa.Table:
+        df = (
+            _pl.from_arrow(tb)
+            .sort(["bucket", "vec_id"])
+            .unique(["bucket", "vec_id"], keep="first", maintain_order=True)
+        )
+        at = df.to_arrow()
+        keys = df["bucket"].to_numpy()
+        ids = np.asarray(at["vec_id"], dtype=np.int64)
+        flat = np.asarray(at["embedding"].combine_chunks().values, np.float64)
+        mat = flat.reshape(len(ids), -1)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        bounds = run_bounds(keys)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s > bucket_cap:  # deterministic skew truncation
+                e = s + bucket_cap
+            m = e - s
+            if m < 2:
+                continue
+            bids = ids[s:e]
+            bm = mat[s:e]
+            iu, ju = np.triu_indices(m, k=1)
+            # chunked row-wise dot: bounded gather memory on fat buckets
+            for c0 in range(0, len(iu), 65536):
+                ic, jc = iu[c0 : c0 + 65536], ju[c0 : c0 + 65536]
+                cos = np.einsum("ij,ij->i", bm[ic], bm[jc])
+                keep = cos >= threshold
+                if keep.any():
+                    out_a.append(bids[ic[keep]])
+                    out_b.append(bids[jc[keep]])
+                    out_c.append(cos[keep])
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(out_a), pa.int64()),
+                "b_id": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    pairs = partitioned_group_map(bucketed, "bucket", _pairs_part, arrow=True)
+    out = pairs.to_pandas()  # O(duplicate pairs) — query-sized
+    if out.empty:
+        return empty
+    out = out.drop_duplicates(["a_id", "b_id"])
+    out["cosine"] = floor_round_np(out["cosine"].to_numpy())
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def embedding_dup_pairs_ann_planted(sf_dir: str) -> pd.DataFrame:
+    """Driver query for the ANN-prefiltered dup-pair twin: plant a
+    deterministic near-copy (components at index % 7 == 0 scaled by
+    1.1, cosine ~0.9995 to its source) for every vec_id % 10 == 0, then
+    run `embedding_dup_pairs_ann` at threshold 0.9 over original +
+    planted rows. The DuckDB oracle derives the SAME planted corpus
+    (pure IEEE-double ops, bit-identical on both sides) and scans ALL
+    pairs exactly — so the driver check proves the prefiltered engine
+    equals all-pairs semantics on an ANN-recallable duplicate
+    structure, clearing `embedding_dup_pairs`' O(n^2) design watch."""
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        sel = ids % 10 == 0
+        pm = emb[sel].copy()
+        pm[:, 0::7] *= 1.1
+        out_ids = np.concatenate([ids, ids[sel] + 1_000_000])
+        out_emb = np.concatenate([emb, pm])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(
+                    list(out_emb), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    planted = _embeddings(sf_dir).map_batches(_plant, batch_format="pyarrow")
+    return embedding_dup_pairs_ann(planted, threshold=0.9)
+
+
 #: micro-unit quantum for the hyperplane-LSH integer arithmetic
 _LSH_Q = 1_000_000
 

@@ -330,10 +330,16 @@ class ResizeStage:
 
 
 def media_features(
-    media: "ray.data.Dataset", batch_size: int = 64, concurrency=(1, 4)
+    media: "ray.data.Dataset", batch_size: int = 64, concurrency=None
 ) -> "ray.data.Dataset":
     """Decode -> per-media features. Small batch_size: binary rows are
-    orders of magnitude wider than text rows."""
+    orders of magnitude wider than text rows. Default pool: fixed,
+    pre-started (config.fixed_probe_pool — autoscaling ramps measured
+    2.2x slower on bursty stages)."""
+    if concurrency is None:
+        from .config import fixed_probe_pool
+
+        concurrency = fixed_probe_pool()
     return media.map_batches(
         DecodeImageStage,
         batch_format="pyarrow",

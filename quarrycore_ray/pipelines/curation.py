@@ -882,6 +882,54 @@ _STAGED_SCHEMA = pa.schema(
 )
 
 
+def _stage_rejects(
+    canon: "rd.Dataset",
+    g: "rd.Dataset",
+    cc: "rd.Dataset",
+    dec: "rd.Dataset",
+    holdout_mod: int,
+) -> "rd.Dataset":
+    """Stitch the three curation signals onto the canonical corpus and
+    attribute each doc to the FIRST rejecting stage -> (doc_id,
+    canonical, rej) with rej in {holdout, gopher, ccnet, decontaminate,
+    NULL}. Three doc_id-keyed `attach_lookup` passes (broadcast under
+    1M docs, hash-partitioned join above); shared by
+    `curation_pipeline_docs` and `html_curate_dedup_docs`."""
+    t = attach_lookup(
+        canon, _STAGED_SCHEMA, ["doc_id"], g, "doc_id", "keep",
+        pa.int64(), ["keep"],
+    )
+    s2 = pa.schema(list(_STAGED_SCHEMA) + [pa.field("keep", pa.int64())])
+    t = attach_lookup(
+        t, s2, ["doc_id"], cc, "doc_id", "bucket", pa.string(), ["bucket"]
+    )
+    s3 = pa.schema(list(s2) + [pa.field("bucket", pa.string())])
+    t = attach_lookup(
+        t, s3, ["doc_id"], dec, "doc_id", "n_contaminated_segs",
+        pa.int64(), ["n_cont"],
+    )
+
+    def _stage(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keep = np.asarray(batch["keep"], dtype=np.int64)
+        bucket = np.asarray(batch["bucket"])
+        contaminated = ~np.asarray(pc.is_null(batch["n_cont"]))
+        rej = np.full(len(ids), None, dtype=object)
+        rej[contaminated] = "decontaminate"
+        rej[bucket == "tail"] = "ccnet"
+        rej[keep == 0] = "gopher"
+        rej[ids % holdout_mod == 0] = "holdout"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canonical": batch["canonical"],
+                "rej": pa.array(rej, pa.string()),
+            }
+        )
+
+    return t.map_batches(_stage, batch_format="pyarrow")
+
+
 def curation_pipeline_docs(
     sf_dir: str, holdout_mod: int = 50
 ) -> "rd.Dataset":
@@ -919,40 +967,7 @@ def curation_pipeline_docs(
         ["doc_id", "bucket"]
     )
     dec = decontaminate_docs(sf_dir, holdout_mod=holdout_mod, canon=canon)
-
-    t = attach_lookup(
-        canon, _STAGED_SCHEMA, ["doc_id"], g, "doc_id", "keep",
-        pa.int64(), ["keep"],
-    )
-    s2 = pa.schema(list(_STAGED_SCHEMA) + [pa.field("keep", pa.int64())])
-    t = attach_lookup(
-        t, s2, ["doc_id"], cc, "doc_id", "bucket", pa.string(), ["bucket"]
-    )
-    s3 = pa.schema(list(s2) + [pa.field("bucket", pa.string())])
-    t = attach_lookup(
-        t, s3, ["doc_id"], dec, "doc_id", "n_contaminated_segs",
-        pa.int64(), ["n_cont"],
-    )
-
-    def _stage(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        keep = np.asarray(batch["keep"], dtype=np.int64)
-        bucket = np.asarray(batch["bucket"])
-        contaminated = ~np.asarray(pc.is_null(batch["n_cont"]))
-        rej = np.full(len(ids), None, dtype=object)
-        rej[contaminated] = "decontaminate"
-        rej[bucket == "tail"] = "ccnet"
-        rej[keep == 0] = "gopher"
-        rej[ids % holdout_mod == 0] = "holdout"
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "canonical": batch["canonical"],
-                "rej": pa.array(rej, pa.string()),
-            }
-        )
-
-    staged = t.map_batches(_stage, batch_format="pyarrow").materialize()
+    staged = _stage_rejects(canon, g, cc, dec, holdout_mod).materialize()
 
     def _surv_key(batch: pa.Table) -> pa.Table:
         m = pc.is_null(batch["rej"])
@@ -1020,6 +1035,157 @@ def curation_pipeline_docs(
         )
 
     return final.map_batches(_final, batch_format="pyarrow")
+
+
+def html_curate_dedup_docs(sf_dir: str, holdout_mod: int = 50) -> "rd.Dataset":
+    """The documents-axis end-to-end pipeline from HTML — the Ray-Data
+    re-expression of the reference's main per-document loop (extract ->
+    quality -> dedup -> store, pipeline.py:583-880), composed from the
+    individually-oracled stages and with TOTAL reject lineage:
+
+      html_pages     deterministic boilerplate page per document
+      extract        full cascade (stages/extract.py; the DOM strategy
+                     strips every planted fragment, recovering exactly
+                     the normalized document text)
+      curation gate  holdout / gopher / ccnet / decontaminate staging
+                     computed ON THE EXTRACTED TEXT (`_stage_rejects`;
+                     gopher's raw-text metrics therefore see the
+                     single-line canonical form — what a real pipeline
+                     scores after extraction)
+      flagship dedup survivors through the full multi-level stack
+                     (exact short-circuit -> MinHash/LSH -> verify ->
+                     cluster, pipelines/dedup.dedup_conversations)
+
+    Output: one row per input document —
+      (doc_id, kept, reject_stage, cluster_id)
+    with reject_stage in {holdout, gopher, ccnet, decontaminate,
+    exact_dup, near_dup, kept}; cluster_id is NULL for curation-rejected
+    docs and the flagship cluster label ('doc-XXXXXXXX' of the cluster
+    representative) for survivors. Exact DuckDB oracle: the curation
+    staging SQL composed with sqlgen.dedup_clusters_sql over the
+    survivor body.
+
+    Scale: the extracted corpus is canonicalized ONCE and shared by all
+    three curation signals; stage signals attach by doc_id
+    (broadcast/partitioned auto-switch); the dedup stack shuffles only
+    digests and band keys; the final verdict attach joins the clusters
+    table (O(survivors)) back by doc_id.
+    """
+    from ..stages.extract import extract_html
+    from .dedup import dedup_conversations
+    from .documents import html_pages
+    from .training import ccnet_bucket_docs, gopher_stats_batch
+
+    extracted = extract_html(html_pages(sf_dir))
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canonical": normalize_whitespace_array(batch["text"]),
+            }
+        )
+
+    # ONE materialized canonical pass over the EXTRACTED text feeds
+    # every curation signal (the raw documents table is only re-read by
+    # reference inside ccnet/dec when canon is None — here it never is)
+    canon = extracted.map_batches(_canon, batch_format="pyarrow").materialize()
+
+    def _as_text(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": batch["canonical"]}
+        )
+
+    g = (
+        canon.map_batches(_as_text, batch_format="pyarrow")
+        .map_batches(gopher_stats_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "keep"])
+    )
+    cc = ccnet_bucket_docs(sf_dir, canon=canon).select_columns(
+        ["doc_id", "bucket"]
+    )
+    dec = decontaminate_docs(sf_dir, holdout_mod=holdout_mod, canon=canon)
+    staged = _stage_rejects(canon, g, cc, dec, holdout_mod).materialize()
+
+    def _survivor_convs(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_null(batch["rej"]))
+        ids = [f"doc-{i:08d}" for i in kept["doc_id"].to_pylist()]
+        return pa.table(
+            {
+                "conv_id": pa.array(ids, pa.string()),
+                "canonical_text": kept["canonical"],
+                "n_turns": pa.array(
+                    np.ones(kept.num_rows, dtype=np.int32)
+                ),
+            }
+        )
+
+    convs = staged.map_batches(_survivor_convs, batch_format="pyarrow")
+    clusters = dedup_conversations(convs).clusters
+
+    # clusters (conv_id='doc-XXXXXXXX') -> per-doc verdict + label
+    def _verdict(batch: pa.Table) -> pa.Table:
+        did = pc.cast(
+            pc.utf8_slice_codeunits(batch["conv_id"], 4, 12), pa.int64()
+        )
+        verdict = pc.if_else(
+            batch["is_representative"],
+            pa.scalar("kept"),
+            pc.if_else(
+                pc.equal(batch["dup_kind"], pa.scalar("exact")),
+                pa.scalar("exact_dup"),
+                pa.scalar("near_dup"),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": did,
+                "verdict": verdict,
+                "cluster_id": batch["cluster_id"],
+            }
+        )
+
+    verdicts = clusters.map_batches(_verdict, batch_format="pyarrow")
+
+    staged_slim = staged.map_batches(
+        lambda b: b.select(["doc_id", "rej"]), batch_format="pyarrow"
+    )
+    slim_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("rej", pa.string())]
+    )
+    t = attach_lookup(
+        staged_slim, slim_schema, ["doc_id"], verdicts, "doc_id",
+        "verdict", pa.string(), ["verdict"],
+    )
+    t = attach_lookup(
+        t,
+        pa.schema(list(slim_schema) + [pa.field("verdict", pa.string())]),
+        ["doc_id"], verdicts, "doc_id", "cluster_id", pa.string(),
+        ["cluster_id"],
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("kept", pa.int64()),
+            pa.field("reject_stage", pa.string()),
+            pa.field("cluster_id", pa.string()),
+        ]
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        stage = pc.coalesce(batch["rej"], batch["verdict"])
+        kept = pc.cast(pc.equal(stage, pa.scalar("kept")), pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "kept": kept,
+                "reject_stage": stage,
+                "cluster_id": batch["cluster_id"],
+            }
+        ).cast(out_schema)
+
+    return t.map_batches(_final, batch_format="pyarrow")
 
 
 def ngram_novelty_docs(sf_dir: str, n: int = 3) -> "rd.Dataset":

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..config import fixed_probe_pool
 from ..sources.io import typed_pandas
 from ..text import normalize_whitespace_array
 
@@ -106,7 +107,7 @@ class TokenChunker:
 def chunk_documents(sf_dir: str) -> "rd.Dataset":
     """Explode documents into overlapping token windows."""
     return _canon(sf_dir).map_batches(
-        TokenChunker, batch_format="pyarrow", concurrency=(1, 4)
+        TokenChunker, batch_format="pyarrow", concurrency=fixed_probe_pool()
     )
 
 

@@ -164,29 +164,9 @@ def dedup_conversations(
     )
     sig_ds = with_sigs.drop_columns(["canonical_text"])
 
-    def _add_thr(batch: pa.Table) -> pa.Table:
-        # per-row verification threshold from the optional content-domain
-        # tag (reference per-content-type thresholds,
-        # deduplicator/deduplicator.py:84-91 -> config.threshold_for);
-        # vectorized: one if_else kernel per configured domain
-        import pyarrow.compute as pc
-
-        if "domain" in batch.column_names:
-            thr = pa.array(
-                [cfg.threshold] * batch.num_rows, pa.float64()
-            )
-            for dom, t in cfg.domain_minhash_thresholds:
-                thr = pc.if_else(
-                    pc.equal(batch["domain"], pa.scalar(dom)),
-                    pa.scalar(t, pa.float64()),
-                    thr,
-                )
-            batch = batch.drop_columns(["domain"])
-        else:
-            thr = pa.array([cfg.threshold] * batch.num_rows, pa.float64())
-        return batch.append_column("thr", thr)
-
-    sig_ds = sig_ds.map_batches(_add_thr, batch_format="pyarrow")
+    sig_ds = sig_ds.map_batches(
+        add_threshold_column(cfg), batch_format="pyarrow"
+    )
 
     # S4: LSH shuffle -> candidate pairs (skew-capped). Streams straight
     # from the signature stage — one execution covers S3-S5.
@@ -285,21 +265,12 @@ def dedup_conversations(
     # representative's near-dup cluster. dup_kind semantics follow the
     # reference's DuplicationResult.duplicate_type: exact | near | unique.
     # A rep appears in `near_assign` iff it had >= 1 verified near edge.
-    def assign_clusters(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        assign = pl.from_arrow(ray.get(near_ref))
-        joined = (
-            pl.from_arrow(batch.select(["conv_id", "exact_members"]))
-            .join(assign, on="conv_id", how="left")
-            .to_arrow()
-        )
-        return explode_members_with_label(joined)
-
     # NOT materialized: callers that only write stream straight from the
     # already-materialized reps through the assign map; repeat consumers
     # re-run one cheap vectorized map over cached blocks
-    clusters = reps.map_batches(assign_clusters, batch_format="pyarrow")
+    clusters = reps.map_batches(
+        cluster_assign_map(near_ref), batch_format="pyarrow"
+    )
     # total conversations = sum of exact-group sizes over reps — an
     # aggregate over the materialized reps blocks, not a clusters barrier
     metrics["total_conversations"] = int(reps.sum("exact_group_size") or 0)
@@ -371,6 +342,68 @@ def explode_members_with_label(batch: pa.Table) -> pa.Table:
     )
 
 
+def add_threshold_column(cfg: DedupConfig):
+    """Batch map appending the per-row verification threshold `thr`
+    from the optional content-domain tag (reference per-content-type
+    thresholds, deduplicator/deduplicator.py:84-91 ->
+    config.threshold_for); vectorized: one if_else kernel per
+    configured domain. Shared by `dedup_conversations` and the
+    checkpointed job runner (pipelines/job.py)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "domain" in batch.column_names:
+            thr = pa.array([cfg.threshold] * batch.num_rows, pa.float64())
+            for dom, t in cfg.domain_minhash_thresholds:
+                thr = pc.if_else(
+                    pc.equal(batch["domain"], pa.scalar(dom)),
+                    pa.scalar(t, pa.float64()),
+                    thr,
+                )
+            batch = batch.drop_columns(["domain"])
+        else:
+            thr = pa.array([cfg.threshold] * batch.num_rows, pa.float64())
+        return batch.append_column("thr", thr)
+
+    return _f
+
+
+def cluster_assign_map(near_ref):
+    """Batch map: reps rows -> exploded per-conversation cluster rows.
+    `near_ref` is the broadcast ray.put (conv_id, near_label) Arrow
+    table from union-find; the join + explode are fully vectorized
+    (polars join, `explode_members_with_label`). Shared by
+    `dedup_conversations` and the checkpointed job runner."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        assign = pl.from_arrow(ray.get(near_ref))
+        joined = (
+            pl.from_arrow(batch.select(["conv_id", "exact_members"]))
+            .join(assign, on="conv_id", how="left")
+            .to_arrow()
+        )
+        return explode_members_with_label(joined)
+
+    return _f
+
+
+def keep_root_reps(batch: pa.Table) -> pa.Table:
+    """Filter reps with a joined `near_label` column down to component
+    roots (no verified edge, or the component's own min label) and drop
+    the helper column — the vectorized anti-join kernel of the deduped
+    output, shared by `_finish_distributed` and the job runner."""
+    import pyarrow.compute as pc
+
+    keep = pc.or_kleene(
+        pc.is_null(batch["near_label"]),
+        pc.equal(batch["near_label"], batch["conv_id"]),
+    )
+    return batch.filter(keep).drop_columns(["near_label"])
+
+
 def _finish_distributed(
     reps: "ray.data.Dataset",
     edges_ds: "ray.data.Dataset",
@@ -418,16 +451,9 @@ def _finish_distributed(
     metrics["total_conversations"] = int(reps.sum("exact_group_size") or 0)
     metrics["n_clusters"] = metrics["distinct_texts"] - n_merged
 
-    def _uniq(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.or_kleene(
-            pc.is_null(batch["near_label"]),
-            pc.equal(batch["near_label"], batch["conv_id"]),
-        )
-        return batch.filter(keep).drop_columns(["near_label"])
-
-    unique_conversations = with_label.map_batches(_uniq, batch_format="pyarrow")
+    unique_conversations = with_label.map_batches(
+        keep_root_reps, batch_format="pyarrow"
+    )
 
     sub = None
     if with_substring:

@@ -21,7 +21,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..config import DedupConfig
+from ..config import DedupConfig, fixed_probe_pool
 from ..exactmath import floor_round, floor_round_np
 from ..functions.textstats import (
     LangIdStage,
@@ -429,17 +429,12 @@ def cluster_rep_by_quality(sf_dir: str) -> "rd.Dataset":
     return partitioned_group_map(with_q, "cluster_id", _best, arrow=True)
 
 
-def extract_html_docs(sf_dir: str) -> "rd.Dataset":
-    """Extraction-cascade driver query: wrap each document in a
-    deterministic page template with REAL boilerplate (nav, breadcrumbs,
-    ad block, footer) and run the full cascade (stages/extract.py).
-    The DOM-tree strategy must win and strip every planted
-    boilerplate fragment, leaving exactly the document's normalized
-    text — which makes the result SQL-expressible: the oracle asserts
-    extractor/title/reject_reason AND the recovered text against the
-    canonical column (documents contain no [&<>], so entity decoding is
-    the identity; pinned by the sqlgen precondition tests)."""
-    from ..stages.extract import extract_html
+def html_pages(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, html): each document wrapped in a deterministic page
+    template with REAL boilerplate (nav, breadcrumbs, ad block, footer).
+    The synthetic-HTML source shared by the extraction-cascade query
+    and the composed HTML->curate->dedup pipeline
+    (curation.html_curate_dedup_docs)."""
 
     def _page(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -465,10 +460,24 @@ def extract_html_docs(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _page, batch_format="pyarrow"
     )
-    return extract_html(docs).select_columns(
+
+
+def extract_html_docs(sf_dir: str) -> "rd.Dataset":
+    """Extraction-cascade driver query: wrap each document in the
+    deterministic boilerplate page template (`html_pages`) and run the
+    full cascade (stages/extract.py). The DOM-tree strategy must win
+    and strip every planted boilerplate fragment, leaving exactly the
+    document's normalized text — which makes the result SQL-expressible:
+    the oracle asserts extractor/title/reject_reason AND the recovered
+    text against the canonical column (documents contain no [&<>], so
+    entity decoding is the identity; pinned by the sqlgen precondition
+    tests)."""
+    from ..stages.extract import extract_html
+
+    return extract_html(html_pages(sf_dir)).select_columns(
         ["doc_id", "text", "title", "extractor", "reject_reason"]
     )
 
@@ -561,7 +570,7 @@ def audio_decode_stats(sf_dir: str) -> "rd.Dataset":
             DecodeAudioStage,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
         .map_batches(_round, batch_format="pyarrow")
     )
@@ -616,13 +625,13 @@ def video_frame_stats(sf_dir: str) -> "rd.Dataset":
             fn_constructor_kwargs={"every": 2},
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
         .map_batches(
             DecodeImageStage,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
         .map_batches(_round, batch_format="pyarrow")
     )
@@ -692,7 +701,7 @@ def dedup_docs_domain_thresholds(sf_dir: str) -> "rd.Dataset":
         DomainClassifyStage,
         fn_constructor_kwargs={"text_col": "canonical_text"},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=fixed_probe_pool(),
     )
     return dedup_conversations(convs).clusters
 
@@ -795,7 +804,7 @@ def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
     exploded = (
         canonical_docs(sf_dir)
-        .map_batches(_Sim, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(_Sim, batch_format="pyarrow", concurrency=fixed_probe_pool())
         .map_batches(_explode, batch_format="pyarrow")
     )
     pairs = partitioned_group_map(exploded, "band_key", _pairs_part, arrow=True)
@@ -1891,7 +1900,7 @@ def langid_docs(sf_dir: str) -> "rd.Dataset":
     """(doc_id, pred_lang, lang_conf) — heuristic language ID actor pool."""
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=fixed_probe_pool())
         .drop_columns(["text"])
     )
 
@@ -1909,7 +1918,7 @@ def domain_classify_docs(sf_dir: str) -> "rd.Dataset":
             DomainClassifyStage,
             fn_constructor_kwargs={"with_matches": True},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
         .drop_columns(["text"])
     )
@@ -1967,7 +1976,7 @@ def media_decode_stats(sf_dir: str) -> "rd.Dataset":
             fn_constructor_kwargs={"decode_stub": False},
             batch_format="pyarrow",
             batch_size=64,  # binary rows are wide; small batches
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
         .map_batches(_round, batch_format="pyarrow")
     )
@@ -2044,7 +2053,7 @@ def video_scene_changes(sf_dir: str) -> "rd.Dataset":
             _SceneStage,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
     )
 
@@ -2079,7 +2088,7 @@ def audio_fingerprint_dedup(sf_dir: str) -> "rd.Dataset":
             AudioFingerprintStage,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
     )
 
@@ -2146,7 +2155,7 @@ def image_dhash_dedup(sf_dir: str) -> "rd.Dataset":
             DHashStage,
             batch_format="pyarrow",
             batch_size=64,  # binary rows are wide; small batches
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
     )
 
@@ -2227,7 +2236,7 @@ def jpeg_decode_stats(sf_dir: str) -> "rd.Dataset":
             fn_constructor_kwargs={"decode_stub": False},
             batch_format="pyarrow",
             batch_size=64,  # binary rows are wide; small batches
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
         .map_batches(_round, batch_format="pyarrow")
     )
@@ -2278,7 +2287,7 @@ def gif_decode_stats(sf_dir: str) -> "rd.Dataset":
             fn_constructor_kwargs={"decode_stub": False},
             batch_format="pyarrow",
             batch_size=64,  # binary rows are wide; small batches
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
         .map_batches(_round, batch_format="pyarrow")
     )

@@ -51,7 +51,19 @@ def run_dedup_job(
     config: DedupConfig | None = None,
     lineage: bool = True,
     dead_letter: bool = True,
+    segment_tier: bool = False,
+    segment_max_hamming: int = 3,
 ) -> dict[str, Any]:
+    """Run the checkpointed production dedup job.
+
+    ``segment_tier=True`` inserts the turn-level SimHash removal tier
+    (`transcripts.apply_turn_dedup`) between input hygiene and
+    conversation assembly, giving the job the reference's full
+    multi-level stack — turn near-dup removal, then conversation exact,
+    then conversation near (deduplicator/deduplicator.py:202-251's
+    L1-L4 orchestration). The tier is checkpointed like every other
+    stage (`turns/`), so interrupt/resume replays nothing.
+    """
     cfg = config or DedupConfig()
     ckpt = CheckpointManager(out_root)
     t0 = time.perf_counter()
@@ -62,12 +74,15 @@ def run_dedup_job(
 
     dead_dir = os.path.join(out_root, "dead_letter")
     n_dead = 0
-    if not ckpt.is_complete("conversations"):
-        # a fresh conversations attempt invalidates any previous
+    # input hygiene is decided before the FIRST checkpointed stage —
+    # the segment tier when enabled, conversation assembly otherwise
+    first_stage = "turns" if segment_tier else "conversations"
+    if not ckpt.is_complete(first_stage):
+        # a fresh first-stage attempt invalidates any previous
         # attempt's routed table REGARDLESS of the dead_letter flag —
         # the on-disk artifact must never outlive the run that made it
         shutil.rmtree(dead_dir, ignore_errors=True)
-    if dead_letter and not ckpt.is_complete("conversations"):
+    if dead_letter and not ckpt.is_complete(first_stage):
         # input hygiene tier (reference DeadLetterQueue, recovery/
         # dead_letter.py, enqueue at pipeline.py:859-877): structurally
         # broken turn rows — null conv_id / null turn_idx, which the
@@ -108,24 +123,66 @@ def run_dedup_job(
         clean = raw.map_batches(_split(True), batch_format="pyarrow")
     else:
         if os.path.isdir(dead_dir):
-            # resume past the conversations checkpoint: recover the
+            # resume past the first checkpoint: recover the
             # counter from the routed table (regardless of this run's
             # dead_letter flag) so job.json never contradicts the
             # on-disk artifact
             n_dead = rd.read_parquet(dead_dir).count()
         clean = rd.read_parquet(input_path)
 
+    if segment_tier:
+        # turn-level SimHash near-dup REMOVAL before assembly (the
+        # reference's segment tier): surviving turn rows are
+        # checkpointed so a resume never recomputes the pair search
+        from .transcripts import apply_turn_dedup
+
+        turns = ckpt.stage(
+            "turns",
+            lambda: apply_turn_dedup(clean, max_hamming=segment_max_hamming),
+            empty_schema=rd.read_parquet(input_path).schema().base_schema,
+        )
+        if lineage and "turns" in ckpt.stages_run:
+            from ..state.metrics import report as _report
+
+            # one driver-side lineage row for the whole tier. Both
+            # counts are parquet-metadata reads: clean rows = raw input
+            # rows minus the dead-lettered ones (the only filter applied
+            # upstream of this tier), turns rows come from the fresh
+            # checkpoint — no data re-scan.
+            n_turns_in = rd.read_parquet(input_path).count() - n_dead
+            _report("turn_dedup", n_turns_in, turns.count(), 0.0)
+        clean = turns
+
+    from .dedup import _REPS_SCHEMA
+
+    _conv_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("canonical_text", pa.string()),
+            ("n_turns", pa.int32()),
+        ]
+    )
     conversations = ckpt.stage(
         "conversations",
         lambda: assemble_conversations(clean, lineage=lineage),
+        empty_schema=_conv_schema,
     )
-    reps = ckpt.stage("reps", lambda: exact_dedup(conversations, lineage=lineage))
+    reps = ckpt.stage(
+        "reps",
+        lambda: exact_dedup(conversations, lineage=lineage),
+        empty_schema=_REPS_SCHEMA,
+    )
 
     def _edges() -> "rd.Dataset":
+        from .dedup import add_threshold_column
+
         mh_conc = cfg.resolved_minhash_concurrency()
-        sig_input = reps.select_columns(["conv_id", "canonical_text"]).repartition(
-            mh_conc * 4
+        reps_schema = reps.schema()
+        has_domain = reps_schema is not None and "domain" in reps_schema.names
+        sig_cols = ["conv_id", "canonical_text"] + (
+            ["domain"] if has_domain else []
         )
+        sig_input = reps.select_columns(sig_cols).repartition(mh_conc * 4)
         sig_ds = sig_input.map_batches(
             MinHashSimHashStage,
             fn_constructor_kwargs={"config": cfg, "lineage": lineage},
@@ -135,6 +192,11 @@ def run_dedup_job(
             # parquet-backed here so count() is metadata-cheap
             concurrency=cfg.sig_pool_size(reps.count()),
         ).drop_columns(["canonical_text"])
+        # per-domain verification thresholds (reference per-content-type
+        # rule) ride to the verifier exactly as in dedup_conversations
+        sig_ds = sig_ds.map_batches(
+            add_threshold_column(cfg), batch_format="pyarrow"
+        )
         pairs = candidate_pairs(sig_ds, cfg, lineage=lineage)
         return pairs.map_batches(
             PairVerifier,
@@ -144,7 +206,15 @@ def run_dedup_job(
             concurrency=cfg.resolved_verify_concurrency(),
         )
 
-    edges = ckpt.stage("edges", _edges)
+    _edges_schema = pa.schema(
+        [
+            ("a_id", pa.string()),
+            ("b_id", pa.string()),
+            ("jaccard", pa.float64()),
+            ("hamming", pa.int64()),
+        ]
+    )
+    edges = ckpt.stage("edges", _edges, empty_schema=_edges_schema)
 
     # clustering scale switch (see DedupConfig.labelprop_edge_threshold):
     # small edge sets are union-found on the driver; huge ones take the
@@ -154,7 +224,32 @@ def run_dedup_job(
     if n_edges > cfg.labelprop_edge_threshold:
         from ..stages.cluster import label_propagation
 
-        labels = ckpt.stage("labels", lambda: label_propagation(edges))
+        labels = ckpt.stage(
+            "labels",
+            lambda: label_propagation(edges),
+            empty_schema=pa.schema([("node", pa.string()), ("label", pa.string())]),
+        )
+
+    # union-find over the checkpointed edges, broadcast ONCE as an
+    # Arrow (conv_id, near_label) table and shared by the clusters and
+    # deduped stages (memoized: a resume that skips one stage still
+    # computes it at most once)
+    _near_cache: dict[str, Any] = {}
+
+    def _near_label_ref(edges_ds: "rd.Dataset"):
+        if "ref" not in _near_cache:
+            assign = driver_union_find(edges_ds)
+            _near_cache["ref"] = ray.put(
+                pa.table(
+                    {
+                        "conv_id": pa.array(list(assign.keys()), pa.string()),
+                        "near_label": pa.array(
+                            list(assign.values()), pa.string()
+                        ),
+                    }
+                )
+            )
+        return _near_cache["ref"]
 
     def _clusters() -> "rd.Dataset":
         if labels is not None:
@@ -169,39 +264,33 @@ def run_dedup_job(
             return with_label.map_batches(
                 explode_members_with_label, batch_format="pyarrow"
             )
-        assign = driver_union_find(edges)
-        assign_ref = ray.put(assign)
+        # broadcast the union-find assignment as an Arrow table and
+        # explode members fully vectorized — the library path's kernel
+        # (dedup.cluster_assign_map / explode_members_with_label); reps
+        # is corpus-scale, so no per-row Python may run here
+        from .dedup import cluster_assign_map
 
-        def _assign(batch: pa.Table) -> pa.Table:
-            amap = ray.get(assign_ref)
-            out_conv: list[str] = []
-            out_cluster: list[str] = []
-            out_kind: list[str] = []
-            for rep, members in zip(
-                batch["conv_id"].to_pylist(), batch["exact_members"].to_pylist()
-            ):
-                cluster = amap.get(rep, rep)
-                rep_kind = "near" if rep in amap else "unique"
-                for m in members:
-                    out_conv.append(m)
-                    out_cluster.append(cluster)
-                    out_kind.append(rep_kind if m == rep else "exact")
-            return pa.table(
-                {
-                    "conv_id": pa.array(out_conv, pa.string()),
-                    "cluster_id": pa.array(out_cluster, pa.string()),
-                    "is_representative": pa.array(
-                        [c == v for v, c in zip(out_conv, out_cluster)], pa.bool_()
-                    ),
-                    "dup_kind": pa.array(out_kind, pa.string()),
-                }
-            )
+        near_ref = _near_label_ref(edges)
+        return reps.map_batches(
+            cluster_assign_map(near_ref), batch_format="pyarrow"
+        )
 
-        return reps.map_batches(_assign, batch_format="pyarrow")
-
-    clusters = ckpt.stage("clusters", _clusters)
+    clusters = ckpt.stage(
+        "clusters",
+        _clusters,
+        empty_schema=pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("cluster_id", pa.string()),
+                ("is_representative", pa.bool_()),
+                ("dup_kind", pa.string()),
+            ]
+        ),
+    )
 
     def _deduped() -> "rd.Dataset":
+        from .dedup import keep_root_reps
+
         if labels is not None:
             # pure-dataflow anti-join: attach the propagated label and
             # keep reps that root their own component (or have no edge)
@@ -219,42 +308,31 @@ def run_dedup_job(
                 slim_schema, ["conv_id"], labels, "node", "label",
                 pa.string(), ["near_label"],
             )
-
-            def _keep_roots(batch: pa.Table) -> pa.Table:
-                keep = [
-                    lab is None or lab == cid
-                    for cid, lab in zip(
-                        batch["conv_id"].to_pylist(),
-                        batch["near_label"].to_pylist(),
-                    )
-                ]
-                return batch.filter(pa.array(keep)).drop_columns(["near_label"])
-
-            return with_label.map_batches(_keep_roots, batch_format="pyarrow")
+            return with_label.map_batches(
+                keep_root_reps, batch_format="pyarrow"
+            )
 
         # Anti-join of exact reps against the merged reps (reps whose
-        # near-dup component has a smaller representative). The
-        # broadcast set is O(near-duplicate reps) — derived from the
-        # edge list, never a take_all of the corpus (a rep survives iff
-        # union-find leaves it as its own component root).
-        assign = driver_union_find(edges)
-        merged = frozenset(k for k, v in assign.items() if k != v)
-        merged_ref = ray.put(merged)
+        # near-dup component has a smaller representative): attach the
+        # broadcast union-find label per batch with a vectorized join
+        # (dedup._label_column semantics) and keep component roots —
+        # no per-row Python, no driver-side frozenset.
+        from .dedup import _filter_unique_reps
 
-        def _f(batch: pa.Table) -> pa.Table:
-            drop = ray.get(merged_ref)
-            mask = [c not in drop for c in batch["conv_id"].to_pylist()]
-            return batch.filter(pa.array(mask))
+        near_ref = _near_label_ref(edges)
+        return reps.select_columns(
+            ["conv_id", "canonical_text", "n_turns"]
+        ).map_batches(_filter_unique_reps(near_ref), batch_format="pyarrow")
 
-        return reps.select_columns(["conv_id", "canonical_text", "n_turns"]).map_batches(
-            _f, batch_format="pyarrow"
-        )
-
-    deduped = ckpt.stage("deduped", _deduped)
+    deduped = ckpt.stage("deduped", _deduped, empty_schema=_conv_schema)
 
     summary: dict[str, Any] = {
         "input": input_path,
         "out_root": out_root,
+        "segment_tier": segment_tier,
+        **(
+            {"surviving_turns": clean.count()} if segment_tier else {}
+        ),
         "conversations": conversations.count(),
         "distinct_texts": reps.count(),
         "verified_edges": n_edges,

@@ -27,6 +27,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..config import fixed_probe_pool
 from ..stages.grouped import partitioned_group_map
 
 #: default context budget (words) for `truncate_conversations`
@@ -1507,7 +1508,9 @@ def turn_simhash_dup_pairs(
 
     exploded = (
         ds.select_columns(["conv_id", "turn_idx", "text"])
-        .map_batches(_Fp, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(
+            _Fp, batch_format="pyarrow", concurrency=fixed_probe_pool()
+        )
         .map_batches(_explode, batch_format="pyarrow")
     )
     pairs = partitioned_group_map(exploded, "band_key", _pairs_part, arrow=True)
@@ -1691,7 +1694,7 @@ def turn_dedup_conversations(
         _MarkTurns,
         fn_constructor_kwargs={"removed_ref": removed_ref},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=fixed_probe_pool(),
     )
     return partitioned_group_map(marked, "conv_id", _assemble, arrow=True)
 
@@ -1713,5 +1716,5 @@ def apply_turn_dedup(
         _KeepTurns,
         fn_constructor_kwargs={"removed_ref": removed_ref},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=fixed_probe_pool(),
     )

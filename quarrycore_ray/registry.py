@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+from .config import fixed_probe_pool
+
 import ray.data
 
 StageFactory = Callable[..., Callable[["ray.data.Dataset"], "ray.data.Dataset"]]
@@ -112,7 +114,7 @@ def _langid_factory():
     from .functions.textstats import LangIdStage
 
     def _stage(ds):
-        return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=fixed_probe_pool())
 
     return _stage
 
@@ -126,7 +128,7 @@ def _chunk_factory(chunk_tokens: int = 64, overlap: int = 8):
             TokenChunker,
             fn_constructor_kwargs={"chunk_tokens": chunk_tokens, "overlap": overlap},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
 
     return _stage
@@ -220,7 +222,7 @@ def _domain_factory(text_col: str = "text", url_col: str | None = None):
             DomainClassifyStage,
             fn_constructor_kwargs={"text_col": text_col, "url_col": url_col},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
 
     return _stage
@@ -236,7 +238,7 @@ def _decode_image_factory(decode_stub: bool = True, batch_size: int = 64):
             fn_constructor_kwargs={"decode_stub": decode_stub},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
 
     return _stage
@@ -251,7 +253,7 @@ def _decode_audio_factory(batch_size: int = 64):
             DecodeAudioStage,
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=(1, 4),
+            concurrency=fixed_probe_pool(),
         )
 
     return _stage

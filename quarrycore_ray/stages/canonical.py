@@ -44,10 +44,23 @@ def _assemble_partition(tb: pa.Table) -> pa.Table:
     """
     import polars as pl
 
+    has_domain = "domain" in tb.column_names
     df = pl.from_arrow(tb).sort(["conv_id", "turn_idx"])
-    counts = df.group_by("conv_id", maintain_order=True).agg(
-        pl.len().cast(pl.Int32).alias("n_turns")
-    )
+    count_aggs = [pl.len().cast(pl.Int32).alias("n_turns")]
+    cols = ["conv_id", "canonical_text", "n_turns"]
+    fields = [
+        ("conv_id", pa.string()),
+        ("canonical_text", pa.string()),
+        ("n_turns", pa.int32()),
+    ]
+    if has_domain:
+        # optional content-domain tag: first turn's value represents the
+        # conversation (tags are per-document in the reference; a mixed
+        # conversation keeps its opening domain deterministically)
+        count_aggs.append(pl.col("domain").first().alias("domain"))
+        cols.append("domain")
+        fields.append(("domain", pa.string()))
+    counts = df.group_by("conv_id", maintain_order=True).agg(count_aggs)
     joined = (
         df.filter(pl.col("text_norm") != "")
         .group_by("conv_id", maintain_order=True)
@@ -56,13 +69,9 @@ def _assemble_partition(tb: pa.Table) -> pa.Table:
     out = (
         counts.join(joined, on="conv_id", how="left")
         .with_columns(pl.col("canonical_text").fill_null(""))
-        .select(["conv_id", "canonical_text", "n_turns"])
+        .select(cols)
     )
-    return out.to_arrow().cast(
-        pa.schema(
-            [("conv_id", pa.string()), ("canonical_text", pa.string()), ("n_turns", pa.int32())]
-        )
-    )
+    return out.to_arrow().cast(pa.schema(fields))
 
 
 def assemble_conversations(
@@ -76,8 +85,14 @@ def assemble_conversations(
     """
     from .grouped import partitioned_group_map
 
+    # schema probe BEFORE the map: on a parquet-backed input this is
+    # metadata-only, while probing the mapped dataset would execute it
+    schema = ds.schema()
+    keep_cols = ["conv_id", "turn_idx", "text_norm"]
+    if schema is not None and "domain" in schema.names:
+        keep_cols.append("domain")  # optional tag rides to the reps
     ds = ds.map_batches(normalize_turns, batch_format="pyarrow")
-    ds = ds.select_columns(["conv_id", "turn_idx", "text_norm"])
+    ds = ds.select_columns(keep_cols)
     return partitioned_group_map(
         ds, "conv_id", _assemble_partition, num_partitions,
         lineage_stage="canonical" if lineage else None, arrow=True,

@@ -72,14 +72,16 @@ def label_propagation(
     nparts = num_partitions or default_num_partitions()
 
     def to_directed(batch: pa.Table) -> pa.Table:
+        # zero-Python symmetrization: stack the two id columns with
+        # Arrow concat (chunked arrays combine zero-copy per chunk)
         import pyarrow as _pa
 
-        a = batch["a_id"].to_pylist()
-        b = batch["b_id"].to_pylist()
+        a = batch["a_id"]
+        b = batch["b_id"]
         return _pa.table(
             {
-                "node": _pa.array(a + b, _pa.string()),
-                "peer": _pa.array(b + a, _pa.string()),
+                "node": _pa.chunked_array(a.chunks + b.chunks, _pa.string()),
+                "peer": _pa.chunked_array(b.chunks + a.chunks, _pa.string()),
             }
         )
 
@@ -108,7 +110,7 @@ def label_propagation(
             return _pa.table(
                 {
                     "node": batch["node"],
-                    "peer": _pa.array([None] * batch.num_rows, _pa.string()),
+                    "peer": _pa.nulls(batch.num_rows, _pa.string()),
                     "label": batch["label"],
                 }
             )
@@ -118,21 +120,22 @@ def label_propagation(
                 {
                     "node": batch["node"],
                     "peer": batch["peer"],
-                    "label": _pa.array([None] * batch.num_rows, _pa.string()),
+                    "label": _pa.nulls(batch.num_rows, _pa.string()),
                 }
             )
 
         def label_shortcut_edges(batch: _pa.Table) -> _pa.Table:
             # treat (node <-> label) as extra edges: labels then hop along
             # star centers, giving O(log diameter) convergence (hash-to-min
-            # style, Rastogi et al. 2013) instead of one hop per round
-            n = batch["node"].to_pylist()
-            l = batch["label"].to_pylist()
+            # style, Rastogi et al. 2013) instead of one hop per round.
+            # Zero-Python: Arrow chunk stacking, a typed null column.
+            n = batch["node"]
+            l = batch["label"]
             return _pa.table(
                 {
-                    "node": _pa.array(n + l, _pa.string()),
-                    "peer": _pa.array(l + n, _pa.string()),
-                    "label": _pa.array([None] * (2 * len(n)), _pa.string()),
+                    "node": _pa.chunked_array(n.chunks + l.chunks, _pa.string()),
+                    "peer": _pa.chunked_array(l.chunks + n.chunks, _pa.string()),
+                    "label": _pa.nulls(2 * batch.num_rows, _pa.string()),
                 }
             )
 

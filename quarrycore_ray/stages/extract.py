@@ -37,6 +37,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..config import fixed_probe_pool
 from ..text import canonicalize_html, normalize_whitespace
 
 _BODY_RE = re.compile(r"<body\b[^>]*>(.*?)</body>", re.DOTALL | re.IGNORECASE)
@@ -448,5 +449,5 @@ def extract_html(
             "domain_overrides": domain_overrides,
         },
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=fixed_probe_pool(),
     )

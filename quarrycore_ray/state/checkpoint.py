@@ -46,9 +46,20 @@ class CheckpointManager:
             return False
 
     def stage(
-        self, name: str, fn: Callable[[], "ray.data.Dataset"]
+        self,
+        name: str,
+        fn: Callable[[], "ray.data.Dataset"],
+        empty_schema: "object | None" = None,
     ) -> "ray.data.Dataset":
-        """Run `fn` and persist its Dataset, or reload a completed stage."""
+        """Run `fn` and persist its Dataset, or reload a completed stage.
+
+        ``empty_schema`` (a ``pyarrow.Schema``): a ZERO-ROW stage writes
+        no parquet files at all (Ray skips empty blocks), which would
+        leave an unreadable checkpoint; when the caller knows the stage
+        schema, an empty typed parquet file is written instead so the
+        checkpoint — and every downstream resume — stays well-formed
+        (e.g. a corpus with no verified near-dup edges).
+        """
         import ray.data as rd
 
         final = self._dir(name)
@@ -62,6 +73,23 @@ class CheckpointManager:
         ds = fn()
         os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(os.path.join(tmp, "data"))
+        data_tmp = os.path.join(tmp, "data")
+        if not os.path.isdir(data_tmp) or not any(
+            f.endswith(".parquet") for f in os.listdir(data_tmp)
+        ):
+            if empty_schema is None:
+                raise ValueError(
+                    f"stage '{name}' produced zero rows and no "
+                    "empty_schema was provided — the checkpoint would "
+                    "be unreadable on resume"
+                )
+            import pyarrow.parquet as _pq
+
+            os.makedirs(data_tmp, exist_ok=True)
+            _pq.write_table(
+                empty_schema.empty_table(),
+                os.path.join(data_tmp, "part-empty.parquet"),
+            )
         os.rename(tmp, final)  # atomic on one filesystem
         out = rd.read_parquet(os.path.join(final, "data"))
         manifest = {

@@ -825,3 +825,30 @@ class TestSuffixArray:
         assert ((df["repeat_len"] > 0) == (df["repeat_pos"] >= 0)).all()
         nz = df[df["n_words"] > 0]
         assert (nz["repeat_len"] <= nz["n_words"] - 1).all()
+
+
+class TestHtmlCurateDedupDocs:
+    """The composed documents-axis pipeline (HTML -> extract cascade ->
+    curation gate -> flagship dedup) keeps TOTAL lineage: one verdict
+    row per input document (reference main loop pipeline.py:583-880)."""
+
+    def test_total_lineage_and_stage_values(self):
+        from quarrycore_ray.pipelines.curation import html_curate_dedup_docs
+
+        out = html_curate_dedup_docs("/root/testdata/sf0.001").to_pandas()
+        assert out["doc_id"].is_unique
+        assert len(out) == 500  # every input doc has a verdict
+        stages = set(out["reject_stage"])
+        assert stages <= {
+            "holdout", "gopher", "ccnet", "decontaminate",
+            "exact_dup", "near_dup", "kept",
+        }
+        kept = out[out["kept"] == 1]
+        assert (kept["reject_stage"] == "kept").all()
+        # survivors carry their flagship cluster label, rejects do not
+        assert kept["cluster_id"].notna().all()
+        assert out[out["reject_stage"] == "gopher"]["cluster_id"].isna().all()
+        # every holdout slot is attributed to the holdout stage first
+        assert (
+            out[out["doc_id"] % 50 == 0]["reject_stage"] == "holdout"
+        ).all()

@@ -767,3 +767,94 @@ class TestMmrRerank:
         # though pure relevance orders them the other way
         assert sel.index(3) < sel.index(2)
         assert rel[2] > rel[3]
+
+
+class TestEmbeddingDupPairsAnn:
+    """`embedding_dup_pairs_ann` (LSH prefilter -> exact cosine verify)
+    must be output-identical to brute-force all-pairs on a corpus whose
+    duplicate structure is ANN-recallable (VERDICT r4 #4: clears the
+    all-pairs O(n^2) design watch; all-pairs stays the oracle)."""
+
+    def _corpus(self, n=400, dim=64, n_groups=25, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((n, dim))
+        ids = np.arange(n, dtype=np.int64)
+        # planted near-copies: tiny perturbation -> cosine ~0.999
+        dup = base[:n_groups] + 0.02 * rng.standard_normal((n_groups, dim))
+        emb = np.concatenate([base, dup])
+        vids = np.concatenate([ids, ids[:n_groups] + 10_000])
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            }
+        )
+
+    def test_parity_with_all_pairs(self):
+        import numpy as np
+
+        import ray.data as rd
+
+        from quarrycore_ray.exactmath import floor_round_np
+        from quarrycore_ray.functions.similarity import (
+            _normalize,
+            embedding_dup_pairs_ann,
+        )
+
+        tb = self._corpus()
+        got = embedding_dup_pairs_ann(rd.from_arrow(tb), threshold=0.9)
+
+        # brute-force reference on the driver
+        ids = np.asarray(tb["vec_id"], dtype=np.int64)
+        m = _normalize(
+            np.asarray(tb["embedding"].combine_chunks().values).reshape(
+                len(ids), -1
+            )
+        )
+        cos = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= 0.9
+        import pandas as pd
+
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        want = (
+            pd.DataFrame(
+                {
+                    "a_id": lo,
+                    "b_id": hi,
+                    "cosine": floor_round_np(cos[iu, ju][keep]),
+                }
+            )
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        assert len(want) >= 25  # every planted pair is present
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_bucket_cap_never_binds_on_sf(self):
+        """The deterministic skew truncation must not fire on the test
+        corpora (output-identity precondition)."""
+        import numpy as np
+
+        from quarrycore_ray.functions.similarity import (
+            _quantize_u,
+            _to_matrix,
+            lsh_planes_u,
+        )
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+        ids = np.asarray(tb["vec_id"], dtype=np.int64)
+        emb = np.asarray(
+            tb["embedding"].combine_chunks().values, dtype=np.float64
+        ).reshape(len(ids), -1)
+        planes = lsh_planes_u(emb.shape[1], 8, 8, 13)
+        emb_u = _quantize_u(emb)
+        for t in range(8):
+            bits = (emb_u @ planes[t].T > 0).astype(np.int64)
+            key = bits @ (1 << np.arange(8, dtype=np.int64))
+            _, counts = np.unique(key, return_counts=True)
+            assert counts.max() <= 1024

@@ -9,6 +9,7 @@ remaining stages only; counters add up; results equal a fresh run.
 import json
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -376,3 +377,140 @@ class TestObservabilityExport:
             assert e.code == 404
         finally:
             srv.stop()
+
+
+class TestJobSegmentTier:
+    """segment_tier=True gives the job the full multi-level stack: turn
+    SimHash removal (checkpointed as `turns/`) -> conversation exact ->
+    conversation near (reference deduplicator.py:202-251 L1-L4)."""
+
+    def _turn_corpus(self, tmp_path, with_dead=False):
+        boiler = "welcome to the support channel please describe your issue"
+        rows = {"conv_id": [], "turn_idx": [], "text": []}
+        for c in range(6):
+            rows["conv_id"] += [f"c{c:02d}"] * 3
+            rows["turn_idx"] += [0, 1, 2]
+            rows["text"] += [
+                boiler,  # identical across conversations -> segment dup
+                f"unique question number {c} about topic {c * 7}",
+                f"unique answer number {c} with details {c * 13}",
+            ]
+        if with_dead:
+            rows["conv_id"].append(None)
+            rows["turn_idx"].append(0)
+            rows["text"].append("orphan row")
+        tb = pa.table(
+            {
+                "conv_id": pa.array(rows["conv_id"], pa.string()),
+                "turn_idx": pa.array(rows["turn_idx"], pa.int64()),
+                "text": pa.array(rows["text"], pa.string()),
+            }
+        )
+        d = str(tmp_path / "turns_in")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tb, os.path.join(d, "part-0.parquet"))
+        return d
+
+    def test_tier_runs_checkpointed_and_resumes(self, tmp_path):
+        corpus = self._turn_corpus(tmp_path)
+        out = str(tmp_path / "job_seg")
+        s1 = run_dedup_job(corpus, out, segment_tier=True)
+        assert s1["segment_tier"] is True
+        # 6 boilerplate copies -> 1 survivor: 18 - 5 = 13 turns
+        assert s1["surviving_turns"] == 13
+        assert "turns" in s1["stages_run"]
+        # the turn-dedup lineage row is exported with the stage metrics
+        mt = pq.read_table(os.path.join(out, "metrics", "metrics.parquet"))
+        td = mt.filter(
+            pa.compute.equal(mt["stage"], pa.scalar("turn_dedup"))
+        )
+        assert td.num_rows == 1
+        assert td["rows_in"][0].as_py() == 18
+        assert td["rows_out"][0].as_py() == 13
+
+        # full resume: the tier (and everything else) is skipped,
+        # counters identical
+        s2 = run_dedup_job(corpus, out, segment_tier=True)
+        assert s2["stages_run"] == []
+        assert "turns" in s2["stages_skipped"]
+        for k in ("surviving_turns", "conversations", "deduped"):
+            assert s2[k] == s1[k]
+
+        # interrupt mid-stack: invalidate downstream stages only -> the
+        # checkpointed turn tier is NOT recomputed and the rerun's
+        # outputs are bit-identical to the uninterrupted run
+        cl1 = (
+            rd.read_parquet(os.path.join(out, "clusters", "data"))
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        for st in ("conversations", "reps", "edges", "clusters", "deduped"):
+            CheckpointManager(out).invalidate(st)
+        s3 = run_dedup_job(corpus, out, segment_tier=True)
+        assert "turns" not in s3["stages_run"]
+        cl3 = (
+            rd.read_parquet(os.path.join(out, "clusters", "data"))
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert cl1.equals(cl3)
+
+    def test_tier_dead_letter_safe(self, tmp_path):
+        corpus = self._turn_corpus(tmp_path, with_dead=True)
+        out = str(tmp_path / "job_seg_dead")
+        s = run_dedup_job(corpus, out, segment_tier=True)
+        assert s["dead_letter_rows"] == 1
+        # the null-key row is routed BEFORE the tier, not counted in it
+        assert s["surviving_turns"] == 13
+        dead = rd.read_parquet(os.path.join(out, "dead_letter")).to_pandas()
+        assert list(dead["_error"]) == ["null_conv_id"]
+
+
+class TestJobDomainThresholds:
+    """The optional `domain` column must ride turn rows -> assembly ->
+    exact reps -> per-domain verification thresholds inside the job
+    (VERDICT r4 #7): the SAME corpus clusters differently when its
+    domain's threshold is lenient vs unreachable."""
+
+    def _corpus(self, tmp_path):
+        base = " ".join(f"word{i:02d}" for i in range(60))
+        near = base.replace("word59", "word99")
+        tb = pa.table(
+            {
+                "conv_id": pa.array(["conv-a", "conv-b", "conv-c"], pa.string()),
+                "turn_idx": pa.array([0, 0, 0], pa.int64()),
+                "text": pa.array(
+                    [base, near, "totally different text entirely"], pa.string()
+                ),
+                "domain": pa.array(["tagged", "tagged", "tagged"], pa.string()),
+            }
+        )
+        d = str(tmp_path / "dom_in")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tb, os.path.join(d, "part-0.parquet"))
+        return d
+
+    def _clusters(self, corpus, out, thr):
+        from quarrycore_ray.config import DedupConfig
+
+        cfg = DedupConfig(
+            # disable the SimHash rescue so the domain threshold alone
+            # decides the borderline pair
+            strict_hamming=-1,
+            domain_minhash_thresholds=(("tagged", thr),),
+        )
+        run_dedup_job(corpus, out, config=cfg, lineage=False)
+        cl = rd.read_parquet(os.path.join(out, "clusters", "data")).to_pandas()
+        return dict(zip(cl["conv_id"], cl["cluster_id"]))
+
+    def test_threshold_changes_job_clusters(self, tmp_path):
+        corpus = self._corpus(tmp_path)
+        lenient = self._clusters(corpus, str(tmp_path / "j_len"), 0.5)
+        strict = self._clusters(corpus, str(tmp_path / "j_str"), 1.01)
+        # lenient domain threshold merges the near pair...
+        assert lenient["conv-b"] == "conv-a"
+        assert lenient["conv-c"] == "conv-c"
+        # ...the unreachable one keeps every conversation apart
+        assert strict == {c: c for c in ("conv-a", "conv-b", "conv-c")}
