@@ -236,6 +236,12 @@ def run_bench() -> dict:
             rd.from_arrow(transcripts_from_documents(sf))
         ),
     )
+    # round-5 operators
+    timed("html_curate_dedup_docs", cur.html_curate_dedup_docs)
+    timed(
+        "embedding_dup_pairs_ann",
+        similarity.embedding_dup_pairs_ann_planted,
+    )
 
     ray.shutdown()
     return {

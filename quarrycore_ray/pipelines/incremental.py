@@ -317,9 +317,16 @@ def incremental_near_dup(
         banded, "band_key", make_cross_pair_emitter(cfg.bucket_cap, _LEFT),
         num_partitions, arrow=True,
     )
+    # staged execution: the probe DAG unions three parquet re-reads
+    # with three all-to-all exchanges; run one exchange per executor
+    # stage (materialized barriers — pairs are light id-only rows, the
+    # a-side attach spills if it must) so Ray's per-operator store
+    # reservations never fall below a block under a small object store
+    # (see attach_signatures docstring; 10x smoke livelocked otherwise)
+    pairs = pairs.materialize()
     # the attach dedups (a_id, b_id) globally inside its a_id-keyed pass
     with_sigs = attach_signatures(
-        pairs, hist_sigs.union(new_sigs), num_partitions
+        pairs, hist_sigs.union(new_sigs), num_partitions, staged=True
     )
     verified = with_sigs.map_batches(
         PairVerifier,

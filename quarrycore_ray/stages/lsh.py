@@ -308,12 +308,24 @@ def attach_signatures(
     pairs: "ray.data.Dataset",
     sigs: "ray.data.Dataset",
     num_partitions: int | None = None,
+    staged: bool = False,
 ) -> "ray.data.Dataset":
     """Join (minhash_sig, simhash) onto pair rows for both endpoints.
 
     Two partitioned hash-join passes keyed on a_id then b_id. Shuffle
     volume = 2x the signature table + the (small) pair table, instead of
     b copies of every signature through the band shuffle.
+
+    ``staged=True`` materializes the a-side pass before building the
+    b-side union, halving the number of CONCURRENT operators the
+    streaming executor budgets for. Ray 2.49's reservation-based
+    backpressure divides the object store across every operator of a
+    DAG; a probe pipeline that unions several parquet re-reads with two
+    chained all-to-all passes can drop per-operator budgets below a
+    single signature block under a deliberately small store and
+    livelock (observed at 3 GiB x 30 operators in the 10x incremental
+    smoke). Staging trades one spillable barrier for that failure mode;
+    use it when the attach sits inside an already-wide DAG.
     """
     from .grouped import partitioned_group_map
 
@@ -374,6 +386,8 @@ def attach_signatures(
     with_a = partitioned_group_map(
         union_a, "_k", _attach_side("a", "b_id"), num_partitions, arrow=True
     )
+    if staged:
+        with_a = with_a.materialize()
 
     union_b = with_a.map_batches(_pair_rows_b, batch_format="pyarrow").union(
         sigs.map_batches(_sig_rows("b"), batch_format="pyarrow")

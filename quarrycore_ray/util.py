@@ -41,3 +41,22 @@ def silence_empty_bundle_warnings() -> None:
     ).addFilter(flt)
     for h in logging.getLogger("ray.data").handlers:
         h.addFilter(flt)
+
+
+def preload_worker_libs() -> None:
+    """Ray ``worker_process_setup_hook``: import the heavy batch-kernel
+    libraries ONCE, serially, at worker startup.
+
+    Observed under 32-way load (10x incremental smoke, 2026-08-20): a
+    worker's FIRST ``import polars`` racing other in-process activity
+    can surface a partially-initialized module ("module 'polars' has no
+    attribute 'Series'" / "'polars._reexport' has no attribute
+    'DataTypeExpr'") inside a map UDF, aborting the dataset. Importing
+    in the setup hook — before any task runs — removes the
+    first-import race from the hot path entirely.
+    """
+    import numpy  # noqa: F401
+    import pandas  # noqa: F401
+    import polars  # noqa: F401
+    import pyarrow  # noqa: F401
+    import pyarrow.compute  # noqa: F401

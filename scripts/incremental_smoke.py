@@ -49,12 +49,23 @@ def main() -> int:
     from quarrycore_ray.util import silence_empty_bundle_warnings
 
     silence_empty_bundle_warnings()
+
+    def _preload():
+        # defined inline so cloudpickle ships it BY VALUE — the string
+        # form resolves before the driver's sys.path reaches workers
+        # (see quarrycore_ray.util.preload_worker_libs for rationale)
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import polars  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
     ray.init(
         address="local",
         num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
         object_store_memory=int(store_gb * (1 << 30)),
         include_dashboard=False,
         logging_level="ERROR",
+        runtime_env={"worker_process_setup_hook": _preload},
     )
     from ray.data import DataContext
 
@@ -82,10 +93,12 @@ def main() -> int:
     n_turns = rd.read_parquet(tdir).count()
 
     def _side(new_side: bool):
-        # deterministic 80/20 split on the conv serial ('conv-%06d')
+        # deterministic 80/20 split on the conv serial ('conv-%06d' —
+        # zero-padded to six digits but WIDER once serials pass 1e6, so
+        # slice to the end of the string, not a fixed width)
         def _f(batch: pa.Table) -> pa.Table:
             serial = pc.cast(
-                pc.utf8_slice_codeunits(batch["conv_id"], 5, 11), pa.int64()
+                pc.utf8_slice_codeunits(batch["conv_id"], 5, 32), pa.int64()
             )
             is_new = pc.equal(
                 pc.subtract(serial, pc.multiply(pc.divide(serial, 5), 5)),
