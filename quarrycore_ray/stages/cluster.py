@@ -24,8 +24,6 @@ Two implementations:
 
 from __future__ import annotations
 
-import pandas as pd
-
 import ray.data
 
 from ..oracle import UnionFind
@@ -92,18 +90,25 @@ def label_propagation(
         .materialize()  # reused every round
     )
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        nodes = df["node"].drop_duplicates()
-        return pd.DataFrame({"node": nodes, "peer": None, "label": nodes})
+    import pyarrow as _pa
+
+    _LBL_SCHEMA = _pa.schema([("node", _pa.string()), ("label", _pa.string())])
+
+    def init_labels(tb: _pa.Table) -> _pa.Table:
+        import polars as pl
+
+        nodes = pl.from_arrow(tb).select("node").unique()
+        return (
+            nodes.with_columns(pl.col("node").alias("label"))
+            .to_arrow()
+            .cast(_LBL_SCHEMA)
+        )
 
     labels = (
-        partitioned_group_map(adj, "node", init_labels, num_partitions)
-        .select_columns(["node", "label"])
+        partitioned_group_map(adj, "node", init_labels, num_partitions, arrow=True)
         .repartition(nparts)
         .materialize()
     )
-
-    import pyarrow as _pa
 
     for _ in range(max_rounds):
         def with_peer_null(batch: _pa.Table) -> _pa.Table:
@@ -145,37 +150,76 @@ def label_propagation(
             .union(labels.map_batches(with_peer_null, batch_format="pyarrow"))
         )
 
-        def send(df: pd.DataFrame) -> pd.DataFrame:
+        _SEND_SCHEMA = _pa.schema(
+            [
+                ("node", _pa.string()),
+                ("label", _pa.string()),
+                ("self", _pa.bool_()),
+            ]
+        )
+
+        def send(tb: _pa.Table) -> _pa.Table:
             # per node: resolve its current label, forward to all peers,
-            # and re-emit the node's own (old) label for the reduce step
-            lbl = df[df["peer"].isna()].groupby("node", sort=False)["label"].min()
-            out_node: list[str] = []
-            out_label: list[str] = []
-            out_self: list[bool] = []
-            adj_rows = df[df["peer"].notna()]
-            node_lbls = adj_rows["node"].map(lbl)
-            out_node.extend(adj_rows["peer"].tolist())
-            out_label.extend(node_lbls.tolist())
-            out_self.extend([False] * len(adj_rows))
-            out_node.extend(lbl.index.tolist())
-            out_label.extend(lbl.tolist())
-            out_self.extend([True] * len(lbl))
-            return pd.DataFrame(
-                {"node": out_node, "label": out_label, "self": out_self}
+            # and re-emit the node's own (old) label for the reduce
+            # step — one polars grouped-min + one join, no per-row
+            # Python anywhere in the round
+            import polars as pl
+
+            df = pl.from_arrow(tb)
+            lbl = (
+                df.filter(pl.col("peer").is_null())
+                .group_by("node")
+                .agg(pl.col("label").min())
             )
-
-        msgs = partitioned_group_map(tagged, "node", send, num_partitions)
-
-        def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("node", sort=False)
-            new = g["label"].min()
-            old = df[df["self"]].set_index("node")["label"]
-            changed = (new != old.reindex(new.index)).astype("int64")
-            return pd.DataFrame(
-                {"node": new.index, "label": new.values, "changed": changed.values}
+            fwd = (
+                df.filter(pl.col("peer").is_not_null())
+                .select(["node", "peer"])
+                .join(lbl, on="node", how="left")
+                .select(
+                    pl.col("peer").alias("node"),
+                    pl.col("label"),
+                    pl.lit(False).alias("self"),
+                )
             )
+            own = lbl.select(
+                pl.col("node"), pl.col("label"), pl.lit(True).alias("self")
+            )
+            return pl.concat([fwd, own]).to_arrow().cast(_SEND_SCHEMA)
 
-        reduced = partitioned_group_map(msgs, "node", reduce_min, num_partitions).materialize()
+        msgs = partitioned_group_map(
+            tagged, "node", send, num_partitions, arrow=True
+        )
+
+        _RED_SCHEMA = _pa.schema(
+            [
+                ("node", _pa.string()),
+                ("label", _pa.string()),
+                ("changed", _pa.int64()),
+            ]
+        )
+
+        def reduce_min(tb: _pa.Table) -> _pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(tb)
+            new = df.group_by("node").agg(pl.col("label").min())
+            old = df.filter(pl.col("self")).select(
+                pl.col("node"), pl.col("label").alias("_old")
+            )
+            out = new.join(old, on="node", how="left").select(
+                pl.col("node"),
+                pl.col("label"),
+                # a node with no prior label row counts as changed
+                # (matches the pandas NaN != value semantics)
+                (
+                    pl.col("label").ne_missing(pl.col("_old"))
+                ).cast(pl.Int64).alias("changed"),
+            )
+            return out.to_arrow().cast(_RED_SCHEMA)
+
+        reduced = partitioned_group_map(
+            msgs, "node", reduce_min, num_partitions, arrow=True
+        ).materialize()
         n_changed = reduced.sum("changed")
         labels = (
             reduced.select_columns(["node", "label"])
