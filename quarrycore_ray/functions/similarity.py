@@ -254,7 +254,17 @@ def embedding_dup_pairs_ann(
     dim = len(probe[0]["embedding"])
     planes_ref = ray.put(lsh_planes_u(dim, n_planes, n_tables, seed))
 
+    _BUCKET_SCHEMA = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float64())),
+        ]
+    )
+
     def _buckets(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # typed empty for direct callers
+            return _BUCKET_SCHEMA.empty_table()
         planes = ray.get(planes_ref)
         ids, emb = _to_matrix(batch)
         emb_u = _quantize_u(emb)
@@ -285,6 +295,8 @@ def embedding_dup_pairs_ann(
     )
 
     def _pairs_part(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:  # typed empty for direct callers
+            return _PAIR_SCHEMA.empty_table()
         df = (
             _pl.from_arrow(tb)
             .sort(["bucket", "vec_id"])
@@ -348,6 +360,11 @@ def embedding_dup_pairs_ann_planted(sf_dir: str) -> pd.DataFrame:
     structure, clearing `embedding_dup_pairs`' O(n^2) design watch."""
 
     def _plant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # typed empty for direct callers
+            return pa.schema(
+                [("vec_id", pa.int64()),
+                 ("embedding", pa.list_(pa.float64()))]
+            ).empty_table()
         ids, emb = _to_matrix(batch)
         sel = ids % 10 == 0
         pm = emb[sel].copy()

@@ -1126,7 +1126,7 @@ def html_curate_dedup_docs(sf_dir: str, holdout_mod: int = 50) -> "rd.Dataset":
     # clusters (conv_id='doc-XXXXXXXX') -> per-doc verdict + label
     def _verdict(batch: pa.Table) -> pa.Table:
         did = pc.cast(
-            pc.utf8_slice_codeunits(batch["conv_id"], 4, 12), pa.int64()
+            pc.utf8_slice_codeunits(batch["conv_id"], 4, 64), pa.int64()
         )
         verdict = pc.if_else(
             batch["is_representative"],
@@ -1145,7 +1145,12 @@ def html_curate_dedup_docs(sf_dir: str, holdout_mod: int = 50) -> "rd.Dataset":
             }
         )
 
-    verdicts = clusters.map_batches(_verdict, batch_format="pyarrow")
+    # materialized ONCE: both attach passes below call
+    # lookup.materialize() on their lookup — a lazy verdicts would
+    # re-run the whole cluster-assign + verdict map a second time
+    verdicts = clusters.map_batches(
+        _verdict, batch_format="pyarrow"
+    ).materialize()
 
     staged_slim = staged.map_batches(
         lambda b: b.select(["doc_id", "rej"]), batch_format="pyarrow"

@@ -219,15 +219,21 @@ def dedup_conversations(
         del uf, edge_tables
         if lineage:
             # the partially-consumed first pass already reported
-            # minhash/verify lineage rows for its completed partitions;
-            # re-executing S3->S5 below would double-count them in
-            # metrics.parquet / the Prometheus export. Only those two
-            # stages report, so a drain here discards exactly the
-            # abandoned pass (earlier stages — canonical, exact — do
-            # not report lineage).
-            from ..state.metrics import drain_metrics as _drain
+            # lsh_pairs / verify lineage rows for its completed
+            # partitions; re-executing below would double-count them in
+            # metrics.parquet / the Prometheus export. Drain the actor
+            # and put back every OTHER stage's rows (canonical, exact,
+            # minhash — the signature stage is materialized inside
+            # candidate_pairs and is NOT re-executed — plus anything
+            # another pipeline reported): exactly the abandoned pass is
+            # discarded.
+            from ..state.metrics import get_metrics_actor
 
-            _drain()
+            _actor = get_metrics_actor()
+            _rerun = {"lsh_pairs", "verify"}
+            for _row in ray.get(_actor.drain.remote()):
+                if _row[0] not in _rerun:
+                    _actor.add.remote(*_row)
         edges_ds = edges_stream.materialize()
         metrics["verified_edges"] = edges_ds.count()
         metrics["cluster_path"] = "label_propagation"

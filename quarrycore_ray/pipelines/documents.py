@@ -148,7 +148,7 @@ def dedup_rate_by_source(sf_dir: str) -> "rd.Dataset":
         # conv_id is 'doc-XXXXXXXX' (pipelines/documents
         # ._docs_as_conversations)
         did = pc.cast(
-            pc.utf8_slice_codeunits(batch["conv_id"], 4, 12), pa.int64()
+            pc.utf8_slice_codeunits(batch["conv_id"], 4, 64), pa.int64()
         )
         kept = pc.cast(
             pc.equal(batch["conv_id"], batch["cluster_id"]), pa.int64()
@@ -202,7 +202,7 @@ def cross_source_dup_matrix(sf_dir: str) -> "rd.Dataset":
 
     def _doc_ids(batch: pa.Table) -> pa.Table:
         did = pc.cast(
-            pc.utf8_slice_codeunits(batch["conv_id"], 4, 12), pa.int64()
+            pc.utf8_slice_codeunits(batch["conv_id"], 4, 64), pa.int64()
         )
         return pa.table(
             {"doc_id": did, "cluster_id": batch["cluster_id"]}
@@ -388,7 +388,7 @@ def cluster_rep_by_quality(sf_dir: str) -> "rd.Dataset":
 
     def _doc_ids(batch: pa.Table) -> pa.Table:
         did = pc.cast(
-            pc.utf8_slice_codeunits(batch["conv_id"], 4, 12), pa.int64()
+            pc.utf8_slice_codeunits(batch["conv_id"], 4, 64), pa.int64()
         )
         return pa.table(
             {"doc_id": did, "cluster_id": batch["cluster_id"]}

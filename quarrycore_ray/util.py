@@ -43,9 +43,12 @@ def silence_empty_bundle_warnings() -> None:
         h.addFilter(flt)
 
 
-def preload_worker_libs() -> None:
-    """Ray ``worker_process_setup_hook``: import the heavy batch-kernel
-    libraries ONCE, serially, at worker startup.
+def worker_lib_preload_hook():
+    """Return a ``worker_process_setup_hook`` that imports the heavy
+    batch-kernel libraries ONCE, serially, at worker startup:
+
+        ray.init(..., runtime_env={
+            "worker_process_setup_hook": worker_lib_preload_hook()})
 
     Observed under 32-way load (10x incremental smoke, 2026-08-20): a
     worker's FIRST ``import polars`` racing other in-process activity
@@ -54,9 +57,19 @@ def preload_worker_libs() -> None:
     'DataTypeExpr'") inside a map UDF, aborting the dataset. Importing
     in the setup hook — before any task runs — removes the
     first-import race from the hot path entirely.
+
+    This is a FACTORY returning a nested closure on purpose: cloudpickle
+    ships a closure BY VALUE, while a module-level function (or its
+    dotted-path string) is resolved by import on the worker — which
+    fails, because the setup hook runs before the driver's sys.path
+    reaches the worker process.
     """
-    import numpy  # noqa: F401
-    import pandas  # noqa: F401
-    import polars  # noqa: F401
-    import pyarrow  # noqa: F401
-    import pyarrow.compute  # noqa: F401
+
+    def _preload() -> None:
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import polars  # noqa: F401
+        import pyarrow  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+    return _preload

@@ -46,26 +46,21 @@ def main() -> int:
 
     import ray
 
-    from quarrycore_ray.util import silence_empty_bundle_warnings
+    from quarrycore_ray.util import (
+        silence_empty_bundle_warnings,
+        worker_lib_preload_hook,
+    )
 
     silence_empty_bundle_warnings()
-
-    def _preload():
-        # defined inline so cloudpickle ships it BY VALUE — the string
-        # form resolves before the driver's sys.path reaches workers
-        # (see quarrycore_ray.util.preload_worker_libs for rationale)
-        import numpy  # noqa: F401
-        import pandas  # noqa: F401
-        import polars  # noqa: F401
-        import pyarrow.compute  # noqa: F401
-
     ray.init(
         address="local",
         num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
         object_store_memory=int(store_gb * (1 << 30)),
         include_dashboard=False,
         logging_level="ERROR",
-        runtime_env={"worker_process_setup_hook": _preload},
+        runtime_env={
+            "worker_process_setup_hook": worker_lib_preload_hook()
+        },
     )
     from ray.data import DataContext
 
@@ -158,11 +153,21 @@ def main() -> int:
             new_rows["truth_cluster_id"].isin(hist_clusters), "conv_id"
         ]
     )
-    flagged = set(
-        rd.read_parquet(out_dir)
-        .select_columns(["new_id"])
-        .to_pandas()["new_id"]
-        .unique()
+    # a zero-match probe writes NO parquet files (Ray skips empty
+    # blocks) — treat the fileless dir as the empty flagged set instead
+    # of crashing the multi-minute run at the metric step
+    has_matches = os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    )
+    flagged = (
+        set(
+            rd.read_parquet(out_dir)
+            .select_columns(["new_id"])
+            .to_pandas()["new_id"]
+            .unique()
+        )
+        if has_matches
+        else set()
     )
     n_new = len(new_rows)
     recall = (
@@ -184,7 +189,9 @@ def main() -> int:
         "wall_probe_s": round(wall_probe, 1),
         "index_docs_per_sec": round(n_hist / wall_index, 1),
         "probe_docs_per_sec": round(n_new / wall_probe, 1),
-        "matches_rows": int(rd.read_parquet(out_dir).count()),
+        "matches_rows": (
+            int(rd.read_parquet(out_dir).count()) if has_matches else 0
+        ),
         "new_only_docs": int(n_new_only),
         "true_dup_docs": len(true_dup),
         "doc_recall_vs_truth": round(recall, 6) if recall is not None else None,

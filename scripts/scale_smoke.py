@@ -34,26 +34,21 @@ def main() -> int:
 
     import ray
 
-    from quarrycore_ray.util import silence_empty_bundle_warnings
+    from quarrycore_ray.util import (
+        silence_empty_bundle_warnings,
+        worker_lib_preload_hook,
+    )
 
     silence_empty_bundle_warnings()
-
-    def _preload():
-        # defined inline so cloudpickle ships it BY VALUE — the string
-        # form resolves before the driver's sys.path reaches workers
-        # (see quarrycore_ray.util.preload_worker_libs for rationale)
-        import numpy  # noqa: F401
-        import pandas  # noqa: F401
-        import polars  # noqa: F401
-        import pyarrow.compute  # noqa: F401
-
     ray.init(
         address="local",
         num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
         object_store_memory=int(store_gb * (1 << 30)),
         include_dashboard=False,
         logging_level="ERROR",
-        runtime_env={"worker_process_setup_hook": _preload},
+        runtime_env={
+            "worker_process_setup_hook": worker_lib_preload_hook()
+        },
     )
     from ray.data import DataContext
 
