@@ -519,6 +519,8 @@ def attach_signatures_broadcast(
     """
     import ray as _ray
 
+    from ..config import fixed_probe_pool
+
     build = _ray.remote(num_cpus=1)(_concat_sig_blocks)
     sig_ref = build.remote(sigs.to_arrow_refs())
 
@@ -526,7 +528,11 @@ def attach_signatures_broadcast(
         _BroadcastAttach,
         fn_constructor_kwargs={"sig_ref": sig_ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        # pre-started fixed pool (autoscaling ramps one actor at a
+        # time; config.sig_pool_size rationale). Each actor holds one
+        # zero-copy view of the broadcast table, so pool size costs no
+        # extra payload memory.
+        concurrency=fixed_probe_pool(hi=8),
     )
 
 
