@@ -531,8 +531,9 @@ def attach_signatures_broadcast(
         # pre-started fixed pool (autoscaling ramps one actor at a
         # time; config.sig_pool_size rationale). Each actor holds one
         # zero-copy view of the broadcast table, so pool size costs no
-        # extra payload memory.
-        concurrency=fixed_probe_pool(hi=8),
+        # extra payload memory; frac=0.25 reaches the old autoscale
+        # ceiling of 8 actors on the 32-CPU reference box.
+        concurrency=fixed_probe_pool(frac=0.25, hi=8),
     )
 
 
