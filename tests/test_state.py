@@ -514,3 +514,109 @@ class TestJobDomainThresholds:
         assert lenient["conv-c"] == "conv-c"
         # ...the unreachable one keeps every conversation apart
         assert strict == {c: c for c in ("conv-a", "conv-b", "conv-c")}
+
+
+class TestJobLabelPropPath:
+    """Force the job's distributed label-propagation branch
+    (labelprop_edge_threshold=0) and check it produces the same
+    clusters/deduped outputs as the driver union-find branch, with the
+    `labels` stage checkpointed and resumable."""
+
+    def _corpus(self, tmp_path):
+        base = " ".join(f"tok{i:02d}" for i in range(60))
+        near = base.replace("tok59", "tok99")
+        tb = pa.table(
+            {
+                "conv_id": pa.array(["a", "b", "c", "d"], pa.string()),
+                "turn_idx": pa.array([0, 0, 0, 0], pa.int64()),
+                "text": pa.array(
+                    [base, near, base + " extra tail", "unrelated text"],
+                    pa.string(),
+                ),
+            }
+        )
+        d = str(tmp_path / "lp_in")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tb, os.path.join(d, "part-0.parquet"))
+        return d
+
+    def test_labelprop_branch_matches_union_find(self, tmp_path):
+        from quarrycore_ray.config import DedupConfig
+
+        corpus = self._corpus(tmp_path)
+        out_uf = str(tmp_path / "j_uf")
+        out_lp = str(tmp_path / "j_lp")
+        run_dedup_job(corpus, out_uf, lineage=False)
+        s = run_dedup_job(
+            corpus, out_lp,
+            config=DedupConfig(labelprop_edge_threshold=0), lineage=False,
+        )
+        assert s["cluster_path"] == "label_propagation"
+        assert "labels" in s["stages_run"]
+
+        def clmap(root):
+            cl = rd.read_parquet(os.path.join(root, "clusters", "data")).to_pandas()
+            return dict(zip(cl["conv_id"], cl["cluster_id"]))
+
+        assert clmap(out_uf) == clmap(out_lp)
+        dd_uf = sorted(
+            rd.read_parquet(os.path.join(out_uf, "deduped", "data"))
+            .to_pandas()["conv_id"]
+        )
+        dd_lp = sorted(
+            rd.read_parquet(os.path.join(out_lp, "deduped", "data"))
+            .to_pandas()["conv_id"]
+        )
+        assert dd_uf == dd_lp
+
+        # resume skips everything including the labels stage
+        s2 = run_dedup_job(
+            corpus, out_lp,
+            config=DedupConfig(labelprop_edge_threshold=0), lineage=False,
+        )
+        assert s2["stages_run"] == []
+        assert "labels" in s2["stages_skipped"]
+
+
+class TestStagedAttachParity:
+    """attach_signatures(staged=True) must be row-identical to the
+    unstaged join (the staging only adds a materialize barrier)."""
+
+    def test_parity(self):
+        import numpy as np
+
+        from quarrycore_ray.stages.lsh import attach_signatures
+        from quarrycore_ray.stages.minhash_stage import sig_to_bytes
+
+        sigs = pa.table(
+            {
+                "conv_id": pa.array([f"c{i}" for i in range(6)], pa.string()),
+                "minhash_sig": pa.array(
+                    [sig_to_bytes(np.arange(128, dtype=np.uint64) + i)
+                     for i in range(6)],
+                    pa.binary(),
+                ),
+                "simhash": pa.array(list(range(6)), pa.int64()),
+                "thr": pa.array([0.85] * 6, pa.float64()),
+            }
+        )
+        pairs = pa.table(
+            {
+                "a_id": pa.array(["c0", "c2", "c4"], pa.string()),
+                "b_id": pa.array(["c1", "c3", "c5"], pa.string()),
+                "bucket_size": pa.array([2, 2, 2], pa.int64()),
+                "dropped_pairs": pa.array([0, 0, 0], pa.int64()),
+            }
+        )
+        pd_sort = lambda d: d.sort_values(["a_id", "b_id"]).reset_index(drop=True)  # noqa: E731
+        plain = pd_sort(
+            attach_signatures(
+                rd.from_arrow(pairs), rd.from_arrow(sigs)
+            ).to_pandas()
+        )
+        staged = pd_sort(
+            attach_signatures(
+                rd.from_arrow(pairs), rd.from_arrow(sigs), staged=True
+            ).to_pandas()
+        )
+        assert plain.equals(staged)
