@@ -269,16 +269,11 @@ def embedding_dup_pairs_ann(
         ids, emb = _to_matrix(batch)
         emb_u = _quantize_u(emb)
         nemb = _normalize(emb)
-        keys: list[np.ndarray] = []
-        for t in range(n_tables):
-            proj = emb_u @ planes[t].T
-            bits = (proj > 0).astype(np.int64)
-            key = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-            keys.append(key | (t << 32))
+        keys = lsh_bucket_keys(emb_u, planes, n_planes, n_tables)
         norm_col = pa.array(list(nemb), pa.list_(pa.float64()))
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(keys), pa.int64()),
+                "bucket": pa.array(keys, pa.int64()),
                 "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
                 "embedding": pa.concat_arrays([norm_col] * n_tables),
             }
@@ -407,6 +402,23 @@ def _quantize_u(emb: np.ndarray) -> np.ndarray:
     return np.floor(emb * _LSH_Q + 0.5).astype(np.int64)
 
 
+def lsh_bucket_keys(
+    emb_u: "np.ndarray", planes: "np.ndarray", n_planes: int, n_tables: int
+) -> "np.ndarray":
+    """Concatenated per-table bucket keys for quantized embeddings:
+    sign bits of exact int64 projections packed into an n_planes-bit
+    key, table index mixed into the high bits. Shared by `ann_lsh_knn`
+    and `embedding_dup_pairs_ann` (identical arithmetic keeps their
+    bucket structure — and the generated SQL oracles — aligned)."""
+    keys = []
+    for t in range(n_tables):
+        proj = emb_u @ planes[t].T  # (n, n_planes) exact int64
+        bits = (proj > 0).astype(np.int64)
+        key = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        keys.append(key | (t << 32))
+    return np.concatenate(keys)
+
+
 def ivf_centroids_u(dim: int, nlist: int = 100, seed: int = 29) -> np.ndarray:
     """(nlist, dim) int64 fixed coarse-quantizer centroids: standard
     normal draws quantized to micro-units, same discipline as
@@ -455,16 +467,10 @@ def ann_lsh_knn(
         pl = ray.get(planes_ref)
         ids, emb = _to_matrix(batch)
         emb_u = _quantize_u(emb)
-        out_key: list[np.ndarray] = []
-        n = len(ids)
-        for t in range(n_tables):
-            proj = emb_u @ pl[t].T  # (n, n_planes) exact int64
-            bits = (proj > 0).astype(np.int64)
-            key = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-            out_key.append(key | (t << 32))
+        out_key = lsh_bucket_keys(emb_u, pl, n_planes, n_tables)
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(out_key), pa.int64()),
+                "bucket": pa.array(out_key, pa.int64()),
                 "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
                 "embedding": pa.concat_arrays(
                     [batch["embedding"].combine_chunks()] * n_tables

@@ -258,14 +258,7 @@ def dedup_conversations(
     near_assign = uf.components()
     # ship the assignment as an Arrow table: zero-copy for workers, and
     # the per-batch explode below joins against it vectorized
-    near_ref = ray.put(
-        pa.table(
-            {
-                "conv_id": pa.array(list(near_assign.keys()), pa.string()),
-                "near_label": pa.array(list(near_assign.values()), pa.string()),
-            }
-        )
-    )
+    near_ref = near_label_ref(near_assign)
 
     # Final assignment per conversation: exact members inherit their
     # representative's near-dup cluster. dup_kind semantics follow the
@@ -373,6 +366,21 @@ def add_threshold_column(cfg: DedupConfig):
         return batch.append_column("thr", thr)
 
     return _f
+
+
+def near_label_ref(assign: dict):
+    """ray.put the union-find assignment as a broadcast (conv_id,
+    near_label) Arrow table — the input `cluster_assign_map` /
+    `_filter_unique_reps` / `_attach_cluster` consume. Shared by
+    `dedup_conversations` and the checkpointed job runner."""
+    return ray.put(
+        pa.table(
+            {
+                "conv_id": pa.array(list(assign.keys()), pa.string()),
+                "near_label": pa.array(list(assign.values()), pa.string()),
+            }
+        )
+    )
 
 
 def cluster_assign_map(near_ref):

@@ -238,17 +238,9 @@ def run_dedup_job(
 
     def _near_label_ref(edges_ds: "rd.Dataset"):
         if "ref" not in _near_cache:
-            assign = driver_union_find(edges_ds)
-            _near_cache["ref"] = ray.put(
-                pa.table(
-                    {
-                        "conv_id": pa.array(list(assign.keys()), pa.string()),
-                        "near_label": pa.array(
-                            list(assign.values()), pa.string()
-                        ),
-                    }
-                )
-            )
+            from .dedup import near_label_ref
+
+            _near_cache["ref"] = near_label_ref(driver_union_find(edges_ds))
         return _near_cache["ref"]
 
     def _clusters() -> "rd.Dataset":
